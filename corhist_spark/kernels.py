@@ -1,0 +1,554 @@
+"""The 10 constraint-type correction-lookup kernels as set-at-a-time
+DataFrame plans.
+
+Each kernel transcribes one `buildCorrectionsLookupQueries` SPARQL shape
+(`corhist/.../dataset/queries/*QueriesBuilder.java`) into joins over:
+
+- ``dels``/``adds``: the per-revision diff graphs (edits + revision
+  metadata; ``g`` = parent revision = the pre-correction global state,
+  per `#previousRevision/#globalState`),
+- ``state``: the interval-form reconstructed KB (state.py), columns
+  prefixed ``st_`` to keep join plans unambiguous,
+- ``closure``: interval-form P279 transitive closure (canonicalize.py),
+- ``constraints``: broadcast, parameters pre-flattened to typed columns
+  (prepare_constraints).
+
+All constraints of a type run in ONE plan — the reference loops
+constraint-at-a-time (`corhist/.../mining/Main.java:89`); here the
+constraint table rides along as a broadcast join key, the scale-correct
+shape (a handful of shuffles total instead of thousands of tiny jobs).
+
+Output rows (pre-expansion candidates) mirror the SELECT DISTINCT
+projections: (constraint_id, property, target_subj, target_obj, is_add,
+corr_subj, corr_pred, corr_obj, corr_rev).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import schemas as S
+
+ROW_COLS = [
+    "constraint_id",
+    "property",
+    "target_subj",
+    "target_obj",
+    "is_add",
+    "corr_subj",
+    "corr_pred",
+    "corr_obj",
+    "corr_rev",
+]
+
+
+def prepare_constraints(spark, constraints_pdf) -> DataFrame:
+    """Flatten constraint parameters into typed columns (driver-side —
+    the constraint table is thousands of rows at most and is broadcast
+    everywhere).  Regex validation follows
+    `FormatQueriesBuilder.java:55-74`: first compilable pattern wins,
+    fallback '^.*$'."""
+    rows = []
+    for r in constraints_pdf.to_dict("records"):
+        params = r.get("params") or {}
+        rels_param = (params.get(S.PARAM_RELATION) or [S.REL_INSTANCE])[0]
+        rels = {
+            S.REL_INSTANCE: [S.INSTANCE_OF],
+            S.REL_SUBCLASS: [S.SUBCLASS_OF],
+            S.REL_INSTANCE_OR_SUBCLASS: [S.INSTANCE_OF, S.SUBCLASS_OF],
+        }.get(rels_param, [S.INSTANCE_OF])
+        regex = None
+        if r["type"] == S.TYPE_FORMAT:
+            regex = "^.*$"
+            for rx in params.get(S.PARAM_REGEX, []):
+                try:
+                    re.compile("^" + rx + "$")
+                    regex = "^" + rx + "$"
+                    break
+                except re.error:
+                    continue
+        prop_param = (params.get(S.PARAM_PROPERTY) or [None])[0]
+        rows.append(
+            {
+                "constraint_id": r["constraint_id"],
+                "property": r["property"],
+                "type": r["type"],
+                "inv_pred": r["property"] if r["type"] == S.TYPE_SYMMETRIC else prop_param,
+                "p2_pred": prop_param,
+                "items": params.get(S.PARAM_ITEM) or [],
+                "classes": params.get(S.PARAM_CLASS) or [],
+                "rels": rels,
+                "regex_anchored": regex,
+            }
+        )
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("constraint_id", StringType()),
+            StructField("property", StringType()),
+            StructField("type", StringType()),
+            StructField("inv_pred", StringType()),
+            StructField("p2_pred", StringType()),
+            StructField("items", ArrayType(StringType())),
+            StructField("classes", ArrayType(StringType())),
+            StructField("rels", ArrayType(StringType())),
+            StructField("regex_anchored", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def _st(state: DataFrame) -> DataFrame:
+    return state.select(
+        F.col("subj").alias("st_subj"),
+        F.col("pred").alias("st_pred"),
+        F.col("obj").alias("st_obj"),
+        F.col("from_rev").alias("st_from"),
+        F.col("to_rev").alias("st_to"),
+    )
+
+
+def _cl(closure: DataFrame) -> DataFrame:
+    return closure.select(
+        F.col("cls").alias("cl_cls"),
+        F.col("anc").alias("cl_anc"),
+        F.col("from_rev").alias("cl_from"),
+        F.col("to_rev").alias("cl_to"),
+    )
+
+
+def _asof(g_col):
+    return (F.col("st_from") <= g_col) & (g_col < F.col("st_to"))
+
+
+def _cl_asof(g_col):
+    return (F.col("cl_from") <= g_col) & (g_col < F.col("cl_to"))
+
+
+def _diff_with_meta(edits: DataFrame, revisions: DataFrame, op: str, need_prev: bool) -> DataFrame:
+    d = (
+        edits.filter(F.col("op") == op)
+        .join(revisions.select("rev_id", F.col("parent_rev_id").alias("g")), "rev_id")
+        .select("rev_id", "subj", "pred", "obj", "g")
+    )
+    if need_prev:
+        d = d.filter(F.col("g").isNotNull())
+    return d
+
+
+def _sameas_adds(edits: DataFrame) -> DataFrame:
+    return (
+        edits.filter((F.col("op") == "add") & (F.col("pred") == S.SAME_AS))
+        .select(F.col("rev_id").alias("sa_rev"), F.col("subj").alias("sa_subj"))
+        .distinct()
+    )
+
+
+def _anti_sameas(df: DataFrame, sameas: DataFrame) -> DataFrame:
+    """`FILTER NOT EXISTS { GRAPH ?add { ?s owl:sameAs ?red } }`."""
+    return df.join(
+        sameas,
+        (F.col("rev_id") == F.col("sa_rev")) & (F.col("subj") == F.col("sa_subj")),
+        "left_anti",
+    )
+
+
+def _emit(df: DataFrame, *, target_subj, target_obj, is_add, corr_subj, corr_pred, corr_obj) -> DataFrame:
+    return df.select(
+        F.col("constraint_id"),
+        F.col("property"),
+        F.col(target_subj).alias("target_subj"),
+        F.col(target_obj).alias("target_obj"),
+        F.lit(is_add).alias("is_add"),
+        F.col(corr_subj).alias("corr_subj"),
+        F.col(corr_pred).alias("corr_pred"),
+        F.col(corr_obj).alias("corr_obj"),
+        F.col("rev_id").cast("long").alias("corr_rev"),
+    )
+
+
+def correction_candidates(
+    edits: DataFrame,
+    revisions: DataFrame,
+    state: DataFrame,
+    closure: DataFrame,
+    constraints: DataFrame,
+) -> DataFrame:
+    """Union of all kernels' candidate rows, DISTINCT (the queries are
+    SELECT DISTINCT)."""
+    dels = _diff_with_meta(edits, revisions, "del", need_prev=True)
+    dels_nop = _diff_with_meta(edits, revisions, "del", need_prev=False)
+    adds = _diff_with_meta(edits, revisions, "add", need_prev=True)
+    sameas = _sameas_adds(edits)
+    state = _st(state)
+    closure = _cl(closure)
+    del_triples = edits.filter(F.col("op") == "del").select(
+        F.col("rev_id").alias("dt_rev"),
+        F.col("subj").alias("dt_subj"),
+        F.col("pred").alias("dt_pred"),
+        F.col("obj").alias("dt_obj"),
+    )
+    add_triples = edits.filter(F.col("op") == "add").select(
+        F.col("rev_id").alias("at_rev"),
+        F.col("subj").alias("at_subj"),
+        F.col("pred").alias("at_pred"),
+        F.col("obj").alias("at_obj"),
+    )
+
+    def cons(t):
+        types = t if isinstance(t, (list, tuple)) else [t]
+        return F.broadcast(constraints.filter(F.col("type").isin(*types)))
+
+    parts = [
+        _single(dels, state, del_triples, cons(S.TYPE_SINGLE)),
+        _unique(dels, state, sameas, cons(S.TYPE_UNIQUE)),
+        _inverse(dels, adds, state, sameas, cons([S.TYPE_INVERSE, S.TYPE_SYMMETRIC])),
+        _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, cons(S.TYPE_TYPE), on_object=False),
+        _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, cons(S.TYPE_VALUE_TYPE), on_object=True),
+        _claim_like(dels, adds, state, sameas, cons(S.TYPE_TARGET_CLAIM), on_object=True),
+        _claim_like(dels, adds, state, sameas, cons(S.TYPE_ITEM), on_object=False),
+        _conflict(dels, state, del_triples, cons(S.TYPE_CONFLICT)),
+        _one_of(dels_nop, sameas, cons(S.TYPE_ONE_OF)),
+        _format(dels_nop, sameas, cons(S.TYPE_FORMAT)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+# --- kernels -------------------------------------------------------------
+
+
+def _single(dels, state, del_triples, cons):
+    """`SingleValueQueriesBuilder.java:23-36`."""
+    d = dels.join(cons, F.col("pred") == F.col("property"))
+    j = d.join(
+        state,
+        (F.col("st_subj") == F.col("subj"))
+        & (F.col("st_pred") == F.col("pred"))
+        & _asof(F.col("g"))
+        & (F.col("st_obj") != F.col("obj")),
+    )
+    j = j.join(
+        del_triples,
+        (F.col("dt_rev") == F.col("rev_id"))
+        & (F.col("dt_subj") == F.col("subj"))
+        & (F.col("dt_pred") == F.col("pred"))
+        & (F.col("dt_obj") == F.col("st_obj")),
+        "left_anti",
+    )
+    j = j.withColumn("t_obj", F.explode(F.array(F.col("obj"), F.col("st_obj"))))
+    return _emit(
+        j,
+        target_subj="subj",
+        target_obj="t_obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
+
+
+def _unique(dels, state, sameas, cons):
+    """`UniqueValueQueriesBuilder.java:24-40`."""
+    d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
+    j = d.join(
+        state,
+        (F.col("st_pred") == F.col("pred"))
+        & (F.col("st_obj") == F.col("obj"))
+        & _asof(F.col("g"))
+        & (F.col("st_subj") != F.col("subj")),
+    )
+    j = j.withColumn("t_subj", F.explode(F.array(F.col("subj"), F.col("st_subj"))))
+    return _emit(
+        j,
+        target_subj="t_subj",
+        target_obj="obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
+
+
+def _inverse(dels, adds, state, sameas, cons):
+    """`InverseQueriesBuilder.java:27-52` (also symmetric)."""
+    # deletion branch: inverse missing in prev state
+    d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
+    d = d.join(
+        state,
+        (F.col("st_subj") == F.col("obj"))
+        & (F.col("st_pred") == F.col("inv_pred"))
+        & (F.col("st_obj") == F.col("subj"))
+        & _asof(F.col("g")),
+        "left_anti",
+    )
+    out = _emit(
+        d,
+        target_subj="subj",
+        target_obj="obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
+    # addition branch: `?o inv ?s` added while `?s p ?o` in prev state;
+    # the added triple is (subj=o, pred=inv, obj=s)
+    a = adds.join(cons, F.col("pred") == F.col("inv_pred"))
+    a = a.join(
+        state,
+        (F.col("st_subj") == F.col("obj"))
+        & (F.col("st_pred") == F.col("property"))
+        & (F.col("st_obj") == F.col("subj"))
+        & _asof(F.col("g")),
+    )
+    out2 = _emit(
+        a,
+        target_subj="obj",
+        target_obj="subj",
+        is_add=True,
+        corr_subj="subj",
+        corr_pred="inv_pred",
+        corr_obj="obj",
+    )
+    return out.unionByName(out2)
+
+
+def _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, cons, on_object):
+    """`TypeQueriesBuilder.java:24-63` / `ValueTypeQueriesBuilder.java`.
+
+    The `?s rel/P279* ?o2` path is the interval-closure join; reflexive
+    hop handled by the direct `array_contains(classes, t)` check."""
+    key = ["constraint_id", "rev_id", "subj", "obj"]
+    carrier = "obj" if on_object else "subj"
+    # deletion branch: carrier lacked the required class at g
+    d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
+    typed = d.join(
+        state,
+        (F.col("st_subj") == F.col(carrier))
+        & F.expr("array_contains(rels, st_pred)")
+        & _asof(F.col("g")),
+    )
+    direct = typed.filter(F.expr("array_contains(classes, st_obj)")).select(*key)
+    via = (
+        typed.join(closure, (F.col("cl_cls") == F.col("st_obj")) & _cl_asof(F.col("g")))
+        .filter(F.expr("array_contains(classes, cl_anc)"))
+        .select(*key)
+    )
+    evidence = direct.union(via).distinct()
+    d2 = d.join(evidence, key, "left_anti")
+    out = _emit(
+        d2,
+        target_subj="subj",
+        target_obj="obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
+
+    # addition branch: `carrier rel ?type` added; the type must reach
+    # the classes in the CURRENT state (the subquery) AND at g
+    a = adds.join(cons, F.expr("array_contains(rels, pred)")).select(
+        "rev_id",
+        F.col("subj").alias("carrier"),
+        F.col("obj").alias("typ"),
+        "g",
+        "constraint_id",
+        "property",
+        "classes",
+    )
+
+    def reach(df, g_expr):
+        direct_r = df.filter(F.expr("array_contains(classes, typ)"))
+        via_r = (
+            df.join(closure, (F.col("cl_cls") == F.col("typ")) & _cl_asof(g_expr))
+            .filter(F.expr("array_contains(classes, cl_anc)"))
+            .drop("cl_cls", "cl_anc", "cl_from", "cl_to")
+        )
+        return direct_r.unionByName(via_r).distinct()
+
+    a = reach(a, F.lit(S.MAX_REV - 1))
+    a = reach(a, F.col("g"))
+    # prev-state evidence `?s prop ?o` (carrier = s for type, o for valueType)
+    st_anchor = F.col("st_obj") if on_object else F.col("st_subj")
+    j = a.join(
+        state,
+        (st_anchor == F.col("carrier")) & (F.col("st_pred") == F.col("property")) & _asof(F.col("g")),
+    )
+    # FILTER NOT EXISTS { GRAPH ?del { ?s prop ?o } }
+    j = j.join(
+        del_triples,
+        (F.col("dt_rev") == F.col("rev_id"))
+        & (F.col("dt_subj") == F.col("st_subj"))
+        & (F.col("dt_pred") == F.col("property"))
+        & (F.col("dt_obj") == F.col("st_obj")),
+        "left_anti",
+    )
+    # `GRAPH ?add { carrier ?corrP ?type }` — corrP re-derived from adds
+    j = j.join(
+        add_triples,
+        (F.col("at_rev") == F.col("rev_id"))
+        & (F.col("at_subj") == F.col("carrier"))
+        & (F.col("at_obj") == F.col("typ")),
+    )
+    out2 = _emit(
+        j,
+        target_subj="st_subj",
+        target_obj="st_obj",
+        is_add=True,
+        corr_subj="carrier",
+        corr_pred="at_pred",
+        corr_obj="typ",
+    )
+    return out.unionByName(out2)
+
+
+def _claim_like(dels, adds, state, sameas, cons, on_object):
+    """`TargetRequiredClaimQueriesBuilder.java:35-63` /
+    `ItemQueriesBuilder.java:34-58`."""
+    key = ["constraint_id", "rev_id", "subj", "obj"]
+    carrier = "obj" if on_object else "subj"
+    d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
+    ev = (
+        d.join(
+            state,
+            (F.col("st_subj") == F.col(carrier))
+            & (F.col("st_pred") == F.col("p2_pred"))
+            & _asof(F.col("g")),
+        )
+        .filter((F.size("items") == 0) | F.expr("array_contains(items, st_obj)"))
+        .select(*key)
+        .distinct()
+    )
+    d2 = d.join(ev, key, "left_anti")
+    out = _emit(
+        d2,
+        target_subj="subj",
+        target_obj="obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
+    # addition branch: `carrier p2 ?o2` added while `?s prop ?o` in prev
+    # state; the added triple is (subj=carrier, pred=p2, obj=o2)
+    a = adds.join(cons, F.col("pred") == F.col("p2_pred")).filter(
+        (F.size("items") == 0) | F.expr("array_contains(items, obj)")
+    )
+    st_anchor = F.col("st_obj") if on_object else F.col("st_subj")
+    j = a.join(
+        state,
+        (st_anchor == F.col("subj")) & (F.col("st_pred") == F.col("property")) & _asof(F.col("g")),
+    )
+    out2 = _emit(
+        j,
+        target_subj="st_subj",
+        target_obj="st_obj",
+        is_add=True,
+        corr_subj="subj",
+        corr_pred="p2_pred",
+        corr_obj="obj",
+    )
+    return out.unionByName(out2)
+
+
+def _conflict(dels, state, del_triples, cons):
+    """`ConflictsWithQueriesBuilder.java:28-47` — both branches are
+    deletions."""
+    # branch a: deleted `s prop o` while conflicting `s p2 o2` in prev state
+    d = dels.join(cons, F.col("pred") == F.col("property"))
+    ja = (
+        d.join(
+            state,
+            (F.col("st_subj") == F.col("subj"))
+            & (F.col("st_pred") == F.col("p2_pred"))
+            & _asof(F.col("g")),
+        )
+        .filter((F.size("items") == 0) | F.expr("array_contains(items, st_obj)"))
+        .join(
+            del_triples,
+            (F.col("dt_rev") == F.col("rev_id"))
+            & (F.col("dt_subj") == F.col("subj"))
+            & (F.col("dt_pred") == F.col("p2_pred"))
+            & (F.col("dt_obj") == F.col("st_obj")),
+            "left_anti",
+        )
+    )
+    out = _emit(
+        ja,
+        target_subj="subj",
+        target_obj="obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
+    # branch b: deleted the conflicting `s p2 o2` while `s prop o` in prev
+    d2 = dels.join(cons, F.col("pred") == F.col("p2_pred")).filter(
+        (F.size("items") == 0) | F.expr("array_contains(items, obj)")
+    )
+    jb = d2.join(
+        state,
+        (F.col("st_subj") == F.col("subj"))
+        & (F.col("st_pred") == F.col("property"))
+        & _asof(F.col("g")),
+    ).join(
+        del_triples,
+        (F.col("dt_rev") == F.col("rev_id"))
+        & (F.col("dt_subj") == F.col("subj"))
+        & (F.col("dt_pred") == F.col("property"))
+        & (F.col("dt_obj") == F.col("st_obj")),
+        "left_anti",
+    )
+    out2 = _emit(
+        jb,
+        target_subj="subj",
+        target_obj="st_obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="p2_pred",
+        corr_obj="obj",
+    )
+    return out.unionByName(out2)
+
+
+def _one_of(dels_nop, sameas, cons):
+    """`OneOfQueriesBuilder.java:24-38` — no prev-state join, empty
+    item list yields nothing (empty VALUES group)."""
+    d = dels_nop.join(cons, F.col("pred") == F.col("property")).filter(
+        (F.size("items") > 0) & ~F.expr("array_contains(items, obj)")
+    )
+    d = _anti_sameas(d, sameas)
+    return _emit(
+        d,
+        target_subj="subj",
+        target_obj="obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
+
+
+def _format(dels_nop, sameas, cons):
+    """`FormatQueriesBuilder.java:31-44` — regex validated driver-side,
+    matched JVM-side (same Java regex family as the reference)."""
+    d = dels_nop.join(cons, F.col("pred") == F.col("property")).filter(
+        ~F.regexp_like(F.col("obj"), F.col("regex_anchored"))
+    )
+    d = _anti_sameas(d, sameas)
+    return _emit(
+        d,
+        target_subj="subj",
+        target_obj="obj",
+        is_add=False,
+        corr_subj="subj",
+        corr_pred="property",
+        corr_obj="obj",
+    )
