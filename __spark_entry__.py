@@ -1,38 +1,465 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship query (single-value constraint
+correction lookup over the edit history derived from sf0.001 events).
+`queries()` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) callable; `oracle_sql()` gives the DuckDB-equivalent
+ANSI SQL.  The corhist-shaped operators run over a deterministic edit
+history derived from the `events` table with integer-only arithmetic so
+both engines see identical rows (corhist_spark/history.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from corhist_spark.history import derived_edits, derived_revisions, with_history_ctes
+from corhist_spark.pipeline import run_correction_pipeline
+from corhist_spark.schemas import MAX_REV
+from corhist_spark.state import build_state, current_state
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _hist_state(spark, sf_dir) -> DataFrame:
+    return build_state(derived_edits(spark, sf_dir))
+
+
+def _hist_current(spark, sf_dir) -> DataFrame:
+    return current_state(_hist_state(spark, sf_dir)).select("subj", "pred", "obj")
+
+
+# --------------------------------------------------------------------------
+# corhist-shaped operators over the derived edit history
+# --------------------------------------------------------------------------
+
+
+def q_state_intervals(spark, sf_dir):
+    return _hist_state(spark, sf_dir).select("subj", "pred", "obj", "from_rev", "to_rev")
+
+
+def q_current_state(spark, sf_dir):
+    return _hist_current(spark, sf_dir)
+
+
+def q_single_value_violations(spark, sf_dir):
+    """Violation query of `SingleValueQueriesBuilder.java:38-44` on the
+    current state, property P1."""
+    cur = _hist_current(spark, sf_dir).filter(F.col("pred") == "P1")
+    other = cur.select(F.col("subj").alias("s2"), F.col("obj").alias("o2"))
+    return (
+        cur.join(other, (cur.subj == other.s2) & (cur.obj != other.o2))
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_unique_value_violations(spark, sf_dir):
+    """`UniqueValueQueriesBuilder.java:42-48` on current state, P2."""
+    cur = _hist_current(spark, sf_dir).filter(F.col("pred") == "P2")
+    other = cur.select(F.col("subj").alias("s2"), F.col("obj").alias("o2"))
+    return (
+        cur.join(other, (cur.obj == other.o2) & (cur.subj != other.s2))
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_oneof_violations(spark, sf_dir):
+    """`OneOfQueriesBuilder.java:41-48`: P2 values restricted to {V0}."""
+    cur = _hist_current(spark, sf_dir)
+    return (
+        cur.filter((F.col("pred") == "P2") & (F.col("obj") != "V0"))
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_inverse_violations(spark, sf_dir):
+    """`InverseQueriesBuilder.java:55-64`, symmetric on P3: `s P3 o`
+    without `o P3 s`."""
+    cur = _hist_current(spark, sf_dir).filter(F.col("pred") == "P3")
+    inv = cur.select(F.col("subj").alias("i_s"), F.col("obj").alias("i_o"))
+    return (
+        cur.join(inv, (cur.subj == inv.i_o) & (cur.obj == inv.i_s), "left_anti")
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_format_violations(spark, sf_dir):
+    """`FormatQueriesBuilder.java:48-53`: P4 values must match ^V[01]$."""
+    cur = _hist_current(spark, sf_dir)
+    return (
+        cur.filter((F.col("pred") == "P4") & ~F.col("obj").rlike("^V[01]$"))
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_single_value_corrections(spark, sf_dir):
+    """Flagship: the full correction pipeline (kernel + expansion +
+    still-applied) for a single-value constraint on P1 over the derived
+    history."""
+    import pandas as pd
+
+    edits = derived_edits(spark, sf_dir)
+    revisions = derived_revisions(edits)
+    cons = pd.DataFrame(
+        [{"constraint_id": "c-single-P1", "property": "P1", "type": "Q19474404", "params": {}}]
+    )
+    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
+    out = run_correction_pipeline(spark, edits, revisions, cons, closure=empty_closure)
+    return out.select("target_subj", "target_obj", "corr_rev").distinct()
+
+
+# --------------------------------------------------------------------------
+# generic relational operators (TPC-H-ish)
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter + groupBy agg; money math in DECIMAL so
+    both engines agree bit-for-bit, surfaced as double."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_discount")
+    disc_price = (F.col("l_extendedprice") * (1 - d)).cast("decimal(18,6)")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_sq"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+            "count_order",
+        )
+    )
+    return out
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Rank window: top-2 orders per customer by totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+def q_order_priority_rollup(spark, sf_dir):
+    """ROLLUP aggregation (the stats-table shape of
+    `game/ViolationDatabase.java:175-191`)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "n")
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("_rev"))
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("_rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Window-over-event-sequence per user: 30-minute-gap sessions
+    (the 'window over revision sequence' shape of the north rule)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        ev.withColumn("is_start", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# --------------------------------------------------------------------------
+# training-data / document operators
+# --------------------------------------------------------------------------
+
+
+def _tokens(col="text"):
+    return F.filter(F.split(F.col(col), " "), lambda x: x != "")
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy, survivor = min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of the sorted distinct token set."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias("fingerprint"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length saturation x lexical diversity."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    u = F.size(F.array_distinct(toks)).cast("double")
+    score = F.round(F.least(F.lit(1.0), n / 50.0) * (u / n), 6)
+    return d.select("doc_id", score.alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word language ID heuristic (deterministic)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _tokens()
+    hits = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a") | (x == "and")))
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.when(hits * 10 >= n, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_single_value_corrections(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "state_intervals": q_state_intervals,
+        "current_state": q_current_state,
+        "single_value_violations": q_single_value_violations,
+        "unique_value_violations": q_unique_value_violations,
+        "oneof_violations": q_oneof_violations,
+        "inverse_violations": q_inverse_violations,
+        "format_violations": q_format_violations,
+        "single_value_corrections": q_single_value_corrections,
+        "pricing_summary": q_pricing_summary,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "order_priority_rollup": q_order_priority_rollup,
+        "shipping_priority": q_shipping_priority,
+        "sessionize": q_sessionize,
+        "token_stats": q_token_stats,
+        "exact_dedup": q_exact_dedup,
+        "doc_fingerprint": q_doc_fingerprint,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    M = MAX_REV
+    return {
+        "state_intervals": with_history_ctes(
+            "SELECT subj, pred, obj, from_rev, to_rev FROM h_state"
+        ),
+        "current_state": with_history_ctes("SELECT subj, pred, obj FROM h_cur"),
+        "single_value_violations": with_history_ctes(
+            """
+            SELECT DISTINCT a.subj AS target_subj, a.obj AS target_obj
+            FROM h_cur a JOIN h_cur b
+              ON a.subj = b.subj AND a.pred = b.pred AND a.obj <> b.obj
+            WHERE a.pred = 'P1'
+            """
+        ),
+        "unique_value_violations": with_history_ctes(
+            """
+            SELECT DISTINCT a.subj AS target_subj, a.obj AS target_obj
+            FROM h_cur a JOIN h_cur b
+              ON a.obj = b.obj AND a.pred = b.pred AND a.subj <> b.subj
+            WHERE a.pred = 'P2'
+            """
+        ),
+        "oneof_violations": with_history_ctes(
+            """
+            SELECT DISTINCT subj AS target_subj, obj AS target_obj
+            FROM h_cur WHERE pred = 'P2' AND obj <> 'V0'
+            """
+        ),
+        "inverse_violations": with_history_ctes(
+            """
+            SELECT DISTINCT a.subj AS target_subj, a.obj AS target_obj
+            FROM h_cur a
+            WHERE a.pred = 'P3' AND NOT EXISTS (
+              SELECT 1 FROM h_cur b
+              WHERE b.pred = 'P3' AND b.subj = a.obj AND b.obj = a.subj)
+            """
+        ),
+        "format_violations": with_history_ctes(
+            """
+            SELECT DISTINCT subj AS target_subj, obj AS target_obj
+            FROM h_cur WHERE pred = 'P4' AND NOT regexp_matches(obj, '^V[01]$')
+            """
+        ),
+        "single_value_corrections": with_history_ctes(
+            f"""
+            , dels AS (
+              SELECT e.rev_id, e.subj, e.obj, r.parent_rev_id AS g
+              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+              WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+            ), cand AS (
+              SELECT d.subj, d.obj, d.rev_id, iv.obj AS obj2
+              FROM dels d
+              JOIN h_state iv ON iv.subj = d.subj AND iv.pred = 'P1'
+                AND iv.obj <> d.obj AND iv.from_rev <= d.g AND d.g < iv.to_rev
+            ), rows_ AS (
+              SELECT subj AS target_subj, obj AS target_obj, rev_id AS corr_rev, subj, obj FROM cand
+              UNION
+              SELECT subj, obj2, rev_id, subj, obj FROM cand
+            )
+            SELECT DISTINCT target_subj, target_obj, corr_rev
+            FROM rows_ c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM h_cur
+              WHERE h_cur.subj = c.subj AND h_cur.pred = 'P1' AND h_cur.obj = c.obj)
+            """
+        ),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 2
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "order_priority_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < '1995-03-15' AND l_shipdate > '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "sessionize": """
+            SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events FROM (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                               OR (CAST(floor(epoch(ts)) AS BIGINT)
+                                   - CAST(floor(epoch(prev_ts)) AS BIGINT)) > 1800
+                          THEN 1 ELSE 0 END AS is_start
+              FROM (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events)
+            ) GROUP BY user_id
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                   len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_unique
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                        list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   ROUND(LEAST(1.0, n / 50.0) * (u / n), 6) AS quality
+            FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n,
+                     CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS u
+              FROM documents)
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN hits * 10 >= n THEN 'en' ELSE 'und' END AS lang_pred
+            FROM (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+              FROM documents)
+        """,
+    }

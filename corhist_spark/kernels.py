@@ -199,22 +199,32 @@ def correction_candidates(
         F.col("obj").alias("at_obj"),
     )
 
+    # skip kernels with no constraint of that type — the constraint
+    # table is driver-small, so prune the plan before it is built
+    present = {r["type"] for r in constraints.select("type").collect()}
+
     def cons(t):
         types = t if isinstance(t, (list, tuple)) else [t]
+        if not present.intersection(types):
+            return None
         return F.broadcast(constraints.filter(F.col("type").isin(*types)))
 
+    def maybe(fn, c, *args, **kw):
+        return fn(*args, cons=c, **kw) if c is not None else None
+
     parts = [
-        _single(dels, state, del_triples, cons(S.TYPE_SINGLE)),
-        _unique(dels, state, sameas, cons(S.TYPE_UNIQUE)),
-        _inverse(dels, adds, state, sameas, cons([S.TYPE_INVERSE, S.TYPE_SYMMETRIC])),
-        _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, cons(S.TYPE_TYPE), on_object=False),
-        _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, cons(S.TYPE_VALUE_TYPE), on_object=True),
-        _claim_like(dels, adds, state, sameas, cons(S.TYPE_TARGET_CLAIM), on_object=True),
-        _claim_like(dels, adds, state, sameas, cons(S.TYPE_ITEM), on_object=False),
-        _conflict(dels, state, del_triples, cons(S.TYPE_CONFLICT)),
-        _one_of(dels_nop, sameas, cons(S.TYPE_ONE_OF)),
-        _format(dels_nop, sameas, cons(S.TYPE_FORMAT)),
+        maybe(_single, cons(S.TYPE_SINGLE), dels, state, del_triples),
+        maybe(_unique, cons(S.TYPE_UNIQUE), dels, state, sameas),
+        maybe(_inverse, cons([S.TYPE_INVERSE, S.TYPE_SYMMETRIC]), dels, adds, state, sameas),
+        maybe(_type_like, cons(S.TYPE_TYPE), dels, adds, state, closure, sameas, del_triples, add_triples, on_object=False),
+        maybe(_type_like, cons(S.TYPE_VALUE_TYPE), dels, adds, state, closure, sameas, del_triples, add_triples, on_object=True),
+        maybe(_claim_like, cons(S.TYPE_TARGET_CLAIM), dels, adds, state, sameas, on_object=True),
+        maybe(_claim_like, cons(S.TYPE_ITEM), dels, adds, state, sameas, on_object=False),
+        maybe(_conflict, cons(S.TYPE_CONFLICT), dels, state, del_triples),
+        maybe(_one_of, cons(S.TYPE_ONE_OF), dels_nop, sameas),
+        maybe(_format, cons(S.TYPE_FORMAT), dels_nop, sameas),
     ]
+    parts = [p for p in parts if p is not None]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
