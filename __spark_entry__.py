@@ -274,6 +274,128 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+def q_oneof_corrections(spark, sf_dir):
+    """Full one-of kernel over the derived history (items={V0} on P2):
+    deletion of a non-allowed value, still applied now."""
+    import pandas as pd
+
+    edits = derived_edits(spark, sf_dir)
+    revisions = derived_revisions(edits)
+    cons = pd.DataFrame(
+        [{
+            "constraint_id": "c-oneof-P2",
+            "property": "P2",
+            "type": "Q21510859",
+            "params": {"P2305": ["V0"]},
+        }]
+    )
+    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
+    out = run_correction_pipeline(spark, edits, revisions, cons, closure=empty_closure)
+    return out.select("target_subj", "target_obj", "corr_rev").distinct()
+
+
+def q_inverse_corrections(spark, sf_dir):
+    """Full symmetric-inverse kernel on P3 over the derived history
+    (both deletion and addition branches)."""
+    import pandas as pd
+
+    edits = derived_edits(spark, sf_dir)
+    revisions = derived_revisions(edits)
+    cons = pd.DataFrame(
+        [{"constraint_id": "c-sym-P3", "property": "P3", "type": "Q21510862", "params": {}}]
+    )
+    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
+    out = run_correction_pipeline(spark, edits, revisions, cons, closure=empty_closure)
+    return out.select("target_subj", "target_obj", "corr_rev").distinct()
+
+
+def q_mention_extraction(spark, sf_dir):
+    """Arrow-batched pandas-UDF mention detection over document text,
+    cross-checked against the SQL regex oracle."""
+    from corhist_spark.textops import mention_counts
+
+    return mention_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from corhist_spark.textops import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_candidates(spark, sf_dir):
+    from corhist_spark.textops import lsh_candidates, minhash_signatures
+
+    return lsh_candidates(minhash_signatures(_t(spark, sf_dir, "documents")))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from corhist_spark.textops import lsh_candidates, minhash_signatures, ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard(d, lsh_candidates(minhash_signatures(d)))
+
+
+def q_simhash(spark, sf_dir):
+    from corhist_spark.textops import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_salted_event_counts(spark, sf_dir):
+    """Skew-safe two-stage aggregation; result equals a plain count."""
+    from corhist_spark.textops import salted_counts
+
+    return salted_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_knn_cosine(spark, sf_dir):
+    from corhist_spark.similarity import knn_bruteforce
+
+    return knn_bruteforce(_t(spark, sf_dir, "embeddings"))
+
+
+def q_knn_lsh(spark, sf_dir):
+    """Bucketed ANN (approximate — rows-only check, no SQL oracle)."""
+    from corhist_spark.similarity import knn_lsh
+
+    return knn_lsh(_t(spark, sf_dir, "embeddings"))
+
+
+def q_cc_components(spark, sf_dir):
+    """Connected components over chain edges derived from customer
+    keys (block chains of 10 -> component = block min)."""
+    from corhist_spark.canonicalize import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        c.filter((F.col("c_custkey") % 10 < 9))
+        .join(
+            c.select(F.col("c_custkey").alias("nxt")),
+            F.col("c_custkey") + 1 == F.col("nxt"),
+            "left_semi",
+        )
+        .select(
+            F.concat(F.lit("Q"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("Q"), (F.col("c_custkey") + 1).cast("string")).alias("dst"),
+        )
+    )
+    return connected_components(edges)
+
+
+def q_subclass_closure(spark, sf_dir):
+    """Transitive closure over a binary-tree hierarchy derived from
+    part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
+    from corhist_spark.canonicalize import static_closure
+
+    p = _t(spark, sf_dir, "part")
+    edges = p.filter(F.col("p_partkey") >= 1).select(
+        F.concat(F.lit("C"), F.col("p_partkey").cast("string")).alias("cls"),
+        F.concat(F.lit("C"), F.floor(F.col("p_partkey") / 2).cast("long").cast("string")).alias("parent"),
+    )
+    return static_closure(edges)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -305,7 +427,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "oneof_corrections": q_oneof_corrections,
+        "inverse_corrections": q_inverse_corrections,
+        "mention_extraction": q_mention_extraction,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "salted_event_counts": q_salted_event_counts,
+        "knn_cosine": q_knn_cosine,
+        "knn_lsh": q_knn_lsh,
+        "cc_components": q_cc_components,
+        "subclass_closure": q_subclass_closure,
     }
+
+
+from corhist_spark.textops import HEXVAL_SQL
+
+# shared shingle/minhash CTE text for the dedup oracles (must mirror
+# textops.minhash_signatures exactly)
+_SIG_CTES = f"""
+    WITH sh AS (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(len(text)-4, 1))) AS i
+      FROM documents
+    ), shingles AS (
+      SELECT doc_id, substr(text, CAST(i AS INT), 5) AS s FROM sh
+    ), hv AS (
+      SELECT doc_id, {HEXVAL_SQL} AS v FROM shingles
+    ), banded AS (
+      SELECT doc_id, v, unnest(generate_series(0, 7)) AS band FROM hv
+    ), sig AS (
+      SELECT doc_id, CAST(band AS INT) AS band,
+             MIN((2*band+1)*v + 7919*band) AS minhash
+      FROM banded GROUP BY doc_id, band
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -461,5 +618,140 @@ def oracle_sql() -> dict[str, str]:
                                      x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits,
                      len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
               FROM documents)
+        """,
+        "oneof_corrections": with_history_ctes(
+            """
+            SELECT DISTINCT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev
+            FROM h_edits e
+            WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj <> 'V0'
+              AND NOT EXISTS (SELECT 1 FROM h_cur
+                              WHERE h_cur.subj = e.subj AND h_cur.pred = 'P2'
+                                AND h_cur.obj = e.obj)
+            """
+        ),
+        "inverse_corrections": with_history_ctes(
+            """
+            , delb AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS cs, e.obj AS co, 'del' AS cop
+              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+              WHERE e.op = 'del' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_state iv
+                                WHERE iv.subj = e.obj AND iv.pred = 'P3' AND iv.obj = e.subj
+                                  AND iv.from_rev <= r.parent_rev_id
+                                  AND r.parent_rev_id < iv.to_rev)
+            ), addb AS (
+              SELECT e.obj AS target_subj, e.subj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS cs, e.obj AS co, 'add' AS cop
+              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+              WHERE e.op = 'add' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+                AND EXISTS (SELECT 1 FROM h_state iv
+                            WHERE iv.subj = e.obj AND iv.pred = 'P3' AND iv.obj = e.subj
+                              AND iv.from_rev <= r.parent_rev_id
+                              AND r.parent_rev_id < iv.to_rev)
+            ), unioned AS (SELECT * FROM delb UNION ALL SELECT * FROM addb)
+            SELECT DISTINCT target_subj, target_obj, corr_rev
+            FROM unioned u
+            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM h_cur
+                     WHERE h_cur.subj = u.cs AND h_cur.pred = 'P3' AND h_cur.obj = u.co))
+               OR (cop = 'add' AND EXISTS (SELECT 1 FROM h_cur
+                     WHERE h_cur.subj = u.cs AND h_cur.pred = 'P3' AND h_cur.obj = u.co))
+            """
+        ),
+        "mention_extraction": """
+            SELECT doc_id, mention, COUNT(*) AS n FROM (
+              SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS mention
+              FROM documents
+            ) GROUP BY doc_id, mention
+        """,
+        "minhash_signatures": _SIG_CTES + """
+            SELECT doc_id, band, minhash FROM sig
+        """,
+        "lsh_candidates": _SIG_CTES + """
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": _SIG_CTES + """
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a JOIN sig b
+                ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+            ), dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN dsh x ON x.doc_id = c.doc_a
+              JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY c.doc_a, c.doc_b
+            )
+            SELECT i.doc_a, i.doc_b,
+                   ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+        """,
+        "simhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents
+            ), v AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*4096
+                   + (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)*256
+                   + (strpos('0123456789abcdef', substr(md5(tok),3,1))-1)*16
+                   + (strpos('0123456789abcdef', substr(md5(tok),4,1))-1) AS v
+              FROM toks
+            ), bitted AS (
+              SELECT doc_id, unnest(generate_series(0, 15)) AS b, v FROM v
+            ), votes AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN CAST(floor(v / CAST(pow(2, b) AS DOUBLE)) AS BIGINT) % 2 = 1
+                              THEN 1 ELSE -1 END) AS s
+              FROM bitted GROUP BY doc_id, b
+            )
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "salted_event_counts": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        """,
+        "knn_cosine": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e
+            ), p AS (
+              SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                     ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
+              FROM n q JOIN n d ON d.vec_id <> q.vec_id
+              WHERE q.vec_id < 10
+            )
+            SELECT query_id, neighbor_id, sim, rn FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, neighbor_id) AS rn
+              FROM p
+            ) WHERE rn <= 3
+        """,
+        "cc_components": """
+            SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS node,
+                   'Q' || CAST(c_custkey - c_custkey % 10 AS VARCHAR) AS component
+            FROM customer
+        """,
+        "subclass_closure": """
+            WITH RECURSIVE e AS (
+              SELECT 'C' || CAST(p_partkey AS VARCHAR) AS cls,
+                     'C' || CAST(p_partkey // 2 AS VARCHAR) AS anc
+              FROM part WHERE p_partkey >= 1
+            ), c AS (
+              SELECT cls, anc FROM e
+              UNION
+              SELECT c.cls, e.anc FROM c JOIN e ON c.anc = e.cls
+            )
+            SELECT cls, anc FROM c
         """,
     }

@@ -31,6 +31,13 @@ HEADLINE = [
     "exact_dedup",
     "token_stats",
     "doc_fingerprint",
+    "mention_extraction",
+    "minhash_signatures",
+    "lsh_candidates",
+    "simhash",
+    "knn_cosine",
+    "cc_components",
+    "subclass_closure",
 ]
 
 

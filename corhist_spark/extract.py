@@ -1,0 +1,162 @@
+"""Interleaved documents -> candidate triples.
+
+The graft payload (BASELINE.json north_star): batched mention detection
+and entity-link scoring over interleaved text+media spans with
+Arrow-vectorized pandas UDFs (never row-at-a-time Python), emitting
+candidate (subj, pred, obj) triples while preserving the span sequence
+(kind, text, media_ref, order) row-for-row.
+
+Scale shape: explode is narrow (no shuffle); the pandas UDF runs on
+Arrow batches inside the scan stage; the only shuffles are the
+canonicalization join and the final triple dedupe.  Skew from hot
+entities (Q5-style) is handled downstream by salted aggregation
+(textops.salted_count) and AQE.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MENTION_RE = re.compile(r"\bQ\d+\b")
+CUE_RE = re.compile(r"\bP\d+\b")
+
+MENTION_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("entity", StringType()),
+            StructField("start", IntegerType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+)
+
+
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """documents -> one row per span, order preserved via span_idx."""
+    return docs.select(
+        "doc_id",
+        F.posexplode("spans").alias("span_idx", "span"),
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def reassemble_spans(spans: DataFrame) -> DataFrame:
+    """Inverse of explode_spans — used by the span-sequence-equality
+    invariant test (sort_array on (span_idx, ...) restores order)."""
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("span_idx", "kind", "text", "media_ref", "offset")
+                    )
+                ),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans")
+        )
+    )
+
+
+@F.pandas_udf(MENTION_SCHEMA)
+def detect_mentions(text: pd.Series) -> pd.Series:
+    """Arrow-batched mention detection + deterministic link scoring.
+
+    Score = 1 / (1 + mention_start / 100): earlier mentions link more
+    confidently.  Pure function of the text so tests are reproducible.
+    """
+
+    def one(t):
+        if not t:
+            return []
+        return [
+            {"entity": m.group(0), "start": m.start(), "score": 1.0 / (1.0 + m.start() / 100.0)}
+            for m in MENTION_RE.finditer(t)
+        ]
+
+    return text.map(one)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def detect_cues(text: pd.Series) -> pd.Series:
+    """Arrow-batched property-cue detection (P-ids appearing in text)."""
+    return text.map(lambda t: CUE_RE.findall(t) if t else [])
+
+
+def extract_mentions(spans: DataFrame) -> DataFrame:
+    """Text spans -> (doc_id, span_idx, offset, mentions, cues)."""
+    return spans.filter(F.col("kind") == "text").select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        detect_mentions("text").alias("mentions"),
+        detect_cues("text").alias("cues"),
+    )
+
+
+def emit_triples(mentioned: DataFrame) -> DataFrame:
+    """Candidate triples: consecutive mention pairs within a span wired
+    through the span's first property cue; link score = min of the two
+    mention scores.  Pure column expressions (zip_with/slice)."""
+    pairs = F.zip_with(
+        F.slice("mentions", 1, F.greatest(F.size("mentions") - 1, F.lit(0))),
+        F.slice("mentions", 2, F.greatest(F.size("mentions") - 1, F.lit(0))),
+        lambda a, b: F.struct(
+            a["entity"].alias("subj"),
+            b["entity"].alias("obj"),
+            F.least(a["score"], b["score"]).alias("score"),
+        ),
+    )
+    return (
+        mentioned.filter((F.size("mentions") >= 2) & (F.size("cues") >= 1))
+        .select(
+            "doc_id",
+            "span_idx",
+            F.element_at("cues", 1).alias("pred"),
+            F.explode(pairs).alias("pair"),
+        )
+        .select(
+            F.col("pair.subj").alias("subj"),
+            "pred",
+            F.col("pair.obj").alias("obj"),
+            F.col("pair.score").alias("score"),
+            "doc_id",
+            "span_idx",
+        )
+    )
+
+
+def extract_triples(docs: DataFrame) -> DataFrame:
+    """documents -> candidate triples with provenance."""
+    return emit_triples(extract_mentions(explode_spans(docs)))
+
+
+def aggregate_triples(triples: DataFrame) -> DataFrame:
+    """Distinct graph edges with evidence counts and best link score."""
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("evidence"),
+        F.max("score").alias("score"),
+    )

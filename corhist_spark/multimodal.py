@@ -1,0 +1,84 @@
+"""Multimodal span handling: media payloads are opaque binary columns
+with typed metadata; decode / feature-extraction are Arrow-batched
+stubs (image/audio libraries are not available in this environment —
+the Spark-side plumbing, schemas and batch shapes are real and tested;
+the decoders raise or produce deterministic fakes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("feature_hash", StringType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def media_spans(spans: DataFrame) -> DataFrame:
+    """Non-text spans with a deterministic fake payload (the media_ref
+    bytes) standing in for fetched binary content.  In production this
+    column is read from the object store by ref."""
+    return spans.filter(F.col("kind") != "text").select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "media_ref",
+        F.encode("media_ref", "utf-8").alias("payload"),
+    )
+
+
+def decode_media(payload: bytes, kind: str) -> bytes:
+    """STUB: real image/audio decode (PIL/torchaudio/ffmpeg) is not
+    available in this container."""
+    raise NotImplementedError(
+        f"media decode for kind={kind!r} requires codec libraries not "
+        "present in this environment; extract_media_features uses a "
+        "deterministic fake instead"
+    )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas.  The 'feature' is a deterministic hash of the payload
+    (a stand-in for an embedding); batch shape and schema match what a
+    real extractor would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["doc_id", "span_idx", "kind", "media_ref"]].copy()
+            out["feature_hash"] = pdf["payload"].map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest()
+            )
+            out["n_bytes"] = pdf["payload"].map(len).astype("int32")
+            yield out
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,109 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(array<float>).
+
+- Brute-force cosine top-k: the correctness baseline.  Dot products run
+  as sequential `F.aggregate` folds over zipped arrays (JVM-side,
+  deterministic summation order — matters for cross-engine equality).
+- LSH-bucketed variant: sign-of-projection onto deterministic
+  pseudo-random hyperplanes buckets the vectors; candidates only search
+  within their bucket.  This is the scale path — the cross join becomes
+  a bucket-keyed equi-join (at 1000 executors the brute-force cross
+  join is quadratic and infeasible; the bucket join is linear in bucket
+  occupancy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(embeddings: DataFrame) -> DataFrame:
+    v = _as_double(F.col("embedding"))
+    return embeddings.select(
+        "vec_id", v.alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, k: int = 3, n_queries: int = 10, round_to: int = 3
+) -> DataFrame:
+    """Top-k cosine neighbors for vec_id < n_queries (self excluded).
+    Ranking uses the ROUNDED similarity plus neighbor id as tiebreak so
+    results are reproducible across engines."""
+    e = with_norm(embeddings)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    d = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("dv"), F.col("nrm").alias("dn"))
+    sims = (
+        q.crossJoin(d)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")), round_to).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
+    """Deterministic hyperplane LSH: plane j has components
+    h_j[i] = +1 if (i*7 + j*13) % 2 == 0 else -1; the bucket is the
+    n_planes-bit string of projection signs."""
+    e = with_norm(embeddings)
+    bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.transform(
+                    F.sequence(F.lit(0), F.size("v") - 1),
+                    lambda i: F.when((i * 7 + j * 13) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return e.withColumn("bucket", F.concat(*bits))
+
+
+def knn_lsh(
+    embeddings: DataFrame, k: int = 3, n_queries: int = 10, n_planes: int = 4, round_to: int = 3
+) -> DataFrame:
+    """Bucketed ANN: same output shape as knn_bruteforce but neighbors
+    are only searched within the query's LSH bucket (approximate)."""
+    e = lsh_buckets(embeddings, n_planes)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "bucket"
+    )
+    d = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("dv"), F.col("nrm").alias("dn"), "bucket")
+    sims = (
+        q.join(d, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")), round_to).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

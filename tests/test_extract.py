@@ -1,0 +1,77 @@
+"""Extraction pipeline tests: span-sequence invariant (BASELINE.json
+per-row gate), mention detection vs an inline regex oracle, triple
+emission, canonicalization remap, multimodal plumbing."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from corhist_spark.canonicalize import canonicalize_triples, connected_components
+from corhist_spark.extract import (
+    aggregate_triples,
+    explode_spans,
+    extract_mentions,
+    extract_triples,
+    reassemble_spans,
+)
+from corhist_spark.multimodal import extract_media_features, media_spans
+
+
+def test_span_sequence_equality(spark, sdf):
+    """Per-row invariant: explode -> reassemble preserves (kind, text,
+    media_ref, order) exactly."""
+    docs = sdf["documents"]
+    back = reassemble_spans(explode_spans(docs))
+    orig = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans] for r in docs.collect()}
+    got = {r.doc_id: [(s.kind, s.text, s.media_ref, s.offset) for s in r.spans] for r in back.collect()}
+    assert got == orig
+
+
+def test_mention_detection_matches_regex_oracle(spark, sdf, corpus):
+    got = {}
+    for r in extract_mentions(explode_spans(sdf["documents"])).collect():
+        got[(r.doc_id, r.span_idx)] = [(m.entity, m.start) for m in r.mentions]
+    rx = re.compile(r"\bQ\d+\b")
+    for rec in corpus["documents"].to_dict("records"):
+        for i, s in enumerate(rec["spans"]):
+            if s["kind"] != "text":
+                continue
+            want = [(m.group(0), m.start()) for m in rx.finditer(s["text"])]
+            assert got.get((rec["doc_id"], i), []) == want
+
+
+def test_triples_shape_and_scores(spark, sdf):
+    t = extract_triples(sdf["documents"])
+    rows = t.collect()
+    assert rows, "no triples extracted"
+    for r in rows[:200]:
+        assert r.subj.startswith("Q") and r.obj.startswith("Q") and r.pred.startswith("P")
+        assert 0.0 < r.score <= 1.0
+    agg = aggregate_triples(t)
+    assert agg.count() <= len(rows)
+
+
+def test_canonicalize_remaps_triples(spark, sdf):
+    comps = connected_components(sdf["sameas_edges"])
+    # every member of a component maps to its lexicographic min
+    by_node = {r.node: r.component for r in comps.collect()}
+    assert by_node, "no components"
+    for n, c in by_node.items():
+        assert c <= n
+    t = aggregate_triples(extract_triples(sdf["documents"]))
+    remapped = canonicalize_triples(t, comps)
+    rows = remapped.collect()
+    for r in rows:
+        assert by_node.get(r.subj, r.subj) == r.subj  # already canonical
+
+
+def test_multimodal_features(spark, sdf):
+    media = media_spans(explode_spans(sdf["documents"]))
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert rows, "no media spans in fixture"
+    for r in rows[:50]:
+        assert r.kind in ("image", "audio", "table")
+        assert len(r.feature_hash) == 32 and r.n_bytes > 0
