@@ -383,6 +383,37 @@ def q_cc_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_rev_diff_histogram(spark, sf_dir):
+    """Diff-shape histogram (`mining/Main.java:219-242` shape): count
+    of revisions per (n additions, n deletions)."""
+    e = derived_edits(spark, sf_dir)
+    per_rev = e.groupBy("rev_id").agg(
+        F.sum(F.when(F.col("op") == "add", 1).otherwise(0)).alias("n_add"),
+        F.sum(F.when(F.col("op") == "del", 1).otherwise(0)).alias("n_del"),
+    )
+    return per_rev.groupBy("n_add", "n_del").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_sampled_edits(spark, sf_dir):
+    """Deterministic modulo sampling (`AbstractQueriesBuilder.java:56-60`):
+    div = max(1, count/5000), keep rev_id % div == 0."""
+    e = derived_edits(spark, sf_dir)
+    total = e.count()
+    div = max(1, total // 5000)
+    return e.filter(F.col("rev_id") % div == 0).select("rev_id", "subj", "pred", "obj", "op")
+
+
+def q_big_customer_ratio(spark, sf_dir):
+    """`scripts/more_than_1m.py` shape: share of customers above an
+    order-count threshold."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.round(F.avg((F.col("n") > 10).cast("double")), 6).alias("big_ratio"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
     part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
@@ -439,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "cc_components": q_cc_components,
         "subclass_closure": q_subclass_closure,
+        "rev_diff_histogram": q_rev_diff_histogram,
+        "sampled_edits": q_sampled_edits,
+        "big_customer_ratio": q_big_customer_ratio,
     }
 
 
@@ -753,5 +787,26 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.cls, e.anc FROM c JOIN e ON c.anc = e.cls
             )
             SELECT cls, anc FROM c
+        """,
+        "rev_diff_histogram": with_history_ctes(
+            """
+            SELECT n_add, n_del, COUNT(*) AS n FROM (
+              SELECT rev_id,
+                     SUM(CASE WHEN op = 'add' THEN 1 ELSE 0 END) AS n_add,
+                     SUM(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS n_del
+              FROM h_edits GROUP BY rev_id
+            ) GROUP BY n_add, n_del
+            """
+        ),
+        "sampled_edits": with_history_ctes(
+            """
+            SELECT rev_id, subj, pred, obj, op FROM h_edits
+            WHERE rev_id % greatest(1, (SELECT COUNT(*) FROM h_edits) // 5000) = 0
+            """
+        ),
+        "big_customer_ratio": """
+            SELECT ROUND(AVG(CASE WHEN n > 10 THEN 1.0 ELSE 0.0 END), 6) AS big_ratio,
+                   COUNT(*) AS n_customers
+            FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
         """,
     }

@@ -244,6 +244,44 @@ def addition_baseline(test: DataFrame, constraints_pdf) -> DataFrame:
     )
 
 
+def diff_shape_histogram(corrections: DataFrame) -> DataFrame:
+    """`mining/Main.java:219-249`: corrections per (n additions,
+    n deletions) pair — pure array aggregate, then a count."""
+    n_add = F.size(F.filter("correction", lambda s: s["op"] == "add"))
+    n_del = F.size(F.filter("correction", lambda s: s["op"] == "del"))
+    return (
+        corrections.select(n_add.alias("n_add"), n_del.alias("n_del"))
+        .groupBy("n_add", "n_del")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def aggregate_stats(stats: DataFrame, constraints_pdf) -> DataFrame:
+    """`scripts/aggregated_stats.py:27-46`: per-constraint-type
+    weighted (by test-set size) and unweighted average P/R/F1, NaN/null
+    rows excluded like the script's filters."""
+    spark = stats.sparkSession
+    types = F.broadcast(
+        spark.createDataFrame(
+            [(c["constraint_id"], c["type"]) for c in constraints_pdf.to_dict("records")],
+            "constraint_id string, type string",
+        )
+    )
+    s = stats.join(types, "constraint_id").filter(
+        F.col("precision").isNotNull()
+        & F.col("recall").isNotNull()
+        & ~F.isnan("precision")
+        & ~F.isnan("recall")
+    )
+    return s.groupBy("type").agg(
+        (F.sum(F.col("precision") * F.col("total")) / F.sum("total")).alias("w_precision"),
+        (F.sum(F.col("recall") * F.col("total")) / F.sum("total")).alias("w_recall"),
+        F.avg("precision").alias("avg_precision"),
+        F.avg("recall").alias("avg_recall"),
+        F.sum("total").alias("n"),
+    )
+
+
 def train_test_split(corrections: DataFrame, ratio: float = 0.8, seed: int = 42):
     """`mining/Main.java:281-291` with a seed (SURVEY §7.3.2)."""
     withr = corrections.withColumn("_r", F.rand(seed))

@@ -1,0 +1,94 @@
+"""Structured Streaming variant of the online path (game.Main).
+
+- ``revision_feed_filter``: the live revision-stream predicate of
+  `corhist/.../game/ViolationDatabaseUpdater.java:104-109` (keep
+  wikidata-item revisions with content change).
+- ``stream_apply_rules``: micro-batch rule application — the same
+  broadcast-join + rank-window plan as evaluate.apply_rules run inside
+  ``foreachBatch``, appending predictions to a warehouse table.
+- ``upsert_violation_queue``: the p/a/r/o state machine of
+  `game/ViolationDatabase.java:71-97,202-239` as a batch MERGE
+  emulation: existing OBSOLETE rows flip back to PROPOSED, existing
+  p/a/r rows are left untouched, unseen violations are inserted as
+  PROPOSED.  With Iceberg this is a single MERGE INTO; on the parquet
+  warehouse it is a full-outer join rewrite inside foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .storage import Warehouse
+
+
+def revision_feed_filter(stream: DataFrame) -> DataFrame:
+    return stream.filter(
+        (F.col("rev_content_model") == "wikibase-item")
+        & (F.col("database") == "wikidatawiki")
+        & F.col("rev_content_changed")
+    )
+
+
+def upsert_violation_queue(queue: DataFrame | None, incoming: DataFrame) -> DataFrame:
+    """One MERGE round.  incoming: (entity_id, property_id,
+    statement_id, constraint_id, constraint_type, message, edit_json).
+    queue: same + state.  Returns the new queue contents."""
+    inc = incoming.dropDuplicates(["statement_id", "constraint_id"]).withColumn(
+        "state", F.lit("p")
+    )
+    if queue is None:
+        return inc
+    q = queue.alias("q")
+    i = inc.alias("i")
+    joined = q.join(
+        i.select(
+            F.col("statement_id").alias("i_sid"),
+            F.col("constraint_id").alias("i_cid"),
+        ),
+        (F.col("q.statement_id") == F.col("i_sid"))
+        & (F.col("q.constraint_id") == F.col("i_cid")),
+        "left",
+    )
+    # existing rows: OBSOLETE + re-seen -> PROPOSED; others unchanged
+    updated = joined.select(
+        "q.*",
+        F.when((F.col("q.state") == "o") & F.col("i_sid").isNotNull(), F.lit("p"))
+        .otherwise(F.col("q.state"))
+        .alias("_new_state"),
+    ).drop("state").withColumnRenamed("_new_state", "state")
+    inserts = inc.join(
+        queue.select("statement_id", "constraint_id"),
+        ["statement_id", "constraint_id"],
+        "left_anti",
+    )
+    return updated.unionByName(inserts.select(*updated.columns))
+
+
+def stream_apply_rules(
+    stream: DataFrame,
+    rules: DataFrame,
+    revisions: DataFrame,
+    state: DataFrame,
+    wh: Warehouse,
+    table: str = "stream_predictions",
+    checkpoint_dir: str | None = None,
+):
+    """Attach a foreachBatch sink that applies the mined rules to each
+    micro-batch of corrections-shaped rows and appends predictions."""
+    from .evaluate import apply_rules
+
+    def handle(batch: DataFrame, batch_id: int):
+        if batch.isEmpty():
+            return
+        preds = apply_rules(rules, batch, revisions, state).filter(
+            F.col("predicted").isNotNull()
+        )
+        preds.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            wh._path(table)
+        )
+
+    writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

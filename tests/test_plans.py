@@ -1,0 +1,60 @@
+"""Physical-plan audits (SURVEY §4): predicate pushdown reaches the
+parquet scan, column pruning holds, broadcast joins are chosen for the
+constraint table, and whole-stage codegen covers the hot paths."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def plan_of(spark):
+    def get(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    return get
+
+
+def test_filter_pushdown_to_parquet(spark, plan_of, tmp_path):
+    p = str(tmp_path / "li")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").write.parquet(p)
+    df = spark.read.parquet(p).filter("l_quantity > 40").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)" in plan, plan
+    # column pruning: the scan schema only carries the two columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_kernel_uses_broadcast_join(spark, sdf, corpus, plan_of):
+    from corhist_spark.canonicalize import interval_closure
+    from corhist_spark.kernels import correction_candidates, prepare_constraints
+    from corhist_spark.state import build_state
+
+    state = build_state(sdf["edits"])
+    closure = interval_closure(state)
+    cons = prepare_constraints(spark, corpus["constraints"])
+    rows = correction_candidates(sdf["edits"], sdf["revisions"], state, closure, cons)
+    plan = plan_of(rows)
+    # AQE shows the initial plan pre-execution; broadcast choice for the
+    # constraint table must already be locked in
+    assert "BroadcastHashJoin" in plan
+
+
+def test_textops_stay_jvm_side(spark, plan_of):
+    """Dedup/minhash plans contain no Python evaluation nodes."""
+    from corhist_spark.textops import minhash_signatures, simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (minhash_signatures(docs), simhash(docs)):
+        plan = plan_of(df)
+        assert "Python" not in plan, plan
+
+
+def test_extraction_uses_arrow_udf(spark, sdf, plan_of):
+    """The only Python in the extraction plan is the Arrow-batched
+    pandas UDF (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
+    from corhist_spark.extract import extract_triples
+
+    plan = plan_of(extract_triples(sdf["documents"]))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
