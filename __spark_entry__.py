@@ -106,16 +106,10 @@ def q_single_value_corrections(spark, sf_dir):
     """Flagship: the full correction pipeline (kernel + expansion +
     still-applied) for a single-value constraint on P1 over the derived
     history."""
-    import pandas as pd
-
-    edits = derived_edits(spark, sf_dir)
-    revisions = derived_revisions(edits)
-    cons = pd.DataFrame(
-        [{"constraint_id": "c-single-P1", "property": "P1", "type": "Q19474404", "params": {}}]
+    return _kernel_query(
+        spark, sf_dir,
+        [{"constraint_id": "c-single-P1", "property": "P1", "type": "Q19474404", "params": {}}],
     )
-    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
-    out = run_correction_pipeline(spark, edits, revisions, cons, closure=empty_closure)
-    return out.select("target_subj", "target_obj", "corr_rev").distinct()
 
 
 # --------------------------------------------------------------------------
@@ -277,36 +271,118 @@ def q_lang_id(spark, sf_dir):
 def q_oneof_corrections(spark, sf_dir):
     """Full one-of kernel over the derived history (items={V0} on P2):
     deletion of a non-allowed value, still applied now."""
-    import pandas as pd
-
-    edits = derived_edits(spark, sf_dir)
-    revisions = derived_revisions(edits)
-    cons = pd.DataFrame(
+    return _kernel_query(
+        spark, sf_dir,
         [{
             "constraint_id": "c-oneof-P2",
             "property": "P2",
             "type": "Q21510859",
             "params": {"P2305": ["V0"]},
-        }]
+        }],
     )
-    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
-    out = run_correction_pipeline(spark, edits, revisions, cons, closure=empty_closure)
-    return out.select("target_subj", "target_obj", "corr_rev").distinct()
 
 
 def q_inverse_corrections(spark, sf_dir):
     """Full symmetric-inverse kernel on P3 over the derived history
     (both deletion and addition branches)."""
+    return _kernel_query(
+        spark, sf_dir,
+        [{"constraint_id": "c-sym-P3", "property": "P3", "type": "Q21510862", "params": {}}],
+    )
+
+
+_HIST_MEMO: dict = {}
+
+
+def _hist(spark, sf_dir):
+    """Memoized (edits, revisions, state) for the derived history —
+    the kernel queries share one checkpointed state build per session."""
+    key = (id(spark), sf_dir)
+    if key not in _HIST_MEMO:
+        edits = derived_edits(spark, sf_dir).localCheckpoint()
+        revisions = derived_revisions(edits).localCheckpoint()
+        state = build_state(edits).localCheckpoint()
+        _HIST_MEMO[key] = (edits, revisions, state)
+    return _HIST_MEMO[key]
+
+
+def _kernel_query(spark, sf_dir, constraint_rows):
     import pandas as pd
 
-    edits = derived_edits(spark, sf_dir)
-    revisions = derived_revisions(edits)
-    cons = pd.DataFrame(
-        [{"constraint_id": "c-sym-P3", "property": "P3", "type": "Q21510862", "params": {}}]
-    )
+    edits, revisions, state = _hist(spark, sf_dir)
+    cons = pd.DataFrame(constraint_rows)
     empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
-    out = run_correction_pipeline(spark, edits, revisions, cons, closure=empty_closure)
+    out = run_correction_pipeline(spark, edits, revisions, cons, state=state, closure=empty_closure)
     return out.select("target_subj", "target_obj", "corr_rev").distinct()
+
+
+def q_unique_corrections(spark, sf_dir):
+    """Full unique-value kernel on P0 over the derived history."""
+    return _kernel_query(
+        spark, sf_dir,
+        [{"constraint_id": "c-unique-P0", "property": "P0", "type": "Q21502410", "params": {}}],
+    )
+
+
+def q_format_corrections(spark, sf_dir):
+    """Full format kernel on P4 (regex ^V[01]$) over the derived history."""
+    return _kernel_query(
+        spark, sf_dir,
+        [{
+            "constraint_id": "c-format-P4",
+            "property": "P4",
+            "type": "Q21502404",
+            "params": {"P1793": ["V[01]"]},
+        }],
+    )
+
+
+def q_conflict_corrections(spark, sf_dir):
+    """Full conflicts-with kernel: P1 conflicts with P2 (both deletion
+    branches) over the derived history."""
+    return _kernel_query(
+        spark, sf_dir,
+        [{
+            "constraint_id": "c-conflict-P1",
+            "property": "P1",
+            "type": "Q21502838",
+            "params": {"P2306": ["P2"]},
+        }],
+    )
+
+
+def q_item_corrections(spark, sf_dir):
+    """Full item-requires-claim kernel: P1 requires P2 on the subject
+    (deletion + addition branches) over the derived history."""
+    return _kernel_query(
+        spark, sf_dir,
+        [{
+            "constraint_id": "c-item-P1",
+            "property": "P1",
+            "type": "Q21503247",
+            "params": {"P2306": ["P2"]},
+        }],
+    )
+
+
+def q_interval_closure(spark, sf_dir):
+    """Time-travelling P279* closure with validity-interval
+    intersection, cross-checked against a recursive SQL closure.  The
+    hierarchy is derived from events: class C(u%30) subclass-of
+    C((u%30)/2), with add/del ops from the event stream."""
+    from corhist_spark.canonicalize import interval_closure
+    from corhist_spark.state import build_state
+
+    ev = _t(spark, sf_dir, "events")
+    edits = ev.filter((F.col("user_id") % 30) >= 1).select(
+        F.col("event_id").alias("rev_id"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("del")).otherwise(F.lit("add")).alias("op"),
+        F.concat(F.lit("C"), (F.col("user_id") % 30).cast("string")).alias("subj"),
+        F.lit("P279").alias("pred"),
+        F.concat(F.lit("C"), F.floor((F.col("user_id") % 30) / 2).cast("long").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    return interval_closure(build_state(edits)).select("cls", "anc", "from_rev", "to_rev").distinct()
 
 
 def q_mention_extraction(spark, sf_dir):
@@ -460,6 +536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "oneof_corrections": q_oneof_corrections,
         "inverse_corrections": q_inverse_corrections,
+        "unique_corrections": q_unique_corrections,
+        "format_corrections": q_format_corrections,
+        "conflict_corrections": q_conflict_corrections,
+        "item_corrections": q_item_corrections,
+        "interval_closure": q_interval_closure,
         "mention_extraction": q_mention_extraction,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
@@ -692,6 +773,125 @@ def oracle_sql() -> dict[str, str]:
                      WHERE h_cur.subj = u.cs AND h_cur.pred = 'P3' AND h_cur.obj = u.co))
             """
         ),
+        "unique_corrections": with_history_ctes(
+            """
+            , dels AS (
+              SELECT e.rev_id, e.subj, e.obj, r.parent_rev_id AS g
+              FROM h_edits e JOIN h_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P0' AND r.parent_rev_id IS NOT NULL
+            ), cand AS (
+              SELECT d.subj, d.obj, d.rev_id, iv.subj AS s2
+              FROM dels d JOIN h_state iv
+                ON iv.pred = 'P0' AND iv.obj = d.obj AND iv.subj <> d.subj
+               AND iv.from_rev <= d.g AND d.g < iv.to_rev
+            ), rows_ AS (
+              SELECT subj AS target_subj, obj AS target_obj, rev_id AS corr_rev, subj, obj FROM cand
+              UNION
+              SELECT s2, obj, rev_id, subj, obj FROM cand
+            )
+            SELECT DISTINCT target_subj, target_obj, corr_rev FROM rows_ c
+            WHERE NOT EXISTS (SELECT 1 FROM h_cur
+                              WHERE h_cur.subj = c.subj AND h_cur.pred = 'P0'
+                                AND h_cur.obj = c.obj)
+            """
+        ),
+        "format_corrections": with_history_ctes(
+            """
+            SELECT DISTINCT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev
+            FROM h_edits e
+            WHERE e.op = 'del' AND e.pred = 'P4'
+              AND NOT regexp_matches(e.obj, '^V[01]$')
+              AND NOT EXISTS (SELECT 1 FROM h_cur
+                              WHERE h_cur.subj = e.subj AND h_cur.pred = 'P4'
+                                AND h_cur.obj = e.obj)
+            """
+        ),
+        "conflict_corrections": with_history_ctes(
+            """
+            , ca AS (
+              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P1' AS cp, e.obj AS co
+              FROM h_edits e JOIN h_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                AND EXISTS (SELECT 1 FROM h_state iv
+                            WHERE iv.subj = e.subj AND iv.pred = 'P2'
+                              AND iv.from_rev <= r.parent_rev_id
+                              AND r.parent_rev_id < iv.to_rev)
+            ), cb AS (
+              SELECT iv.subj AS ts, iv.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P2' AS cp, e.obj AS co
+              FROM h_edits e
+              JOIN h_revs r USING (rev_id)
+              JOIN h_state iv ON iv.subj = e.subj AND iv.pred = 'P1'
+                             AND iv.from_rev <= r.parent_rev_id
+                             AND r.parent_rev_id < iv.to_rev
+              WHERE e.op = 'del' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+            ), u AS (SELECT * FROM ca UNION SELECT * FROM cb)
+            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev FROM u
+            WHERE NOT EXISTS (SELECT 1 FROM h_cur
+                              WHERE h_cur.subj = u.cs AND h_cur.pred = u.cp
+                                AND h_cur.obj = u.co)
+            """
+        ),
+        "item_corrections": with_history_ctes(
+            """
+            , da AS (
+              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P1' AS cp, e.obj AS co, 'del' AS cop
+              FROM h_edits e JOIN h_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_state iv
+                                WHERE iv.subj = e.subj AND iv.pred = 'P2'
+                                  AND iv.from_rev <= r.parent_rev_id
+                                  AND r.parent_rev_id < iv.to_rev)
+            ), ab AS (
+              SELECT iv.subj AS ts, iv.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P2' AS cp, e.obj AS co, 'add' AS cop
+              FROM h_edits e
+              JOIN h_revs r USING (rev_id)
+              JOIN h_state iv ON iv.subj = e.subj AND iv.pred = 'P1'
+                             AND iv.from_rev <= r.parent_rev_id
+                             AND r.parent_rev_id < iv.to_rev
+              WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+            ), u AS (SELECT * FROM da UNION ALL SELECT * FROM ab)
+            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev FROM u
+            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM h_cur
+                     WHERE h_cur.subj = u.cs AND h_cur.pred = u.cp AND h_cur.obj = u.co))
+               OR (cop = 'add' AND EXISTS (SELECT 1 FROM h_cur
+                     WHERE h_cur.subj = u.cs AND h_cur.pred = u.cp AND h_cur.obj = u.co))
+            """
+        ),
+        "interval_closure": f"""
+            WITH RECURSIVE hc_edits AS (
+              SELECT event_id AS rev_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END AS op,
+                     'C' || CAST(user_id % 30 AS VARCHAR) AS subj,
+                     'C' || CAST((user_id % 30) // 2 AS VARCHAR) AS obj
+              FROM events WHERE user_id % 30 >= 1
+            ), collapsed AS (
+              SELECT * FROM (
+                SELECT rev_id, op, subj, obj,
+                       lag(op) OVER (PARTITION BY subj, obj ORDER BY rev_id) AS prev_op
+                FROM hc_edits
+              ) WHERE prev_op IS NULL OR prev_op <> op
+            ), hc_state AS (
+              SELECT subj, obj, from_rev, to_rev FROM (
+                SELECT subj, obj, op, rev_id AS from_rev,
+                       COALESCE(lead(rev_id) OVER (PARTITION BY subj, obj ORDER BY rev_id),
+                                {MAX_REV}) AS to_rev
+                FROM collapsed
+              ) WHERE op = 'add'
+            ), cl AS (
+              SELECT subj AS cls, obj AS anc, from_rev, to_rev FROM hc_state
+              UNION
+              SELECT cl.cls, e.obj,
+                     greatest(cl.from_rev, e.from_rev) AS from_rev,
+                     least(cl.to_rev, e.to_rev) AS to_rev
+              FROM cl JOIN hc_state e
+                ON cl.anc = e.subj AND cl.from_rev < e.to_rev AND e.from_rev < cl.to_rev
+            )
+            SELECT DISTINCT cls, anc, from_rev, to_rev FROM cl
+        """,
         "mention_extraction": """
             SELECT doc_id, mention, COUNT(*) AS n FROM (
               SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS mention
