@@ -55,15 +55,19 @@ def _head_tokens(binding_has_o: bool):
             e = e.when(term == F.col("target_obj"), F.lit("?o"))
         return e.otherwise(term)
 
+    # array_distinct: the reference holds a Set<StatementPattern> —
+    # two statements that generalize to the same pattern collapse
     return F.array_sort(
-        F.transform(
-            F.col("correction"),
-            lambda st: F.struct(
-                tok(st["subj"]).alias("subj"),
-                st["pred"].alias("pred"),
-                tok(st["obj"]).alias("obj"),
-                st["op"].alias("op"),
-            ),
+        F.array_distinct(
+            F.transform(
+                F.col("correction"),
+                lambda st: F.struct(
+                    tok(st["subj"]).alias("subj"),
+                    st["pred"].alias("pred"),
+                    tok(st["obj"]).alias("obj"),
+                    st["op"].alias("op"),
+                ),
+            )
         )
     )
 
