@@ -102,6 +102,77 @@ def q_format_violations(spark, sf_dir):
     )
 
 
+def q_conflict_violations(spark, sf_dir):
+    """`ConflictsWithQueriesBuilder.java:50-56` on current state:
+    subjects holding both P1 and P2."""
+    cur = _hist_current(spark, sf_dir)
+    a = cur.filter(F.col("pred") == "P1")
+    b = cur.filter(F.col("pred") == "P2").select(F.col("subj").alias("s2"))
+    return (
+        a.join(b, a.subj == b.s2)
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_item_violations(spark, sf_dir):
+    """`ItemQueriesBuilder.java:62-69`: P1 subjects lacking any P2."""
+    cur = _hist_current(spark, sf_dir)
+    a = cur.filter(F.col("pred") == "P1")
+    b = cur.filter(F.col("pred") == "P2").select(F.col("subj").alias("s2")).distinct()
+    return (
+        a.join(b, a.subj == b.s2, "left_anti")
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_tclaim_violations(spark, sf_dir):
+    """`TargetRequiredClaimQueriesBuilder.java:66-73`: P1 objects
+    lacking any P2 claim of their own."""
+    cur = _hist_current(spark, sf_dir)
+    a = cur.filter(F.col("pred") == "P1")
+    b = cur.filter(F.col("pred") == "P2").select(F.col("subj").alias("s2")).distinct()
+    return (
+        a.join(b, a.obj == b.s2, "left_anti")
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_type_violations(spark, sf_dir):
+    """`TypeQueriesBuilder.java:65-72` shape: entities typed C(u%30)
+    that do NOT reach required class C1 via the current subclass-of
+    closure (rel/P279* with reflexive hop)."""
+    from corhist_spark.canonicalize import static_closure
+    from corhist_spark.state import build_state
+
+    ev = _t(spark, sf_dir, "events")
+    hier = ev.filter((F.col("user_id") % 30) >= 1).select(
+        F.col("event_id").alias("rev_id"),
+        F.when(F.col("event_id") % 4 == 0, F.lit("del")).otherwise(F.lit("add")).alias("op"),
+        F.concat(F.lit("C"), (F.col("user_id") % 30).cast("string")).alias("subj"),
+        F.lit("P279").alias("pred"),
+        F.concat(F.lit("C"), F.floor((F.col("user_id") % 30) / 2).cast("long").cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    cur_edges = (
+        build_state(hier)
+        .filter(F.col("to_rev") == MAX_REV)
+        .select(F.col("subj").alias("cls"), F.col("obj").alias("parent"))
+        .distinct()
+    )
+    closure = static_closure(cur_edges)
+    reach = closure.filter(F.col("anc") == "C1").select("cls").union(
+        spark.createDataFrame([("C1",)], "cls string")
+    ).distinct()
+    typed = ev.select(
+        F.concat(F.lit("Q"), F.col("user_id").cast("string")).alias("entity"),
+        F.concat(F.lit("C"), (F.col("user_id") % 30).cast("string")).alias("cls"),
+    ).distinct()
+    return typed.join(reach, "cls", "left_anti").select("entity", "cls")
+
+
 def q_single_value_corrections(spark, sf_dir):
     """Flagship: the full correction pipeline (kernel + expansion +
     still-applied) for a single-value constraint on P1 over the derived
@@ -522,6 +593,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oneof_violations": q_oneof_violations,
         "inverse_violations": q_inverse_violations,
         "format_violations": q_format_violations,
+        "conflict_violations": q_conflict_violations,
+        "item_violations": q_item_violations,
+        "tclaim_violations": q_tclaim_violations,
+        "type_violations": q_type_violations,
         "single_value_corrections": q_single_value_corrections,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
@@ -624,6 +699,63 @@ def oracle_sql() -> dict[str, str]:
             FROM h_cur WHERE pred = 'P4' AND NOT regexp_matches(obj, '^V[01]$')
             """
         ),
+        "conflict_violations": with_history_ctes(
+            """
+            SELECT DISTINCT a.subj AS target_subj, a.obj AS target_obj
+            FROM h_cur a
+            WHERE a.pred = 'P1' AND EXISTS (
+              SELECT 1 FROM h_cur b WHERE b.subj = a.subj AND b.pred = 'P2')
+            """
+        ),
+        "item_violations": with_history_ctes(
+            """
+            SELECT DISTINCT a.subj AS target_subj, a.obj AS target_obj
+            FROM h_cur a
+            WHERE a.pred = 'P1' AND NOT EXISTS (
+              SELECT 1 FROM h_cur b WHERE b.subj = a.subj AND b.pred = 'P2')
+            """
+        ),
+        "tclaim_violations": with_history_ctes(
+            """
+            SELECT DISTINCT a.subj AS target_subj, a.obj AS target_obj
+            FROM h_cur a
+            WHERE a.pred = 'P1' AND NOT EXISTS (
+              SELECT 1 FROM h_cur b WHERE b.subj = a.obj AND b.pred = 'P2')
+            """
+        ),
+        "type_violations": f"""
+            WITH RECURSIVE hc_edits AS (
+              SELECT event_id AS rev_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END AS op,
+                     'C' || CAST(user_id % 30 AS VARCHAR) AS subj,
+                     'C' || CAST((user_id % 30) // 2 AS VARCHAR) AS obj
+              FROM events WHERE user_id % 30 >= 1
+            ), collapsed AS (
+              SELECT * FROM (
+                SELECT rev_id, op, subj, obj,
+                       lag(op) OVER (PARTITION BY subj, obj ORDER BY rev_id) AS prev_op
+                FROM hc_edits
+              ) WHERE prev_op IS NULL OR prev_op <> op
+            ), cur_edges AS (
+              SELECT DISTINCT subj AS cls, obj AS parent FROM (
+                SELECT subj, obj, op, rev_id,
+                       lead(rev_id) OVER (PARTITION BY subj, obj ORDER BY rev_id) AS next_rev
+                FROM collapsed
+              ) WHERE op = 'add' AND next_rev IS NULL
+            ), cl AS (
+              SELECT cls, parent AS anc FROM cur_edges
+              UNION
+              SELECT cl.cls, e.parent FROM cl JOIN cur_edges e ON cl.anc = e.cls
+            ), reach AS (
+              SELECT cls FROM cl WHERE anc = 'C1' UNION SELECT 'C1' AS cls
+            ), typed AS (
+              SELECT DISTINCT 'Q' || CAST(user_id AS VARCHAR) AS entity,
+                     'C' || CAST(user_id % 30 AS VARCHAR) AS cls
+              FROM events
+            )
+            SELECT entity, cls FROM typed
+            WHERE cls NOT IN (SELECT cls FROM reach)
+        """,
         "single_value_corrections": with_history_ctes(
             f"""
             , dels AS (

@@ -54,20 +54,25 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
     nb = revisions.filter(F.col("based_on_rev_id").isNotNull()).select(
         F.col("rev_id").alias("nb_a"), F.col("based_on_rev_id").alias("nb_b")
     )
-    pairs = nb.select(F.col("nb_b").alias("main_r"), F.col("nb_a").alias("cand_rev")).union(
-        nb.select(F.col("nb_a").alias("main_r"), F.col("nb_b").alias("cand_rev"))
-    )
-    cand_author = revisions.select(
-        F.col("rev_id").alias("cand_rev"), F.col("author").alias("cand_author")
-    )
-    dist1 = (
-        base.join(pairs, base["corr_rev"] == pairs["main_r"])
-        .join(cand_author, "cand_rev")
-        .filter(F.col("cand_author") == F.col("main_author"))
-        .drop("main_r", "cand_author")
-        .withColumn("dist", F.lit(1))
-    )
-    cands = dist0.unionByName(dist1)
+    # prune the whole distance-1 branch when the corpus carries no
+    # isBasedOn links at all (cheap driver check; two joins saved)
+    if nb.isEmpty():
+        cands = dist0
+    else:
+        pairs = nb.select(F.col("nb_b").alias("main_r"), F.col("nb_a").alias("cand_rev")).union(
+            nb.select(F.col("nb_a").alias("main_r"), F.col("nb_b").alias("cand_rev"))
+        )
+        cand_author = revisions.select(
+            F.col("rev_id").alias("cand_rev"), F.col("author").alias("cand_author")
+        )
+        dist1 = (
+            base.join(pairs, base["corr_rev"] == pairs["main_r"])
+            .join(cand_author, "cand_rev")
+            .filter(F.col("cand_author") == F.col("main_author"))
+            .drop("main_r", "cand_author")
+            .withColumn("dist", F.lit(1))
+        )
+        cands = dist0.unionByName(dist1)
 
     # guard: skip candidate revisions whose co-op graph touched the target
     guard = edits.select(

@@ -11,10 +11,10 @@ event_id/user_id so both engines produce byte-identical rows:
     rev_id = event_id
     subj   = 'Q' || user_id            (entity page)
     pred   = 'P' || event_id % 5
-    obj    = 'V' || event_id % 3
+    obj    = 'V' || event_id % 31
     op     = 'del' if event_id % 4 == 0 else 'add'
 
-A triple space of 15 per entity and ~4% deletes gives realistic
+A triple space of 155 per entity and ~25% deletes gives realistic
 add/del/re-add alternations, orphan deletes and double adds — the
 state builder's dirty-stream semantics (last op wins) are exercised
 for real.
@@ -33,7 +33,7 @@ EDITS_SQL = """
          CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END AS op,
          'Q' || CAST(user_id AS VARCHAR) AS subj,
          'P' || CAST(event_id % 5 AS VARCHAR) AS pred,
-         'V' || CAST(event_id % 3 AS VARCHAR) AS obj
+         'V' || CAST(event_id % 31 AS VARCHAR) AS obj
   FROM events
 """
 
@@ -77,7 +77,7 @@ def derived_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 4 == 0, F.lit("del")).otherwise(F.lit("add")).alias("op"),
         F.concat(F.lit("Q"), F.col("user_id").cast("string")).alias("subj"),
         F.concat(F.lit("P"), (F.col("event_id") % 5).cast("string")).alias("pred"),
-        F.concat(F.lit("V"), (F.col("event_id") % 3).cast("string")).alias("obj"),
+        F.concat(F.lit("V"), (F.col("event_id") % 31).cast("string")).alias("obj"),
         F.lit("iri").alias("obj_kind"),
     )
 
