@@ -16,8 +16,13 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StringType, StructField, StructType
 
 from .storage import Warehouse
 
@@ -63,6 +68,78 @@ def upsert_violation_queue(queue: DataFrame | None, incoming: DataFrame) -> Data
         "left_anti",
     )
     return updated.unionByName(inserts.select(*updated.columns))
+
+
+QUEUE_EVENT_SCHEMA = StructType(
+    [
+        StructField("statement_id", StringType()),
+        StructField("constraint_id", StringType()),
+        StructField("kind", StringType()),  # violation | approve | reject | obsolete
+        StructField("seq", StringType()),  # ordering within a batch
+    ]
+)
+
+QUEUE_STATE_SCHEMA = StructType([StructField("state", StringType())])
+
+QUEUE_OUT_SCHEMA = StructType(
+    [
+        StructField("statement_id", StringType()),
+        StructField("constraint_id", StringType()),
+        StructField("state", StringType()),
+    ]
+)
+
+
+def _queue_transition(cur: str | None, kind: str) -> str | None:
+    """The p/a/r/o machine of `game/ViolationDatabase.java`:
+    addViolation (`:71-97`): absent -> PROPOSED, OBSOLETE -> PROPOSED,
+    else unchanged; logAction approve/reject -> a/r;
+    clearProposedViolations (`:60-68`): PROPOSED -> OBSOLETE."""
+    if kind == "violation":
+        return "p" if cur is None or cur == "o" else cur
+    if cur is None:
+        return None  # actions on unknown violations are dropped
+    if kind == "approve":
+        return "a"
+    if kind == "reject":
+        return "r"
+    if kind == "obsolete":
+        return "o" if cur == "p" else cur
+    return cur
+
+
+def stateful_violation_queue(events: DataFrame, checkpoint_dir: str):
+    """Custom stateful streaming operator: the violation-queue state
+    machine as ``applyInPandasWithState`` keyed by
+    (statement_id, constraint_id).  State survives across micro-batches
+    (the reference keeps it in HSQLDB); each batch emits the keys whose
+    state changed."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cur = state.get[0] if state.exists else None
+        new = cur
+        for pdf in pdfs:
+            for kind in pdf.sort_values("seq")["kind"]:
+                new = _queue_transition(new, kind)
+        if new is not None and new != cur:
+            state.update((new,))
+            yield pd.DataFrame(
+                [{"statement_id": key[0], "constraint_id": key[1], "state": new}]
+            )
+
+    out = events.groupBy("statement_id", "constraint_id").applyInPandasWithState(
+        update,
+        outputStructType=QUEUE_OUT_SCHEMA,
+        stateStructType=QUEUE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
 
 
 def stream_apply_rules(
