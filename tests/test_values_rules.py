@@ -1,0 +1,93 @@
+"""Value serialization (6 kinds), rules text export, rule subsumption."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from corhist_spark.rule_ops import is_more_precise, rules_to_text
+from corhist_spark.values import parse_entity_id, serialize_value
+
+
+def test_serialize_six_value_kinds(spark):
+    rows = [
+        ("Q42", "iri"),
+        ("hello", "string"),
+        ("Douglas@en", "langString"),
+        ("+2001-01-15T00:00:00Z|11|Q1985727", "dateTime"),
+        ("48.85|2.35|0.01|Q2", "coords"),
+        ("+42.5|Q11573", "quantity"),
+    ]
+    df = spark.createDataFrame(rows, "obj string, obj_kind string")
+    out = {
+        r.obj_kind: json.loads(r.js)
+        for r in df.select("obj_kind", serialize_value(F.col("obj"), F.col("obj_kind")).alias("js")).collect()
+    }
+    assert out["iri"] == {"id": "Q42"}
+    assert out["string"] == {"value": "hello"}
+    assert out["langString"] == {"language": "en", "text": "Douglas"}
+    assert out["dateTime"]["time"] == "+2001-01-15T00:00:00Z"
+    assert out["dateTime"]["precision"] == 11
+    assert out["dateTime"]["calendarmodel"] == "Q1985727"
+    assert out["coords"] == {"latitude": 48.85, "longitude": 2.35, "precision": 0.01, "globe": "Q2"}
+    assert out["quantity"] == {"amount": "+42.5", "unit": "Q11573"}
+
+
+def test_parse_entity_id(spark):
+    df = spark.createDataFrame(
+        [("http://www.wikidata.org/entity/Q42",), ("P31",), ("nope",)], "s string"
+    )
+    got = [r.e for r in df.select(parse_entity_id(F.col("s")).alias("e")).collect()]
+    assert got == ["Q42", "P31", ""]
+
+
+def _rule(cid="c1", vobj=None, head=None, context=None):
+    return dict(
+        constraint_id=cid,
+        violation_obj=vobj,
+        head=head or [("?s", "P1", "?o", "del")],
+        context=context or [],
+    )
+
+
+def test_rule_subsumption():
+    gen = _rule()
+    const = _rule(vobj="V1", head=[("?s", "P1", "V1", "del")])
+    # constant-object rule is more precise than the generalized one
+    # ONLY if heads match under the substitution — here heads differ
+    assert not is_more_precise(const, gen)
+    same_head_const = _rule(vobj="V1", head=[("?s", "P1", "?o", "del")])
+    assert is_more_precise(same_head_const, gen)
+    assert not is_more_precise(gen, same_head_const)
+    # context atom makes a rule more precise than its base
+    refined = _rule(context=[("?s", "P9", "MARK")])
+    base_with_ctx_var = _rule(context=[("?s", "P9", "?v")])
+    assert is_more_precise(refined, base_with_ctx_var)
+    assert not is_more_precise(base_with_ctx_var, refined)
+    # different constraints never subsume
+    assert not is_more_precise(_rule(cid="c2"), gen)
+
+
+def test_rules_text_export(spark):
+    from pyspark.sql.types import StructType
+
+    rules = spark.createDataFrame(
+        [
+            (
+                "r1",
+                "c1",
+                None,
+                [("?s", "P1", "?o", "del")],
+                [],
+                12,
+                0.75,
+            )
+        ],
+        "rule_id string, constraint_id string, violation_obj string, "
+        "head array<struct<subj:string,pred:string,obj:string,op:string>>, "
+        "context array<struct<var:string,pred:string,obj:string>>, "
+        "support long, confidence double",
+    )
+    line = rules_to_text(rules).collect()[0].value
+    assert line == "?s c1 ?o ?g\t\t=>\t?s P1 ?o del\t0.75\t12"
