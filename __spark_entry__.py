@@ -370,7 +370,10 @@ def _hist(spark, sf_dir):
     the kernel queries share one checkpointed state build per session."""
     key = (id(spark), sf_dir)
     if key not in _HIST_MEMO:
-        edits = derived_edits(spark, sf_dir).localCheckpoint()
+        # edits is a narrow map over the parquet scan — cheaper to
+        # re-derive than to materialize; the shuffled frames
+        # (revisions window, state) are checkpointed once
+        edits = derived_edits(spark, sf_dir)
         revisions = derived_revisions(edits).localCheckpoint()
         state = build_state(edits).localCheckpoint()
         _HIST_MEMO[key] = (edits, revisions, state)
@@ -561,6 +564,29 @@ def q_big_customer_ratio(spark, sf_dir):
     )
 
 
+def q_user_event_pivot(spark, sf_dir):
+    """Pivoted per-user action counts (the game approval-stats shape,
+    `game/ViolationDatabase.java:175-191`)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+
+
+def q_late_users_except(spark, sf_dir):
+    """Set difference: users active in the last event-id quartile but
+    not in the first."""
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    last = ev.filter(F.col("event_id") > hi * 3 / 4).select("user_id")
+    first = ev.filter(F.col("event_id") < hi / 4).select("user_id")
+    return last.subtract(first)  # EXCEPT (distinct) semantics
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
     part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
@@ -629,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rev_diff_histogram": q_rev_diff_histogram,
         "sampled_edits": q_sampled_edits,
         "big_customer_ratio": q_big_customer_ratio,
+        "user_event_pivot": q_user_event_pivot,
+        "late_users_except": q_late_users_except,
     }
 
 
@@ -1140,5 +1168,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROUND(AVG(CASE WHEN n > 10 THEN 1.0 ELSE 0.0 END), 6) AS big_ratio,
                    COUNT(*) AS n_customers
             FROM (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY user_id
+        """,
+        "late_users_except": """
+            SELECT user_id FROM events
+            WHERE event_id > (SELECT MAX(event_id) FROM events) * 3 / 4
+            EXCEPT
+            SELECT user_id FROM events
+            WHERE event_id < (SELECT MAX(event_id) FROM events) / 4
         """,
     }

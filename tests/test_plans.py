@@ -50,6 +50,14 @@ def test_textops_stay_jvm_side(spark, plan_of):
         assert "Python" not in plan, plan
 
 
+def test_flagship_plan_has_no_cartesian(spark, plan_of):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_single_value_corrections(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_extraction_uses_arrow_udf(spark, sdf, plan_of):
     """The only Python in the extraction plan is the Arrow-batched
     pandas UDF (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
