@@ -847,7 +847,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "sessionize": """
-            SELECT user_id, SUM(is_start) AS n_sessions, COUNT(*) AS n_events FROM (
+            SELECT user_id, CAST(SUM(is_start) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
               SELECT user_id,
                      CASE WHEN prev_ts IS NULL
                                OR (CAST(floor(epoch(ts)) AS BIGINT)
@@ -1152,8 +1152,8 @@ def oracle_sql() -> dict[str, str]:
             """
             SELECT n_add, n_del, COUNT(*) AS n FROM (
               SELECT rev_id,
-                     SUM(CASE WHEN op = 'add' THEN 1 ELSE 0 END) AS n_add,
-                     SUM(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS n_del
+                     CAST(SUM(CASE WHEN op = 'add' THEN 1 ELSE 0 END) AS BIGINT) AS n_add,
+                     CAST(SUM(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS BIGINT) AS n_del
               FROM h_edits GROUP BY rev_id
             ) GROUP BY n_add, n_del
             """
@@ -1171,11 +1171,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_event_pivot": """
             SELECT user_id,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id
         """,
         "late_users_except": """
