@@ -1,0 +1,42 @@
+"""Explicit hot-key skew handling (north rule): salting for joins and
+aggregations on high-degree keys (the P31/Q5 problem — a handful of
+keys carrying a large share of rows).
+
+AQE's skew-join splitting handles most cases at runtime; these helpers
+are the *explicit* variant for joins AQE can't rebalance (e.g. when the
+skewed side must stay sort-merge) and for two-stage aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, on: str, n_salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Join ``big`` (skewed on ``on``) with ``small`` by replicating the
+    small side across ``n_salts`` salt values and scattering the big
+    side's hot rows uniformly.  Result is row-identical to
+    ``big.join(small, on, how)``; the shuffle key becomes
+    (on, salt), so one hot key spreads over n_salts reducers."""
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    salted_small = small.select("*", salts)
+    out = salted_big.join(salted_small, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def hot_keys(df: DataFrame, key: str, threshold_share: float = 0.01) -> DataFrame:
+    """Keys carrying more than ``threshold_share`` of all rows — the
+    candidates for salting (diagnostic)."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > total * threshold_share)
+        .orderBy(F.desc("n"))
+    )
