@@ -439,6 +439,117 @@ def q_item_corrections(spark, sf_dir):
     )
 
 
+def _typed_edits(spark, sf_dir):
+    """Three interleaved edit streams (one subject per revision):
+    event_id%3==0 -> hierarchy (C(u%30) P279 C(u%30 / 2)),
+    ==1 -> typing (Q(u) P31 C(u%30)), ==2 -> claims (Q(u) P5 V(e%7))."""
+    ev = _t(spark, sf_dir, "events")
+    op = F.when(F.col("event_id") % 4 == 0, F.lit("del")).otherwise(F.lit("add"))
+    cidx = F.col("user_id") % 30
+    cls = F.concat(F.lit("C"), cidx.cast("string"))
+    parent_cls = F.concat(F.lit("C"), F.floor(cidx / 2).cast("long").cast("string"))
+    q = F.concat(F.lit("Q"), F.col("user_id").cast("string"))
+    s0 = ev.filter((F.col("event_id") % 3 == 0) & (cidx >= 1)).select(
+        F.col("event_id").alias("rev_id"), op.alias("op"),
+        cls.alias("subj"), F.lit("P279").alias("pred"), parent_cls.alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    s1 = ev.filter(F.col("event_id") % 3 == 1).select(
+        F.col("event_id").alias("rev_id"), op.alias("op"),
+        q.alias("subj"), F.lit("P31").alias("pred"), cls.alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    s2 = ev.filter(F.col("event_id") % 3 == 2).select(
+        F.col("event_id").alias("rev_id"), op.alias("op"),
+        q.alias("subj"), F.lit("P5").alias("pred"),
+        F.concat(F.lit("V"), (F.col("event_id") % 7).cast("string")).alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    return s0.unionByName(s1).unionByName(s2)
+
+
+def q_type_corrections(spark, sf_dir):
+    """Full type-constraint kernel (deletion + addition branches with
+    the interval P279* closure) over a typed derived history:
+    constraint on P5 requires instance-of reaching class C1."""
+    from corhist_spark.canonicalize import interval_closure
+    from corhist_spark.pipeline import run_correction_pipeline
+    import pandas as pd
+
+    edits = _typed_edits(spark, sf_dir).localCheckpoint()
+    revisions = derived_revisions(edits).localCheckpoint()
+    state = build_state(edits).localCheckpoint()
+    closure = interval_closure(state)
+    cons = pd.DataFrame(
+        [{
+            "constraint_id": "c-type-P5",
+            "property": "P5",
+            "type": "Q21503250",
+            "params": {"P2308": ["C1"], "P2309": ["Q21503252"]},
+        }]
+    )
+    out = run_correction_pipeline(
+        spark, edits, revisions, cons, state=state, closure=closure
+    )
+    return out.select("target_subj", "target_obj", "corr_rev").distinct()
+
+
+def _vtyped_edits(spark, sf_dir):
+    """Streams for the valueType kernel: ==0 hierarchy, ==1 typing of
+    the Z value-entities (Z(u%40) P31 C(u%30)), ==2 claims
+    (Q(u) P6 Z(e%40)) whose OBJECT must carry the type."""
+    ev = _t(spark, sf_dir, "events")
+    op = F.when(F.col("event_id") % 4 == 0, F.lit("del")).otherwise(F.lit("add"))
+    cidx = F.col("user_id") % 30
+    cls = F.concat(F.lit("C"), cidx.cast("string"))
+    parent_cls = F.concat(F.lit("C"), F.floor(cidx / 2).cast("long").cast("string"))
+    z_of_user = F.concat(F.lit("Z"), (F.col("user_id") % 40).cast("string"))
+    z_of_event = F.concat(F.lit("Z"), (F.col("event_id") % 40).cast("string"))
+    q = F.concat(F.lit("Q"), F.col("user_id").cast("string"))
+    s0 = ev.filter((F.col("event_id") % 3 == 0) & (cidx >= 1)).select(
+        F.col("event_id").alias("rev_id"), op.alias("op"),
+        cls.alias("subj"), F.lit("P279").alias("pred"), parent_cls.alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    s1 = ev.filter(F.col("event_id") % 3 == 1).select(
+        F.col("event_id").alias("rev_id"), op.alias("op"),
+        z_of_user.alias("subj"), F.lit("P31").alias("pred"), cls.alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    s2 = ev.filter(F.col("event_id") % 3 == 2).select(
+        F.col("event_id").alias("rev_id"), op.alias("op"),
+        q.alias("subj"), F.lit("P6").alias("pred"), z_of_event.alias("obj"),
+        F.lit("iri").alias("obj_kind"),
+    )
+    return s0.unionByName(s1).unionByName(s2)
+
+
+def q_vtype_corrections(spark, sf_dir):
+    """Full value-type kernel (the type kernel mirrored onto the
+    object) over the Z-typed derived history: P6 objects must be
+    instances reaching class C1."""
+    from corhist_spark.canonicalize import interval_closure
+    from corhist_spark.pipeline import run_correction_pipeline
+    import pandas as pd
+
+    edits = _vtyped_edits(spark, sf_dir).localCheckpoint()
+    revisions = derived_revisions(edits).localCheckpoint()
+    state = build_state(edits).localCheckpoint()
+    closure = interval_closure(state)
+    cons = pd.DataFrame(
+        [{
+            "constraint_id": "c-vtype-P6",
+            "property": "P6",
+            "type": "Q21510865",
+            "params": {"P2308": ["C1"], "P2309": ["Q21503252"]},
+        }]
+    )
+    out = run_correction_pipeline(
+        spark, edits, revisions, cons, state=state, closure=closure
+    )
+    return out.select("target_subj", "target_obj", "corr_rev").distinct()
+
+
 def q_interval_closure(spark, sf_dir):
     """Time-travelling P279* closure with validity-interval
     intersection, cross-checked against a recursive SQL closure.  The
@@ -641,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_corrections": q_format_corrections,
         "conflict_corrections": q_conflict_corrections,
         "item_corrections": q_item_corrections,
+        "type_corrections": q_type_corrections,
+        "vtype_corrections": q_vtype_corrections,
         "interval_closure": q_interval_closure,
         "mention_extraction": q_mention_extraction,
         "minhash_signatures": q_minhash_signatures,
@@ -1021,6 +1134,176 @@ def oracle_sql() -> dict[str, str]:
                      WHERE h_cur.subj = u.cs AND h_cur.pred = u.cp AND h_cur.obj = u.co))
             """
         ),
+        "type_corrections": f"""
+            WITH RECURSIVE t_edits AS (
+              SELECT event_id AS rev_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END AS op,
+                     'C' || CAST(user_id % 30 AS VARCHAR) AS subj,
+                     'P279' AS pred,
+                     'C' || CAST((user_id % 30) // 2 AS VARCHAR) AS obj
+              FROM events WHERE event_id % 3 = 0 AND user_id % 30 >= 1
+              UNION ALL
+              SELECT event_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END,
+                     'Q' || CAST(user_id AS VARCHAR), 'P31',
+                     'C' || CAST(user_id % 30 AS VARCHAR)
+              FROM events WHERE event_id % 3 = 1
+              UNION ALL
+              SELECT event_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END,
+                     'Q' || CAST(user_id AS VARCHAR), 'P5',
+                     'V' || CAST(event_id % 7 AS VARCHAR)
+              FROM events WHERE event_id % 3 = 2
+            ), t_revs AS (
+              SELECT rev_id,
+                     lag(rev_id) OVER (PARTITION BY subj ORDER BY rev_id) AS parent_rev_id
+              FROM t_edits
+            ), t_state AS (
+              SELECT subj, pred, obj, from_rev, to_rev FROM (
+                SELECT subj, pred, obj, op, rev_id AS from_rev,
+                       COALESCE(lead(rev_id) OVER (PARTITION BY subj, pred, obj ORDER BY rev_id),
+                                {MAX_REV}) AS to_rev
+                FROM (
+                  SELECT * FROM (
+                    SELECT rev_id, op, subj, pred, obj,
+                           lag(op) OVER (PARTITION BY subj, pred, obj ORDER BY rev_id) AS prev_op
+                    FROM t_edits
+                  ) WHERE prev_op IS NULL OR prev_op <> op
+                )
+              ) WHERE op = 'add'
+            ), t_cur AS (
+              SELECT subj, pred, obj FROM t_state WHERE to_rev = {MAX_REV}
+            ), icl AS (
+              SELECT subj AS cls, obj AS anc, from_rev, to_rev
+              FROM t_state WHERE pred = 'P279'
+              UNION
+              SELECT icl.cls, e.obj,
+                     greatest(icl.from_rev, e.from_rev), least(icl.to_rev, e.to_rev)
+              FROM icl JOIN t_state e
+                ON e.pred = 'P279' AND icl.anc = e.subj
+               AND icl.from_rev < e.to_rev AND e.from_rev < icl.to_rev
+            ), delb AS (
+              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P5' AS cp, e.obj AS co, 'del' AS cop
+              FROM t_edits e JOIN t_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P5' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (
+                  SELECT 1 FROM t_state ty
+                  WHERE ty.subj = e.subj AND ty.pred = 'P31'
+                    AND ty.from_rev <= r.parent_rev_id AND r.parent_rev_id < ty.to_rev
+                    AND (ty.obj = 'C1' OR EXISTS (
+                      SELECT 1 FROM icl
+                      WHERE icl.cls = ty.obj AND icl.anc = 'C1'
+                        AND icl.from_rev <= r.parent_rev_id
+                        AND r.parent_rev_id < icl.to_rev)))
+            ), addb AS (
+              SELECT st.subj AS ts, st.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P31' AS cp, e.obj AS co, 'add' AS cop
+              FROM t_edits e
+              JOIN t_revs r USING (rev_id)
+              JOIN t_state st ON st.subj = e.subj AND st.pred = 'P5'
+                AND st.from_rev <= r.parent_rev_id AND r.parent_rev_id < st.to_rev
+              WHERE e.op = 'add' AND e.pred = 'P31' AND r.parent_rev_id IS NOT NULL
+                AND (e.obj = 'C1' OR EXISTS (
+                  SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
+                    AND icl.to_rev = {MAX_REV}))
+                AND (e.obj = 'C1' OR EXISTS (
+                  SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
+                    AND icl.from_rev <= r.parent_rev_id
+                    AND r.parent_rev_id < icl.to_rev))
+            ), u AS (SELECT * FROM delb UNION ALL SELECT * FROM addb)
+            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev
+            FROM u
+            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM t_cur
+                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
+               OR (cop = 'add' AND EXISTS (SELECT 1 FROM t_cur
+                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
+        """,
+        "vtype_corrections": f"""
+            WITH RECURSIVE t_edits AS (
+              SELECT event_id AS rev_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END AS op,
+                     'C' || CAST(user_id % 30 AS VARCHAR) AS subj,
+                     'P279' AS pred,
+                     'C' || CAST((user_id % 30) // 2 AS VARCHAR) AS obj
+              FROM events WHERE event_id % 3 = 0 AND user_id % 30 >= 1
+              UNION ALL
+              SELECT event_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END,
+                     'Z' || CAST(user_id % 40 AS VARCHAR), 'P31',
+                     'C' || CAST(user_id % 30 AS VARCHAR)
+              FROM events WHERE event_id % 3 = 1
+              UNION ALL
+              SELECT event_id,
+                     CASE WHEN event_id % 4 = 0 THEN 'del' ELSE 'add' END,
+                     'Q' || CAST(user_id AS VARCHAR), 'P6',
+                     'Z' || CAST(event_id % 40 AS VARCHAR)
+              FROM events WHERE event_id % 3 = 2
+            ), t_revs AS (
+              SELECT rev_id,
+                     lag(rev_id) OVER (PARTITION BY subj ORDER BY rev_id) AS parent_rev_id
+              FROM t_edits
+            ), t_state AS (
+              SELECT subj, pred, obj, from_rev, to_rev FROM (
+                SELECT subj, pred, obj, op, rev_id AS from_rev,
+                       COALESCE(lead(rev_id) OVER (PARTITION BY subj, pred, obj ORDER BY rev_id),
+                                {MAX_REV}) AS to_rev
+                FROM (
+                  SELECT * FROM (
+                    SELECT rev_id, op, subj, pred, obj,
+                           lag(op) OVER (PARTITION BY subj, pred, obj ORDER BY rev_id) AS prev_op
+                    FROM t_edits
+                  ) WHERE prev_op IS NULL OR prev_op <> op
+                )
+              ) WHERE op = 'add'
+            ), t_cur AS (
+              SELECT subj, pred, obj FROM t_state WHERE to_rev = {MAX_REV}
+            ), icl AS (
+              SELECT subj AS cls, obj AS anc, from_rev, to_rev
+              FROM t_state WHERE pred = 'P279'
+              UNION
+              SELECT icl.cls, e.obj,
+                     greatest(icl.from_rev, e.from_rev), least(icl.to_rev, e.to_rev)
+              FROM icl JOIN t_state e
+                ON e.pred = 'P279' AND icl.anc = e.subj
+               AND icl.from_rev < e.to_rev AND e.from_rev < icl.to_rev
+            ), delb AS (
+              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P6' AS cp, e.obj AS co, 'del' AS cop
+              FROM t_edits e JOIN t_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P6' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (
+                  SELECT 1 FROM t_state ty
+                  WHERE ty.subj = e.obj AND ty.pred = 'P31'
+                    AND ty.from_rev <= r.parent_rev_id AND r.parent_rev_id < ty.to_rev
+                    AND (ty.obj = 'C1' OR EXISTS (
+                      SELECT 1 FROM icl
+                      WHERE icl.cls = ty.obj AND icl.anc = 'C1'
+                        AND icl.from_rev <= r.parent_rev_id
+                        AND r.parent_rev_id < icl.to_rev)))
+            ), addb AS (
+              SELECT st.subj AS ts, st.obj AS tobj, e.rev_id AS rv,
+                     e.subj AS cs, 'P31' AS cp, e.obj AS co, 'add' AS cop
+              FROM t_edits e
+              JOIN t_revs r USING (rev_id)
+              JOIN t_state st ON st.obj = e.subj AND st.pred = 'P6'
+                AND st.from_rev <= r.parent_rev_id AND r.parent_rev_id < st.to_rev
+              WHERE e.op = 'add' AND e.pred = 'P31' AND r.parent_rev_id IS NOT NULL
+                AND (e.obj = 'C1' OR EXISTS (
+                  SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
+                    AND icl.to_rev = {MAX_REV}))
+                AND (e.obj = 'C1' OR EXISTS (
+                  SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
+                    AND icl.from_rev <= r.parent_rev_id
+                    AND r.parent_rev_id < icl.to_rev))
+            ), u AS (SELECT * FROM delb UNION ALL SELECT * FROM addb)
+            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev
+            FROM u
+            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM t_cur
+                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
+               OR (cop = 'add' AND EXISTS (SELECT 1 FROM t_cur
+                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
+        """,
         "interval_closure": f"""
             WITH RECURSIVE hc_edits AS (
               SELECT event_id AS rev_id,

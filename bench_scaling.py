@@ -96,7 +96,9 @@ def run_job(cores: int) -> dict:
         return time.perf_counter() - t0
 
     job()  # steady-state warm pass
-    dt = job()
+    # min over repeated passes — the host VM shows +-30% noise from
+    # neighboring tenants; the minimum is the least-contended sample
+    dt = min(job() for _ in range(3))
     return {
         "cores": cores,
         "seconds": round(dt, 3),
@@ -148,7 +150,9 @@ def main() -> None:
             "N to 4N executors.  Sandbox proxy (no real cluster): the same\n"
             "job on the same input at `local[2]` (N) vs `local[8]` (4N),\n"
             "separate JVMs, shuffle partitions = cores, Python workers\n"
-            "pre-warmed, steady-state (second-run) timings.\n\n"
+            "pre-warmed, steady-state timing = min of 3 passes after a\n"
+            "warm pass (the host VM shows +-30% neighbor noise; the\n"
+            "minimum is the least-contended sample).\n\n"
             "**Why 2 vs 8**: with all 32 vCPUs loaded this microVM shows\n"
             "13-18% hypervisor CPU steal (`top`: `%st`), capping any\n"
             "32-thread measurement at ~2.3x irrespective of the engine; at\n"

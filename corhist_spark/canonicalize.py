@@ -83,25 +83,26 @@ def canonicalize_triples(triples: DataFrame, components: DataFrame) -> DataFrame
 
 
 def static_closure(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Transitive closure of edges(cls, parent) -> (cls, anc).
-    Non-reflexive; callers add the reflexive case with a direct
-    membership check.  Safe under cycles (exact-row dedupe)."""
+    """Transitive closure of edges(cls, parent) -> (cls, anc) by path
+    doubling: each round composes the closure with itself, so a
+    depth-d hierarchy converges in ceil(log2(d)) + 1 rounds instead of
+    d (the reference's `P279*` is evaluated by its store; our loop is
+    the distributed equivalent).  Non-reflexive; callers add the
+    reflexive case with a direct membership check.  Safe under cycles
+    (exact-row dedupe + fixpoint count)."""
     closure = edges.select("cls", F.col("parent").alias("anc")).distinct().localCheckpoint()
-    # disjoint column names on the right side keep the self-join
-    # unambiguous across iterations
-    edges_r = edges.select(F.col("cls").alias("e_cls"), F.col("parent").alias("e_anc"))
-    frontier = closure
+    size = closure.count()
     for _ in range(max_iter):
-        nxt = (
-            frontier.join(edges_r, F.col("anc") == F.col("e_cls"))
-            .select("cls", F.col("e_anc").alias("anc"))
-            .distinct()
-            .join(closure, ["cls", "anc"], "left_anti")
-        ).localCheckpoint()
-        if nxt.isEmpty():
+        right = closure.select(F.col("cls").alias("r_cls"), F.col("anc").alias("r_anc"))
+        new = (
+            closure.join(right, F.col("anc") == F.col("r_cls"))
+            .select("cls", F.col("r_anc").alias("anc"))
+        )
+        grown = closure.union(new).distinct().localCheckpoint()
+        new_size = grown.count()
+        if new_size == size:
             break
-        closure = closure.union(nxt).localCheckpoint()
-        frontier = nxt
+        closure, size = grown, new_size
     return closure
 
 

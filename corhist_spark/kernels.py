@@ -344,7 +344,12 @@ def _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, con
         & F.expr("array_contains(rels, st_pred)")
         & _asof(F.col("g")),
     )
-    direct = typed.filter(F.expr("array_contains(classes, st_obj)")).select(*key)
+    # empty class parameter -> the SPARQL filter degenerates to
+    # `NOT EXISTS { ?s rel/P279* ?o2 }` with ?o2 free: ANY typing edge
+    # is evidence (`AbstractQueriesBuilder.convertValues` returns "")
+    direct = typed.filter(
+        (F.size("classes") == 0) | F.expr("array_contains(classes, st_obj)")
+    ).select(*key)
     via = (
         typed.join(closure, (F.col("cl_cls") == F.col("st_obj")) & _cl_asof(F.col("g")))
         .filter(F.expr("array_contains(classes, cl_anc)"))

@@ -261,21 +261,25 @@ def _type_like(h, c, on_object: bool):
     prop = c["property"]
     rels = relation_preds(c)
     classes = set(c["params"].get(S.PARAM_CLASS, []))
-    if not classes:
-        return
-    # deletion branch
+    # deletion branch.  Empty class parameter: the SPARQL filter
+    # degenerates to NOT EXISTS { ?s rel/P279* ?o2 } with ?o2 free —
+    # any typing edge counts as evidence.
     for rev_id, s, o, g in _del_candidates(h, prop):
         if sameas_guard(h, rev_id, s):
             continue
         carrier = o if on_object else s
         ok = any(
-            h.reaches(t, classes, g)
+            (not classes) or h.reaches(t, classes, g)
             for rel in rels
             for t in h.objects(carrier, rel, g)
         )
         if ok:
             continue  # NOT EXISTS fails -> not a violation fix
         yield dict(target_s=s, target_o=o, is_add=False, corr_s=s, corr_o=o, corr_rev=rev_id)
+    if not classes:
+        # the addition branch's current-state subquery degenerates with
+        # an empty class list; not supported (mirrors kernels._type_like)
+        return
     # addition branch: carrier rel type added, type in closure of classes
     cur_types = h.closure_sources(classes, LONG_MAX)
     for rev_id, triples in h.adds.items():
