@@ -578,6 +578,15 @@ def q_mention_extraction(spark, sf_dir):
     return mention_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_span_triples(spark, sf_dir):
+    """Candidate-triple emission (extract.emit_triples pairing) over
+    flat text, oracle-checked: consecutive >=6-char mentions wired
+    through the first 4-char cue token."""
+    from corhist_spark.textops import mention_pair_triples
+
+    return mention_pair_triples(_t(spark, sf_dir, "documents"))
+
+
 def q_minhash_signatures(spark, sf_dir):
     from corhist_spark.textops import minhash_signatures
 
@@ -756,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vtype_corrections": q_vtype_corrections,
         "interval_closure": q_interval_closure,
         "mention_extraction": q_mention_extraction,
+        "span_triples": q_span_triples,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidates": q_lsh_candidates,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1340,6 +1350,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]{6,}')) AS mention
               FROM documents
             ) GROUP BY doc_id, mention
+        """,
+        "span_triples": """
+            WITH m AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[a-z]{6,}') AS ms,
+                     list_filter(string_split(text, ' '), x -> len(x) = 4) AS cues
+              FROM documents
+            ), eligible AS (
+              SELECT doc_id, ms, cues[1] AS pred FROM m
+              WHERE len(ms) >= 2 AND len(cues) >= 1
+            ), p AS (
+              SELECT pred, ms,
+                     unnest(generate_series(1, len(ms) - 1)) AS i
+              FROM eligible
+            )
+            SELECT ms[CAST(i AS INT)] AS subj, pred,
+                   ms[CAST(i AS INT) + 1] AS obj, COUNT(*) AS n
+            FROM p GROUP BY 1, 2, 3
         """,
         "minhash_signatures": _SIG_CTES + """
             SELECT doc_id, band, minhash FROM sig

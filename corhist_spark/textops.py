@@ -42,6 +42,28 @@ def mention_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def mention_pair_triples(docs: DataFrame) -> DataFrame:
+    """The triple-emission shape of extract.emit_triples over flat
+    text: consecutive mention pairs (tokens of length >= 6, pandas-UDF
+    detected) wired through the document's first cue token (length 4),
+    aggregated to (subj, pred, obj, n)."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    cues = F.filter(toks, lambda x: F.length(x) == 4)
+    d = docs.select(
+        "doc_id", _find_mentions("text").alias("ms"), F.get(cues, 0).alias("pred")
+    ).filter((F.size("ms") >= 2) & F.col("pred").isNotNull())
+    pairs = F.zip_with(
+        F.slice("ms", 1, F.greatest(F.size("ms") - 1, F.lit(0))),
+        F.slice("ms", 2, F.greatest(F.size("ms") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("subj"), b.alias("obj")),
+    )
+    return (
+        d.select("pred", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.subj").alias("subj"), "pred", F.col("p.obj").alias("obj"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # 52-bit shingle hash: one md5 per shingle, then cheap per-band affine
 # permutations (a_b*v + c_b) — 8x fewer hash computations than hashing
 # per band.  Spark's conv() and the oracle's strpos-sum decode the same
