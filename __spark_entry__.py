@@ -16,7 +16,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from corhist_spark.history import derived_edits, derived_revisions, with_history_ctes
+from corhist_spark.history import (
+    REVS_META_SQL_FMT,
+    derived_edits,
+    derived_revisions,
+    expansion_sql,
+    with_history_ctes,
+)
 from corhist_spark.pipeline import run_correction_pipeline
 from corhist_spark.schemas import MAX_REV
 from corhist_spark.state import build_state, current_state
@@ -439,6 +445,22 @@ def q_item_corrections(spark, sf_dir):
     )
 
 
+def q_tclaim_corrections(spark, sf_dir):
+    """Full target-requires-claim kernel (`TargetRequiredClaimQueriesBuilder.java:23-74`):
+    the item kernel mirrored onto the object carrier — P1 objects must
+    hold a P2 claim (deletion + addition branches) over the derived
+    history."""
+    return _kernel_query(
+        spark, sf_dir,
+        [{
+            "constraint_id": "c-tclaim-P1",
+            "property": "P1",
+            "type": "Q21510864",
+            "params": {"P2306": ["P2"]},
+        }],
+    )
+
+
 def _typed_edits(spark, sf_dir):
     """Three interleaved edit streams (one subject per revision):
     event_id%3==0 -> hierarchy (C(u%30) P279 C(u%30 / 2)),
@@ -761,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_corrections": q_format_corrections,
         "conflict_corrections": q_conflict_corrections,
         "item_corrections": q_item_corrections,
+        "tclaim_corrections": q_tclaim_corrections,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
         "interval_closure": q_interval_closure,
@@ -908,7 +931,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE cls NOT IN (SELECT cls FROM reach)
         """,
         "single_value_corrections": with_history_ctes(
-            f"""
+            """
             , dels AS (
               SELECT e.rev_id, e.subj, e.obj, r.parent_rev_id AS g
               FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
@@ -918,17 +941,20 @@ def oracle_sql() -> dict[str, str]:
               FROM dels d
               JOIN h_state iv ON iv.subj = d.subj AND iv.pred = 'P1'
                 AND iv.obj <> d.obj AND iv.from_rev <= d.g AND d.g < iv.to_rev
-            ), rows_ AS (
-              SELECT subj AS target_subj, obj AS target_obj, rev_id AS corr_rev, subj, obj FROM cand
+              WHERE NOT EXISTS (
+                SELECT 1 FROM h_edits de
+                WHERE de.rev_id = d.rev_id AND de.op = 'del' AND de.subj = d.subj
+                  AND de.pred = 'P1' AND de.obj = iv.obj)
+            ), kr AS (
+              SELECT subj AS target_subj, obj AS target_obj, rev_id AS corr_rev,
+                     subj AS corr_subj, 'P1' AS corr_pred, obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P1' AS property
+              FROM cand
               UNION
-              SELECT subj, obj2, rev_id, subj, obj FROM cand
+              SELECT subj, obj2, rev_id, subj, 'P1', obj, 'del', 'add', 'P1' FROM cand
             )
-            SELECT DISTINCT target_subj, target_obj, corr_rev
-            FROM rows_ c
-            WHERE NOT EXISTS (
-              SELECT 1 FROM h_cur
-              WHERE h_cur.subj = c.subj AND h_cur.pred = 'P1' AND h_cur.obj = c.obj)
             """
+            + expansion_sql()
         ),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1019,42 +1045,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "oneof_corrections": with_history_ctes(
             """
-            SELECT DISTINCT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev
-            FROM h_edits e
-            WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj <> 'V0'
-              AND NOT EXISTS (SELECT 1 FROM h_cur
-                              WHERE h_cur.subj = e.subj AND h_cur.pred = 'P2'
-                                AND h_cur.obj = e.obj)
+            , kr AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P2' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P2' AS property
+              FROM h_edits e
+              WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj <> 'V0'
+            )
             """
+            + expansion_sql()
         ),
         "inverse_corrections": with_history_ctes(
             """
-            , delb AS (
+            , kr AS (
               SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
-                     e.subj AS cs, e.obj AS co, 'del' AS cop
+                     e.subj AS corr_subj, 'P3' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P3' AS property
               FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
               WHERE e.op = 'del' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
                 AND NOT EXISTS (SELECT 1 FROM h_state iv
                                 WHERE iv.subj = e.obj AND iv.pred = 'P3' AND iv.obj = e.subj
                                   AND iv.from_rev <= r.parent_rev_id
                                   AND r.parent_rev_id < iv.to_rev)
-            ), addb AS (
-              SELECT e.obj AS target_subj, e.subj AS target_obj, e.rev_id AS corr_rev,
-                     e.subj AS cs, e.obj AS co, 'add' AS cop
+              UNION ALL
+              SELECT e.obj, e.subj, e.rev_id,
+                     e.subj, 'P3', e.obj, 'add', 'del', 'P3'
               FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
               WHERE e.op = 'add' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
                 AND EXISTS (SELECT 1 FROM h_state iv
                             WHERE iv.subj = e.obj AND iv.pred = 'P3' AND iv.obj = e.subj
                               AND iv.from_rev <= r.parent_rev_id
                               AND r.parent_rev_id < iv.to_rev)
-            ), unioned AS (SELECT * FROM delb UNION ALL SELECT * FROM addb)
-            SELECT DISTINCT target_subj, target_obj, corr_rev
-            FROM unioned u
-            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM h_cur
-                     WHERE h_cur.subj = u.cs AND h_cur.pred = 'P3' AND h_cur.obj = u.co))
-               OR (cop = 'add' AND EXISTS (SELECT 1 FROM h_cur
-                     WHERE h_cur.subj = u.cs AND h_cur.pred = 'P3' AND h_cur.obj = u.co))
+            )
             """
+            + expansion_sql()
         ),
         "unique_corrections": with_history_ctes(
             """
@@ -1067,82 +1091,112 @@ def oracle_sql() -> dict[str, str]:
               FROM dels d JOIN h_state iv
                 ON iv.pred = 'P0' AND iv.obj = d.obj AND iv.subj <> d.subj
                AND iv.from_rev <= d.g AND d.g < iv.to_rev
-            ), rows_ AS (
-              SELECT subj AS target_subj, obj AS target_obj, rev_id AS corr_rev, subj, obj FROM cand
+            ), kr AS (
+              SELECT subj AS target_subj, obj AS target_obj, rev_id AS corr_rev,
+                     subj AS corr_subj, 'P0' AS corr_pred, obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P0' AS property
+              FROM cand
               UNION
-              SELECT s2, obj, rev_id, subj, obj FROM cand
+              SELECT s2, obj, rev_id, subj, 'P0', obj, 'del', 'add', 'P0' FROM cand
             )
-            SELECT DISTINCT target_subj, target_obj, corr_rev FROM rows_ c
-            WHERE NOT EXISTS (SELECT 1 FROM h_cur
-                              WHERE h_cur.subj = c.subj AND h_cur.pred = 'P0'
-                                AND h_cur.obj = c.obj)
             """
+            + expansion_sql()
         ),
         "format_corrections": with_history_ctes(
             """
-            SELECT DISTINCT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev
-            FROM h_edits e
-            WHERE e.op = 'del' AND e.pred = 'P4'
-              AND NOT regexp_matches(e.obj, '^V[01]$')
-              AND NOT EXISTS (SELECT 1 FROM h_cur
-                              WHERE h_cur.subj = e.subj AND h_cur.pred = 'P4'
-                                AND h_cur.obj = e.obj)
+            , kr AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P4' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P4' AS property
+              FROM h_edits e
+              WHERE e.op = 'del' AND e.pred = 'P4'
+                AND NOT regexp_matches(e.obj, '^V[01]$')
+            )
             """
+            + expansion_sql()
         ),
         "conflict_corrections": with_history_ctes(
             """
-            , ca AS (
-              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P1' AS cp, e.obj AS co
+            , kr AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P1' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P1' AS property
               FROM h_edits e JOIN h_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
                 AND EXISTS (SELECT 1 FROM h_state iv
                             WHERE iv.subj = e.subj AND iv.pred = 'P2'
                               AND iv.from_rev <= r.parent_rev_id
-                              AND r.parent_rev_id < iv.to_rev)
-            ), cb AS (
-              SELECT iv.subj AS ts, iv.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P2' AS cp, e.obj AS co
+                              AND r.parent_rev_id < iv.to_rev
+                              AND NOT EXISTS (SELECT 1 FROM h_edits de
+                                WHERE de.rev_id = e.rev_id AND de.op = 'del'
+                                  AND de.subj = e.subj AND de.pred = 'P2'
+                                  AND de.obj = iv.obj))
+              UNION
+              SELECT e.subj, iv.obj, e.rev_id,
+                     e.subj, 'P2', e.obj, 'del', 'add', 'P1'
               FROM h_edits e
               JOIN h_revs r USING (rev_id)
               JOIN h_state iv ON iv.subj = e.subj AND iv.pred = 'P1'
                              AND iv.from_rev <= r.parent_rev_id
                              AND r.parent_rev_id < iv.to_rev
               WHERE e.op = 'del' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
-            ), u AS (SELECT * FROM ca UNION SELECT * FROM cb)
-            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev FROM u
-            WHERE NOT EXISTS (SELECT 1 FROM h_cur
-                              WHERE h_cur.subj = u.cs AND h_cur.pred = u.cp
-                                AND h_cur.obj = u.co)
+                AND NOT EXISTS (SELECT 1 FROM h_edits de
+                                WHERE de.rev_id = e.rev_id AND de.op = 'del'
+                                  AND de.subj = e.subj AND de.pred = 'P1'
+                                  AND de.obj = iv.obj)
+            )
             """
+            + expansion_sql()
         ),
         "item_corrections": with_history_ctes(
             """
-            , da AS (
-              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P1' AS cp, e.obj AS co, 'del' AS cop
+            , kr AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P1' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P1' AS property
               FROM h_edits e JOIN h_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
                 AND NOT EXISTS (SELECT 1 FROM h_state iv
                                 WHERE iv.subj = e.subj AND iv.pred = 'P2'
                                   AND iv.from_rev <= r.parent_rev_id
                                   AND r.parent_rev_id < iv.to_rev)
-            ), ab AS (
-              SELECT iv.subj AS ts, iv.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P2' AS cp, e.obj AS co, 'add' AS cop
+              UNION ALL
+              SELECT iv.subj, iv.obj, e.rev_id,
+                     e.subj, 'P2', e.obj, 'add', 'del', 'P1'
               FROM h_edits e
               JOIN h_revs r USING (rev_id)
               JOIN h_state iv ON iv.subj = e.subj AND iv.pred = 'P1'
                              AND iv.from_rev <= r.parent_rev_id
                              AND r.parent_rev_id < iv.to_rev
               WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
-            ), u AS (SELECT * FROM da UNION ALL SELECT * FROM ab)
-            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev FROM u
-            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM h_cur
-                     WHERE h_cur.subj = u.cs AND h_cur.pred = u.cp AND h_cur.obj = u.co))
-               OR (cop = 'add' AND EXISTS (SELECT 1 FROM h_cur
-                     WHERE h_cur.subj = u.cs AND h_cur.pred = u.cp AND h_cur.obj = u.co))
+            )
             """
+            + expansion_sql()
+        ),
+        "tclaim_corrections": with_history_ctes(
+            """
+            , kr AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P1' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P1' AS property
+              FROM h_edits e JOIN h_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_state iv
+                                WHERE iv.subj = e.obj AND iv.pred = 'P2'
+                                  AND iv.from_rev <= r.parent_rev_id
+                                  AND r.parent_rev_id < iv.to_rev)
+              UNION ALL
+              SELECT iv.subj, iv.obj, e.rev_id,
+                     e.subj, 'P2', e.obj, 'add', 'del', 'P1'
+              FROM h_edits e
+              JOIN h_revs r USING (rev_id)
+              JOIN h_state iv ON iv.obj = e.subj AND iv.pred = 'P1'
+                             AND iv.from_rev <= r.parent_rev_id
+                             AND r.parent_rev_id < iv.to_rev
+              WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+            )
+            """
+            + expansion_sql()
         ),
         "type_corrections": f"""
             WITH RECURSIVE t_edits AS (
@@ -1164,10 +1218,7 @@ def oracle_sql() -> dict[str, str]:
                      'Q' || CAST(user_id AS VARCHAR), 'P5',
                      'V' || CAST(event_id % 7 AS VARCHAR)
               FROM events WHERE event_id % 3 = 2
-            ), t_revs AS (
-              SELECT rev_id,
-                     lag(rev_id) OVER (PARTITION BY subj ORDER BY rev_id) AS parent_rev_id
-              FROM t_edits
+            ), t_revs AS ({REVS_META_SQL_FMT.format(edits="t_edits")}
             ), t_state AS (
               SELECT subj, pred, obj, from_rev, to_rev FROM (
                 SELECT subj, pred, obj, op, rev_id AS from_rev,
@@ -1192,9 +1243,10 @@ def oracle_sql() -> dict[str, str]:
               FROM icl JOIN t_state e
                 ON e.pred = 'P279' AND icl.anc = e.subj
                AND icl.from_rev < e.to_rev AND e.from_rev < icl.to_rev
-            ), delb AS (
-              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P5' AS cp, e.obj AS co, 'del' AS cop
+            ), kr AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P5' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P5' AS property
               FROM t_edits e JOIN t_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P5' AND r.parent_rev_id IS NOT NULL
                 AND NOT EXISTS (
@@ -1206,9 +1258,9 @@ def oracle_sql() -> dict[str, str]:
                       WHERE icl.cls = ty.obj AND icl.anc = 'C1'
                         AND icl.from_rev <= r.parent_rev_id
                         AND r.parent_rev_id < icl.to_rev)))
-            ), addb AS (
-              SELECT st.subj AS ts, st.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P31' AS cp, e.obj AS co, 'add' AS cop
+              UNION ALL
+              SELECT st.subj, st.obj, e.rev_id,
+                     e.subj, 'P31', e.obj, 'add', 'del', 'P5'
               FROM t_edits e
               JOIN t_revs r USING (rev_id)
               JOIN t_state st ON st.subj = e.subj AND st.pred = 'P5'
@@ -1221,14 +1273,8 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
                     AND icl.from_rev <= r.parent_rev_id
                     AND r.parent_rev_id < icl.to_rev))
-            ), u AS (SELECT * FROM delb UNION ALL SELECT * FROM addb)
-            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev
-            FROM u
-            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM t_cur
-                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
-               OR (cop = 'add' AND EXISTS (SELECT 1 FROM t_cur
-                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
-        """,
+            )
+        """ + expansion_sql(edits="t_edits", revs="t_revs", cur="t_cur"),
         "vtype_corrections": f"""
             WITH RECURSIVE t_edits AS (
               SELECT event_id AS rev_id,
@@ -1249,10 +1295,7 @@ def oracle_sql() -> dict[str, str]:
                      'Q' || CAST(user_id AS VARCHAR), 'P6',
                      'Z' || CAST(event_id % 40 AS VARCHAR)
               FROM events WHERE event_id % 3 = 2
-            ), t_revs AS (
-              SELECT rev_id,
-                     lag(rev_id) OVER (PARTITION BY subj ORDER BY rev_id) AS parent_rev_id
-              FROM t_edits
+            ), t_revs AS ({REVS_META_SQL_FMT.format(edits="t_edits")}
             ), t_state AS (
               SELECT subj, pred, obj, from_rev, to_rev FROM (
                 SELECT subj, pred, obj, op, rev_id AS from_rev,
@@ -1277,9 +1320,10 @@ def oracle_sql() -> dict[str, str]:
               FROM icl JOIN t_state e
                 ON e.pred = 'P279' AND icl.anc = e.subj
                AND icl.from_rev < e.to_rev AND e.from_rev < icl.to_rev
-            ), delb AS (
-              SELECT e.subj AS ts, e.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P6' AS cp, e.obj AS co, 'del' AS cop
+            ), kr AS (
+              SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P6' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P6' AS property
               FROM t_edits e JOIN t_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P6' AND r.parent_rev_id IS NOT NULL
                 AND NOT EXISTS (
@@ -1291,9 +1335,9 @@ def oracle_sql() -> dict[str, str]:
                       WHERE icl.cls = ty.obj AND icl.anc = 'C1'
                         AND icl.from_rev <= r.parent_rev_id
                         AND r.parent_rev_id < icl.to_rev)))
-            ), addb AS (
-              SELECT st.subj AS ts, st.obj AS tobj, e.rev_id AS rv,
-                     e.subj AS cs, 'P31' AS cp, e.obj AS co, 'add' AS cop
+              UNION ALL
+              SELECT st.subj, st.obj, e.rev_id,
+                     e.subj, 'P31', e.obj, 'add', 'del', 'P6'
               FROM t_edits e
               JOIN t_revs r USING (rev_id)
               JOIN t_state st ON st.obj = e.subj AND st.pred = 'P6'
@@ -1306,14 +1350,8 @@ def oracle_sql() -> dict[str, str]:
                   SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
                     AND icl.from_rev <= r.parent_rev_id
                     AND r.parent_rev_id < icl.to_rev))
-            ), u AS (SELECT * FROM delb UNION ALL SELECT * FROM addb)
-            SELECT DISTINCT ts AS target_subj, tobj AS target_obj, rv AS corr_rev
-            FROM u
-            WHERE (cop = 'del' AND NOT EXISTS (SELECT 1 FROM t_cur
-                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
-               OR (cop = 'add' AND EXISTS (SELECT 1 FROM t_cur
-                     WHERE t_cur.subj = u.cs AND t_cur.pred = u.cp AND t_cur.obj = u.co))
-        """,
+            )
+        """ + expansion_sql(edits="t_edits", revs="t_revs", cur="t_cur"),
         "interval_closure": f"""
             WITH RECURSIVE hc_edits AS (
               SELECT event_id AS rev_id,

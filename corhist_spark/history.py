@@ -18,6 +18,22 @@ A triple space of 155 per entity and ~25% deletes gives realistic
 add/del/re-add alternations, orphan deletes and double adds — the
 state builder's dirty-stream semantics (last op wins) are exercised
 for real.
+
+Revision metadata carries author + isBasedOn links so the driver
+oracles exercise the distance-1 expansion + argmin of
+`ConstraintViolationCorrectionLookup.java:128-208` (not just the
+distance-0 path):
+
+    author           = 'a' || subj        (one author per entity)
+    based_on_rev_id  = parent revision    when rev_id % 7 == 3 else NULL
+
+Because the link points at the previous revision of the SAME entity
+and the author is entity-determined, the expansion's same-author
+filter keeps every neighbor, and the neighbor's edit shares the main
+correction's subject — so co-edit matches, the min-revision argmin,
+two-statement corrections, the >1-extra collapse and the target guard
+all fire on real rows (≈1/7 of revisions carry a link; the neighbor's
+pred/obj coincide with the main statement's ≈1/5 / 1/31 of the time).
 """
 
 from __future__ import annotations
@@ -38,9 +54,28 @@ EDITS_SQL = """
 """
 
 REVS_SQL = """
-  SELECT rev_id, subj AS entity,
-         lag(rev_id) OVER (PARTITION BY subj ORDER BY rev_id) AS parent_rev_id
-  FROM h_edits
+  SELECT rev_id, subj AS entity, parent_rev_id,
+         'a' || subj AS author,
+         CASE WHEN rev_id % 7 = 3 THEN parent_rev_id END AS based_on_rev_id
+  FROM (
+    SELECT rev_id, subj,
+           lag(rev_id) OVER (PARTITION BY subj ORDER BY rev_id) AS parent_rev_id
+    FROM h_edits
+  )
+"""
+
+# Revision-metadata CTE body reused by the typed-history oracles
+# (type/valueType kernels build their own edit streams but share the
+# same author/isBasedOn arithmetic).
+REVS_META_SQL_FMT = """
+  SELECT rev_id, parent_rev_id,
+         'a' || subj AS author,
+         CASE WHEN rev_id % 7 = 3 THEN parent_rev_id END AS based_on_rev_id
+  FROM (
+    SELECT rev_id, subj,
+           lag(rev_id) OVER (PARTITION BY subj ORDER BY rev_id) AS parent_rev_id
+    FROM {edits}
+  )
 """
 
 INTERVALS_SQL = f"""
@@ -84,11 +119,98 @@ def derived_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def derived_revisions(edits: DataFrame) -> DataFrame:
     w = Window.partitionBy("subj").orderBy("rev_id")
+    parent = F.lag("rev_id").over(w)
     return edits.select(
         "rev_id",
         F.col("subj").alias("entity"),
-        F.lag("rev_id").over(w).alias("parent_rev_id"),
-        F.concat(F.lit("u"), (F.col("rev_id") % 19).cast("string")).alias("author"),
-        F.lit(None).cast("long").alias("based_on_rev_id"),
+        parent.alias("parent_rev_id"),
+        F.concat(F.lit("a"), F.col("subj")).alias("author"),
+        F.when(F.col("rev_id") % 7 == 3, parent).cast("long").alias("based_on_rev_id"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
+
+
+def expansion_sql(edits: str = "h_edits", revs: str = "h_revs", cur: str = "h_cur") -> str:
+    """ANSI-SQL transcription of expansion.expand_corrections +
+    filter_still_applied, appended after a kernel CTE named ``kr`` with
+    columns (target_subj, target_obj, corr_rev, corr_subj, corr_pred,
+    corr_obj, main_op, co_op, property).
+
+    Mirrors `ConstraintViolationCorrectionLookup.java:128-222`:
+    distance-0/1 same-author candidate revisions, the target guard, the
+    co-edit match on (mainS, mainP-or-mainO), the min-distance group +
+    collapse-to-main when >1 extra statement, final revision = min id,
+    and the still-applied filter over every statement of the
+    correction set.
+    """
+    return f"""
+    , kx AS (
+        SELECT DISTINCT target_subj, target_obj, corr_rev, corr_subj, corr_pred,
+               corr_obj, main_op, co_op, property FROM kr
+    ), nbp AS (
+        SELECT rev_id AS main_r, based_on_rev_id AS cand_rev FROM {revs}
+        WHERE based_on_rev_id IS NOT NULL
+        UNION ALL
+        SELECT based_on_rev_id AS main_r, rev_id AS cand_rev FROM {revs}
+        WHERE based_on_rev_id IS NOT NULL
+    ), cand_revs AS (
+        SELECT kx.*, kx.corr_rev AS cand_rev, 0 AS dist FROM kx
+        UNION ALL
+        SELECT kx.*, p.cand_rev, 1 AS dist
+        FROM kx
+        JOIN nbp p ON p.main_r = kx.corr_rev
+        JOIN {revs} rm ON rm.rev_id = kx.corr_rev
+        JOIN {revs} rc ON rc.rev_id = p.cand_rev
+        WHERE rc.author = rm.author
+    ), gcand AS (
+        SELECT * FROM cand_revs c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {edits} e
+          WHERE e.rev_id = c.cand_rev AND e.op = c.co_op
+            AND e.subj = c.target_subj AND e.pred = c.property
+            AND e.obj = c.target_obj)
+    ), mt AS (
+        SELECT c.*, e.subj AS x_subj, e.pred AS x_pred, e.obj AS x_obj
+        FROM gcand c
+        JOIN {edits} e ON e.rev_id = c.cand_rev AND e.op = c.co_op
+          AND e.subj = c.corr_subj
+          AND (e.pred = c.corr_pred OR e.obj = c.corr_obj)
+    ), mtm AS (
+        SELECT * FROM (
+          SELECT mt.*, MIN(dist) OVER (PARTITION BY target_subj, target_obj,
+                 corr_rev, corr_subj, corr_pred, corr_obj, main_op, co_op,
+                 property) AS mind
+          FROM mt
+        ) WHERE dist = mind
+    ), ag AS (
+        SELECT target_subj, target_obj, corr_rev, corr_subj, corr_pred, corr_obj,
+               main_op, co_op, property,
+               COUNT(DISTINCT x_subj || chr(31) || x_pred || chr(31) || x_obj) AS n_extra,
+               MIN(cand_rev) AS best_rev,
+               MIN(x_subj) AS ex_subj, MIN(x_pred) AS ex_pred, MIN(x_obj) AS ex_obj
+        FROM mtm
+        GROUP BY target_subj, target_obj, corr_rev, corr_subj, corr_pred, corr_obj,
+                 main_op, co_op, property
+    ), fin AS (
+        SELECT kx.target_subj, kx.target_obj,
+               least(kx.corr_rev, COALESCE(a.best_rev, {MAX_REV})) AS corr_rev,
+               kx.corr_subj, kx.corr_pred, kx.corr_obj, kx.main_op, kx.co_op,
+               CASE WHEN a.n_extra = 1 THEN 1 ELSE 0 END AS has_extra,
+               a.ex_subj, a.ex_pred, a.ex_obj
+        FROM kx LEFT JOIN ag a
+          ON a.target_subj = kx.target_subj AND a.target_obj = kx.target_obj
+         AND a.corr_rev = kx.corr_rev AND a.corr_subj = kx.corr_subj
+         AND a.corr_pred = kx.corr_pred AND a.corr_obj = kx.corr_obj
+         AND a.main_op = kx.main_op AND a.property = kx.property
+    )
+    SELECT DISTINCT target_subj, target_obj, corr_rev FROM fin f
+    WHERE ((f.main_op = 'add' AND EXISTS (SELECT 1 FROM {cur} c
+              WHERE c.subj = f.corr_subj AND c.pred = f.corr_pred AND c.obj = f.corr_obj))
+        OR (f.main_op = 'del' AND NOT EXISTS (SELECT 1 FROM {cur} c
+              WHERE c.subj = f.corr_subj AND c.pred = f.corr_pred AND c.obj = f.corr_obj)))
+      AND (f.has_extra = 0
+        OR (f.co_op = 'add' AND EXISTS (SELECT 1 FROM {cur} c
+              WHERE c.subj = f.ex_subj AND c.pred = f.ex_pred AND c.obj = f.ex_obj))
+        OR (f.co_op = 'del' AND NOT EXISTS (SELECT 1 FROM {cur} c
+              WHERE c.subj = f.ex_subj AND c.pred = f.ex_pred AND c.obj = f.ex_obj)))
+    """
