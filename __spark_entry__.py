@@ -648,10 +648,20 @@ def q_knn_cosine(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
-    """Bucketed ANN (approximate — rows-only check, no SQL oracle)."""
+    """Bucketed ANN: integer-quantized hyperplane buckets, cosine only
+    within the query's bucket (oracle-checked — the bucketing is exact
+    integer arithmetic in both engines)."""
     from corhist_spark.similarity import knn_lsh
 
     return knn_lsh(_t(spark, sf_dir, "embeddings"))
+
+
+def q_knn_lsh_recall(spark, sf_dir):
+    """ANN quality gate: per-query overlap between LSH top-k and the
+    brute-force top-k."""
+    from corhist_spark.similarity import knn_recall
+
+    return knn_recall(_t(spark, sf_dir, "embeddings"))
 
 
 def q_cc_components(spark, sf_dir):
@@ -796,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_counts": q_salted_event_counts,
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
+        "knn_lsh_recall": q_knn_lsh_recall,
         "cc_components": q_cc_components,
         "subclass_closure": q_subclass_closure,
         "rev_diff_histogram": q_rev_diff_histogram,
@@ -825,6 +836,45 @@ _SIG_CTES = f"""
       SELECT doc_id, CAST(band AS INT) AS band,
              MIN((2*band+1)*v + 7919*band) AS minhash
       FROM banded GROUP BY doc_id, band
+    )
+"""
+
+
+# shared embedding/LSH CTE text for the ANN oracles (must mirror
+# similarity.with_norm / lsh_buckets exactly: integer-quantized
+# hyperplane projections, so the bucket bits are engine-independent)
+_ANN_CTES = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e
+    ), idx AS (
+      SELECT vec_id, CAST(floor(v[CAST(i AS INT)] * 1000) AS BIGINT) AS w,
+             CAST(i AS INT) - 1 AS i0
+      FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)
+    ), planes AS (
+      SELECT vec_id, i0, w, unnest(generate_series(0, 3)) AS j FROM idx
+    ), bits AS (
+      SELECT vec_id, j,
+             CASE WHEN SUM(CASE WHEN (i0*7 + j*13) % 2 = 0 THEN w ELSE -w END) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM planes GROUP BY vec_id, j
+    ), buck AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket FROM bits GROUP BY vec_id
+    ), nb AS (
+      SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buck b USING (vec_id)
+    ), lsh_p AS (
+      SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
+      FROM nb q JOIN nb d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+    ), lsh_top AS (
+      SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM lsh_p
+      ) WHERE rn <= 3
     )
 """
 
@@ -1479,6 +1529,31 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY sim DESC, neighbor_id) AS rn
               FROM p
             ) WHERE rn <= 3
+        """,
+        "knn_lsh": _ANN_CTES + """
+            SELECT query_id, neighbor_id, sim, rn FROM lsh_top
+        """,
+        "knn_lsh_recall": _ANN_CTES + """
+            , bf_p AS (
+              SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                     ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
+              FROM n q JOIN n d ON d.vec_id <> q.vec_id
+              WHERE q.vec_id < 10
+            ), bf_top AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rn
+                FROM bf_p
+              ) WHERE rn <= 3
+            ), common AS (
+              SELECT b.query_id, COUNT(*) AS c
+              FROM bf_top b JOIN lsh_top l
+                ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+              GROUP BY b.query_id
+            )
+            SELECT q.query_id, COALESCE(c.c, 0) AS n_common
+            FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+            LEFT JOIN common c USING (query_id)
         """,
         "cc_components": """
             SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS node,

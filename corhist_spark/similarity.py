@@ -66,24 +66,55 @@ def knn_bruteforce(
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     """Deterministic hyperplane LSH: plane j has components
     h_j[i] = +1 if (i*7 + j*13) % 2 == 0 else -1; the bucket is the
-    n_planes-bit string of projection signs."""
+    n_planes-bit string of projection signs.
+
+    Components are quantized to integers (floor(x*1000)) before the
+    fold so the projection is exact integer arithmetic — the sign is
+    then reproducible across engines regardless of float summation
+    order (the DuckDB oracle mirrors this bit-for-bit)."""
     e = with_norm(embeddings)
+    q = F.transform(F.col("v"), lambda x: F.floor(x * 1000).cast("long"))
     bits = []
     for j in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
-                F.col("v"),
+                q,
                 F.transform(
                     F.sequence(F.lit(0), F.size("v") - 1),
-                    lambda i: F.when((i * 7 + j * 13) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+                    lambda i: F.when((i * 7 + j * 13) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
                 ),
                 lambda x, h: x * h,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return e.withColumn("bucket", F.concat(*bits))
+
+
+def knn_recall(
+    embeddings: DataFrame, k: int = 3, n_queries: int = 10, n_planes: int = 4
+) -> DataFrame:
+    """ANN quality gate: per query, how many of the brute-force top-k
+    neighbors the LSH-bucketed search recovers ((query_id, n_common);
+    recall@k = n_common / k).  Both sides are deterministic, so this is
+    oracle-checkable — the scale path's accuracy is pinned, not
+    assumed."""
+    bf = knn_bruteforce(embeddings, k, n_queries).select("query_id", "neighbor_id")
+    ls = knn_lsh(embeddings, k, n_queries, n_planes).select("query_id", "neighbor_id")
+    common = (
+        bf.join(ls, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    qs = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"))
+        .distinct()
+    )
+    return qs.join(common, "query_id", "left").select(
+        "query_id", F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common")
+    )
 
 
 def knn_lsh(
