@@ -817,7 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-from corhist_spark.textops import HEXVAL_SQL
+from corhist_spark.textops import HEXVAL_SQL, MAX_BUCKET
 
 # shared shingle/minhash CTE text for the dedup oracles (must mirror
 # textops.minhash_signatures exactly)
@@ -836,6 +836,12 @@ _SIG_CTES = f"""
       SELECT doc_id, CAST(band AS INT) AS band,
              MIN((2*band+1)*v + 7919*band) AS minhash
       FROM banded GROUP BY doc_id, band
+    ), bsz AS (
+      SELECT band, minhash, COUNT(*) AS bc FROM sig GROUP BY band, minhash
+    ), sigf AS (
+      SELECT s.doc_id, s.band, s.minhash
+      FROM sig s JOIN bsz USING (band, minhash)
+      WHERE bc BETWEEN 2 AND {MAX_BUCKET}
     )
 """
 
@@ -1462,13 +1468,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_candidates": _SIG_CTES + """
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM sig a JOIN sig b
+            FROM sigf a JOIN sigf b
               ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
         """,
         "ngram_jaccard": _SIG_CTES + """
             , cand AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM sig a JOIN sig b
+              FROM sigf a JOIN sigf b
                 ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
             ), dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
             sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),

@@ -93,11 +93,28 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS, n: int = SHINGLE
     )
 
 
-def lsh_candidates(signatures: DataFrame) -> DataFrame:
+MAX_BUCKET = 64
+
+
+def lsh_candidates(signatures: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
     """Near-duplicate candidate pairs: docs sharing a (band, minhash)
-    bucket.  The join is keyed on the bucket — uniform by hashing."""
-    a = signatures.select("band", "minhash", F.col("doc_id").alias("doc_a"))
-    b = signatures.select("band", "minhash", F.col("doc_id").alias("doc_b"))
+    bucket.  The join is keyed on the bucket — uniform by hashing.
+
+    Banding hygiene: buckets above ``max_bucket`` occupancy are dropped
+    before the self-join.  A degenerate hot bucket is quadratic in its
+    occupancy (one 10^6-doc bucket at 100 TB = 5*10^11 pairs on a
+    single shuffle key), and a bucket that large signals a boilerplate
+    shingle, not near-duplication — true near-dups still collide in the
+    other ``N_BANDS - 1`` bands.  Singleton buckets are filtered too
+    (they produce no pairs); both filters ride the same (band, minhash)
+    partitioning as the join, so no extra shuffle shape is introduced."""
+    sizes = signatures.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bc"))
+    ok = sizes.filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket)).select(
+        "band", "minhash"
+    )
+    sigs = signatures.join(ok, ["band", "minhash"], "left_semi")
+    a = sigs.select("band", "minhash", F.col("doc_id").alias("doc_a"))
+    b = sigs.select("band", "minhash", F.col("doc_id").alias("doc_b"))
     return (
         a.join(b, ["band", "minhash"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -14,6 +14,26 @@ def test_hot_key_detected(spark, sdf):
     assert HOT_ENTITY in hot  # the planted Q5-analog cluster
 
 
+def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
+    """Banding hygiene: a planted degenerate bucket (100 identical
+    docs -> every band hot) must produce ZERO candidate pairs under the
+    cap, while a genuine small near-dup pair survives."""
+    from corhist_spark.textops import lsh_candidates, minhash_signatures
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [(f"hot{i:03d}", boiler) for i in range(100)]
+    rows += [("near_a", "unique sparkling zebra quartz venture " * 4),
+             ("near_b", "unique sparkling zebra quartz venture " * 4 + "tail")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = lsh_candidates(minhash_signatures(docs), max_bucket=64)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert ("near_a", "near_b") in got
+    assert all(not a.startswith("hot") and not b.startswith("hot") for a, b in got)
+    # uncapped, the degenerate bucket alone is C(100,2) = 4950 pairs
+    uncapped = lsh_candidates(minhash_signatures(docs), max_bucket=1 << 30)
+    assert uncapped.count() >= 4950
+
+
 def test_salted_join_equals_plain_join(spark, sdf):
     adds = sdf["edits"].filter(F.col("op") == "add").select("subj", "pred", "obj")
     dim = spark.createDataFrame(
