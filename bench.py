@@ -54,12 +54,18 @@ def main() -> None:
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min-of-N: host noise on this box is large (hypervisor CPU
+        # steal); the minimum is the stable engine-cost estimate
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

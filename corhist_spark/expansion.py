@@ -19,6 +19,15 @@ Scale shape: everything is keyed by ``row_key`` (hash of the candidate
 row), so the whole pipeline is hash-partitioned joins + one window —
 no driver loops, no per-correction queries like the reference's
 prepared-statement-per-correction (`:167-208`).
+
+Shuffle budget: the target guard and the co-edit match are ONE join
+against ``edits`` (keyed on the candidate revision + op), with the
+guard evaluated as a per-candidate aggregate instead of a second
+anti-join; the min-distance window and the per-row aggregate then
+share the ``row_key`` partitioning, so the whole expansion costs one
+edits join + one groupBy + one window.  The kernel output is
+localCheckpoint-ed so the (much deeper) kernel plan is computed once,
+not once per downstream consumer.
 """
 
 from __future__ import annotations
@@ -43,7 +52,9 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
     main_author = revisions.select(
         F.col("rev_id").alias("corr_rev"), F.col("author").alias("main_author")
     )
-    rows = rows.join(main_author, "corr_rev", "left")
+    # cut the kernel lineage once: `rows` feeds both the candidate fan-
+    # out and the final re-join, and the still-applied filter downstream
+    rows = rows.join(main_author, "corr_rev", "left").localCheckpoint()
 
     # candidate revisions: distance 0 (the revision itself) and the
     # same-author isBasedOn neighbors at distance 1 (both directions)
@@ -74,56 +85,47 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
         )
         cands = dist0.unionByName(dist1)
 
-    # guard: skip candidate revisions whose co-op graph touched the target
-    guard = edits.select(
-        F.col("rev_id").alias("gd_rev"),
-        F.col("op").alias("gd_op"),
-        F.col("subj").alias("gd_subj"),
-        F.col("pred").alias("gd_pred"),
-        F.col("obj").alias("gd_obj"),
+    # ONE join against edits per candidate revision, keyed on
+    # (cand_rev, co_op); the target guard and the co-edit match are
+    # both evaluated on the joined rows and folded in one aggregate
+    ed = edits.select(
+        F.col("rev_id").alias("e_rev"),
+        F.col("op").alias("e_op"),
+        F.col("subj").alias("e_subj"),
+        F.col("pred").alias("e_pred"),
+        F.col("obj").alias("e_obj"),
     )
-    cands = cands.join(
-        guard,
-        (F.col("gd_rev") == F.col("cand_rev"))
-        & (F.col("gd_op") == F.col("co_op"))
-        & (F.col("gd_subj") == F.col("target_subj"))
-        & (F.col("gd_pred") == F.col("property"))
-        & (F.col("gd_obj") == F.col("target_obj")),
-        "left_anti",
+    j = cands.join(ed, (F.col("e_rev") == F.col("cand_rev")) & (F.col("e_op") == F.col("co_op")))
+    is_guard = (
+        (F.col("e_subj") == F.col("target_subj"))
+        & (F.col("e_pred") == F.col("property"))
+        & (F.col("e_obj") == F.col("target_obj"))
     )
+    co_stmt = F.when(
+        (F.col("e_subj") == F.col("corr_subj"))
+        & ((F.col("e_pred") == F.col("corr_pred")) | (F.col("e_obj") == F.col("corr_obj"))),
+        F.struct(
+            F.col("e_subj").alias("subj"),
+            F.col("e_pred").alias("pred"),
+            F.col("e_obj").alias("obj"),
+            F.col("co_op").alias("op"),
+        ),
+    )
+    per_cand = j.groupBy("row_key", "cand_rev", "dist").agg(
+        F.max(is_guard.cast("int")).alias("guarded"),
+        F.array_distinct(F.collect_list(co_stmt)).alias("co_arr"),  # nulls skipped
+    )
+    matched = per_cand.filter((F.col("guarded") == 0) & (F.size("co_arr") > 0))
 
-    # co-edited statements sharing mainS and (mainP or mainO)
-    co = edits.select(
-        F.col("rev_id").alias("co_rev"),
-        F.col("op").alias("co_op_e"),
-        F.col("subj").alias("co_subj"),
-        F.col("pred").alias("co_pred"),
-        F.col("obj").alias("co_obj"),
-    )
-    matches = cands.join(
-        co,
-        (F.col("co_rev") == F.col("cand_rev"))
-        & (F.col("co_op_e") == F.col("co_op"))
-        & (F.col("co_subj") == F.col("corr_subj"))
-        & ((F.col("co_pred") == F.col("corr_pred")) | (F.col("co_obj") == F.col("corr_obj"))),
-    )
-
-    # keep only the minimum-distance group per row (`:179-201`)
+    # keep only the minimum-distance group per row (`:179-201`); the
+    # window and the aggregate below reuse the row_key partitioning
     w = Window.partitionBy("row_key")
-    matches = matches.withColumn("min_dist", F.min("dist").over(w)).filter(
+    matched = matched.withColumn("min_dist", F.min("dist").over(w)).filter(
         F.col("dist") == F.col("min_dist")
     )
-    agg = matches.groupBy("row_key").agg(
-        F.countDistinct("co_subj", "co_pred", "co_obj").alias("n_extra"),
+    agg = matched.groupBy(F.col("row_key").alias("agg_key")).agg(
         F.min("cand_rev").alias("best_rev"),
-        F.array_distinct(
-            F.collect_list(F.struct(
-                F.col("co_subj").alias("subj"),
-                F.col("co_pred").alias("pred"),
-                F.col("co_obj").alias("obj"),
-                F.col("co_op_e").alias("op"),
-            ))
-        ).alias("extra"),
+        F.array_distinct(F.flatten(F.collect_list("co_arr"))).alias("extra"),
     )
 
     main_stmt = F.struct(
@@ -133,12 +135,13 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
         F.col("main_op").alias("op"),
     )
     out = (
-        rows.join(agg, "row_key", "left")
+        rows.join(agg, F.col("row_key") == F.col("agg_key"), "left")
+        .drop("agg_key")
         .withColumn(
             "correction",
             F.array_sort(
                 F.when(
-                    F.col("n_extra").isNull() | (F.col("n_extra") > 1),
+                    F.col("extra").isNull() | (F.size("extra") > 1),
                     F.array(main_stmt),
                 ).otherwise(F.array_append(F.col("extra"), main_stmt))
             ),
@@ -185,12 +188,17 @@ def filter_still_applied(corrections: DataFrame, state: DataFrame) -> DataFrame:
             F.col("cs_subj").isNull()
         ),
     )
-    ok_keys = ex.groupBy("row_key").agg(F.min(F.col("ok").cast("int")).alias("all_ok")).filter(
-        F.col("all_ok") == 1
+    ok_keys = (
+        ex.groupBy(F.col("row_key").alias("ok_key"))
+        .agg(F.min(F.col("ok").cast("int")).alias("all_ok"))
+        .filter(F.col("all_ok") == 1)
+        .select("ok_key")
     )
-    return corrections.join(ok_keys.select("row_key"), "row_key", "left_semi")
+    return corrections.join(ok_keys, F.col("row_key") == F.col("ok_key"), "left_semi")
 
 
 def build_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame, state: DataFrame) -> DataFrame:
-    """Full post-kernel pipeline: expansion then still-applied."""
-    return filter_still_applied(expand_corrections(rows, edits, revisions), state)
+    """Full post-kernel pipeline: expansion then still-applied.  The
+    expansion output is checkpointed — still-applied consumes it twice
+    (explode + semi-join back) and it is small relative to its plan."""
+    return filter_still_applied(expand_corrections(rows, edits, revisions).localCheckpoint(), state)
