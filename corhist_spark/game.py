@@ -138,9 +138,13 @@ def filter_applicable(predictions: DataFrame, snapshot: DataFrame) -> DataFrame:
     return predictions.join(ok_ids, "violation_id", "left_semi")
 
 
-def select_tiles(applicable: DataFrame, count: int, seed: int = 42) -> DataFrame:
-    """`ConstraintCorrectionsGame.java:49-66`: random 2x oversample,
-    then limit (the applicability filter already ran); cap 30/request
-    (`game/Main.java:49`)."""
+def select_tiles(
+    predictions: DataFrame, snapshot: DataFrame, count: int, seed: int = 42
+) -> DataFrame:
+    """`ConstraintCorrectionsGame.java:49-66`: fetch 2x count tiles in
+    random order BEFORE the applicability check (the oversample exists
+    because the filter discards tiles), then filter and take count;
+    cap 30/request (`game/Main.java:49`)."""
     count = min(count, 30)
-    return applicable.orderBy(F.rand(seed)).limit(2 * count).limit(count)
+    sample = predictions.filter(F.col("predicted").isNotNull()).orderBy(F.rand(seed)).limit(2 * count)
+    return filter_applicable(sample, snapshot).limit(count)

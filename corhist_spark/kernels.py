@@ -45,12 +45,35 @@ ROW_COLS = [
 ]
 
 
+def _jvm_regex_compiles(spark, pattern: str) -> bool:
+    """Validate with java.util.regex.Pattern — the SAME engine that
+    executes regexp_like on the executors and that the reference
+    validates with (`FormatQueriesBuilder.java:55-74` uses
+    Pattern.compile).  Python's re both rejects Java-only syntax
+    (possessive quantifiers, \\p{IsAlphabetic}) and accepts Python-only
+    syntax ((?P<n>...)) — either way acceptance would diverge from
+    execution.  Falls back to Python re only when no JVM is reachable
+    (never in practice — the session exists by the time kernels run)."""
+    try:
+        jvm = spark._jvm
+        jvm.java.util.regex.Pattern.compile(pattern)
+        return True
+    except AttributeError:  # no py4j gateway (spark-connect-like stub)
+        try:
+            re.compile(pattern)
+            return True
+        except re.error:
+            return False
+    except Exception:  # Py4JJavaError: PatternSyntaxException
+        return False
+
+
 def prepare_constraints(spark, constraints_pdf) -> DataFrame:
     """Flatten constraint parameters into typed columns (driver-side —
     the constraint table is thousands of rows at most and is broadcast
     everywhere).  Regex validation follows
     `FormatQueriesBuilder.java:55-74`: first compilable pattern wins,
-    fallback '^.*$'."""
+    fallback '^.*$'; compilability is judged by the JVM regex engine."""
     rows = []
     for r in constraints_pdf.to_dict("records"):
         params = r.get("params") or {}
@@ -64,12 +87,9 @@ def prepare_constraints(spark, constraints_pdf) -> DataFrame:
         if r["type"] == S.TYPE_FORMAT:
             regex = "^.*$"
             for rx in params.get(S.PARAM_REGEX, []):
-                try:
-                    re.compile("^" + rx + "$")
+                if _jvm_regex_compiles(spark, "^" + rx + "$"):
                     regex = "^" + rx + "$"
                     break
-                except re.error:
-                    continue
         prop_param = (params.get(S.PARAM_PROPERTY) or [None])[0]
         rows.append(
             {

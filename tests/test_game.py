@@ -88,8 +88,33 @@ def test_applicability_and_tiles(spark):
     applicable = filter_applicable(preds, snap2)
     ids = [r.violation_id for r in applicable.collect()]
     assert ids == ["v1"]  # Q43's deletion target is already gone
-    tiles = select_tiles(applicable, count=5).collect()
+    tiles = select_tiles(preds, snap2, count=5).collect()
     assert len(tiles) == 1
+
+
+def test_oversample_before_applicability_filter(spark):
+    """`ConstraintCorrectionsGame.java:52-66` order: the 2x random
+    fetch happens BEFORE the applicability check — with 4 of 10 queued
+    tiles inapplicable, a request for 4 still fills all 4 (the 2x=8
+    sample always contains >= 4 applicable ones)."""
+    rules = _rules(spark)
+    snap_rows, viol_rows = [], []
+    for i in range(10):
+        e, stmt, val = f"Q{100 + i}", f"Q{100 + i}-s", f"Q{9000 + i}"
+        snap_rows += [(e, "p:P21", stmt), (stmt, "ps:P21", val)]
+        if i < 6:  # only the first 6 still carry the direct claim
+            snap_rows.append((e, "P21", val))
+        viol_rows.append((f"v{i}", e, "P21", stmt, "wds:P21-09D3E4D3"))
+    snapshot = spark.createDataFrame(snap_rows, "subj string, pred string, obj string")
+    violations = spark.createDataFrame(
+        viol_rows,
+        "violation_id string, entity string, property string, statement_id string, constraint_id string",
+    )
+    preds = build_possible_corrections(rules, violations, snapshot)
+    tiles = select_tiles(preds, snapshot, count=4).collect()
+    assert len(tiles) == 4
+    applicable_ids = {f"v{i}" for i in range(6)}
+    assert {t.violation_id for t in tiles} <= applicable_ids
 
 
 def test_edit_synthesis_from_game_prediction(spark):

@@ -91,3 +91,33 @@ def test_rules_text_export(spark):
     )
     line = rules_to_text(rules).collect()[0].value
     assert line == "?s c1 ?o ?g\t\t=>\t?s P1 ?o del\t0.75\t12"
+
+
+def test_format_regex_validated_by_jvm(spark):
+    """Acceptance must match the engine that executes the regex
+    (java.util.regex, like FormatQueriesBuilder.convertRegexParameter):
+    Java-only syntax is kept, Python-only syntax falls back."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from corhist_spark.kernels import prepare_constraints
+
+    cons = pd.DataFrame(
+        [
+            {"constraint_id": "c1", "property": "P4", "type": "Q21502404",
+             "params": {"P1793": ["V[01]*+"]}},      # possessive quantifier: Java-only
+            {"constraint_id": "c2", "property": "P4", "type": "Q21502404",
+             "params": {"P1793": ["(?P<n>V)"]}},     # named group: Python-only
+            {"constraint_id": "c3", "property": "P4", "type": "Q21502404",
+             "params": {"P1793": ["[invalid"]}},     # invalid everywhere
+        ]
+    )
+    got = {r.constraint_id: r.regex_anchored for r in prepare_constraints(spark, cons).collect()}
+    assert got["c1"] == "^V[01]*+$"
+    assert got["c2"] == "^.*$"
+    assert got["c3"] == "^.*$"
+    # the accepted Java-only pattern must actually run JVM-side
+    row = spark.range(1).select(
+        F.regexp_like(F.lit("V010"), F.lit(got["c1"])).alias("m"),
+        F.regexp_like(F.lit("X"), F.lit(got["c1"])).alias("n"),
+    ).collect()[0]
+    assert row.m is True and row.n is False
