@@ -6,14 +6,17 @@ Transcribes `corhist/.../game/WikidataEditBuilder.java:32-132`:
   object) -> wbsetclaimvalue (replacement)
 - anything else -> unsupported (NULL edit)
 
-The reference resolves claim GUIDs from the entity's statement nodes
-and requires exactly one match (`:78-88,114-117`); our flat triple
-model synthesizes the deterministic GUID ``<entity>$<md5 of s|p|o>``
-instead, and an optional statement-node table can be joined upstream
-when the full p/ps layout is modeled.
+Claim GUIDs: when a statement-node snapshot is supplied (the p:/ps:
+layout game.py models), the GUID is resolved like `getGuids`
+(`WikidataEditBuilder.java:134-142`): entity --p:prop--> statement
+node --ps:prop--> value, localName's first '-' replaced by '$', and
+the edit is dropped (NULL) unless EXACTLY one statement matches
+(`:78-88,114-117`).  Without a snapshot the deterministic fallback
+GUID ``<entity>$<md5 of s|p|o>`` keeps offline parity runs executable.
 
-Everything is pure column expressions (when/struct/to_json) — one
-narrow projection, no shuffle.
+Everything is pure column expressions plus (when resolving) one
+equi-join against the statement-node table keyed on the deleted
+triple — no per-row Python anywhere.
 """
 
 from __future__ import annotations
@@ -40,16 +43,78 @@ def _guid(subj, pred, obj):
     return F.concat(subj, F.lit("$"), F.md5(F.concat_ws("|", subj, pred, obj)))
 
 
-def build_edits(corrections: DataFrame) -> DataFrame:
+def _munge_guid(stmt_col):
+    """Statement-node localName -> claim GUID: first '-' becomes '$'
+    (`WikidataEditBuilder.java:141` replaceFirst)."""
+    pos = F.instr(stmt_col, "-")
+    return F.when(
+        pos > 0,
+        F.concat(
+            F.substring(stmt_col, F.lit(1), pos - 1),
+            F.lit("$"),
+            F.substring(stmt_col, pos + 1, F.length(stmt_col)),
+        ),
+    ).otherwise(stmt_col)
+
+
+def statement_nodes_from_snapshot(snapshot: DataFrame) -> DataFrame:
+    """(subj, pred, obj) snapshot with 'p:'/'ps:' pred prefixes ->
+    (entity, prop, value, guid): the entity -p:-> node -ps:-> value
+    walk of `getGuids`."""
+    p = snapshot.filter(F.col("pred").startswith("p:")).select(
+        F.col("subj").alias("entity"),
+        F.expr("substr(pred, 3)").alias("prop"),
+        F.col("obj").alias("stmt"),
+    )
+    ps = snapshot.filter(F.col("pred").startswith("ps:")).select(
+        F.col("subj").alias("ps_stmt"),
+        F.expr("substr(pred, 4)").alias("ps_prop"),
+        F.col("obj").alias("value"),
+    )
+    return (
+        p.join(ps, (F.col("stmt") == F.col("ps_stmt")) & (F.col("prop") == F.col("ps_prop")))
+        .select("entity", "prop", "value", _munge_guid(F.col("stmt")).alias("guid"))
+        .distinct()
+    )
+
+
+def build_edits(corrections: DataFrame, statement_nodes: DataFrame | None = None) -> DataFrame:
     """corrections(..., correction array<struct<subj,pred,obj,op>>) ->
     + edit struct<action:string, params:map<string,string>> (NULL when
-    the diff shape is unsupported)."""
+    the diff shape is unsupported, or — with a snapshot — when the
+    deleted claim does not resolve to exactly one GUID)."""
     c = F.col("correction")
     adds = F.filter(c, lambda s: s["op"] == "add")
     dels = F.filter(c, lambda s: s["op"] == "del")
     one = F.element_at(c, 1)
     a1 = F.element_at(adds, 1)
     d1 = F.element_at(dels, 1)
+
+    # the deleted statement whose GUID a remove/replace needs
+    del_stmt = F.when((F.size(c) == 1) & (one["op"] == "del"), one).when(
+        (F.size(c) == 2) & (F.size(adds) == 1) & (F.size(dels) == 1), d1
+    )
+    df = corrections.withColumn("_del_stmt", del_stmt)
+
+    if statement_nodes is None:
+        guid_del = F.when(
+            F.col("_del_stmt").isNotNull(),
+            _guid(F.col("_del_stmt.subj"), F.col("_del_stmt.pred"), F.col("_del_stmt.obj")),
+        )
+        df = df.withColumn("_guid", guid_del)
+    else:
+        # exactly-one-match requirement of `getGuids` callers
+        sn = statement_nodes.groupBy("entity", "prop", "value").agg(
+            F.count(F.lit(1)).alias("_n_guid"), F.min("guid").alias("_g")
+        )
+        df = df.join(
+            sn,
+            (F.col("_del_stmt.subj") == F.col("entity"))
+            & (F.col("_del_stmt.pred") == F.col("prop"))
+            & (F.col("_del_stmt.obj") == F.col("value")),
+            "left",
+        ).withColumn("_guid", F.when(F.col("_n_guid") == 1, F.col("_g")))
+        df = df.drop("entity", "prop", "value", "_n_guid", "_g")
 
     create = F.struct(
         F.lit("wbcreateclaim").alias("action"),
@@ -61,32 +126,28 @@ def build_edits(corrections: DataFrame) -> DataFrame:
     remove = F.struct(
         F.lit("wbremoveclaims").alias("action"),
         F.map_from_arrays(
-            F.array(F.lit("claim")),
-            F.array(_guid(one["subj"], one["pred"], one["obj"])),
+            F.array(F.lit("claim")), F.array(F.col("_guid"))
         ).alias("params"),
     )
     replace = F.struct(
         F.lit("wbsetclaimvalue").alias("action"),
         F.map_from_arrays(
             F.array(F.lit("claim"), F.lit("snaktype"), F.lit("value")),
-            F.array(
-                _guid(d1["subj"], d1["pred"], d1["obj"]),
-                F.lit("value"),
-                _value_json(a1["obj"]),
-            ),
+            F.array(F.col("_guid"), F.lit("value"), _value_json(a1["obj"])),
         ).alias("params"),
     )
     edit = (
         F.when((F.size(c) == 1) & (one["op"] == "add"), create)
-        .when((F.size(c) == 1) & (one["op"] == "del"), remove)
+        .when((F.size(c) == 1) & (one["op"] == "del") & F.col("_guid").isNotNull(), remove)
         .when(
             (F.size(c) == 2)
             & (F.size(adds) == 1)
             & (F.size(dels) == 1)
             & (a1["subj"] == d1["subj"])
             & (a1["pred"] == d1["pred"])
-            & (a1["obj"] != d1["obj"]),
+            & (a1["obj"] != d1["obj"])
+            & F.col("_guid").isNotNull(),
             replace,
         )
     )
-    return corrections.withColumn("edit", edit)
+    return df.withColumn("edit", edit).drop("_del_stmt", "_guid")

@@ -131,4 +131,26 @@ def test_edit_synthesis_from_game_prediction(spark):
     )
     edit = build_edits(as_corrections).collect()[0].edit
     assert edit.action == "wbremoveclaims"
-    assert edit.params["claim"].startswith("Q42$")
+    assert edit.params["claim"].startswith("Q42$")  # md5 fallback, no snapshot
+
+    # with the statement-node snapshot, the REAL GUID is resolved via
+    # the p:/ps: walk with '-' -> '$' munging (WikidataEditBuilder:134-142)
+    from corhist_spark.edits_out import statement_nodes_from_snapshot
+
+    nodes = statement_nodes_from_snapshot(snapshot)
+    edit2 = build_edits(as_corrections, statement_nodes=nodes).collect()[0].edit
+    assert edit2.action == "wbremoveclaims"
+    assert edit2.params["claim"] == "Q42$error"
+
+    # ambiguous match (two statement nodes carry the same triple) ->
+    # the exactly-one guard drops the edit (WikidataEditBuilder:78-88)
+    ambiguous = snapshot.union(
+        spark.createDataFrame(
+            [("Q42", "p:P21", "Q42-dup"), ("Q42-dup", "ps:P21", "Q360210")],
+            snapshot.schema,
+        )
+    )
+    edit3 = build_edits(
+        as_corrections, statement_nodes=statement_nodes_from_snapshot(ambiguous)
+    ).collect()[0].edit
+    assert edit3 is None
