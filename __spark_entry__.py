@@ -729,6 +729,28 @@ def q_user_event_pivot(spark, sf_dir):
     )
 
 
+def q_game_queue_stats(spark, sf_dir):
+    """Game approval stats (`game/ViolationDatabase.java:175-191` +
+    `scripts/game_stats.py`): per (constraint_type, state, user) counts
+    with the '*' total row, over an action log derived from events
+    (type = T(u%3), state p/a/r/o from event_id%4, 1-in-5 users NULL
+    like anonymous actions)."""
+    from corhist_spark.game import queue_stats
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("T"), (F.col("user_id") % 3).cast("string")).alias("constraint_type"),
+        F.element_at(
+            F.array(F.lit("p"), F.lit("a"), F.lit("r"), F.lit("o")),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ).alias("state"),
+        F.when(
+            F.col("user_id") % 5 != 0, F.concat(F.lit("u"), F.col("user_id").cast("string"))
+        ).alias("user_id"),
+    )
+    return queue_stats(log)
+
+
 def q_late_users_except(spark, sf_dir):
     """Set difference: users active in the last event-id quartile but
     not in the first."""
@@ -813,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampled_edits": q_sampled_edits,
         "big_customer_ratio": q_big_customer_ratio,
         "user_event_pivot": q_user_event_pivot,
+        "game_queue_stats": q_game_queue_stats,
         "late_users_except": q_late_users_except,
     }
 
@@ -1607,6 +1630,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
                    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
             FROM events GROUP BY user_id
+        """,
+        "game_queue_stats": """
+            WITH log AS (
+              SELECT 'T' || CAST(user_id % 3 AS VARCHAR) AS constraint_type,
+                     CASE event_id % 4 WHEN 0 THEN 'p' WHEN 1 THEN 'a'
+                                       WHEN 2 THEN 'r' ELSE 'o' END AS state,
+                     CASE WHEN user_id % 5 <> 0
+                          THEN 'u' || CAST(user_id AS VARCHAR) END AS user_id
+              FROM events
+            )
+            SELECT constraint_type, state, user_id, COUNT(*) AS n
+            FROM log WHERE user_id IS NOT NULL
+            GROUP BY constraint_type, state, user_id
+            UNION ALL
+            SELECT constraint_type, state, '*' AS user_id, COUNT(*) AS n
+            FROM log GROUP BY constraint_type, state
         """,
         "late_users_except": """
             SELECT user_id FROM events

@@ -310,16 +310,29 @@ def tune(
     state: DataFrame,
     seed: int = 42,
     split_threshold: int = 100,
+    mine=None,
 ) -> DataFrame:
     """`TuningMiner.java:22-56`: confidence-threshold sweep keeping the
     rule set with best F1 on the CV split.  NOTE the reference's
-    inverted ratio (rand >= 0.10 -> CV set) is replicated on purpose."""
+    inverted ratio (rand >= 0.10 -> CV set, rand < 0.10 -> train) is
+    replicated on purpose.
+
+    When ``mine`` (corrections -> rules DataFrame) is given, the base
+    rule set is mined on the TRAIN partition before the sweep —
+    ``bestRules = miner.mine(trainSet)`` at `TuningMiner.java:41` —
+    so the thresholds are evaluated on data the rules were not mined
+    from.  Without the callback the pre-mined ``rules`` are swept
+    as-is (caller is responsible for the split)."""
     n = corrections.count()
     if n > split_threshold:
         withr = corrections.withColumn("_r", F.rand(seed))
+        train = withr.filter(F.col("_r") < 0.10).drop("_r")
         cv = withr.filter(F.col("_r") >= 0.10).drop("_r").cache()
     else:
+        train = corrections
         cv = corrections
+    if mine is not None:
+        rules = mine(train)
     rules = rules.cache()
     best_rules, best_thr = rules, None
     best_f1 = _f1_of(apply_rules(rules, cv, revisions, state))

@@ -138,6 +138,41 @@ def filter_applicable(predictions: DataFrame, snapshot: DataFrame) -> DataFrame:
     return predictions.join(ok_ids, "violation_id", "left_semi")
 
 
+def queue_stats(log: DataFrame) -> DataFrame:
+    """`game/ViolationDatabase.java:175-191` (countByTypeStateAndUser):
+    counts per (constraint_type, state, user_id) over the action log,
+    plus the '*' row per (constraint_type, state) cell aggregating ALL
+    rows including NULL users — the exact shape
+    `scripts/game_stats.py:20-32` consumes."""
+    per_user = (
+        log.filter(F.col("user_id").isNotNull())
+        .groupBy("constraint_type", "state", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    star = (
+        log.groupBy("constraint_type", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("constraint_type", "state", F.lit("*").alias("user_id"), "n")
+    )
+    return per_user.unionByName(star)
+
+
+def approval_summary(stats: DataFrame) -> DataFrame:
+    """`scripts/game_stats.py:20-32`: per constraint type, total tiles
+    over all states, approved ('a'), rejected ('r') and the approval
+    ratio rounded to 2 dp (NULL when nothing was decided)."""
+    s = stats.filter(F.col("user_id") == "*")
+    agg = s.groupBy("constraint_type").agg(
+        F.sum("n").alias("all_n"),
+        F.sum(F.when(F.col("state") == "a", F.col("n")).otherwise(0)).alias("approved"),
+        F.sum(F.when(F.col("state") == "r", F.col("n")).otherwise(0)).alias("rejected"),
+    )
+    decided = F.col("approved") + F.col("rejected")
+    return agg.withColumn(
+        "ratio", F.when(decided > 0, F.round(F.col("approved") / decided, 2))
+    )
+
+
 def select_tiles(
     predictions: DataFrame, snapshot: DataFrame, count: int, seed: int = 42
 ) -> DataFrame:

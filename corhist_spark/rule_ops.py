@@ -49,6 +49,15 @@ def rules_to_text(rules: DataFrame) -> DataFrame:
     return rules.select(line.alias("value"))
 
 
+def top_rules_text(rules: DataFrame, k: int = 10) -> DataFrame:
+    """`scripts/top_rules.py:8-9`: the k best rules by (confidence,
+    support) descending (rule_id as the deterministic tiebreak), as
+    rules_to_text lines."""
+    return rules_to_text(
+        rules.orderBy(F.desc("confidence"), F.desc("support"), F.asc("rule_id")).limit(k)
+    )
+
+
 def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 

@@ -36,6 +36,25 @@ def test_tune_filters_low_confidence_when_f1_improves(spark):
     assert {r.rule_id for r in tuned.collect()} <= orig
 
 
+def test_tune_mines_on_train_split(spark):
+    """`TuningMiner.java:41`: with enough data, the base rule set is
+    mined on the rand<0.10 TRAIN partition, not the full corrections
+    set — the sweep then evaluates on data the rules were not mined
+    from."""
+    corr, revs, edits = _mk(spark, n_del=90, n_add=60, with_mark=True)
+    state = build_state(edits).localCheckpoint()
+    seen = {}
+
+    def mine_cb(train):
+        seen["n"] = train.count()
+        return mine(train, revs, state).localCheckpoint()
+
+    tuned = tune(None, corr, revs, state, seed=3, mine=mine_cb)
+    total = corr.count()
+    assert total == 150 and 0 < seen["n"] < 0.35 * total  # small split mined
+    assert tuned.count() > 0  # rules came from the callback
+
+
 def test_aggregate_stats_weighted_vs_unweighted(spark):
     stats = spark.createDataFrame(
         [

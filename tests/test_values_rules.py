@@ -121,3 +121,44 @@ def test_format_regex_validated_by_jvm(spark):
         F.regexp_like(F.lit("X"), F.lit(got["c1"])).alias("n"),
     ).collect()[0]
     assert row.m is True and row.n is False
+
+
+def test_top_rules_text(spark):
+    from corhist_spark.rule_ops import top_rules_text
+
+    rules = spark.createDataFrame(
+        [
+            ("r%02d" % i, "c1", None, [("?s", "P1", "?o", "del")], [], 10 + i, 0.5 + i / 100)
+            for i in range(15)
+        ],
+        "rule_id string, constraint_id string, violation_obj string, "
+        "head array<struct<subj:string,pred:string,obj:string,op:string>>, "
+        "context array<struct<var:string,pred:string,obj:string>>, "
+        "support long, confidence double",
+    )
+    lines = [r.value for r in top_rules_text(rules, k=10).collect()]
+    assert len(lines) == 10
+    # best-confidence rule first, exported through rules_to_text
+    assert lines[0].endswith("\t0.64\t24")
+    assert lines[-1].endswith("\t0.55\t15")
+
+
+def test_queue_stats_and_approval_summary(spark):
+    from corhist_spark.game import approval_summary, queue_stats
+
+    log = spark.createDataFrame(
+        [
+            ("T1", "a", "u1"), ("T1", "a", "u2"), ("T1", "r", "u1"),
+            ("T1", "p", None), ("T2", "o", "u3"),
+        ],
+        "constraint_type string, state string, user_id string",
+    )
+    stats = queue_stats(log)
+    rows = {(r.constraint_type, r.state, r.user_id): r.n for r in stats.collect()}
+    assert rows[("T1", "a", "u1")] == 1 and rows[("T1", "a", "*")] == 2
+    assert rows[("T1", "p", "*")] == 1  # NULL user counted in '*' only
+    assert ("T1", "p", None) not in rows
+    summ = {r.constraint_type: r for r in approval_summary(stats).collect()}
+    assert summ["T1"].all_n == 4 and summ["T1"].approved == 2 and summ["T1"].rejected == 1
+    assert abs(summ["T1"].ratio - 0.67) < 1e-9
+    assert summ["T2"].ratio is None
