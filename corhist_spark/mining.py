@@ -175,11 +175,15 @@ def refine_rules(
     # violation_obj, head) match; body bindings: match on (constraint_id,
     # violation_obj) only.
     r = rules.select("rule_id", "constraint_id", "violation_obj", "head", "confidence")
+    # join on a fixed-width head digest instead of the serialized JSON:
+    # both sides still hash the canonical head once, but the shuffle
+    # key is 64 bytes rather than the whole statement array
+    head_key = lambda c: F.sha2(F.to_json(c), 256)  # noqa: E731
     fullb = bindings.alias("b").join(
         r.alias("r"),
         (F.col("b.constraint_id") == F.col("r.constraint_id"))
         & F.col("b.violation_obj").eqNullSafe(F.col("r.violation_obj"))
-        & (F.to_json(F.col("b.head")) == F.to_json(F.col("r.head"))),
+        & (head_key(F.col("b.head")) == head_key(F.col("r.head"))),
     ).select("rule_id", "s", "o", "g")
     bodyb = bindings.alias("b").join(
         r.select("rule_id", "constraint_id", "violation_obj").alias("r"),
