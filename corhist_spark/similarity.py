@@ -39,12 +39,26 @@ def with_norm(embeddings: DataFrame) -> DataFrame:
     ).withColumn("nrm", _norm(F.col("v")))
 
 
+MAX_BRUTEFORCE_QUERIES = 1024
+
+
 def knn_bruteforce(
     embeddings: DataFrame, k: int = 3, n_queries: int = 10, round_to: int = 3
 ) -> DataFrame:
     """Top-k cosine neighbors for vec_id < n_queries (self excluded).
     Ranking uses the ROUNDED similarity plus neighbor id as tiebreak so
-    results are reproducible across engines."""
+    results are reproducible across engines.
+
+    This is the CORRECTNESS BASELINE, not the scale path: the plan is
+    (n_queries x corpus), linear only while the query side is small —
+    a caller passing n_queries ~ |corpus| would build a true N^2
+    cartesian, so the query count is hard-capped; use knn_lsh for
+    corpus-scale search."""
+    if n_queries > MAX_BRUTEFORCE_QUERIES:
+        raise ValueError(
+            f"knn_bruteforce is the small-query-side baseline (n_queries <= "
+            f"{MAX_BRUTEFORCE_QUERIES}); use knn_lsh for corpus-scale ANN"
+        )
     e = with_norm(embeddings)
     q = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
