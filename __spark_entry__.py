@@ -664,6 +664,14 @@ def q_knn_lsh_recall(spark, sf_dir):
     return knn_recall(_t(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (bucketed candidates + exact
+    in-bucket cosine verification)."""
+    from corhist_spark.similarity import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"))
+
+
 def q_cc_components(spark, sf_dir):
     """Connected components over chain edges derived from customer
     keys (block chains of 10 -> component = block min)."""
@@ -829,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": q_knn_cosine,
         "knn_lsh": q_knn_lsh,
         "knn_lsh_recall": q_knn_lsh_recall,
+        "embedding_near_dups": q_embedding_near_dups,
         "cc_components": q_cc_components,
         "subclass_closure": q_subclass_closure,
         "rev_diff_histogram": q_rev_diff_histogram,
@@ -1583,6 +1592,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT q.query_id, COALESCE(c.c, 0) AS n_common
             FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
             LEFT JOIN common c USING (query_id)
+        """,
+        "embedding_near_dups": _ANN_CTES + """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS sim
+            FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 3) >= 0.25
         """,
         "cc_components": """
             SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS node,

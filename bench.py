@@ -34,8 +34,11 @@ HEADLINE = [
     "mention_extraction",
     "minhash_signatures",
     "lsh_candidates",
+    "ngram_jaccard",
     "simhash",
     "knn_cosine",
+    "knn_lsh",
+    "embedding_near_dups",
     "cc_components",
     "subclass_closure",
 ]

@@ -106,6 +106,37 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     return e.withColumn("bucket", F.concat(*bits))
 
 
+def embedding_near_dups(
+    embeddings: DataFrame, threshold: float = 0.25, n_planes: int = 4, round_to: int = 3
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate generation via
+    the deterministic hyperplane buckets, verification = exact rounded
+    cosine >= threshold inside the bucket.
+
+    Scale shape: the self-join is bucket-keyed (linear in bucket
+    occupancy, never all-pairs) — the embedding-side sibling of
+    textops.lsh_candidates.  Production near-dup thresholds sit around
+    0.9-0.99; the default is tuned to the synthetic random-embedding
+    testdata so the oracle comparison has rows to check."""
+    e = lsh_buckets(embeddings, n_planes)
+    a = e.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def knn_recall(
     embeddings: DataFrame, k: int = 3, n_queries: int = 10, n_planes: int = 4
 ) -> DataFrame:

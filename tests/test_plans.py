@@ -58,6 +58,22 @@ def test_flagship_plan_has_no_cartesian(spark, plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_and_capped_lsh_stay_jvm_side(spark, plan_of):
+    """The ANN family (bucketed near-dups, capped LSH candidates) is
+    pure column expressions + hash joins: no Python nodes, no
+    cartesian."""
+    from corhist_spark.similarity import embedding_near_dups
+    from corhist_spark.textops import lsh_candidates, minhash_signatures
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (embedding_near_dups(emb), lsh_candidates(minhash_signatures(docs))):
+        plan = plan_of(df)
+        assert "Python" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_extraction_uses_arrow_udf(spark, sdf, plan_of):
     """The only Python in the extraction plan is the Arrow-batched
     pandas UDF (ArrowEvalPython), never row-at-a-time BatchEvalPython."""
