@@ -445,6 +445,39 @@ def q_item_corrections(spark, sf_dir):
     )
 
 
+MULTI_CONSTRAINTS = [
+    {"constraint_id": "c-single-P1", "property": "P1", "type": "Q19474404", "params": {}},
+    {"constraint_id": "c-unique-P0", "property": "P0", "type": "Q21502410", "params": {}},
+    {"constraint_id": "c-oneof-P2", "property": "P2", "type": "Q21510859",
+     "params": {"P2305": ["V0"]}},
+    {"constraint_id": "c-sym-P3", "property": "P3", "type": "Q21510862", "params": {}},
+    {"constraint_id": "c-format-P4", "property": "P4", "type": "Q21502404",
+     "params": {"P1793": ["V[01]"]}},
+    {"constraint_id": "c-conflict-P1", "property": "P1", "type": "Q21502838",
+     "params": {"P2306": ["P2"]}},
+    {"constraint_id": "c-item-P1", "property": "P1", "type": "Q21503247",
+     "params": {"P2306": ["P2"]}},
+    {"constraint_id": "c-tclaim-P1", "property": "P1", "type": "Q21510864",
+     "params": {"P2306": ["P2"]}},
+]
+
+
+def q_multi_constraint_corrections(spark, sf_dir):
+    """ALL eight flat-history kernels in ONE plan — the set-at-a-time
+    design (`kernels.correction_candidates` unions every kernel's
+    candidates, then expansion + still-applied run once over the
+    union), vs the reference's constraint-at-a-time loop
+    (`mining/Main.java:89`).  Four constraints share property P1;
+    constraint_id keys them apart exactly as Spark's row_key does."""
+    import pandas as pd
+
+    edits, revisions, state = _hist(spark, sf_dir)
+    cons = pd.DataFrame(MULTI_CONSTRAINTS)
+    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
+    out = run_correction_pipeline(spark, edits, revisions, cons, state=state, closure=empty_closure)
+    return out.select("constraint_id", "target_subj", "target_obj", "corr_rev").distinct()
+
+
 def q_tclaim_corrections(spark, sf_dir):
     """Full target-requires-claim kernel (`TargetRequiredClaimQueriesBuilder.java:23-74`):
     the item kernel mirrored onto the object carrier — P1 objects must
@@ -824,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conflict_corrections": q_conflict_corrections,
         "item_corrections": q_item_corrections,
         "tclaim_corrections": q_tclaim_corrections,
+        "multi_constraint_corrections": q_multi_constraint_corrections,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
         "interval_closure": q_interval_closure,
@@ -892,16 +926,20 @@ _ANN_CTES = """
              CAST(i AS INT) - 1 AS i0
       FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)
     ), planes AS (
-      SELECT vec_id, i0, w, unnest(generate_series(0, 3)) AS j FROM idx
+      SELECT vec_id, i0, w, unnest(generate_series(0, 7)) AS j FROM idx
     ), bits AS (
       SELECT vec_id, j,
-             CASE WHEN SUM(CASE WHEN (i0*7 + j*13) % 2 = 0 THEN w ELSE -w END) >= 0
+             CASE WHEN SUM(CASE WHEN ((i0*7 + j*13) % 23) % 2 = 0 THEN w ELSE -w END) >= 0
                   THEN '1' ELSE '0' END AS bit
       FROM planes GROUP BY vec_id, j
     ), buck AS (
-      SELECT vec_id, string_agg(bit, '' ORDER BY j) AS bucket FROM bits GROUP BY vec_id
+      SELECT vec_id,
+             string_agg(CASE WHEN j < 4 THEN bit END, '' ORDER BY j) AS bucket,
+             string_agg(bit, '' ORDER BY j) AS bucket8
+      FROM bits GROUP BY vec_id
     ), nb AS (
-      SELECT n.vec_id, n.v, n.nrm, b.bucket FROM n JOIN buck b USING (vec_id)
+      SELECT n.vec_id, n.v, n.nrm, b.bucket, b.bucket8
+      FROM n JOIN buck b USING (vec_id)
     ), lsh_p AS (
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
              ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
@@ -1261,6 +1299,139 @@ def oracle_sql() -> dict[str, str]:
             """
             + expansion_sql()
         ),
+        "multi_constraint_corrections": with_history_ctes(
+            """
+            , sv_cand AS (
+              SELECT d.subj, d.obj, d.rev_id, iv.obj AS obj2
+              FROM (SELECT e.rev_id, e.subj, e.obj, r.parent_rev_id AS g
+                    FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+                    WHERE e.op = 'del' AND e.pred = 'P1'
+                      AND r.parent_rev_id IS NOT NULL) d
+              JOIN h_state iv ON iv.subj = d.subj AND iv.pred = 'P1'
+                AND iv.obj <> d.obj AND iv.from_rev <= d.g AND d.g < iv.to_rev
+              WHERE NOT EXISTS (SELECT 1 FROM h_edits de
+                WHERE de.rev_id = d.rev_id AND de.op = 'del' AND de.subj = d.subj
+                  AND de.pred = 'P1' AND de.obj = iv.obj)
+            ), uq_cand AS (
+              SELECT d.subj, d.obj, d.rev_id, iv.subj AS s2
+              FROM (SELECT e.rev_id, e.subj, e.obj, r.parent_rev_id AS g
+                    FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+                    WHERE e.op = 'del' AND e.pred = 'P0'
+                      AND r.parent_rev_id IS NOT NULL) d
+              JOIN h_state iv ON iv.pred = 'P0' AND iv.obj = d.obj
+                AND iv.subj <> d.subj AND iv.from_rev <= d.g AND d.g < iv.to_rev
+            ), kr AS (
+              SELECT 'c-single-P1' AS constraint_id, subj AS target_subj,
+                     obj AS target_obj, rev_id AS corr_rev, subj AS corr_subj,
+                     'P1' AS corr_pred, obj AS corr_obj, 'del' AS main_op,
+                     'add' AS co_op, 'P1' AS property
+              FROM sv_cand
+              UNION ALL
+              SELECT 'c-single-P1', subj, obj2, rev_id, subj, 'P1', obj,
+                     'del', 'add', 'P1' FROM sv_cand
+              UNION ALL
+              SELECT 'c-unique-P0', subj, obj, rev_id, subj, 'P0', obj,
+                     'del', 'add', 'P0' FROM uq_cand
+              UNION ALL
+              SELECT 'c-unique-P0', s2, obj, rev_id, subj, 'P0', obj,
+                     'del', 'add', 'P0' FROM uq_cand
+              UNION ALL
+              SELECT 'c-oneof-P2', e.subj, e.obj, e.rev_id, e.subj, 'P2', e.obj,
+                     'del', 'add', 'P2'
+              FROM h_edits e
+              WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj <> 'V0'
+              UNION ALL
+              SELECT 'c-sym-P3', e.subj, e.obj, e.rev_id, e.subj, 'P3', e.obj,
+                     'del', 'add', 'P3'
+              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+              WHERE e.op = 'del' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_state iv
+                                WHERE iv.subj = e.obj AND iv.pred = 'P3'
+                                  AND iv.obj = e.subj
+                                  AND iv.from_rev <= r.parent_rev_id
+                                  AND r.parent_rev_id < iv.to_rev)
+              UNION ALL
+              SELECT 'c-sym-P3', e.obj, e.subj, e.rev_id, e.subj, 'P3', e.obj,
+                     'add', 'del', 'P3'
+              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+              WHERE e.op = 'add' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+                AND EXISTS (SELECT 1 FROM h_state iv
+                            WHERE iv.subj = e.obj AND iv.pred = 'P3'
+                              AND iv.obj = e.subj
+                              AND iv.from_rev <= r.parent_rev_id
+                              AND r.parent_rev_id < iv.to_rev)
+              UNION ALL
+              SELECT 'c-format-P4', e.subj, e.obj, e.rev_id, e.subj, 'P4', e.obj,
+                     'del', 'add', 'P4'
+              FROM h_edits e
+              WHERE e.op = 'del' AND e.pred = 'P4'
+                AND NOT regexp_matches(e.obj, '^V[01]$')
+              UNION ALL
+              SELECT 'c-conflict-P1', e.subj, e.obj, e.rev_id, e.subj, 'P1', e.obj,
+                     'del', 'add', 'P1'
+              FROM h_edits e JOIN h_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                AND EXISTS (SELECT 1 FROM h_state iv
+                            WHERE iv.subj = e.subj AND iv.pred = 'P2'
+                              AND iv.from_rev <= r.parent_rev_id
+                              AND r.parent_rev_id < iv.to_rev
+                              AND NOT EXISTS (SELECT 1 FROM h_edits de
+                                WHERE de.rev_id = e.rev_id AND de.op = 'del'
+                                  AND de.subj = e.subj AND de.pred = 'P2'
+                                  AND de.obj = iv.obj))
+              UNION ALL
+              SELECT 'c-conflict-P1', e.subj, iv.obj, e.rev_id, e.subj, 'P2', e.obj,
+                     'del', 'add', 'P1'
+              FROM h_edits e
+              JOIN h_revs r USING (rev_id)
+              JOIN h_state iv ON iv.subj = e.subj AND iv.pred = 'P1'
+                             AND iv.from_rev <= r.parent_rev_id
+                             AND r.parent_rev_id < iv.to_rev
+              WHERE e.op = 'del' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_edits de
+                                WHERE de.rev_id = e.rev_id AND de.op = 'del'
+                                  AND de.subj = e.subj AND de.pred = 'P1'
+                                  AND de.obj = iv.obj)
+              UNION ALL
+              SELECT 'c-item-P1', e.subj, e.obj, e.rev_id, e.subj, 'P1', e.obj,
+                     'del', 'add', 'P1'
+              FROM h_edits e JOIN h_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_state iv
+                                WHERE iv.subj = e.subj AND iv.pred = 'P2'
+                                  AND iv.from_rev <= r.parent_rev_id
+                                  AND r.parent_rev_id < iv.to_rev)
+              UNION ALL
+              SELECT 'c-item-P1', iv.subj, iv.obj, e.rev_id, e.subj, 'P2', e.obj,
+                     'add', 'del', 'P1'
+              FROM h_edits e
+              JOIN h_revs r USING (rev_id)
+              JOIN h_state iv ON iv.subj = e.subj AND iv.pred = 'P1'
+                             AND iv.from_rev <= r.parent_rev_id
+                             AND r.parent_rev_id < iv.to_rev
+              WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+              UNION ALL
+              SELECT 'c-tclaim-P1', e.subj, e.obj, e.rev_id, e.subj, 'P1', e.obj,
+                     'del', 'add', 'P1'
+              FROM h_edits e JOIN h_revs r USING (rev_id)
+              WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_state iv
+                                WHERE iv.subj = e.obj AND iv.pred = 'P2'
+                                  AND iv.from_rev <= r.parent_rev_id
+                                  AND r.parent_rev_id < iv.to_rev)
+              UNION ALL
+              SELECT 'c-tclaim-P1', iv.subj, iv.obj, e.rev_id, e.subj, 'P2', e.obj,
+                     'add', 'del', 'P1'
+              FROM h_edits e
+              JOIN h_revs r USING (rev_id)
+              JOIN h_state iv ON iv.obj = e.subj AND iv.pred = 'P1'
+                             AND iv.from_rev <= r.parent_rev_id
+                             AND r.parent_rev_id < iv.to_rev
+              WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+            )
+            """
+            + expansion_sql(keyed_by_constraint=True)
+        ),
         "tclaim_corrections": with_history_ctes(
             """
             , kr AS (
@@ -1596,7 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _ANN_CTES + """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS sim
-            FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            FROM nb a JOIN nb b ON a.bucket8 = b.bucket8 AND a.vec_id < b.vec_id
             WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 3) >= 0.25
         """,
         "cc_components": """

@@ -21,6 +21,7 @@ from corhist_spark.session import get_spark
 
 HEADLINE = [
     "single_value_corrections",
+    "multi_constraint_corrections",
     "state_intervals",
     "current_state",
     "inverse_violations",

@@ -130,11 +130,22 @@ def derived_revisions(edits: DataFrame) -> DataFrame:
     )
 
 
-def expansion_sql(edits: str = "h_edits", revs: str = "h_revs", cur: str = "h_cur") -> str:
+def expansion_sql(
+    edits: str = "h_edits",
+    revs: str = "h_revs",
+    cur: str = "h_cur",
+    keyed_by_constraint: bool = False,
+) -> str:
     """ANSI-SQL transcription of expansion.expand_corrections +
     filter_still_applied, appended after a kernel CTE named ``kr`` with
     columns (target_subj, target_obj, corr_rev, corr_subj, corr_pred,
     corr_obj, main_op, co_op, property).
+
+    With ``keyed_by_constraint`` the kr CTE additionally carries a
+    ``constraint_id`` column which rides through every key and the
+    output — the multi-constraint one-pass shape where several
+    constraints (possibly on the same property) expand in one plan,
+    exactly like Spark's row_key which hashes constraint_id too.
 
     Mirrors `ConstraintViolationCorrectionLookup.java:128-222`:
     distance-0/1 same-author candidate revisions, the target guard, the
@@ -143,9 +154,13 @@ def expansion_sql(edits: str = "h_edits", revs: str = "h_revs", cur: str = "h_cu
     and the still-applied filter over every statement of the
     correction set.
     """
+    cid = "constraint_id, " if keyed_by_constraint else ""
+    cid_join = (
+        " AND a.constraint_id = kx.constraint_id" if keyed_by_constraint else ""
+    )
     return f"""
     , kx AS (
-        SELECT DISTINCT target_subj, target_obj, corr_rev, corr_subj, corr_pred,
+        SELECT DISTINCT {cid}target_subj, target_obj, corr_rev, corr_subj, corr_pred,
                corr_obj, main_op, co_op, property FROM kr
     ), nbp AS (
         SELECT rev_id AS main_r, based_on_rev_id AS cand_rev FROM {revs}
@@ -177,22 +192,23 @@ def expansion_sql(edits: str = "h_edits", revs: str = "h_revs", cur: str = "h_cu
           AND (e.pred = c.corr_pred OR e.obj = c.corr_obj)
     ), mtm AS (
         SELECT * FROM (
-          SELECT mt.*, MIN(dist) OVER (PARTITION BY target_subj, target_obj,
+          SELECT mt.*, MIN(dist) OVER (PARTITION BY {cid}target_subj, target_obj,
                  corr_rev, corr_subj, corr_pred, corr_obj, main_op, co_op,
                  property) AS mind
           FROM mt
         ) WHERE dist = mind
     ), ag AS (
-        SELECT target_subj, target_obj, corr_rev, corr_subj, corr_pred, corr_obj,
+        SELECT {cid}target_subj, target_obj, corr_rev, corr_subj, corr_pred, corr_obj,
                main_op, co_op, property,
                COUNT(DISTINCT x_subj || chr(31) || x_pred || chr(31) || x_obj) AS n_extra,
                MIN(cand_rev) AS best_rev,
                MIN(x_subj) AS ex_subj, MIN(x_pred) AS ex_pred, MIN(x_obj) AS ex_obj
         FROM mtm
-        GROUP BY target_subj, target_obj, corr_rev, corr_subj, corr_pred, corr_obj,
+        GROUP BY {cid}target_subj, target_obj, corr_rev, corr_subj, corr_pred, corr_obj,
                  main_op, co_op, property
     ), fin AS (
-        SELECT kx.target_subj, kx.target_obj,
+        SELECT {("kx.constraint_id, " if keyed_by_constraint else "")}
+               kx.target_subj, kx.target_obj,
                least(kx.corr_rev, COALESCE(a.best_rev, {MAX_REV})) AS corr_rev,
                kx.corr_subj, kx.corr_pred, kx.corr_obj, kx.main_op, kx.co_op,
                CASE WHEN a.n_extra = 1 THEN 1 ELSE 0 END AS has_extra,
@@ -201,9 +217,9 @@ def expansion_sql(edits: str = "h_edits", revs: str = "h_revs", cur: str = "h_cu
           ON a.target_subj = kx.target_subj AND a.target_obj = kx.target_obj
          AND a.corr_rev = kx.corr_rev AND a.corr_subj = kx.corr_subj
          AND a.corr_pred = kx.corr_pred AND a.corr_obj = kx.corr_obj
-         AND a.main_op = kx.main_op AND a.property = kx.property
+         AND a.main_op = kx.main_op AND a.property = kx.property{cid_join}
     )
-    SELECT DISTINCT target_subj, target_obj, corr_rev FROM fin f
+    SELECT DISTINCT {cid}target_subj, target_obj, corr_rev FROM fin f
     WHERE ((f.main_op = 'add' AND EXISTS (SELECT 1 FROM {cur} c
               WHERE c.subj = f.corr_subj AND c.pred = f.corr_pred AND c.obj = f.corr_obj))
         OR (f.main_op = 'del' AND NOT EXISTS (SELECT 1 FROM {cur} c

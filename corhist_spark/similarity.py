@@ -79,8 +79,10 @@ def knn_bruteforce(
 
 def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     """Deterministic hyperplane LSH: plane j has components
-    h_j[i] = +1 if (i*7 + j*13) % 2 == 0 else -1; the bucket is the
-    n_planes-bit string of projection signs.
+    h_j[i] = +1 if ((i*7 + j*13) % 23) % 2 == 0 else -1; the bucket is
+    the n_planes-bit string of projection signs.  The mod-23 mixing
+    makes every plane distinct (a plain parity of i+j would collapse
+    planes two apart onto each other, quartering the bucket count).
 
     Components are quantized to integers (floor(x*1000)) before the
     fold so the projection is exact integer arithmetic — the sign is
@@ -95,7 +97,9 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
                 q,
                 F.transform(
                     F.sequence(F.lit(0), F.size("v") - 1),
-                    lambda i: F.when((i * 7 + j * 13) % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long"),
+                    lambda i: F.when(((i * 7 + j * 13) % 23) % 2 == 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long"),
                 ),
                 lambda x, h: x * h,
             ),
@@ -107,7 +111,7 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
 
 
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.25, n_planes: int = 4, round_to: int = 3
+    embeddings: DataFrame, threshold: float = 0.25, n_planes: int = 8, round_to: int = 3
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate generation via
     the deterministic hyperplane buckets, verification = exact rounded
