@@ -200,9 +200,12 @@ def correction_candidates(
 ) -> DataFrame:
     """Union of all kernels' candidate rows, DISTINCT (the queries are
     SELECT DISTINCT)."""
-    dels = _diff_with_meta(edits, revisions, "del", need_prev=True)
-    dels_nop = _diff_with_meta(edits, revisions, "del", need_prev=False)
-    adds = _diff_with_meta(edits, revisions, "add", need_prev=True)
+    # the per-op diff frames (edits x revision metadata) are shared by
+    # every kernel; materialize them once so an 8-kernel one-pass plan
+    # does not rebuild the same shuffle in every union branch
+    dels_nop = _diff_with_meta(edits, revisions, "del", need_prev=False).localCheckpoint()
+    dels = dels_nop.filter(F.col("g").isNotNull())
+    adds = _diff_with_meta(edits, revisions, "add", need_prev=True).localCheckpoint()
     sameas = _sameas_adds(edits)
     state = _st(state)
     closure = _cl(closure)

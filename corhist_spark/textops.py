@@ -125,9 +125,24 @@ def lsh_candidates(signatures: DataFrame, max_bucket: int = MAX_BUCKET) -> DataF
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, n: int = SHINGLE) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs
-    (verification stage after LSH)."""
+    (verification stage after LSH).
+
+    Only documents that appear in a candidate pair are shingled: after
+    LSH pruning the candidate set is a small fraction of the corpus,
+    so re-shingling everything would dominate the verification stage
+    at scale.  The semi-join is result-neutral (non-candidate docs
+    contribute nothing downstream)."""
+    # the candidate set is consumed twice (doc pruning + the intersect
+    # join) and is small after bucket capping — cut its LSH lineage
+    pairs = pairs.localCheckpoint()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     sh = (
-        docs.select(
+        docs.join(cand_docs, "doc_id", "left_semi")
+        .select(
             "doc_id",
             F.explode(
                 F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
