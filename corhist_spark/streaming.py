@@ -142,6 +142,38 @@ def stateful_violation_queue(events: DataFrame, checkpoint_dir: str):
     )
 
 
+def windowed_revision_counts(
+    stream: DataFrame,
+    window_dur: str = "10 minutes",
+    watermark: str = "5 minutes",
+    checkpoint_dir: str | None = None,
+):
+    """Event-time windowed per-entity revision counts with a watermark:
+    rows later than the watermark are dropped and a window finalizes
+    (append mode) once the watermark passes its end — the late-data
+    semantics a revision feed needs at scale.  The reference's live
+    updater (`game/ViolationDatabaseUpdater.java:72-109`) assumes SSE
+    arrival order and has no event-time handling at all; this is the
+    Structured Streaming upgrade of that path.
+
+    Returns a DataStreamWriter (memory sink, availableNow) producing
+    (window_start, entity, n) rows for FINALIZED windows only."""
+    out = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_dur), "entity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "entity", "n")
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def stream_apply_rules(
     stream: DataFrame,
     rules: DataFrame,

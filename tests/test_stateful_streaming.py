@@ -47,3 +47,50 @@ def test_stateful_queue_across_batches(spark, tmp_path):
     assert final[("s1", "c1")] == "a"
     assert final[("s2", "c1")] == "p"  # o -> p on re-sight within batch 2
     assert ("s3", "c1") not in final
+
+
+def test_windowed_counts_drop_late_rows(spark, tmp_path):
+    """Event-time windows + watermark: a row arriving after the
+    watermark passed its window is DROPPED (the finalized window count
+    excludes it), and windows only emit once finalized (append mode)."""
+    import time as _t
+    from datetime import datetime
+
+    from corhist_spark.streaming import windowed_revision_counts
+
+    def ts(h, m, s=0):
+        return datetime(2024, 1, 1, h, m, s)
+
+    src = str(tmp_path / "wsrc")
+    sch = "entity string, ts timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.2)  # distinct mtimes -> deterministic file order
+
+    # batch 1: two rows in [10:00,10:10) + an advancer at 10:30
+    write_batch([("e1", ts(10, 0, 30)), ("e1", ts(10, 4)), ("adv", ts(10, 30))])
+    # batch 2 (watermark 10:25): [10:00,10:10) finalizes with n=2 and
+    # its state is evicted; new rows in [10:30,10:40)
+    write_batch([("e2", ts(10, 31)), ("adv", ts(10, 50))])
+    # batch 3 (watermark 10:45): the 10:02 row is now LATE — its
+    # window's state is gone, so it must be dropped, not re-opened
+    write_batch([("e1", ts(10, 2)), ("adv", ts(11, 10))])
+
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        windowed_revision_counts(stream, checkpoint_dir=str(tmp_path / "wckpt"))
+        .queryName("win_counts")
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r.window_start.strftime("%H:%M"), r.entity), []).append(r.n)
+    # exactly one finalized emission with n=2: the late 10:02 row was
+    # dropped, not counted and not re-opened as a second window row
+    assert got[("10:00", "e1")] == [2]
+    assert got[("10:30", "e2")] == [1] and got[("10:30", "adv")] == [1]
+    assert ("11:10", "adv") not in got  # last window never finalized
