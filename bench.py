@@ -21,10 +21,12 @@ from corhist_spark.session import get_spark
 
 HEADLINE = [
     # multi_constraint_corrections (8 kernels, one plan) is oracle-
-    # checked but benched separately: at sf0.1 it is stage-count-bound
-    # (~40 tiny joins x scheduling overhead), which measures local-mode
-    # latency, not engine throughput — per-kernel timings below are the
-    # comparable signal
+    # checked but benched separately: the synthetic value space
+    # (V0..V30) makes the unique/single kernels emit ~1.16M candidate
+    # rows at sf0.1 (every deleted value is co-held by hundreds of
+    # subjects), so its ~24s measures that data shape, not the engine;
+    # real Wikidata values are high-cardinality. Per-kernel timings
+    # below are the comparable signal.
     "single_value_corrections",
     "state_intervals",
     "current_state",

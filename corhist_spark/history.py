@@ -135,6 +135,7 @@ def expansion_sql(
     revs: str = "h_revs",
     cur: str = "h_cur",
     keyed_by_constraint: bool = False,
+    final_select: str | None = None,
 ) -> str:
     """ANSI-SQL transcription of expansion.expand_corrections +
     filter_still_applied, appended after a kernel CTE named ``kr`` with
@@ -146,6 +147,12 @@ def expansion_sql(
     output — the multi-constraint one-pass shape where several
     constraints (possibly on the same property) expand in one plan,
     exactly like Spark's row_key which hashes constraint_id too.
+
+    ``final_select`` replaces the default projection; it reads the
+    ``okf`` CTE — one row per expanded correction with the full
+    (target/corr/op/has_extra/ex_*) columns plus ``still_ok`` — so
+    downstream shapes (baseline evaluation, array comparisons) can be
+    transcribed without duplicating the expansion.
 
     Mirrors `ConstraintViolationCorrectionLookup.java:128-222`:
     distance-0/1 same-author candidate revisions, the target guard, the
@@ -208,7 +215,7 @@ def expansion_sql(
                  main_op, co_op, property
     ), fin AS (
         SELECT {("kx.constraint_id, " if keyed_by_constraint else "")}
-               kx.target_subj, kx.target_obj,
+               kx.target_subj, kx.target_obj, kx.property,
                least(kx.corr_rev, COALESCE(a.best_rev, {MAX_REV})) AS corr_rev,
                kx.corr_subj, kx.corr_pred, kx.corr_obj, kx.main_op, kx.co_op,
                CASE WHEN a.n_extra = 1 THEN 1 ELSE 0 END AS has_extra,
@@ -218,15 +225,21 @@ def expansion_sql(
          AND a.corr_rev = kx.corr_rev AND a.corr_subj = kx.corr_subj
          AND a.corr_pred = kx.corr_pred AND a.corr_obj = kx.corr_obj
          AND a.main_op = kx.main_op AND a.property = kx.property{cid_join}
+    ), okf AS (
+        SELECT f.*,
+               CASE WHEN ((f.main_op = 'add' AND EXISTS (SELECT 1 FROM {cur} c
+                      WHERE c.subj = f.corr_subj AND c.pred = f.corr_pred AND c.obj = f.corr_obj))
+                  OR (f.main_op = 'del' AND NOT EXISTS (SELECT 1 FROM {cur} c
+                      WHERE c.subj = f.corr_subj AND c.pred = f.corr_pred AND c.obj = f.corr_obj)))
+                AND (f.has_extra = 0
+                  OR (f.co_op = 'add' AND EXISTS (SELECT 1 FROM {cur} c
+                      WHERE c.subj = f.ex_subj AND c.pred = f.ex_pred AND c.obj = f.ex_obj))
+                  OR (f.co_op = 'del' AND NOT EXISTS (SELECT 1 FROM {cur} c
+                      WHERE c.subj = f.ex_subj AND c.pred = f.ex_pred AND c.obj = f.ex_obj)))
+               THEN 1 ELSE 0 END AS still_ok
+        FROM fin f
     )
-    SELECT DISTINCT {cid}target_subj, target_obj, corr_rev FROM fin f
-    WHERE ((f.main_op = 'add' AND EXISTS (SELECT 1 FROM {cur} c
-              WHERE c.subj = f.corr_subj AND c.pred = f.corr_pred AND c.obj = f.corr_obj))
-        OR (f.main_op = 'del' AND NOT EXISTS (SELECT 1 FROM {cur} c
-              WHERE c.subj = f.corr_subj AND c.pred = f.corr_pred AND c.obj = f.corr_obj)))
-      AND (f.has_extra = 0
-        OR (f.co_op = 'add' AND EXISTS (SELECT 1 FROM {cur} c
-              WHERE c.subj = f.ex_subj AND c.pred = f.ex_pred AND c.obj = f.ex_obj))
-        OR (f.co_op = 'del' AND NOT EXISTS (SELECT 1 FROM {cur} c
-              WHERE c.subj = f.ex_subj AND c.pred = f.ex_pred AND c.obj = f.ex_obj)))
-    """
+    """ + (
+        final_select
+        or f"SELECT DISTINCT {cid}target_subj, target_obj, corr_rev FROM okf WHERE still_ok = 1"
+    )
