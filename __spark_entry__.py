@@ -508,6 +508,34 @@ def q_deletion_baseline_eval(spark, sf_dir):
     )
 
 
+def q_addition_baseline_eval(spark, sf_dir):
+    """`AdditionBaseline.java:24-110` over real pipeline output: the
+    symmetric constraint templates (?o, P3, ?s, add); one-of has no
+    template, so its row exercises the found=0 conventions (precision
+    NULL, recall 0)."""
+    import pandas as pd
+
+    from corhist_spark.evaluate import addition_baseline
+
+    edits, revisions, state = _hist(spark, sf_dir)
+    cons = [
+        {"constraint_id": "c-oneof-P2", "property": "P2", "type": "Q21510859",
+         "params": {"P2305": ["V0"]}},
+        {"constraint_id": "c-sym-P3", "property": "P3", "type": "Q21510862",
+         "params": {}},
+    ]
+    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
+    corr = run_correction_pipeline(
+        spark, edits, revisions, pd.DataFrame(cons), state=state, closure=empty_closure
+    )
+    return addition_baseline(corr, pd.DataFrame(cons)).select(
+        "constraint_id",
+        "total",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+    )
+
+
 def q_tclaim_corrections(spark, sf_dir):
     """Full target-requires-claim kernel (`TargetRequiredClaimQueriesBuilder.java:23-74`):
     the item kernel mirrored onto the object carrier — P1 objects must
@@ -889,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tclaim_corrections": q_tclaim_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "deletion_baseline_eval": q_deletion_baseline_eval,
+        "addition_baseline_eval": q_addition_baseline_eval,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
         "interval_closure": q_interval_closure,
@@ -982,6 +1011,40 @@ _ANN_CTES = """
                                      ORDER BY sim DESC, neighbor_id) AS rn
         FROM lsh_p
       ) WHERE rn <= 3
+    )
+"""
+
+
+# shared kernel CTE for the baseline-evaluation oracles: one-of (P2)
+# + both symmetric (P3) branches, constraint-keyed
+_EVAL_KR = """
+    , kr AS (
+      SELECT 'c-oneof-P2' AS constraint_id, e.subj AS target_subj,
+             e.obj AS target_obj, e.rev_id AS corr_rev,
+             e.subj AS corr_subj, 'P2' AS corr_pred, e.obj AS corr_obj,
+             'del' AS main_op, 'add' AS co_op, 'P2' AS property
+      FROM h_edits e
+      WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj <> 'V0'
+      UNION ALL
+      SELECT 'c-sym-P3', e.subj, e.obj, e.rev_id,
+             e.subj, 'P3', e.obj, 'del', 'add', 'P3'
+      FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+      WHERE e.op = 'del' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+        AND NOT EXISTS (SELECT 1 FROM h_state iv
+                        WHERE iv.subj = e.obj AND iv.pred = 'P3'
+                          AND iv.obj = e.subj
+                          AND iv.from_rev <= r.parent_rev_id
+                          AND r.parent_rev_id < iv.to_rev)
+      UNION ALL
+      SELECT 'c-sym-P3', e.obj, e.subj, e.rev_id,
+             e.subj, 'P3', e.obj, 'add', 'del', 'P3'
+      FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+      WHERE e.op = 'add' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+        AND EXISTS (SELECT 1 FROM h_state iv
+                    WHERE iv.subj = e.obj AND iv.pred = 'P3'
+                      AND iv.obj = e.subj
+                      AND iv.from_rev <= r.parent_rev_id
+                      AND r.parent_rev_id < iv.to_rev)
     )
 """
 
@@ -1464,36 +1527,7 @@ def oracle_sql() -> dict[str, str]:
             + expansion_sql(keyed_by_constraint=True)
         ),
         "deletion_baseline_eval": with_history_ctes(
-            """
-            , kr AS (
-              SELECT 'c-oneof-P2' AS constraint_id, e.subj AS target_subj,
-                     e.obj AS target_obj, e.rev_id AS corr_rev,
-                     e.subj AS corr_subj, 'P2' AS corr_pred, e.obj AS corr_obj,
-                     'del' AS main_op, 'add' AS co_op, 'P2' AS property
-              FROM h_edits e
-              WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj <> 'V0'
-              UNION ALL
-              SELECT 'c-sym-P3', e.subj, e.obj, e.rev_id,
-                     e.subj, 'P3', e.obj, 'del', 'add', 'P3'
-              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
-              WHERE e.op = 'del' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
-                AND NOT EXISTS (SELECT 1 FROM h_state iv
-                                WHERE iv.subj = e.obj AND iv.pred = 'P3'
-                                  AND iv.obj = e.subj
-                                  AND iv.from_rev <= r.parent_rev_id
-                                  AND r.parent_rev_id < iv.to_rev)
-              UNION ALL
-              SELECT 'c-sym-P3', e.obj, e.subj, e.rev_id,
-                     e.subj, 'P3', e.obj, 'add', 'del', 'P3'
-              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
-              WHERE e.op = 'add' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
-                AND EXISTS (SELECT 1 FROM h_state iv
-                            WHERE iv.subj = e.obj AND iv.pred = 'P3'
-                              AND iv.obj = e.subj
-                              AND iv.from_rev <= r.parent_rev_id
-                              AND r.parent_rev_id < iv.to_rev)
-            )
-            """
+            _EVAL_KR
             + expansion_sql(
                 keyed_by_constraint=True,
                 final_select="""
@@ -1504,6 +1538,27 @@ def oracle_sql() -> dict[str, str]:
                                        AND corr_obj = target_obj
                                   THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS precision,
                        CAST(1.0 AS DOUBLE) AS recall
+                FROM okf WHERE still_ok = 1
+                GROUP BY constraint_id
+                """,
+            )
+        ),
+        "addition_baseline_eval": with_history_ctes(
+            _EVAL_KR
+            + expansion_sql(
+                keyed_by_constraint=True,
+                final_select="""
+                SELECT constraint_id, COUNT(*) AS total,
+                       CASE WHEN constraint_id = 'c-sym-P3'
+                            THEN ROUND(SUM(CASE WHEN has_extra = 0 AND main_op = 'add'
+                                            AND corr_subj = target_obj
+                                            AND corr_pred = property
+                                            AND corr_obj = target_subj
+                                       THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                       END AS precision,
+                       CASE WHEN constraint_id = 'c-sym-P3'
+                            THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE)
+                       END AS recall
                 FROM okf WHERE still_ok = 1
                 GROUP BY constraint_id
                 """,
