@@ -784,6 +784,23 @@ def q_cc_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_canonical_triples(spark, sf_dir):
+    """Graph materialize with entity canonicalization: the current-
+    state triples of the derived history remapped through connected
+    components over the customer chain graph (subjects 'Q<user_id>'
+    collapse onto their component representative; literal objects pass
+    through), aggregated to (subj, pred, obj, n_evidence)."""
+    from corhist_spark.canonicalize import canonicalize_triples
+
+    triples = _hist_current(spark, sf_dir)
+    comps = q_cc_components(spark, sf_dir).select("node", "component")
+    return (
+        canonicalize_triples(triples, comps)
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("n_evidence"))
+    )
+
+
 def q_rev_diff_histogram(spark, sf_dir):
     """Diff-shape histogram (`mining/Main.java:219-242` shape): count
     of revisions per (n additions, n deletions)."""
@@ -933,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh_recall": q_knn_lsh_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "cc_components": q_cc_components,
+        "canonical_triples": q_canonical_triples,
         "subclass_closure": q_subclass_closure,
         "rev_diff_histogram": q_rev_diff_histogram,
         "sampled_edits": q_sampled_edits,
@@ -1919,6 +1937,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT cls, anc FROM c
         """,
+        "canonical_triples": with_history_ctes(
+            """
+            , comp AS (
+              SELECT 'Q' || CAST(c_custkey AS VARCHAR) AS node,
+                     'Q' || CAST(c_custkey - c_custkey % 10 AS VARCHAR) AS component
+              FROM customer
+            )
+            SELECT COALESCE(cs.component, t.subj) AS subj, t.pred,
+                   COALESCE(co.component, t.obj) AS obj, COUNT(*) AS n_evidence
+            FROM h_cur t
+            LEFT JOIN comp cs ON cs.node = t.subj
+            LEFT JOIN comp co ON co.node = t.obj
+            GROUP BY 1, 2, 3
+            """
+        ),
         "rev_diff_histogram": with_history_ctes(
             """
             SELECT n_add, n_del, COUNT(*) AS n FROM (
