@@ -536,6 +536,40 @@ def q_addition_baseline_eval(spark, sf_dir):
     )
 
 
+def q_aggregated_stats(spark, sf_dir):
+    """`scripts/aggregated_stats.py:27-46` over real pipeline output:
+    per-constraint-type weighted (by test-set size) and unweighted
+    average P/R of the deletion baseline.  Two one-of constraints share
+    a type with different item lists, so weighted and unweighted
+    averages genuinely differ."""
+    import pandas as pd
+
+    from corhist_spark.evaluate import aggregate_stats, deletion_baseline
+
+    edits, revisions, state = _hist(spark, sf_dir)
+    cons = [
+        {"constraint_id": "c-oneof-a", "property": "P2", "type": "Q21510859",
+         "params": {"P2305": ["V0"]}},
+        {"constraint_id": "c-oneof-b", "property": "P2", "type": "Q21510859",
+         "params": {"P2305": ["V0", "V1"]}},
+        {"constraint_id": "c-sym-P3", "property": "P3", "type": "Q21510862",
+         "params": {}},
+    ]
+    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
+    corr = run_correction_pipeline(
+        spark, edits, revisions, pd.DataFrame(cons), state=state, closure=empty_closure
+    )
+    out = aggregate_stats(deletion_baseline(corr), pd.DataFrame(cons))
+    return out.select(
+        "type",
+        F.round("w_precision", 6).alias("w_precision"),
+        F.round("w_recall", 6).alias("w_recall"),
+        F.round("avg_precision", 6).alias("avg_precision"),
+        F.round("avg_recall", 6).alias("avg_recall"),
+        "n",
+    )
+
+
 def q_tclaim_corrections(spark, sf_dir):
     """Full target-requires-claim kernel (`TargetRequiredClaimQueriesBuilder.java:23-74`):
     the item kernel mirrored onto the object carrier — P1 objects must
@@ -935,6 +969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "deletion_baseline_eval": q_deletion_baseline_eval,
         "addition_baseline_eval": q_addition_baseline_eval,
+        "aggregated_stats": q_aggregated_stats,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
         "interval_closure": q_interval_closure,
@@ -1579,6 +1614,71 @@ def oracle_sql() -> dict[str, str]:
                        END AS recall
                 FROM okf WHERE still_ok = 1
                 GROUP BY constraint_id
+                """,
+            )
+        ),
+        "aggregated_stats": with_history_ctes(
+            """
+            , kr AS (
+              SELECT 'c-oneof-a' AS constraint_id, e.subj AS target_subj,
+                     e.obj AS target_obj, e.rev_id AS corr_rev,
+                     e.subj AS corr_subj, 'P2' AS corr_pred, e.obj AS corr_obj,
+                     'del' AS main_op, 'add' AS co_op, 'P2' AS property
+              FROM h_edits e
+              WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj <> 'V0'
+              UNION ALL
+              SELECT 'c-oneof-b', e.subj, e.obj, e.rev_id,
+                     e.subj, 'P2', e.obj, 'del', 'add', 'P2'
+              FROM h_edits e
+              WHERE e.op = 'del' AND e.pred = 'P2' AND e.obj NOT IN ('V0', 'V1')
+              UNION ALL
+              SELECT 'c-sym-P3', e.subj, e.obj, e.rev_id,
+                     e.subj, 'P3', e.obj, 'del', 'add', 'P3'
+              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+              WHERE e.op = 'del' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+                AND NOT EXISTS (SELECT 1 FROM h_state iv
+                                WHERE iv.subj = e.obj AND iv.pred = 'P3'
+                                  AND iv.obj = e.subj
+                                  AND iv.from_rev <= r.parent_rev_id
+                                  AND r.parent_rev_id < iv.to_rev)
+              UNION ALL
+              SELECT 'c-sym-P3', e.obj, e.subj, e.rev_id,
+                     e.subj, 'P3', e.obj, 'add', 'del', 'P3'
+              FROM h_edits e JOIN h_revs r ON e.rev_id = r.rev_id
+              WHERE e.op = 'add' AND e.pred = 'P3' AND r.parent_rev_id IS NOT NULL
+                AND EXISTS (SELECT 1 FROM h_state iv
+                            WHERE iv.subj = e.obj AND iv.pred = 'P3'
+                              AND iv.obj = e.subj
+                              AND iv.from_rev <= r.parent_rev_id
+                              AND r.parent_rev_id < iv.to_rev)
+            )
+            """
+            + expansion_sql(
+                keyed_by_constraint=True,
+                final_select="""
+                , stx AS (
+                  SELECT constraint_id, COUNT(*) AS total,
+                         SUM(CASE WHEN has_extra = 0 AND main_op = 'del'
+                                   AND corr_subj = target_subj
+                                   AND corr_pred = property
+                                   AND corr_obj = target_obj
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS precision,
+                         CAST(1.0 AS DOUBLE) AS recall
+                  FROM okf WHERE still_ok = 1
+                  GROUP BY constraint_id
+                )
+                SELECT ty.type,
+                       ROUND(SUM(precision * total) / SUM(total), 6) AS w_precision,
+                       ROUND(SUM(recall * total) / SUM(total), 6) AS w_recall,
+                       ROUND(AVG(precision), 6) AS avg_precision,
+                       ROUND(AVG(recall), 6) AS avg_recall,
+                       CAST(SUM(total) AS BIGINT) AS n
+                FROM stx
+                JOIN (VALUES ('c-oneof-a', 'Q21510859'),
+                             ('c-oneof-b', 'Q21510859'),
+                             ('c-sym-P3', 'Q21510862')) ty(constraint_id, type)
+                  USING (constraint_id)
+                GROUP BY ty.type
                 """,
             )
         ),
