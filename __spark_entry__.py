@@ -32,6 +32,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """The driver testdata tables are single-row-group parquet files
+    (1 input split), which serializes every map-heavy stage onto one
+    core in local mode.  Real corpora arrive in thousands of splits,
+    so this repartition is a testdata artifact fix at the entry layer,
+    NOT an operator concern — at 100 TB you must not reshuffle the
+    input just to spread it."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _hist_state(spark, sf_dir) -> DataFrame:
     return build_state(derived_edits(spark, sf_dir))
 
@@ -722,7 +732,7 @@ def q_mention_extraction(spark, sf_dir):
     cross-checked against the SQL regex oracle."""
     from corhist_spark.textops import mention_counts
 
-    return mention_counts(_t(spark, sf_dir, "documents"))
+    return mention_counts(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_span_triples(spark, sf_dir):
@@ -731,32 +741,32 @@ def q_span_triples(spark, sf_dir):
     through the first 4-char cue token."""
     from corhist_spark.textops import mention_pair_triples
 
-    return mention_pair_triples(_t(spark, sf_dir, "documents"))
+    return mention_pair_triples(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_minhash_signatures(spark, sf_dir):
     from corhist_spark.textops import minhash_signatures
 
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    return minhash_signatures(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_lsh_candidates(spark, sf_dir):
     from corhist_spark.textops import lsh_candidates, minhash_signatures
 
-    return lsh_candidates(minhash_signatures(_t(spark, sf_dir, "documents")))
+    return lsh_candidates(minhash_signatures(_spread(spark, _t(spark, sf_dir, "documents"))))
 
 
 def q_ngram_jaccard(spark, sf_dir):
     from corhist_spark.textops import lsh_candidates, minhash_signatures, ngram_jaccard
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
     return ngram_jaccard(d, lsh_candidates(minhash_signatures(d)))
 
 
 def q_simhash(spark, sf_dir):
     from corhist_spark.textops import simhash
 
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_salted_event_counts(spark, sf_dir):

@@ -76,7 +76,12 @@ HEXVAL_SQL = "+".join(
 
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS, n: int = SHINGLE) -> DataFrame:
     """(doc_id, band, minhash): per band b the minimum of
-    (2b+1)*h(s) + 7919*b over the doc's shingle hashes h."""
+    (2b+1)*h(s) + 7919*b over the doc's shingle hashes h.
+
+    All band minima are computed in ONE per-doc aggregate (map-side
+    partial agg over the shingle rows) and unpivoted afterwards —
+    exploding rows x n_bands before the shuffle would move 8x the
+    data for the same result."""
     sh = docs.select(
         "doc_id",
         "text",
@@ -85,12 +90,14 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS, n: int = SHINGLE
         ).alias("i"),
     ).select("doc_id", F.expr(f"substr(text, i, {n})").alias("s"))
     hv = sh.select("doc_id", F.expr("CAST(conv(substr(md5(s), 1, 13), 16, 10) AS BIGINT)").alias("v"))
-    bands = hv.select(
-        "doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
+    aggs = [
+        F.min((2 * b + 1) * F.col("v") + 7919 * b).alias(f"_m{b}") for b in range(n_bands)
+    ]
+    per_doc = hv.groupBy("doc_id").agg(*aggs)
+    stack = "stack({n}, {pairs}) AS (band, minhash)".format(
+        n=n_bands, pairs=", ".join(f"{b}, _m{b}" for b in range(n_bands))
     )
-    return bands.groupBy("doc_id", "band").agg(
-        F.min((2 * F.col("band") + 1) * F.col("v") + 7919 * F.col("band")).alias("minhash")
-    )
+    return per_doc.select("doc_id", F.expr(stack))
 
 
 MAX_BUCKET = 64
