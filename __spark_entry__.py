@@ -1006,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+from corhist_spark.similarity import MAX_EMB_BUCKET as _SIM_MAX_BUCKET
 from corhist_spark.textops import HEXVAL_SQL, MAX_BUCKET
 
 # shared shingle/minhash CTE text for the dedup oracles (must mirror
@@ -1037,9 +1038,14 @@ _SIG_CTES = f"""
 
 # shared embedding/LSH CTE text for the ANN oracles (must mirror
 # similarity.with_norm / lsh_buckets exactly: integer-quantized
-# hyperplane projections, so the bucket bits are engine-independent)
+# hyperplane projections, so the bucket bits are engine-independent).
+# ``np`` mirrors similarity.planes_for_corpus — ceil(log2(N)) with a
+# floor of 8 — so the near-dup bucket count scales with the corpus;
+# the 4-plane knn bucket is the j < 4 prefix of the same plane family.
 _ANN_CTES = """
-    WITH e AS (
+    WITH np AS (
+      SELECT greatest(8, CAST(ceil(log2(COUNT(*))) AS INT)) AS np FROM embeddings
+    ), e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ), n AS (
@@ -1049,7 +1055,9 @@ _ANN_CTES = """
              CAST(i AS INT) - 1 AS i0
       FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)
     ), planes AS (
-      SELECT vec_id, i0, w, unnest(generate_series(0, 7)) AS j FROM idx
+      SELECT vec_id, i0, w,
+             unnest(generate_series(0, (SELECT np FROM np) - 1)) AS j
+      FROM idx
     ), bits AS (
       SELECT vec_id, j,
              CASE WHEN SUM(CASE WHEN ((i0*7 + j*13) % 23) % 2 = 0 THEN w ELSE -w END) >= 0
@@ -1058,15 +1066,21 @@ _ANN_CTES = """
     ), buck AS (
       SELECT vec_id,
              string_agg(CASE WHEN j < 4 THEN bit END, '' ORDER BY j) AS bucket,
-             string_agg(bit, '' ORDER BY j) AS bucket8
+             string_agg(bit, '' ORDER BY j) AS bucket_nd
       FROM bits GROUP BY vec_id
     ), nb AS (
-      SELECT n.vec_id, n.v, n.nrm, b.bucket, b.bucket8
+      SELECT n.vec_id, n.v, n.nrm, b.bucket, b.bucket_nd
       FROM n JOIN buck b USING (vec_id)
     ), lsh_p AS (
+      -- multi-probe: the query's bucket plus Hamming-1 neighbors
+      -- (mirrors similarity._probe_buckets; knn buckets are 4 planes)
       SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
              ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
-      FROM nb q JOIN nb d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
+      FROM nb q JOIN nb d ON d.vec_id <> q.vec_id
+       AND (CASE WHEN substr(d.bucket,1,1) <> substr(q.bucket,1,1) THEN 1 ELSE 0 END
+          + CASE WHEN substr(d.bucket,2,1) <> substr(q.bucket,2,1) THEN 1 ELSE 0 END
+          + CASE WHEN substr(d.bucket,3,1) <> substr(q.bucket,3,1) THEN 1 ELSE 0 END
+          + CASE WHEN substr(d.bucket,4,1) <> substr(q.bucket,4,1) THEN 1 ELSE 0 END) <= 1
       WHERE q.vec_id < 10
     ), lsh_top AS (
       SELECT query_id, neighbor_id, sim, rn FROM (
@@ -2024,10 +2038,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
             LEFT JOIN common c USING (query_id)
         """,
-        "embedding_near_dups": _ANN_CTES + """
+        "embedding_near_dups": _ANN_CTES + f"""
+            , ndsz AS (
+              SELECT bucket_nd, COUNT(*) AS bc FROM buck GROUP BY bucket_nd
+            ), nd AS (
+              SELECT a.* FROM nb a JOIN ndsz s USING (bucket_nd)
+              WHERE s.bc BETWEEN 2 AND {_SIM_MAX_BUCKET}
+            )
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 3) AS sim
-            FROM nb a JOIN nb b ON a.bucket8 = b.bucket8 AND a.vec_id < b.vec_id
+            FROM nd a JOIN nd b ON a.bucket_nd = b.bucket_nd AND a.vec_id < b.vec_id
             WHERE ROUND(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 3) >= 0.25
         """,
         "cc_components": """

@@ -110,19 +110,57 @@ def lsh_buckets(embeddings: DataFrame, n_planes: int = 4) -> DataFrame:
     return e.withColumn("bucket", F.concat(*bits))
 
 
+MAX_EMB_BUCKET = 64
+
+
+def planes_for_corpus(n_vectors: int, floor: int = 8) -> int:
+    """Corpus-scaled hyperplane count: ceil(log2(N)) with a floor.
+
+    At a FIXED plane count the expected bucket occupancy grows linearly
+    with the corpus (N / 2^planes), so the in-bucket self-join is
+    O(N^2 / 2^planes) — quadratic at 100x scale.  log2-scaling keeps
+    expected occupancy ~constant (2^ceil(log2 N) >= N buckets), so the
+    candidate volume stays linear in N.  Both engines compute the same
+    integer (exact integer ceil of log2), so the oracle mirrors it."""
+    import math
+
+    return max(floor, math.ceil(math.log2(max(int(n_vectors), 2))))
+
+
 def embedding_near_dups(
-    embeddings: DataFrame, threshold: float = 0.25, n_planes: int = 8, round_to: int = 3
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_planes: int | None = None,
+    max_bucket: int = MAX_EMB_BUCKET,
+    round_to: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidate generation via
     the deterministic hyperplane buckets, verification = exact rounded
     cosine >= threshold inside the bucket.
 
-    Scale shape: the self-join is bucket-keyed (linear in bucket
-    occupancy, never all-pairs) — the embedding-side sibling of
-    textops.lsh_candidates.  Production near-dup thresholds sit around
-    0.9-0.99; the default is tuned to the synthetic random-embedding
-    testdata so the oracle comparison has rows to check."""
+    Scale shape (the embedding-side sibling of textops.lsh_candidates,
+    with the same two guards):
+
+    - ``n_planes`` defaults to ceil(log2(N)) (planes_for_corpus), so
+      bucket count scales with the corpus and expected occupancy stays
+      O(1) instead of O(N) — the fixed-256-bucket variant is quadratic
+      at 100x scale.
+    - buckets above ``max_bucket`` occupancy are dropped BEFORE the
+      self-join (a degenerate hot bucket — e.g. the all-zeros region —
+      is quadratic in its occupancy on one shuffle key; true near-dups
+      of a dropped bucket still collide in no other band here, so the
+      cap is a recall-for-boundedness trade the caller sets).  Singleton
+      buckets produce no pairs and are filtered by the same sizes join.
+
+    Production near-dup thresholds sit around 0.9-0.99; the default is
+    tuned to the synthetic random-embedding testdata so the oracle
+    comparison has rows to check."""
+    if n_planes is None:
+        n_planes = planes_for_corpus(embeddings.count())
     e = lsh_buckets(embeddings, n_planes)
+    sizes = e.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bc"))
+    ok = sizes.filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket)).select("bucket")
+    e = e.join(ok, "bucket", "left_semi")
     a = e.select(
         "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -166,14 +204,42 @@ def knn_recall(
     )
 
 
+def _probe_buckets(bucket, n_planes: int):
+    """Multi-probe expansion: the query's own bucket plus every bucket
+    at Hamming distance 1 (one sign bit flipped).  Standard multi-probe
+    LSH — a near neighbor that lands just across one hyperplane is
+    recovered without doubling the plane count.  Candidate volume grows
+    by (n_planes + 1)x but stays bucket-keyed and linear in corpus
+    size (vs. the recall-equivalent alternative of halving n_planes,
+    which doubles every bucket's occupancy)."""
+    flip = lambda j: F.concat(  # noqa: E731
+        bucket.substr(F.lit(1), j),
+        F.when(bucket.substr(j + 1, F.lit(1)) == "0", F.lit("1")).otherwise(F.lit("0")),
+        bucket.substr(j + 2, F.lit(n_planes)),
+    )
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(-1), F.lit(n_planes - 1)),
+            lambda j: F.when(j < 0, bucket).otherwise(flip(j)),
+        )
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame, k: int = 3, n_queries: int = 10, n_planes: int = 4, round_to: int = 3
 ) -> DataFrame:
     """Bucketed ANN: same output shape as knn_bruteforce but neighbors
-    are only searched within the query's LSH bucket (approximate)."""
+    are only searched within the query's multi-probe bucket set (its
+    own bucket + all Hamming-1 neighbors, see _probe_buckets)."""
     e = lsh_buckets(embeddings, n_planes)
-    q = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"), "bucket"
+    q = (
+        e.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(_probe_buckets(F.col("bucket"), n_planes)).alias("bucket"),
+        )
     )
     d = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("dv"), F.col("nrm").alias("dn"), "bucket")
     sims = (

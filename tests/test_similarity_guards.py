@@ -1,0 +1,75 @@
+"""Quality/scale guards for the ANN family.
+
+- A minimum-recall floor: `knn_lsh_recall` proving Spark == DuckDB is
+  not enough — a broken bucketing would agree at recall 0.  This pins
+  mean recall@3 >= 0.6 on the sf0.001 embeddings (multi-probe LSH
+  measures 0.70 there; single-probe was 0.33).
+- A planted-hot-bucket test: `embedding_near_dups` must DROP buckets
+  above MAX_EMB_BUCKET occupancy before the self-join (the occupancy of
+  a degenerate bucket is quadratic on one shuffle key at 100 TB).
+- Plane scaling: planes_for_corpus keeps expected bucket occupancy
+  bounded as the corpus grows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from corhist_spark.similarity import (
+    MAX_EMB_BUCKET,
+    embedding_near_dups,
+    knn_recall,
+    planes_for_corpus,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_knn_lsh_recall_floor(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = knn_recall(e, k=3, n_queries=10).collect()
+    assert len(rows) == 10
+    mean_recall = sum(r.n_common for r in rows) / (3.0 * len(rows))
+    assert mean_recall >= 0.6, f"ANN recall@3 degraded to {mean_recall:.2f}"
+
+
+def test_near_dup_hot_bucket_capped(spark):
+    # 200 identical vectors all hash to ONE bucket (occupancy 200 >
+    # MAX_EMB_BUCKET) -> the bucket is dropped, zero pairs emitted,
+    # instead of 200*199/2 = 19900 pairs on a single join key.
+    n = 200
+    hot = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array([F.lit(1.0), F.lit(0.5), F.lit(0.25), F.lit(0.125)]).alias("embedding"),
+    )
+    assert n > MAX_EMB_BUCKET
+    assert embedding_near_dups(hot, threshold=0.0, n_planes=8).count() == 0
+
+
+def test_near_dup_normal_buckets_pass(spark):
+    # two pairs of identical vectors in distinct buckets -> both pairs
+    # survive the occupancy filter (2 <= occupancy <= cap)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [-1.0, -1.0, -1.0, -1.0]),
+        (3, [-1.0, -1.0, -1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dups(df, threshold=0.9, n_planes=8).collect()
+    }
+    assert got == {(0, 1), (2, 3)}
+
+
+@pytest.mark.parametrize(
+    "n,expected",
+    [(100, 8), (500, 9), (2_000, 11), (1_000_000, 20), (10_000_000_000, 34)],
+)
+def test_planes_scale_with_corpus(n, expected):
+    assert planes_for_corpus(n) == expected
+    # expected occupancy N / 2^planes stays <= 1 once past the floor
+    if n > 256:
+        assert n / 2 ** planes_for_corpus(n) <= 1.0
