@@ -20,13 +20,14 @@ import __spark_entry__ as entry_mod
 from corhist_spark.session import get_spark
 
 HEADLINE = [
-    # multi_constraint_corrections (8 kernels, one plan) is oracle-
-    # checked but benched separately: the synthetic value space
-    # (V0..V30) makes the unique/single kernels emit ~1.16M candidate
-    # rows at sf0.1 (every deleted value is co-held by hundreds of
-    # subjects), so its ~24s measures that data shape, not the engine;
-    # real Wikidata values are high-cardinality. Per-kernel timings
-    # below are the comparable signal.
+    # multi_constraint_corrections (8 kernels, one plan): ~24 s at
+    # sf0.1 is candidate-volume-bound (the synthetic V0..V30 value
+    # space makes every deleted value co-held by hundreds of subjects,
+    # ~1.16M candidate rows), but the one-pass plan is ~3.6x cheaper
+    # than running the same 8 kernels singly (24 s vs 88 s cold), and
+    # the unique kernel's value-group join is salted (hot-value guard),
+    # so it is benched as a headline query since round 3.
+    "multi_constraint_corrections",
     "single_value_corrections",
     "state_intervals",
     "current_state",

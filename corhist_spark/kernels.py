@@ -258,7 +258,13 @@ def correction_candidates(
 
 
 def _single(dels, state, del_triples, cons):
-    """`SingleValueQueriesBuilder.java:23-36`."""
+    """`SingleValueQueriesBuilder.java:23-36`.
+
+    Skew note: the state join key is (subj, pred) — entity-scoped, so a
+    key's group size is bounded by one entity's statement count for one
+    property (small even on the largest Wikidata items).  No salting:
+    the key space is already high-cardinality, unlike `_unique`'s
+    value-keyed join below."""
     d = dels.join(cons, F.col("pred") == F.col("property"))
     j = d.join(
         state,
@@ -287,16 +293,35 @@ def _single(dels, state, del_triples, cons):
     )
 
 
-def _unique(dels, state, sameas, cons):
-    """`UniqueValueQueriesBuilder.java:24-40`."""
+N_VALUE_SALTS = 8
+
+
+def _unique(dels, state, sameas, cons, n_salts: int = N_VALUE_SALTS):
+    """`UniqueValueQueriesBuilder.java:24-40`.
+
+    Hot-value guard: the state join key is (pred, obj) — VALUE-keyed,
+    the P31->Q5 shape where one value can carry an unbounded share of
+    the corpus, putting a whole hot group on one reducer.  The join is
+    salted: state rows scatter across ``n_salts`` sub-keys by subject
+    hash and the (small, deletion-filtered) probe side replicates
+    across all salts, so a hot value spreads over n_salts reducers.
+    Result-identical to the unsalted join (every matching pair meets on
+    exactly one salt); the reference's own guard is global modulo
+    sampling (`AbstractQueriesBuilder.java:56-60`), which changes
+    results — salting does not."""
     d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
+    d = d.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_dsalt")
+    )
+    st = state.withColumn("_ssalt", F.pmod(F.hash("st_subj"), F.lit(n_salts)))
     j = d.join(
-        state,
+        st,
         (F.col("st_pred") == F.col("pred"))
         & (F.col("st_obj") == F.col("obj"))
+        & (F.col("_ssalt") == F.col("_dsalt"))
         & _asof(F.col("g"))
         & (F.col("st_subj") != F.col("subj")),
-    )
+    ).drop("_dsalt", "_ssalt")
     j = j.withColumn("t_subj", F.explode(F.array(F.col("subj"), F.col("st_subj"))))
     return _emit(
         j,

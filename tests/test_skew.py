@@ -34,6 +34,42 @@ def test_lsh_bucket_cap_bounds_degenerate_bucket(spark):
     assert uncapped.count() >= 4950
 
 
+def test_unique_kernel_salting_result_neutral(spark):
+    """kernels._unique under a planted hot value (one (pred, obj) held
+    by 120 subjects): the salted value-group self-join must emit exactly
+    the unsalted rows — the guard redistributes, never drops."""
+    from corhist_spark import kernels as K
+    from corhist_spark import schemas as S
+
+    n = 120
+    # every subject holds (P9, HOT) from rev 1; subject i deletes it at
+    # rev 1000+i (so parent g sees all other holders still in state)
+    edits = spark.createDataFrame(
+        [(1, "add", f"Q{i}", "P9", "HOT", "iri") for i in range(n)]
+        + [(1000 + i, "del", f"Q{i}", "P9", "HOT", "iri") for i in range(n)],
+        "rev_id long, op string, subj string, pred string, obj string, obj_kind string",
+    )
+    from corhist_spark.history import derived_revisions
+    from corhist_spark.state import build_state
+
+    revisions = derived_revisions(edits)
+    state = build_state(edits)
+    cons_pdf = __import__("pandas").DataFrame(
+        [{"constraint_id": "c-u", "property": "P9", "type": S.TYPE_UNIQUE, "params": {}}]
+    )
+    cons = K.prepare_constraints(spark, cons_pdf)
+
+    def run(n_salts):
+        dels = K._diff_with_meta(edits, revisions, "del", need_prev=True)
+        rows = K._unique(
+            dels, K._st(state), K._sameas_adds(edits), F.broadcast(cons), n_salts=n_salts
+        )
+        return {tuple(r) for r in rows.collect()}
+
+    salted, unsalted = run(8), run(1)
+    assert salted == unsalted and len(salted) > 0
+
+
 def test_salted_join_equals_plain_join(spark, sdf):
     adds = sdf["edits"].filter(F.col("op") == "add").select("subj", "pred", "obj")
     dim = spark.createDataFrame(
