@@ -580,6 +580,58 @@ def q_aggregated_stats(spark, sf_dir):
     )
 
 
+def q_rule_pipeline_eval(spark, sf_dir):
+    """End-to-end rule pipeline over REAL corrections: mine basic rules
+    on a deterministic train split (corr_rev % 5 != 0), apply them
+    first-match-by-rank to the test split, score per-constraint
+    P/R/F1 with the evaluator's conventions (`Miner.java:47-121`,
+    `Evaluator.java:21-70`, `Evaluation.java:23-25`).
+
+    The split is deterministic and ENTITY-keyed (numeric suffix of
+    target_subj mod 5 == 0 -> test) so the DuckDB oracle can transcribe
+    the whole path — mining (two groupBys + null-safe join +
+    thresholds), ranking (confidence desc, support desc, rule_id —
+    rule_id replicated as sha256 over the identical canonical
+    preimage), head instantiation and the exact-set comparison —
+    without sharing any engine code.  (A corr_rev-keyed split would be
+    degenerate here: the derived history sets pred = P(rev_id % 5), so
+    a property's corrections share one residue.  Entity-keyed splits
+    also avoid leaking one entity's edit patterns across the split.)"""
+    import pandas as pd
+
+    from corhist_spark.evaluate import apply_rules, evaluation_metrics
+    from corhist_spark.mining import mine_basic_rules
+
+    edits, revisions, state = _hist(spark, sf_dir)
+    cons = pd.DataFrame(
+        [
+            {"constraint_id": "c-oneof-P2", "property": "P2", "type": "Q21510859",
+             "params": {"P2305": ["V0"]}},
+            {"constraint_id": "c-sym-P3", "property": "P3", "type": "Q21510862",
+             "params": {}},
+        ]
+    )
+    empty_closure = spark.createDataFrame([], "cls string, anc string, from_rev long, to_rev long")
+    corr = run_correction_pipeline(
+        spark, edits, revisions, cons, state=state, closure=empty_closure
+    ).localCheckpoint()
+    ent = F.substring("target_subj", 2, 18).cast("long") % 5
+    train = corr.filter(ent != 0)
+    test = corr.filter(ent == 0)
+    rules, _ = mine_basic_rules(train, revisions)
+    applied = apply_rules(rules, test, revisions, state)
+    m = evaluation_metrics(applied)
+    return m.select(
+        "constraint_id",
+        "total",
+        "found",
+        "good",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_tclaim_corrections(spark, sf_dir):
     """Full target-requires-claim kernel (`TargetRequiredClaimQueriesBuilder.java:23-74`):
     the item kernel mirrored onto the object carrier — P1 objects must
@@ -945,19 +997,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order = driver-check priority.  The driver's
+    correctness harness verifies the FIRST 50 entries only, so the
+    order rotates each round (documented in COVERAGE.md): queries with
+    the stalest driver rows move to the front, the most-stable rows
+    (the flat current-state violation queries — green in rounds 1 AND
+    2, code untouched since) absorb the overflow at the tail.  Every
+    query keeps its pytest oracle row (tests/test_entry_oracle.py runs
+    ALL entries) regardless of position."""
     return {
+        # --- round-3 front: never-checked / r1-only / new / changed ---
+        "game_queue_stats": q_game_queue_stats,
+        "rule_pipeline_eval": q_rule_pipeline_eval,
+        "subclass_closure": q_subclass_closure,
+        "rev_diff_histogram": q_rev_diff_histogram,
+        "sampled_edits": q_sampled_edits,
+        "big_customer_ratio": q_big_customer_ratio,
+        "user_event_pivot": q_user_event_pivot,
+        "late_users_except": q_late_users_except,
+        "embedding_near_dups": q_embedding_near_dups,
+        "knn_lsh": q_knn_lsh,
+        "knn_lsh_recall": q_knn_lsh_recall,
+        "unique_corrections": q_unique_corrections,
+        "multi_constraint_corrections": q_multi_constraint_corrections,
+        "single_value_corrections": q_single_value_corrections,
+        # --- stable mid-field ---
         "state_intervals": q_state_intervals,
         "current_state": q_current_state,
-        "single_value_violations": q_single_value_violations,
-        "unique_value_violations": q_unique_value_violations,
-        "oneof_violations": q_oneof_violations,
-        "inverse_violations": q_inverse_violations,
-        "format_violations": q_format_violations,
-        "conflict_violations": q_conflict_violations,
-        "item_violations": q_item_violations,
-        "tclaim_violations": q_tclaim_violations,
         "type_violations": q_type_violations,
-        "single_value_corrections": q_single_value_corrections,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
         "customers_without_orders": q_customers_without_orders,
@@ -971,12 +1038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "oneof_corrections": q_oneof_corrections,
         "inverse_corrections": q_inverse_corrections,
-        "unique_corrections": q_unique_corrections,
         "format_corrections": q_format_corrections,
         "conflict_corrections": q_conflict_corrections,
         "item_corrections": q_item_corrections,
         "tclaim_corrections": q_tclaim_corrections,
-        "multi_constraint_corrections": q_multi_constraint_corrections,
         "deletion_baseline_eval": q_deletion_baseline_eval,
         "addition_baseline_eval": q_addition_baseline_eval,
         "aggregated_stats": q_aggregated_stats,
@@ -991,18 +1056,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "salted_event_counts": q_salted_event_counts,
         "knn_cosine": q_knn_cosine,
-        "knn_lsh": q_knn_lsh,
-        "knn_lsh_recall": q_knn_lsh_recall,
-        "embedding_near_dups": q_embedding_near_dups,
         "cc_components": q_cc_components,
         "canonical_triples": q_canonical_triples,
-        "subclass_closure": q_subclass_closure,
-        "rev_diff_histogram": q_rev_diff_histogram,
-        "sampled_edits": q_sampled_edits,
-        "big_customer_ratio": q_big_customer_ratio,
-        "user_event_pivot": q_user_event_pivot,
-        "game_queue_stats": q_game_queue_stats,
-        "late_users_except": q_late_users_except,
+        # --- tail (positions 51+, outside the driver's 50-row cap this
+        # round; all were driver-green in r1 AND r2 and unchanged since;
+        # still pytest-oracled every run) ---
+        "single_value_violations": q_single_value_violations,
+        "unique_value_violations": q_unique_value_violations,
+        "oneof_violations": q_oneof_violations,
+        "inverse_violations": q_inverse_violations,
+        "format_violations": q_format_violations,
+        "conflict_violations": q_conflict_violations,
+        "item_violations": q_item_violations,
+        "tclaim_violations": q_tclaim_violations,
     }
 
 
@@ -1123,6 +1189,158 @@ _EVAL_KR = """
                       AND iv.from_rev <= r.parent_rev_id
                       AND r.parent_rev_id < iv.to_rev)
     )
+"""
+
+
+# End-to-end rule-pipeline transcription (mine -> rank -> first-match
+# apply -> P/R/F1) appended after the expansion's ``okf`` CTE.  Mirrors
+# mining.mine_basic_rules + evaluate.apply_rules/evaluation_metrics
+# independently: statements are canonical chr(31)-separated strings,
+# heads are chr(30)-joined sorted distinct statement sets, and the
+# ranking tiebreak replicates Spark's rule_id = sha2(constraint_id \x1f
+# coalesce(violation_obj,'?o') \x1f to_json(head)) byte-for-byte (the
+# JSON is rebuilt from the canonical head string).
+_G = "chr(31)"
+_S = "chr(30)"
+
+
+def _gen_stmt(prefix: str, with_o: bool) -> str:
+    """Generalized-statement string for the mining bindings: term ->
+    '?s' if it equals the bound subject, else '?o' if it equals the
+    bound object (only when o is bound), else itself (`Miner.java:99-117`,
+    subject checked first like the ListBindingSet order)."""
+    o_case = " WHEN {t} = target_obj THEN '?o'" if with_o else ""
+
+    def tok(t):
+        return ("CASE WHEN {t} = target_subj THEN '?s'" + o_case + " ELSE {t} END").format(t=t)
+
+    return (
+        f"{tok(prefix + '_subj')} || {_G} || {prefix}_pred || {_G} || "
+        f"{tok(prefix + '_obj')} || {_G} || {prefix}_op"
+    )
+
+
+_INST_FIELD = """
+      (CASE WHEN string_split(x, chr(31))[{i}] = '?s' THEN target_subj
+            WHEN string_split(x, chr(31))[{i}] = '?o' THEN target_obj
+            ELSE string_split(x, chr(31))[{i}] END)
+"""
+
+_RULE_EVAL_FINAL = f"""
+    , corr AS (
+      SELECT constraint_id, corr_rev, target_subj, property AS target_pred,
+             target_obj,
+             corr_subj AS m_subj, corr_pred AS m_pred, corr_obj AS m_obj,
+             main_op AS m_op,
+             CASE WHEN has_extra = 1 THEN ex_subj END AS x_subj,
+             CASE WHEN has_extra = 1 THEN ex_pred END AS x_pred,
+             CASE WHEN has_extra = 1 THEN ex_obj END AS x_obj,
+             CASE WHEN has_extra = 1 THEN co_op END AS x_op
+      FROM okf WHERE still_ok = 1
+    ), corrf AS (
+      SELECT c.*,
+             CASE WHEN a2 IS NULL OR a2 = a1 THEN a1
+                  ELSE least(a1, a2) || {_S} || greatest(a1, a2) END AS actual_str
+      FROM (
+        SELECT c0.*,
+               m_subj || {_G} || m_pred || {_G} || m_obj || {_G} || m_op AS a1,
+               CASE WHEN x_subj IS NOT NULL THEN
+                 x_subj || {_G} || x_pred || {_G} || x_obj || {_G} || x_op END AS a2
+        FROM corr c0
+      ) c
+    ), train AS (
+      SELECT * FROM corrf WHERE CAST(substr(target_subj, 2) AS BIGINT) % 5 <> 0
+    ), test AS (
+      SELECT * FROM corrf WHERE CAST(substr(target_subj, 2) AS BIGINT) % 5 = 0
+    ), bind AS (
+      -- generalized variant: violation_obj NULL, both ?s and ?o bound
+      SELECT constraint_id, CAST(NULL AS VARCHAR) AS violation_obj,
+             {_gen_stmt('m', True)} AS g1,
+             CASE WHEN x_subj IS NOT NULL THEN {_gen_stmt('x', True)} END AS g2
+      FROM train
+      UNION ALL
+      -- object-constant variant: violation_obj = target_obj, only ?s
+      SELECT constraint_id, target_obj,
+             {_gen_stmt('m', False)},
+             CASE WHEN x_subj IS NOT NULL THEN {_gen_stmt('x', False)} END
+      FROM train
+    ), bindh AS (
+      SELECT constraint_id, violation_obj,
+             CASE WHEN g2 IS NULL OR g2 = g1 THEN g1
+                  ELSE least(g1, g2) || {_S} || greatest(g1, g2) END AS head_str
+      FROM bind
+    ), bodyc AS (
+      SELECT constraint_id, violation_obj, COUNT(*) AS body_n
+      FROM bindh GROUP BY constraint_id, violation_obj
+    ), fullc AS (
+      SELECT constraint_id, violation_obj, head_str, COUNT(*) AS support
+      FROM bindh GROUP BY constraint_id, violation_obj, head_str
+    ), rules AS (
+      SELECT f.constraint_id, f.violation_obj, f.head_str, f.support,
+             f.support * 1.0 / b.body_n AS confidence
+      FROM fullc f JOIN bodyc b
+        ON f.constraint_id = b.constraint_id
+       AND f.violation_obj IS NOT DISTINCT FROM b.violation_obj
+      WHERE f.support >= 10 AND f.support * 1.0 / b.body_n >= 0.5
+    ), rid AS (
+      SELECT r.*,
+             sha256(constraint_id || {_G} || COALESCE(violation_obj, '?o') || {_G} ||
+               '[' || array_to_string(list_transform(string_split(head_str, {_S}),
+                 x -> '{{"subj":"' || string_split(x, chr(31))[1] ||
+                      '","pred":"' || string_split(x, chr(31))[2] ||
+                      '","obj":"' || string_split(x, chr(31))[3] ||
+                      '","op":"' || string_split(x, chr(31))[4] || '"}}'), ',') || ']'
+             ) AS rule_id
+      FROM rules r
+    ), tid AS (
+      SELECT DISTINCT constraint_id, corr_rev, target_subj, target_pred,
+             target_obj, actual_str
+      FROM test
+    ), fm AS (
+      SELECT * FROM (
+        SELECT t.*, r.rule_id, r.head_str, r.support, r.confidence,
+               row_number() OVER (
+                 PARTITION BY t.constraint_id, t.corr_rev, t.target_subj,
+                              t.target_pred, t.target_obj, t.actual_str
+                 ORDER BY r.confidence DESC, r.support DESC, r.rule_id) AS rn
+        FROM tid t JOIN rid r
+          ON r.constraint_id = t.constraint_id
+         AND (r.violation_obj IS NULL OR r.violation_obj = t.target_obj)
+      ) WHERE rn = 1
+    ), predx AS (
+      SELECT fm.*,
+        array_to_string(list_sort(list_transform(string_split(head_str, {_S}), x ->
+          {_INST_FIELD.format(i=1)}
+          || chr(31) || string_split(x, chr(31))[2] || chr(31) ||
+          {_INST_FIELD.format(i=3)}
+          || chr(31) || string_split(x, chr(31))[4]
+        )), {_S}) AS pred_str
+      FROM fm
+    ), scored AS (
+      SELECT t.constraint_id, t.actual_str, p.pred_str
+      FROM test t
+      LEFT JOIN predx p
+        ON p.constraint_id = t.constraint_id AND p.corr_rev = t.corr_rev
+       AND p.target_subj = t.target_subj AND p.target_pred = t.target_pred
+       AND p.target_obj = t.target_obj AND p.actual_str = t.actual_str
+    ), agg AS (
+      SELECT constraint_id, COUNT(*) AS total,
+             CAST(SUM(CASE WHEN pred_str IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found,
+             CAST(SUM(CASE WHEN pred_str IS NOT NULL AND pred_str = actual_str
+                      THEN 1 ELSE 0 END) AS BIGINT) AS good
+      FROM scored GROUP BY constraint_id
+    )
+    SELECT constraint_id, total, found, good,
+           ROUND(CASE WHEN found = 0 THEN 1.0 ELSE good * 1.0 / found END, 6) AS precision,
+           ROUND(found * 1.0 / total, 6) AS recall,
+           ROUND(CASE WHEN (CASE WHEN found = 0 THEN 1.0 ELSE good * 1.0 / found END)
+                           + found * 1.0 / total > 0
+                      THEN 2 * (CASE WHEN found = 0 THEN 1.0 ELSE good * 1.0 / found END)
+                             * (found * 1.0 / total)
+                           / ((CASE WHEN found = 0 THEN 1.0 ELSE good * 1.0 / found END)
+                             + found * 1.0 / total)
+                 END, 6) AS f1
+    FROM agg
 """
 
 
@@ -1705,6 +1923,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY ty.type
                 """,
             )
+        ),
+        "rule_pipeline_eval": with_history_ctes(
+            _EVAL_KR
+            + expansion_sql(keyed_by_constraint=True, final_select=_RULE_EVAL_FINAL)
         ),
         "tclaim_corrections": with_history_ctes(
             """
