@@ -200,12 +200,28 @@ def correction_candidates(
 ) -> DataFrame:
     """Union of all kernels' candidate rows, DISTINCT (the queries are
     SELECT DISTINCT)."""
+    # skip kernels with no constraint of that type — the constraint
+    # table is driver-small, so prune the plan before it is built
+    present = {r["type"] for r in constraints.select("type").collect()}
+
     # the per-op diff frames (edits x revision metadata) are shared by
     # every kernel; materialize them once so an 8-kernel one-pass plan
-    # does not rebuild the same shuffle in every union branch
+    # does not rebuild the same shuffle in every union branch.  The
+    # (3x larger) additions frame is only materialized when a present
+    # constraint type actually has an addition branch — checkpointing
+    # is EAGER, so building it for a deletions-only constraint set
+    # would pay a full materialization for nothing.
     dels_nop = _diff_with_meta(edits, revisions, "del", need_prev=False).localCheckpoint()
     dels = dels_nop.filter(F.col("g").isNotNull())
-    adds = _diff_with_meta(edits, revisions, "add", need_prev=True).localCheckpoint()
+    needs_adds = {
+        S.TYPE_INVERSE, S.TYPE_SYMMETRIC, S.TYPE_TYPE,
+        S.TYPE_VALUE_TYPE, S.TYPE_TARGET_CLAIM, S.TYPE_ITEM,
+    }
+    adds = (
+        _diff_with_meta(edits, revisions, "add", need_prev=True).localCheckpoint()
+        if present & needs_adds
+        else None
+    )
     sameas = _sameas_adds(edits)
     state = _st(state)
     closure = _cl(closure)
@@ -221,10 +237,6 @@ def correction_candidates(
         F.col("pred").alias("at_pred"),
         F.col("obj").alias("at_obj"),
     )
-
-    # skip kernels with no constraint of that type — the constraint
-    # table is driver-small, so prune the plan before it is built
-    present = {r["type"] for r in constraints.select("type").collect()}
 
     def cons(t):
         types = t if isinstance(t, (list, tuple)) else [t]
