@@ -815,6 +815,36 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard(d, lsh_candidates(minhash_signatures(d)))
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end document dedup: MinHash/LSH candidates -> exact
+    n-gram-Jaccard verification (>= 0.6) -> connected components over
+    the verified duplicate edges -> one survivor (lexicographic min
+    doc) per cluster.  One row per document: (doc_id, survivor,
+    is_dup); downstream keeps WHERE NOT is_dup.
+
+    This is the composition a 100 TB training-data pipeline actually
+    runs — every stage is the scale-shaped variant (banded buckets with
+    occupancy caps, candidate-only shingling, log-round CC)."""
+    from corhist_spark.canonicalize import connected_components
+    from corhist_spark.textops import lsh_candidates, minhash_signatures, ngram_jaccard
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard(d, lsh_candidates(minhash_signatures(d))).filter(
+        F.col("jaccard") >= 0.6
+    )
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comps = connected_components(edges)
+    return (
+        d.select("doc_id")
+        .join(comps, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("survivor"),
+        )
+        .withColumn("is_dup", F.col("doc_id") != F.col("survivor"))
+    )
+
+
 def q_simhash(spark, sf_dir):
     from corhist_spark.textops import simhash
 
@@ -1018,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "knn_lsh": q_knn_lsh,
         "knn_lsh_recall": q_knn_lsh_recall,
+        "dedup_survivors": q_dedup_survivors,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1027,7 +1058,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_violations": q_type_violations,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_without_orders": q_customers_without_orders,
         "order_priority_rollup": q_order_priority_rollup,
         "shipping_priority": q_shipping_priority,
         "sessionize": q_sessionize,
@@ -1061,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- tail (positions 51+, outside the driver's 50-row cap this
         # round; all were driver-green in r1 AND r2 and unchanged since;
         # still pytest-oracled every run) ---
+        "customers_without_orders": q_customers_without_orders,
         "single_value_violations": q_single_value_violations,
         "unique_value_violations": q_unique_value_violations,
         "oneof_violations": q_oneof_violations,
@@ -2189,6 +2220,38 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
+        """,
+        "dedup_survivors": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigf a JOIN sigf b
+                ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+            ), dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+            inter AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN dsh x ON x.doc_id = c.doc_a
+              JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY c.doc_a, c.doc_b
+            ), jac AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+              WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+            ), dup_e AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jac
+              UNION SELECT doc_b, doc_a FROM jac
+            ), dup_nodes AS (SELECT DISTINCT src AS n FROM dup_e),
+            reach AS (
+              SELECT n AS node, n AS anc FROM dup_nodes
+              UNION
+              SELECT r.node, e.dst FROM reach r JOIN dup_e e ON e.src = r.anc
+            ), comp AS (SELECT node, MIN(anc) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS survivor,
+                   d.doc_id <> COALESCE(c.component, d.doc_id) AS is_dup
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "simhash": """
             WITH toks AS (

@@ -43,6 +43,7 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_candidates",
     "ngram_jaccard",
+    "dedup_survivors",
     "simhash",
     "knn_cosine",
     "knn_lsh",
