@@ -881,6 +881,22 @@ def q_knn_lsh_recall(spark, sf_dir):
     return knn_recall(_t(spark, sf_dir, "embeddings"))
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse-centroid inverted lists + probe-limited
+    search (integer-quantized assignment, oracle-exact)."""
+    from corhist_spark.similarity import knn_ivf
+
+    return knn_ivf(_t(spark, sf_dir, "embeddings"))
+
+
+def q_knn_ivf_recall(spark, sf_dir):
+    """IVF quality gate: per-query overlap between IVF top-k and the
+    brute-force top-k."""
+    from corhist_spark.similarity import knn_ivf_recall
+
+    return knn_ivf_recall(_t(spark, sf_dir, "embeddings"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (bucketed candidates + exact
     in-bucket cosine verification)."""
@@ -1048,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "knn_lsh": q_knn_lsh,
         "knn_lsh_recall": q_knn_lsh_recall,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_recall": q_knn_ivf_recall,
         "dedup_survivors": q_dedup_survivors,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
@@ -1064,8 +1082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
         "oneof_corrections": q_oneof_corrections,
         "inverse_corrections": q_inverse_corrections,
         "format_corrections": q_format_corrections,
@@ -1092,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; all were driver-green in r1 AND r2 and unchanged since;
         # still pytest-oracled every run) ---
         "customers_without_orders": q_customers_without_orders,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
         "single_value_violations": q_single_value_violations,
         "unique_value_violations": q_unique_value_violations,
         "oneof_violations": q_oneof_violations,
@@ -1372,6 +1390,48 @@ _RULE_EVAL_FINAL = f"""
                              + found * 1.0 / total)
                  END, 6) AS f1
     FROM agg
+"""
+
+
+# IVF oracle CTEs (mirror similarity._ivf_scored / knn_ivf exactly:
+# deterministic first-sqrt(N) centroids, integer-quantized assignment)
+_IVF_CTES = """
+    WITH nc AS (
+      SELECT greatest(16, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS nc FROM embeddings
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+             list_transform(v, x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+      FROM e
+    ), cent AS (
+      SELECT vec_id AS cid, qv AS cv FROM n WHERE vec_id < (SELECT nc FROM nc)
+    ), score AS (
+      SELECT n.vec_id, c.cid, list_inner_product(n.qv, c.cv) AS s
+      FROM n CROSS JOIN cent c
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM score
+    ), assignc AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM ranked WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked
+      WHERE vec_id < 10 AND rn <= 2
+    ), ivf_p AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
+      FROM probe p
+      JOIN assignc a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+      JOIN n q ON q.vec_id = p.query_id
+      JOIN n d ON d.vec_id = a.neighbor_id
+    ), ivf_top AS (
+      SELECT query_id, neighbor_id, sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM ivf_p
+      ) WHERE rn <= 3
+    )
 """
 
 
@@ -2316,6 +2376,31 @@ def oracle_sql() -> dict[str, str]:
             ), common AS (
               SELECT b.query_id, COUNT(*) AS c
               FROM bf_top b JOIN lsh_top l
+                ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+              GROUP BY b.query_id
+            )
+            SELECT q.query_id, COALESCE(c.c, 0) AS n_common
+            FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
+            LEFT JOIN common c USING (query_id)
+        """,
+        "knn_ivf": _IVF_CTES + """
+            SELECT query_id, neighbor_id, sim, rn FROM ivf_top
+        """,
+        "knn_ivf_recall": _IVF_CTES + """
+            , bf_p AS (
+              SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                     ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
+              FROM n q JOIN n d ON d.vec_id <> q.vec_id
+              WHERE q.vec_id < 10
+            ), bf_top AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim DESC, neighbor_id) AS rn
+                FROM bf_p
+              ) WHERE rn <= 3
+            ), common AS (
+              SELECT b.query_id, COUNT(*) AS c
+              FROM bf_top b JOIN ivf_top l
                 ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
               GROUP BY b.query_id
             )

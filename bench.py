@@ -47,6 +47,7 @@ HEADLINE = [
     "simhash",
     "knn_cosine",
     "knn_lsh",
+    "knn_ivf",
     "embedding_near_dups",
     "cc_components",
     "subclass_closure",

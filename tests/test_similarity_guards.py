@@ -34,6 +34,16 @@ def test_knn_lsh_recall_floor(spark):
     assert mean_recall >= 0.6, f"ANN recall@3 degraded to {mean_recall:.2f}"
 
 
+def test_knn_ivf_recall_floor(spark):
+    from corhist_spark.similarity import knn_ivf_recall
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = knn_ivf_recall(e, k=3, n_queries=10).collect()
+    assert len(rows) == 10
+    mean_recall = sum(r.n_common for r in rows) / (3.0 * len(rows))
+    assert mean_recall >= 0.9, f"IVF recall@3 degraded to {mean_recall:.2f}"
+
+
 def test_near_dup_hot_bucket_capped(spark):
     # 200 identical vectors all hash to ONE bucket (occupancy 200 >
     # MAX_EMB_BUCKET) -> the bucket is dropped, zero pairs emitted,
