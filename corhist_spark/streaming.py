@@ -174,6 +174,39 @@ def windowed_revision_counts(
     return writer
 
 
+def streaming_dedup_documents(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    checkpoint_dir: str | None = None,
+):
+    """Ingest-time exact dedup for a document feed: re-arrivals of the
+    same content hash within the watermark horizon are dropped,
+    first-seen rows pass through (append mode).
+
+    Uses ``dropDuplicatesWithinWatermark`` so the dedup state is
+    EVICTED once the watermark passes — bounded state regardless of
+    feed volume, vs plain ``dropDuplicates`` whose state grows with
+    every distinct document ever seen (unbounded at a 100 TB/day
+    crawl).  Batch-side exact dedup over the full corpus stays
+    ``q_exact_dedup``; this operator is the streaming front door.
+
+    stream: (doc_id, text, ts).  Returns a DataStreamWriter (memory
+    sink, availableNow) emitting the surviving rows + text_hash."""
+    out = (
+        stream.withColumn("text_hash", F.md5("text"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_hash"])
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def stream_apply_rules(
     stream: DataFrame,
     rules: DataFrame,

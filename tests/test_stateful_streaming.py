@@ -49,6 +49,48 @@ def test_stateful_queue_across_batches(spark, tmp_path):
     assert ("s3", "c1") not in final
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Ingest dedup: a re-arrival of the same text within the watermark
+    horizon is dropped; a distinct text passes; state is bounded by the
+    watermark (dropDuplicatesWithinWatermark)."""
+    import time as _t
+    from datetime import datetime
+
+    from corhist_spark.streaming import streaming_dedup_documents
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    src = str(tmp_path / "dsrc")
+    sch = "doc_id string, text string, ts timestamp"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.2)
+
+    # batch 1: original + exact duplicate (same text, other doc_id)
+    write_batch([("d1", "alpha beta gamma", ts(10, 0)),
+                 ("d2", "alpha beta gamma", ts(10, 1)),
+                 ("d3", "unique text here", ts(10, 2))])
+    # batch 2: another duplicate arriving in a later micro-batch but
+    # still inside the watermark horizon -> dropped too
+    write_batch([("d4", "alpha beta gamma", ts(10, 3)),
+                 ("d5", "fresh second doc", ts(10, 4))])
+
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        streaming_dedup_documents(stream, checkpoint_dir=str(tmp_path / "dckpt"))
+        .queryName("dedup_docs")
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM dedup_docs").collect()
+    kept = sorted(r.doc_id for r in rows)
+    assert kept == ["d1", "d3", "d5"], kept
+    assert all(r.text_hash for r in rows)
+
+
 def test_windowed_counts_drop_late_rows(spark, tmp_path):
     """Event-time windows + watermark: a row arriving after the
     watermark passed its window is DROPPED (the finalized window count
