@@ -27,7 +27,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     is a groupBy shuffle on node; convergence in O(log n) rounds for
     path graphs worst-case O(diameter).
     """
-    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # materialize the symmetrized edge set ONCE: every round joins
+    # against sym, and without the lineage cut the full upstream plan
+    # (e.g. the LSH + Jaccard dedup chain feeding dedup_survivors)
+    # would re-execute per round
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("src").alias("node"), F.col("dst").alias("label"))
         .union(sym.select(F.col("src").alias("node"), F.col("src").alias("label")))
