@@ -597,10 +597,29 @@ def q_rule_pipeline_eval(spark, sf_dir):
     degenerate here: the derived history sets pred = P(rev_id % 5), so
     a property's corrections share one residue.  Entity-keyed splits
     also avoid leaking one entity's edit patterns across the split.)"""
-    import pandas as pd
-
     from corhist_spark.evaluate import apply_rules, evaluation_metrics
     from corhist_spark.mining import mine_basic_rules
+
+    train, test, revisions, state = _rule_eval_inputs(spark, sf_dir)
+    rules, _ = mine_basic_rules(train, revisions)
+    applied = apply_rules(rules, test, revisions, state)
+    m = evaluation_metrics(applied)
+    return m.select(
+        "constraint_id",
+        "total",
+        "found",
+        "good",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def _rule_eval_inputs(spark, sf_dir):
+    """Shared setup for the rule-pipeline queries: real corrections for
+    the one-of (P2) + symmetric (P3) constraints, split entity-wise
+    (numeric suffix of target_subj mod 5 == 0 -> test)."""
+    import pandas as pd
 
     edits, revisions, state = _hist(spark, sf_dir)
     cons = pd.DataFrame(
@@ -616,19 +635,39 @@ def q_rule_pipeline_eval(spark, sf_dir):
         spark, edits, revisions, cons, state=state, closure=empty_closure
     ).localCheckpoint()
     ent = F.substring("target_subj", 2, 18).cast("long") % 5
-    train = corr.filter(ent != 0)
-    test = corr.filter(ent == 0)
-    rules, _ = mine_basic_rules(train, revisions)
-    applied = apply_rules(rules, test, revisions, state)
-    m = evaluation_metrics(applied)
-    return m.select(
+    return corr.filter(ent != 0), corr.filter(ent == 0), revisions, state
+
+
+def q_refined_rules(spark, sf_dir):
+    """Depth-1 context refinement over REAL mined rules
+    (`Miner.java:123-144`): candidate atoms proposed from the outgoing
+    triples of every value a rule variable binds to (constant and ?v
+    forms), support/body recounted as state-match counts at each
+    binding's g, kept when thresholds hold AND confidence improves by
+    more than 0.05 over the base rule.  Emits the surviving refined
+    rules; the DuckDB oracle transcribes the whole counting pipeline
+    (the reference semantics' only previously pytest-only path)."""
+    from corhist_spark.mining import mine_basic_rules, refine_rules
+
+    train, _test, revisions, state = _rule_eval_inputs(spark, sf_dir)
+    rules, bindings = mine_basic_rules(train, revisions)
+    allr = refine_rules(rules, bindings, state)
+    head_str = F.array_join(
+        F.transform(
+            "head",
+            lambda p: F.concat_ws("\x1f", p["subj"], p["pred"], p["obj"], p["op"]),
+        ),
+        "\x1e",
+    )
+    return allr.filter(F.size("context") > 0).select(
         "constraint_id",
-        "total",
-        "found",
-        "good",
-        F.round("precision", 6).alias("precision"),
-        F.round("recall", 6).alias("recall"),
-        F.round("f1", 6).alias("f1"),
+        "violation_obj",
+        head_str.alias("head_str"),
+        F.col("context")[0]["var"].alias("var"),
+        F.col("context")[0]["pred"].alias("a_pred"),
+        F.col("context")[0]["obj"].alias("a_obj"),
+        "support",
+        F.round("confidence", 6).alias("confidence"),
     )
 
 
@@ -1055,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 front: never-checked / r1-only / new / changed ---
         "game_queue_stats": q_game_queue_stats,
         "rule_pipeline_eval": q_rule_pipeline_eval,
+        "refined_rules": q_refined_rules,
         "subclass_closure": q_subclass_closure,
         "rev_diff_histogram": q_rev_diff_histogram,
         "sampled_edits": q_sampled_edits,
@@ -1081,7 +1121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "token_stats": q_token_stats,
         "exact_dedup": q_exact_dedup,
-        "doc_fingerprint": q_doc_fingerprint,
         "oneof_corrections": q_oneof_corrections,
         "inverse_corrections": q_inverse_corrections,
         "format_corrections": q_format_corrections,
@@ -1108,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; all were driver-green in r1 AND r2 and unchanged since;
         # still pytest-oracled every run) ---
         "customers_without_orders": q_customers_without_orders,
+        "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "single_value_violations": q_single_value_violations,
@@ -1390,6 +1430,122 @@ _RULE_EVAL_FINAL = f"""
                              + found * 1.0 / total)
                  END, 6) AS f1
     FROM agg
+"""
+
+
+# Depth-1 refinement transcription (`Miner.java:123-144` /
+# mining.refine_rules), appended after the expansion's ``okf`` CTE.
+# Bindings carry g = parent(corr_rev); candidate atoms come from the
+# outgoing triples (any interval) of every bound value; support/body
+# are STATE-MATCH counts at each binding's g (flatMap semantics — one
+# count per match, not per binding); a refinement survives when
+# support >= 10, confidence >= 0.5 and confidence > base + 0.05.
+_REFINED_FINAL = f"""
+    , corr AS (
+      SELECT constraint_id, corr_rev, target_subj, property AS target_pred,
+             target_obj,
+             corr_subj AS m_subj, corr_pred AS m_pred, corr_obj AS m_obj,
+             main_op AS m_op,
+             CASE WHEN has_extra = 1 THEN ex_subj END AS x_subj,
+             CASE WHEN has_extra = 1 THEN ex_pred END AS x_pred,
+             CASE WHEN has_extra = 1 THEN ex_obj END AS x_obj,
+             CASE WHEN has_extra = 1 THEN co_op END AS x_op
+      FROM okf WHERE still_ok = 1
+    ), corrg AS (
+      SELECT c.*, r.parent_rev_id AS g
+      FROM corr c LEFT JOIN h_revs r ON r.rev_id = c.corr_rev
+    ), train AS (
+      SELECT * FROM corrg WHERE CAST(substr(target_subj, 2) AS BIGINT) % 5 <> 0
+    ), bind AS (
+      SELECT constraint_id, CAST(NULL AS VARCHAR) AS violation_obj,
+             {_gen_stmt('m', True)} AS g1,
+             CASE WHEN x_subj IS NOT NULL THEN {_gen_stmt('x', True)} END AS g2,
+             target_subj AS s, target_obj AS o, g
+      FROM train
+      UNION ALL
+      SELECT constraint_id, target_obj,
+             {_gen_stmt('m', False)},
+             CASE WHEN x_subj IS NOT NULL THEN {_gen_stmt('x', False)} END,
+             target_subj, CAST(NULL AS VARCHAR), g
+      FROM train
+    ), bindh AS (
+      SELECT *, CASE WHEN g2 IS NULL OR g2 = g1 THEN g1
+                     ELSE least(g1, g2) || {_S} || greatest(g1, g2) END AS head_str
+      FROM bind
+    ), bodyc AS (
+      SELECT constraint_id, violation_obj, COUNT(*) AS body_n
+      FROM bindh GROUP BY 1, 2
+    ), fullc AS (
+      SELECT constraint_id, violation_obj, head_str, COUNT(*) AS support
+      FROM bindh GROUP BY 1, 2, 3
+    ), rules AS (
+      SELECT f.constraint_id, f.violation_obj, f.head_str, f.support,
+             f.support * 1.0 / b.body_n AS confidence
+      FROM fullc f JOIN bodyc b
+        ON f.constraint_id = b.constraint_id
+       AND f.violation_obj IS NOT DISTINCT FROM b.violation_obj
+      WHERE f.support >= 10 AND f.support * 1.0 / b.body_n >= 0.5
+    ), fullb AS (
+      SELECT r.constraint_id, r.violation_obj, r.head_str, b.s, b.o, b.g
+      FROM rules r JOIN bindh b
+        ON b.constraint_id = r.constraint_id
+       AND b.violation_obj IS NOT DISTINCT FROM r.violation_obj
+       AND b.head_str = r.head_str
+    ), bodyb AS (
+      SELECT r.constraint_id, r.violation_obj, r.head_str, b.s, b.o, b.g
+      FROM rules r JOIN bindh b
+        ON b.constraint_id = r.constraint_id
+       AND b.violation_obj IS NOT DISTINCT FROM r.violation_obj
+    ), var_vals AS (
+      SELECT DISTINCT constraint_id, violation_obj, head_str, '?s' AS var, s AS val
+      FROM fullb
+      UNION
+      SELECT DISTINCT constraint_id, violation_obj, head_str, '?o', o
+      FROM fullb WHERE o IS NOT NULL
+    ), atoms_const AS (
+      SELECT DISTINCT v.constraint_id, v.violation_obj, v.head_str, v.var,
+             st.pred AS a_pred, st.obj AS a_obj
+      FROM var_vals v JOIN h_state st ON st.subj = v.val
+    ), atoms AS (
+      SELECT * FROM atoms_const
+      UNION
+      SELECT DISTINCT constraint_id, violation_obj, head_str, var, a_pred, '?v'
+      FROM atoms_const
+    ), nf AS (
+      SELECT a.constraint_id, a.violation_obj, a.head_str, a.var,
+             a.a_pred, a.a_obj, COUNT(*) AS new_support
+      FROM fullb b
+      JOIN atoms a ON a.constraint_id = b.constraint_id
+       AND a.violation_obj IS NOT DISTINCT FROM b.violation_obj
+       AND a.head_str = b.head_str
+      JOIN h_state st ON st.subj = (CASE WHEN a.var = '?s' THEN b.s ELSE b.o END)
+       AND st.pred = a.a_pred AND (a.a_obj = '?v' OR st.obj = a.a_obj)
+       AND st.from_rev <= b.g AND b.g < st.to_rev
+      GROUP BY 1, 2, 3, 4, 5, 6
+    ), nb2 AS (
+      SELECT a.constraint_id, a.violation_obj, a.head_str, a.var,
+             a.a_pred, a.a_obj, COUNT(*) AS new_body
+      FROM bodyb b
+      JOIN atoms a ON a.constraint_id = b.constraint_id
+       AND a.violation_obj IS NOT DISTINCT FROM b.violation_obj
+       AND a.head_str = b.head_str
+      JOIN h_state st ON st.subj = (CASE WHEN a.var = '?s' THEN b.s ELSE b.o END)
+       AND st.pred = a.a_pred AND (a.a_obj = '?v' OR st.obj = a.a_obj)
+       AND st.from_rev <= b.g AND b.g < st.to_rev
+      GROUP BY 1, 2, 3, 4, 5, 6
+    )
+    SELECT f.constraint_id, f.violation_obj, f.head_str, f.var, f.a_pred, f.a_obj,
+           f.new_support AS support,
+           ROUND(f.new_support * 1.0 / b.new_body, 6) AS confidence
+    FROM nf f
+    JOIN nb2 b USING (constraint_id, head_str, var, a_pred, a_obj)
+    JOIN rules r ON r.constraint_id = f.constraint_id
+       AND r.violation_obj IS NOT DISTINCT FROM f.violation_obj
+       AND r.head_str = f.head_str
+    WHERE f.violation_obj IS NOT DISTINCT FROM b.violation_obj
+      AND f.new_support >= 10
+      AND f.new_support * 1.0 / b.new_body >= 0.5
+      AND f.new_support * 1.0 / b.new_body > r.confidence + 0.05
 """
 
 
@@ -2018,6 +2174,10 @@ def oracle_sql() -> dict[str, str]:
         "rule_pipeline_eval": with_history_ctes(
             _EVAL_KR
             + expansion_sql(keyed_by_constraint=True, final_select=_RULE_EVAL_FINAL)
+        ),
+        "refined_rules": with_history_ctes(
+            _EVAL_KR
+            + expansion_sql(keyed_by_constraint=True, final_select=_REFINED_FINAL)
         ),
         "tclaim_corrections": with_history_ctes(
             """
