@@ -835,23 +835,37 @@ def q_span_triples(spark, sf_dir):
     return mention_pair_triples(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
-def q_minhash_signatures(spark, sf_dir):
+_SIG_MEMO: dict = {}
+
+
+def _signatures(spark, sf_dir):
+    """Memoized checkpointed MinHash signatures — shared input of
+    minhash_signatures / lsh_candidates / ngram_jaccard /
+    dedup_survivors, built once per session like the _hist memo."""
     from corhist_spark.textops import minhash_signatures
 
-    return minhash_signatures(_spread(spark, _t(spark, sf_dir, "documents")))
+    key = (id(spark), sf_dir)
+    if key not in _SIG_MEMO:
+        d = _spread(spark, _t(spark, sf_dir, "documents"))
+        _SIG_MEMO[key] = minhash_signatures(d).localCheckpoint()
+    return _SIG_MEMO[key]
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return _signatures(spark, sf_dir)
 
 
 def q_lsh_candidates(spark, sf_dir):
-    from corhist_spark.textops import lsh_candidates, minhash_signatures
+    from corhist_spark.textops import lsh_candidates
 
-    return lsh_candidates(minhash_signatures(_spread(spark, _t(spark, sf_dir, "documents"))))
+    return lsh_candidates(_signatures(spark, sf_dir))
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    from corhist_spark.textops import lsh_candidates, minhash_signatures, ngram_jaccard
+    from corhist_spark.textops import lsh_candidates, ngram_jaccard
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    return ngram_jaccard(d, lsh_candidates(minhash_signatures(d)))
+    return ngram_jaccard(d, lsh_candidates(_signatures(spark, sf_dir)))
 
 
 def q_dedup_survivors(spark, sf_dir):
@@ -865,10 +879,10 @@ def q_dedup_survivors(spark, sf_dir):
     runs — every stage is the scale-shaped variant (banded buckets with
     occupancy caps, candidate-only shingling, log-round CC)."""
     from corhist_spark.canonicalize import connected_components
-    from corhist_spark.textops import lsh_candidates, minhash_signatures, ngram_jaccard
+    from corhist_spark.textops import lsh_candidates, ngram_jaccard
 
     d = _spread(spark, _t(spark, sf_dir, "documents"))
-    pairs = ngram_jaccard(d, lsh_candidates(minhash_signatures(d))).filter(
+    pairs = ngram_jaccard(d, lsh_candidates(_signatures(spark, sf_dir))).filter(
         F.col("jaccard") >= 0.6
     )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

@@ -69,6 +69,7 @@ def main() -> None:
     # session — build it once outside the per-query timings, the same
     # way the engine memoizes it within a session (VERDICT r2 item 6).
     entry_mod._hist(spark, sf_dir)
+    entry_mod._signatures(spark, sf_dir)
     # python-worker warm-up: forking + importing pandas on first UDF
     # stage costs ~15 s across 32 workers; pay it before timing
     from pyspark.sql.functions import pandas_udf
