@@ -74,6 +74,29 @@ def test_ann_and_capped_lsh_stay_jvm_side(spark, plan_of):
         assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_ivf_plan_shape(spark, plan_of):
+    """knn_ivf: the ONLY nested-loop is the coarse assignment against
+    the broadcast sqrt(N)-row centroid table (IVF's corpus x centroids
+    step by definition); the probe->inverted-list search itself is a
+    hash join, and nothing runs in Python."""
+    from corhist_spark.similarity import knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = plan_of(knn_ivf(emb))
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the centroid assignment is the one allowed BroadcastNestedLoopJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_dedup_survivors_stays_jvm_side(spark, plan_of):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_dedup_survivors(spark, "/root/testdata/sf0.001"))
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_extraction_uses_arrow_udf(spark, sdf, plan_of):
     """The only Python in the extraction plan is the Arrow-batched
     pandas UDF (ArrowEvalPython), never row-at-a-time BatchEvalPython."""

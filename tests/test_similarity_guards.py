@@ -74,6 +74,19 @@ def test_near_dup_normal_buckets_pass(spark):
     assert got == {(0, 1), (2, 3)}
 
 
+def test_ann_empty_and_tiny_inputs(spark):
+    """Degenerate inputs must not crash: an empty embeddings table and
+    a single-vector table yield empty results across the ANN family."""
+    from corhist_spark.similarity import embedding_near_dups, knn_ivf, knn_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    one = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    for df in (empty, one):
+        assert knn_ivf(df).count() == 0
+        assert knn_lsh(df).count() == 0
+        assert embedding_near_dups(df).count() == 0
+
+
 @pytest.mark.parametrize(
     "n,expected",
     [(100, 8), (500, 9), (2_000, 11), (1_000_000, 20), (10_000_000_000, 34)],
