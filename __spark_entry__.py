@@ -898,6 +898,38 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing end-to-end under the driver oracle: derive
+    interleaved media spans from the documents table (every >= 8-char
+    token becomes an image/audio span at its token position, payload =
+    the ref's utf-8 bytes — the deterministic stand-in for object-store
+    content), then run the REAL Arrow mapInPandas feature extractor
+    (binary column in, md5 feature hash + byte count out).  The decode
+    stage proper stays stubbed (no codecs in this container); what this
+    pins is the batch shape, binary-column transport and schema of the
+    extractor path."""
+    from corhist_spark.multimodal import extract_media_features, media_spans
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    spans = (
+        d.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.posexplode(toks).alias("span_idx", "tok"),
+        )
+        .filter(F.length("tok") >= 8)
+        .select(
+            "doc_id",
+            "span_idx",
+            F.when(F.length("tok") % 2 == 0, F.lit("image"))
+            .otherwise(F.lit("audio"))
+            .alias("kind"),
+            F.col("tok").alias("media_ref"),
+        )
+    )
+    return extract_media_features(media_spans(spans))
+
+
 def q_simhash(spark, sf_dir):
     from corhist_spark.textops import simhash
 
@@ -1121,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
         "dedup_survivors": q_dedup_survivors,
+        "media_features": q_media_features,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1130,7 +1163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_violations": q_type_violations,
         "pricing_summary": q_pricing_summary,
         "top_orders_per_customer": q_top_orders_per_customer,
-        "order_priority_rollup": q_order_priority_rollup,
         "shipping_priority": q_shipping_priority,
         "sessionize": q_sessionize,
         "token_stats": q_token_stats,
@@ -1161,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; all were driver-green in r1 AND r2 and unchanged since;
         # still pytest-oracled every run) ---
         "customers_without_orders": q_customers_without_orders,
+        "order_priority_rollup": q_order_priority_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -2486,6 +2519,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS survivor,
                    d.doc_id <> COALESCE(c.component, d.doc_id) AS is_dup
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        "media_features": """
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(text, ' ') AS toks,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+                     toks[CAST(i AS INT)] AS tok
+              FROM t WHERE len(toks[CAST(i AS INT)]) >= 8
+            )
+            SELECT doc_id, span_idx,
+                   CASE WHEN len(tok) % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   tok AS media_ref,
+                   md5(tok) AS feature_hash,
+                   CAST(octet_length(encode(tok)) AS INT) AS n_bytes
+            FROM spans
         """,
         "simhash": """
             WITH toks AS (
