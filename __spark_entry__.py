@@ -898,6 +898,27 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_corpus_selection(spark, sf_dir):
+    """The end-to-end training-corpus selection a 100 TB pipeline runs:
+    keep documents that pass the quality floor (>= 0.3), the language
+    gate (marker-word 'en') and near-dup removal (survivor of its
+    LSH/Jaccard duplicate cluster).  Composes q_quality_score,
+    q_lang_id and q_dedup_survivors into ONE declarative plan."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    u = F.size(F.array_distinct(toks)).cast("double")
+    quality = F.round(F.least(F.lit(1.0), n / 50.0) * (u / n), 6)
+    hits = F.size(F.filter(toks, lambda x: (x == "the") | (x == "a") | (x == "and")))
+    survivors = q_dedup_survivors(spark, sf_dir).filter(~F.col("is_dup")).select("doc_id")
+    return (
+        d.select("doc_id", quality.alias("quality"), hits.alias("_h"), n.alias("_n"))
+        .filter((F.col("quality") >= 0.3) & (F.col("_h") * 10 >= F.col("_n")))
+        .join(survivors, "doc_id", "left_semi")
+        .select("doc_id", "quality")
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing end-to-end under the driver oracle: derive
     interleaved media spans from the documents table (every >= 8-char
@@ -1153,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
         "dedup_survivors": q_dedup_survivors,
+        "corpus_selection": q_corpus_selection,
         "media_features": q_media_features,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
@@ -1162,7 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "current_state": q_current_state,
         "type_violations": q_type_violations,
         "pricing_summary": q_pricing_summary,
-        "top_orders_per_customer": q_top_orders_per_customer,
         "shipping_priority": q_shipping_priority,
         "sessionize": q_sessionize,
         "token_stats": q_token_stats,
@@ -1193,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; all were driver-green in r1 AND r2 and unchanged since;
         # still pytest-oracled every run) ---
         "customers_without_orders": q_customers_without_orders,
+        "top_orders_per_customer": q_top_orders_per_customer,
         "order_priority_rollup": q_order_priority_rollup,
         "doc_fingerprint": q_doc_fingerprint,
         "quality_score": q_quality_score,
@@ -1593,6 +1615,40 @@ _REFINED_FINAL = f"""
       AND f.new_support >= 10
       AND f.new_support * 1.0 / b.new_body >= 0.5
       AND f.new_support * 1.0 / b.new_body > r.confidence + 0.05
+"""
+
+
+# Duplicate-component CTE chain shared by the dedup_survivors and
+# corpus_selection oracles: LSH candidates -> Jaccard >= 0.6 verify ->
+# recursive reachability closure -> min-member component per node.
+_DEDUP_COMP_CTES = """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigf a JOIN sigf b
+        ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+    ), dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN dsh x ON x.doc_id = c.doc_a
+      JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+      GROUP BY c.doc_a, c.doc_b
+    ), jac AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
+    ), dup_e AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jac
+      UNION SELECT doc_b, doc_a FROM jac
+    ), dup_nodes AS (SELECT DISTINCT src AS n FROM dup_e),
+    reach AS (
+      SELECT n AS node, n AS anc FROM dup_nodes
+      UNION
+      SELECT r.node, e.dst FROM reach r JOIN dup_e e ON e.src = r.anc
+    ), comp AS (SELECT node, MIN(anc) AS component FROM reach GROUP BY node)
 """
 
 
@@ -2488,37 +2544,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.doc_a
             JOIN sizes sb ON sb.doc_id = i.doc_b
         """,
-        "dedup_survivors": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """
-            , cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM sigf a JOIN sigf b
-                ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
-            ), dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
-            sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
-            inter AS (
-              SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
-              FROM cand c
-              JOIN dsh x ON x.doc_id = c.doc_a
-              JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
-              GROUP BY c.doc_a, c.doc_b
-            ), jac AS (
-              SELECT i.doc_a, i.doc_b
-              FROM inter i
-              JOIN sizes sa ON sa.doc_id = i.doc_a
-              JOIN sizes sb ON sb.doc_id = i.doc_b
-              WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.6
-            ), dup_e AS (
-              SELECT doc_a AS src, doc_b AS dst FROM jac
-              UNION SELECT doc_b, doc_a FROM jac
-            ), dup_nodes AS (SELECT DISTINCT src AS n FROM dup_e),
-            reach AS (
-              SELECT n AS node, n AS anc FROM dup_nodes
-              UNION
-              SELECT r.node, e.dst FROM reach r JOIN dup_e e ON e.src = r.anc
-            ), comp AS (SELECT node, MIN(anc) AS component FROM reach GROUP BY node)
+        "dedup_survivors": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _DEDUP_COMP_CTES + """
             SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS survivor,
                    d.doc_id <> COALESCE(c.component, d.doc_id) AS is_dup
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+        "corpus_selection": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _DEDUP_COMP_CTES + """
+            , qual AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n,
+                     CAST(len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS DOUBLE) AS u,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits
+              FROM documents
+            )
+            SELECT q.doc_id, ROUND(LEAST(1.0, n / 50.0) * (u / n), 6) AS quality
+            FROM qual q
+            LEFT JOIN comp c ON c.node = q.doc_id
+            WHERE ROUND(LEAST(1.0, n / 50.0) * (u / n), 6) >= 0.3
+              AND q.hits * 10 >= q.n
+              AND (c.node IS NULL OR c.component = q.doc_id)
         """,
         "media_features": """
             WITH t AS (
