@@ -201,9 +201,9 @@ def _int_dot(a, b):
 
 
 def _ivf_scored(embeddings: DataFrame, n_cells: int):
-    """(vec_id, v, nrm, cid, s, rn) — every vector scored against every
+    """(vec_id, v, nrm, qv, cid, s) — every vector scored against every
     coarse centroid (integer-quantized dot product, so assignment is
-    engine-exact), ranked per vector.
+    engine-exact).
 
     Centroid choice is deterministic (the first ``n_cells`` vectors)
     instead of trained k-means: the oracle must replicate the quantizer
@@ -216,11 +216,15 @@ def _ivf_scored(embeddings: DataFrame, n_cells: int):
     cent = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
     )
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+    return e.crossJoin(F.broadcast(cent)).withColumn(
         "s", _int_dot(F.col("qv"), F.col("cv"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
-    return scored.withColumn("rn", F.row_number().over(w))
+
+
+# argmax ordering for cell assignment: max score, then MIN centroid id
+# (mirrored by the oracle's `ORDER BY s DESC, cid` rank)
+def _best_cell_ord():
+    return F.struct(F.col("s").alias("s"), (-F.col("cid")).alias("nc"))
 
 
 def knn_ivf(
@@ -238,24 +242,32 @@ def knn_ivf(
     The scale path alongside knn_lsh: candidate volume per query is
     n_probe * N / n_cells ~ 2*sqrt(N) at the default sizing, and the
     inverted lists are a plain (cell)-keyed table — co-partitioned
-    probe/search joins, no all-pairs anywhere.  Measured recall@3 on
-    the sf0.001 fixture: 0.97 (vs 0.70 multi-probe LSH)."""
+    probe/search joins, no all-pairs anywhere.  The corpus-side cell
+    assignment is a map-side partial aggregate (max_by over the scored
+    rows): the N x n_cells score rows never shuffle — a row_number
+    window here would shuffle the whole cross product on vec_id, the
+    kind of plan that dies at 10^10 vectors.  Only the tiny query
+    subset pays a window (for its n_probe cells).  Measured recall@3
+    on the sf0.001 fixture: 0.97 (vs 0.70 multi-probe LSH)."""
     if n_cells is None:
         n_cells = cells_for_corpus(embeddings.count())
-    ranked = _ivf_scored(embeddings, n_cells)
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("dv"),
-        F.col("nrm").alias("dn"),
-        F.col("cid").alias("cell"),
-    )
-    probe = ranked.filter(
-        (F.col("vec_id") < n_queries) & (F.col("rn") <= n_probe)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv2"),
-        F.col("nrm").alias("qn"),
-        F.col("cid").alias("cell"),
+    scored = _ivf_scored(embeddings, n_cells)
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by("cid", _best_cell_ord()).alias("cell"),
+        F.first("v").alias("dv"),
+        F.first("nrm").alias("dn"),
+    ).select(F.col("vec_id").alias("neighbor_id"), "dv", "dn", "cell")
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    probe = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .withColumn("prn", F.row_number().over(wq))
+        .filter(F.col("prn") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv2"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("cell"),
+        )
     )
     sims = (
         probe.join(assign, "cell")
