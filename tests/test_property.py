@@ -88,3 +88,47 @@ def test_rule_invariants_on_fixture(spark, sdf, corpus):
     for r in corr.collect():
         stmts = [(s.subj, s.pred, s.obj, s.op) for s in r.correction]
         assert stmts == sorted(stmts)
+
+
+def test_connected_components_match_union_find(spark):
+    """Randomized graphs (cycles, stars, chains, disjoint pieces) vs a
+    pure-Python union-find with min-label components."""
+    from corhist_spark.canonicalize import connected_components
+
+    rng = random.Random(2026)
+    for trial in range(5):
+        n = rng.randint(4, 14)
+        nodes = [f"Q{i}" for i in range(n)]
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(rng.randint(1, 2 * n))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(nodes[0], nodes[1])]
+
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for x in parent:
+            comp.setdefault(find(x), []).append(x)
+        want = {}
+        for members in comp.values():
+            lo = min(members)
+            for m in members:
+                want[m] = lo
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == want, f"trial {trial}: {got} != {want}"
