@@ -314,6 +314,26 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+# GPT-2-style pre-tokenizer shape, restricted to syntax RE2 (DuckDB)
+# and java.util.regex (Spark executors) treat identically: letter runs,
+# digit runs, and single non-alphanumeric non-space marks.
+BPE_PIECE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def q_token_pieces(spark, sf_dir):
+    """BPE-ish token counting (the second token metric of the training-
+    data mandate, next to whitespace tokens): pieces are letter runs /
+    digit runs / single marks, counted per document with the count of
+    distinct pieces."""
+    d = _t(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(text, '{BPE_PIECE_RE}', 0)")
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_distinct_pieces"),
+    )
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: hash-groupBy, survivor = min doc_id."""
     d = _t(spark, sf_dir, "documents")
@@ -1185,8 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_violations": q_type_violations,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
-        "sessionize": q_sessionize,
         "token_stats": q_token_stats,
+        "token_pieces": q_token_pieces,
         "exact_dedup": q_exact_dedup,
         "oneof_corrections": q_oneof_corrections,
         "inverse_corrections": q_inverse_corrections,
@@ -1214,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; all were driver-green in r1 AND r2 and unchanged since;
         # still pytest-oracled every run) ---
         "customers_without_orders": q_customers_without_orders,
+        "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
         "order_priority_rollup": q_order_priority_rollup,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1882,6 +1903,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "token_pieces": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{BPE_PIECE_RE}')) AS n_pieces,
+                   len(list_distinct(regexp_extract_all(text, '{BPE_PIECE_RE}'))) AS n_distinct_pieces
+            FROM documents
         """,
         "doc_fingerprint": """
             SELECT doc_id,
