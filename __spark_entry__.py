@@ -951,9 +951,15 @@ def q_media_features(spark, sf_dir):
     extractor path."""
     from corhist_spark.multimodal import extract_media_features, media_spans
 
+    return extract_media_features(media_spans(_doc_media_spans(spark, sf_dir)))
+
+
+def _doc_media_spans(spark, sf_dir):
+    """Interleaved media spans derived from the documents table: every
+    >= 8-char token is an image/audio span at its token position."""
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
-    spans = (
+    return (
         d.select(
             F.col("doc_id").cast("string").alias("doc_id"),
             F.posexplode(toks).alias("span_idx", "tok"),
@@ -968,7 +974,15 @@ def q_media_features(spark, sf_dir):
             F.col("tok").alias("media_ref"),
         )
     )
-    return extract_media_features(media_spans(spans))
+
+
+def q_frame_samples(spark, sf_dir):
+    """Frame sampling over media payloads (every 2nd 4-byte frame) via
+    the real mapInPandas fan-out — (doc_id, span_idx, frame_idx,
+    frame_hash), oracle-checked byte-for-byte."""
+    from corhist_spark.multimodal import media_spans, sample_frames
+
+    return sample_frames(media_spans(_doc_media_spans(spark, sf_dir)))
 
 
 def q_simhash(spark, sf_dir):
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "corpus_selection": q_corpus_selection,
         "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1204,7 +1219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "current_state": q_current_state,
         "type_violations": q_type_violations,
         "pricing_summary": q_pricing_summary,
-        "shipping_priority": q_shipping_priority,
         "token_stats": q_token_stats,
         "token_pieces": q_token_pieces,
         "exact_dedup": q_exact_dedup,
@@ -1234,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; all were driver-green in r1 AND r2 and unchanged since;
         # still pytest-oracled every run) ---
         "customers_without_orders": q_customers_without_orders,
+        "shipping_priority": q_shipping_priority,
         "sessionize": q_sessionize,
         "top_orders_per_customer": q_top_orders_per_customer,
         "order_priority_rollup": q_order_priority_rollup,
@@ -2611,6 +2626,25 @@ def oracle_sql() -> dict[str, str]:
                    md5(tok) AS feature_hash,
                    CAST(octet_length(encode(tok)) AS INT) AS n_bytes
             FROM spans
+        """,
+        "frame_samples": """
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(text, ' ') AS toks,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+                     toks[CAST(i AS INT)] AS tok
+              FROM t WHERE len(toks[CAST(i AS INT)]) >= 8
+            ), f AS (
+              SELECT doc_id, span_idx, tok,
+                     unnest(generate_series(0, CAST(len(tok) // 4 AS INT) - 1, 2)) AS frame_idx
+              FROM spans
+            )
+            SELECT doc_id, span_idx, CAST(frame_idx AS INT) AS frame_idx,
+                   md5(substr(tok, CAST(frame_idx * 4 + 1 AS INT), 4)) AS frame_hash
+            FROM f
         """,
         "simhash": """
             WITH toks AS (
