@@ -75,3 +75,30 @@ def test_multimodal_features(spark, sdf):
     for r in rows[:50]:
         assert r.kind in ("image", "audio", "table")
         assert len(r.feature_hash) == 32 and r.n_bytes > 0
+
+
+def test_frame_sampling(spark, sdf):
+    """Frame sampler: every 2nd 4-byte frame, hashes match a direct
+    Python slice of the same payload bytes."""
+    import hashlib
+
+    from corhist_spark.multimodal import media_spans, sample_frames
+    from corhist_spark.extract import explode_spans
+
+    media = media_spans(explode_spans(sdf["documents"]))
+    payloads = {
+        (r.doc_id, r.span_idx): bytes(r.payload) for r in media.collect()
+    }
+    rows = sample_frames(media).collect()
+    assert rows, "no frames sampled"
+    seen = set()
+    for r in rows:
+        b = payloads[(r.doc_id, r.span_idx)]
+        assert r.frame_idx % 2 == 0
+        frame = b[r.frame_idx * 4:(r.frame_idx + 1) * 4]
+        assert r.frame_hash == hashlib.md5(frame).hexdigest()
+        seen.add((r.doc_id, r.span_idx, r.frame_idx))
+    # completeness: every expected frame index is present
+    for key, b in payloads.items():
+        for i in range(0, len(b) // 4, 2):
+            assert (key[0], key[1], i) in seen
