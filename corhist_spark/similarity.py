@@ -213,8 +213,14 @@ def _ivf_scored(embeddings: DataFrame, n_cells: int):
     centroids IS the intended plan (IVF's coarse assignment is
     corpus x centroids by definition)."""
     e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
-    cent = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cid"), F.col("qv").alias("cv")
+    # rank-based selection (the n_cells smallest vec_ids), NOT a
+    # `vec_id < n_cells` filter: ids need not be dense or 0-based
+    # (sharded id spaces, ids surviving upstream dedup) — a sparse id
+    # space would silently yield an empty centroid table otherwise
+    cent = (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
     )
     return e.crossJoin(F.broadcast(cent)).withColumn(
         "s", _int_dot(F.col("qv"), F.col("cv"))

@@ -102,3 +102,24 @@ def test_frame_sampling(spark, sdf):
     for key, b in payloads.items():
         for i in range(0, len(b) // 4, 2):
             assert (key[0], key[1], i) in seen
+
+
+def test_frame_sampling_multibyte_payload(spark):
+    """Byte-correctness on non-ASCII payloads: frames are sliced from
+    the UTF-8 BYTES, not characters (the driver oracle constrains its
+    derived input to ASCII only because DuckDB lacks blob substring —
+    the engine itself must be byte-exact for any payload)."""
+    import hashlib
+
+    from corhist_spark.multimodal import sample_frames
+
+    ref = "naïveté-xyz"  # 11 chars, 13 utf-8 bytes -> 3 frames, keep 0 and 2
+    b = ref.encode("utf-8")
+    media = spark.createDataFrame(
+        [("d1", 0, "image", ref, bytearray(b))],
+        "doc_id string, span_idx int, kind string, media_ref string, payload binary",
+    )
+    rows = {r.frame_idx: r.frame_hash for r in sample_frames(media).collect()}
+    assert set(rows) == {0, 2}
+    assert rows[0] == hashlib.md5(b[0:4]).hexdigest()
+    assert rows[2] == hashlib.md5(b[8:12]).hexdigest()
