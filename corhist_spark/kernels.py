@@ -260,6 +260,19 @@ def correction_candidates(
         maybe(_format, cons(S.TYPE_FORMAT), dels_nop, sameas),
     ]
     parts = [p for p in parts if p is not None]
+    if not parts:
+        # every constraint has an unrecognized type QID — real WDQS
+        # dumps carry dozens of types beyond the ten implemented here,
+        # and the reference silently skips them (`mining/Main.java:89`
+        # only dispatches known builders); an empty candidate set is
+        # the correct result, not an error
+        spark = edits.sparkSession
+        return spark.createDataFrame(
+            [],
+            "constraint_id string, property string, target_subj string, "
+            "target_obj string, is_add boolean, corr_subj string, "
+            "corr_pred string, corr_obj string, corr_rev long",
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

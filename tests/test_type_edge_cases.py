@@ -45,3 +45,34 @@ def test_empty_class_param_kernel_matches_oracle(spark):
         for c in oracle.find_corrections(h, cons.to_dict("records")[0])
     }
     assert want == got
+
+
+def test_unregistered_constraint_type_yields_empty(spark):
+    """A constraint table whose types are ALL unrecognized QIDs (real
+    WDQS dumps carry dozens of types beyond the ten implemented) must
+    produce an empty corrections frame, not crash; mixed tables skip
+    the unknown rows."""
+    import pandas as pd
+
+    from corhist_spark.history import derived_edits, derived_revisions
+    from corhist_spark.pipeline import run_correction_pipeline
+
+    edits = derived_edits(spark, "/root/testdata/sf0.001")
+    revs = derived_revisions(edits)
+    unknown_only = pd.DataFrame(
+        [{"constraint_id": "c-x", "property": "P1", "type": "Q99999999", "params": {}}]
+    )
+    out = run_correction_pipeline(spark, edits, revs, unknown_only)
+    assert out.count() == 0
+    assert "correction" in out.columns
+
+    mixed = pd.DataFrame(
+        [
+            {"constraint_id": "c-x", "property": "P1", "type": "Q99999999", "params": {}},
+            {"constraint_id": "c-oneof-P2", "property": "P2", "type": "Q21510859",
+             "params": {"P2305": ["V0"]}},
+        ]
+    )
+    out2 = run_correction_pipeline(spark, edits, revs, mixed)
+    assert out2.filter(out2.constraint_id == "c-x").count() == 0
+    assert out2.filter(out2.constraint_id == "c-oneof-P2").count() > 0
