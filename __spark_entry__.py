@@ -385,6 +385,50 @@ def q_lang_id(spark, sf_dir):
     )
 
 
+DECON_EVAL_MOD, DECON_EVAL_RES = 10, 7
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed 16-token training-sequence chunking (map-only)."""
+    from corhist_spark.textops import doc_chunks
+
+    return doc_chunks(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """CCNet-style duplicate-chunk removal + document reassembly."""
+    from corhist_spark.textops import chunk_dedup
+
+    return chunk_dedup(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: train docs sharing any word 8-gram
+    with the held-out eval slice (doc_id % 10 == 7)."""
+    from corhist_spark.textops import decontaminate
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_RES)
+    tr = d.filter(F.col("doc_id") % DECON_EVAL_MOD != DECON_EVAL_RES)
+    return decontaminate(tr, ev)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup trigram fraction,
+    top-token share)."""
+    from corhist_spark.textops import repetition_stats
+
+    return repetition_stats(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic map-side per-source sampling (hash-threshold,
+    zero shuffle)."""
+    from corhist_spark.textops import stratified_sample
+
+    return stratified_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_oneof_corrections(spark, sf_dir):
     """Full one-of kernel over the derived history (items={V0} on P2):
     deletion of a non-allowed value, still applied now."""
@@ -1263,6 +1307,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_selection": q_corpus_selection,
         "media_features": q_media_features,
         "frame_samples": q_frame_samples,
+        "doc_chunks": q_doc_chunks,
+        "chunk_dedup": q_chunk_dedup,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "stratified_sample": q_stratified_sample,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1270,11 +1319,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_intervals": q_state_intervals,
         "current_state": q_current_state,
         "type_violations": q_type_violations,
-        "pricing_summary": q_pricing_summary,
-        "token_stats": q_token_stats,
-        "token_pieces": q_token_pieces,
-        "exact_dedup": q_exact_dedup,
-        "oneof_corrections": q_oneof_corrections,
         "inverse_corrections": q_inverse_corrections,
         "format_corrections": q_format_corrections,
         "conflict_corrections": q_conflict_corrections,
@@ -1297,8 +1341,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "canonical_triples": q_canonical_triples,
         # --- tail (positions 51+, outside the driver's 50-row cap this
-        # round; all were driver-green in r1 AND r2 and unchanged since;
-        # still pytest-oracled every run) ---
+        # round; all were driver-green in r1 and/or r2 and unchanged
+        # since; still pytest-oracled every run).  token_stats /
+        # token_pieces / exact_dedup / oneof_corrections rotated here
+        # to make room for the five new corpus-curation queries while
+        # keeping the KG-construction core (cc_components,
+        # canonical_triples, ...) inside the driver window ---
+        "pricing_summary": q_pricing_summary,
+        "token_stats": q_token_stats,
+        "token_pieces": q_token_pieces,
+        "exact_dedup": q_exact_dedup,
+        "oneof_corrections": q_oneof_corrections,
         "customers_without_orders": q_customers_without_orders,
         "shipping_priority": q_shipping_priority,
         "sessionize": q_sessionize,
@@ -2003,6 +2056,101 @@ def oracle_sql() -> dict[str, str]:
                                      x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits,
                      len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
               FROM documents)
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(ceil(len(toks)/16.0) AS INT) - 1)) AS chunk_id,
+                     toks
+              FROM t WHERE len(toks) > 0)
+            SELECT doc_id, chunk_id,
+                   len(list_slice(toks, chunk_id*16+1, chunk_id*16+16)) AS n_chunk_tokens,
+                   md5(array_to_string(list_slice(toks, chunk_id*16+1, chunk_id*16+16), ' ')) AS chunk_hash
+            FROM c
+        """,
+        "chunk_dedup": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(ceil(len(toks)/16.0) AS INT) - 1)) AS chunk_id,
+                     toks
+              FROM t WHERE len(toks) > 0),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     array_to_string(list_slice(toks, chunk_id*16+1, chunk_id*16+16), ' ') AS ctext
+              FROM c),
+            r AS (
+              SELECT doc_id, chunk_id, ctext,
+                     row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id, chunk_id) AS rn
+              FROM ch)
+            SELECT doc_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0
+                        THEN md5(string_agg(ctext, ' ' ORDER BY chunk_id) FILTER (WHERE rn = 1))
+                   END AS clean_hash
+            FROM r GROUP BY doc_id
+        """,
+        "decontaminate": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(list_slice(toks, i, i+7), ' ') AS ng
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks)-7, 0))) AS i
+                    FROM t)),
+            e AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 7),
+            tr AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 10 <> 7),
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM tr JOIN e USING (ng) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 10 <> 7
+        """,
+        "repetition_stats": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(generate_series(1, len(toks)-2),
+                                              i -> array_to_string(list_slice(toks, i, i+2), ' '))
+                          ELSE [] END AS grams
+              FROM t),
+            pt AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              GROUP BY doc_id, tok),
+            tts AS (
+              SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_share
+              FROM pt GROUP BY doc_id)
+            SELECT g.doc_id,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_ngram_frac,
+                   coalesce(tts.top_token_share, 0.0) AS top_token_share
+            FROM g LEFT JOIN tts ON g.doc_id = tts.doc_id
+        """,
+        "stratified_sample": f"""
+            WITH hsrc AS (
+              SELECT doc_id, source,
+                     CAST(doc_id AS VARCHAR) || ':' || source AS s
+              FROM documents),
+            v AS (
+              SELECT doc_id, source, ({HEXVAL_SQL}) % 1000 AS h1000
+              FROM hsrc)
+            SELECT doc_id, source FROM v
+            WHERE h1000 < 100 + 50 * (TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 8)
         """,
         "oneof_corrections": with_history_ctes(
             """

@@ -223,3 +223,222 @@ def salted_counts(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
     salted = df.withColumn("_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)))
     partial = salted.groupBy(key, "_salt").agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(key).agg(F.sum("_c").alias("n"))
+
+
+# --------------------------------------------------------------------------
+# corpus curation: chunking, chunk-level dedup, decontamination,
+# repetition stats, stratified sampling
+# --------------------------------------------------------------------------
+
+CHUNK_TOKENS = 16
+
+
+def _token_array():
+    return F.filter(F.split("text", " "), lambda x: x != "")
+
+
+def _chunked(docs: DataFrame, width: int) -> DataFrame:
+    """(doc_id, chunk_id, chunk_text): fixed-width token windows.
+
+    Map-only (split + sequence-explode + slice, all codegen); row
+    growth is ~n_tokens/width per doc, far below the shingle explosion
+    the dedup family already carries.  Guarded against empty token
+    lists — Spark's sequence(0, -1) would DESCEND, not return empty."""
+    toks = _token_array()
+    d = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    ids = F.when(
+        n > 0,
+        F.sequence(F.lit(0), F.ceil(n / F.lit(float(width))).cast("int") - 1),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return d.select("doc_id", F.explode(ids).alias("chunk_id"), "toks").select(
+        "doc_id",
+        "chunk_id",
+        F.expr(f"array_join(slice(toks, chunk_id*{width}+1, {width}), ' ')").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def doc_chunks(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
+    """Training-sequence chunking: split each document into fixed
+    ``width``-token windows — (doc_id, chunk_id, n_chunk_tokens,
+    chunk_hash).  The pre-tokenize/pack step of a training-data
+    pipeline; entirely map-side, so it scales linearly with corpus
+    bytes and never shuffles."""
+    ch = _chunked(docs, width)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.filter(F.split("chunk_text", " "), lambda x: x != "")).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+
+
+def chunk_dedup(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
+    """CCNet-style duplicate-chunk removal: a chunk occurrence is
+    dropped iff an occurrence of the same chunk text exists at a
+    smaller (doc_id, chunk_id) — exactly one canonical copy of every
+    repeated chunk survives, and the document text is reassembled from
+    the kept chunks in order.
+
+    Returns (doc_id, n_chunks, n_kept, clean_hash) where clean_hash is
+    md5 of the reassembled text (NULL when every chunk was dropped).
+
+    Scale shape: one groupBy on chunk_hash (uniform keys — hashes) to
+    pick the canonical occurrence, one groupBy on doc_id to
+    reassemble.  No self-join, no window sort over the corpus; both
+    shuffles are linear in chunk count."""
+    ch = _chunked(docs, width).withColumn("h", F.md5("chunk_text"))
+    canon = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_id")).alias("keep")
+    )
+    tagged = ch.join(canon, "h").withColumn(
+        "is_keep",
+        (F.col("doc_id") == F.col("keep.doc_id"))
+        & (F.col("chunk_id") == F.col("keep.chunk_id")),
+    )
+    kept_parts = F.array_sort(
+        F.collect_list(
+            F.when(F.col("is_keep"), F.struct("chunk_id", "chunk_text"))
+        )
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_keep").cast("int")).alias("n_kept"),
+            kept_parts.alias("_parts"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                F.md5(
+                    F.array_join(
+                        F.transform("_parts", lambda s: s["chunk_text"]), " "
+                    )
+                ),
+            ).alias("clean_hash"),
+        )
+    )
+
+
+DECON_NGRAM = 8
+
+
+def word_ngrams(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """(doc_id, ng): distinct word n-grams per document, joined with a
+    single space.  Guarded against docs shorter than n tokens (Spark's
+    sequence would descend)."""
+    toks = _token_array()
+    d = docs.select("doc_id", toks.alias("toks"))
+    idx = F.when(
+        F.size("toks") >= n,
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return (
+        d.select("doc_id", F.explode(idx).alias("i"), "toks")
+        .select(
+            "doc_id", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("ng")
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = DECON_NGRAM
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``n``-gram with the held-out evaluation set —
+    (doc_id, n_hits, contaminated).
+
+    The eval n-gram set is BROADCAST: benchmark suites are tiny
+    relative to a 100 TB corpus, so the contamination check is a
+    map-side semi-probe over the training shingle stream — no shuffle
+    of the corpus at all.  n_hits counts distinct matching n-grams."""
+    ev = F.broadcast(word_ngrams(eval_docs, n).select("ng").distinct())
+    tr = word_ngrams(train, n)
+    hits = tr.join(ev, "ng").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    (doc_id, dup_ngram_frac, top_token_share).
+
+    dup_ngram_frac — fraction of word n-grams that are duplicates of
+    an earlier n-gram in the same doc (1 - distinct/total), computed
+    entirely inside array expressions (zero shuffle).  top_token_share
+    — the most frequent token's share of all tokens, one explode +
+    two aggregations keyed by doc_id (uniform)."""
+    toks = _token_array()
+    d = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "grams",
+        F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(1, size(toks)-{n - 1}), "
+            f"i -> array_join(slice(toks, i, {n}), ' ')) "
+            "ELSE CAST(array() AS array<string>) END"
+        ),
+    )
+    dup = d.select(
+        "doc_id",
+        F.when(
+            F.size("grams") > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct("grams")) / F.size("grams").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_ngram_frac"),
+    )
+    per_tok = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_token_share")
+        )
+    )
+    return dup.join(per_tok, "doc_id", "left").select(
+        "doc_id",
+        "dup_ngram_frac",
+        F.coalesce("top_token_share", F.lit(0.0)).alias("top_token_share"),
+    )
+
+
+def stratified_sample(docs: DataFrame, rate_expr=None) -> DataFrame:
+    """Deterministic per-stratum sampling with NO shuffle: keep a row
+    iff hash1000(doc_id:source) < its stratum's per-mille rate.  The
+    hash is the first 13 hex chars of md5 decoded to an integer mod
+    1000 — the same arithmetic the SQL oracle reproduces — so the
+    sample is reproducible across engines and runs.
+
+    This is the 100 TB-shaped sampler: a pure map-side filter (rates
+    are a closed-form expression or a broadcast lookup), unlike
+    exact-quota sampling which needs a per-stratum window sort.
+    Default rate: 100 + 50 * (numeric source suffix % 8) per mille."""
+    rate = (
+        rate_expr
+        if rate_expr is not None
+        else 100 + 50 * (F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 8)
+    )
+    h = F.expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', source)), 1, 13), 16, 10) AS BIGINT) % 1000"
+    )
+    return docs.filter(h < rate).select("doc_id", "source")

@@ -1,0 +1,123 @@
+"""Corpus-curation operators: chunking, chunk-level dedup,
+decontamination, repetition stats, stratified sampling — semantic unit
+tests on planted inputs plus physical-plan audits (JVM-side, map-only
+where promised)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from corhist_spark.textops import (
+    chunk_dedup,
+    decontaminate,
+    doc_chunks,
+    repetition_stats,
+    stratified_sample,
+    word_ngrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_chunks_width_and_empty_guard(spark):
+    d = _docs(
+        spark,
+        [
+            (1, " ".join(f"w{i}" for i in range(35))),  # 35 toks -> 3 chunks
+            (2, ""),  # empty: must yield NO chunks, not a descending sequence
+            (3, "a b"),  # shorter than width -> one 2-token chunk
+        ],
+    )
+    got = {(r.doc_id, r.chunk_id): r.n_chunk_tokens for r in doc_chunks(d).collect()}
+    assert got == {(1, 0): 16, (1, 1): 16, (1, 2): 3, (3, 0): 2}
+
+
+def test_chunk_dedup_keeps_one_canonical_copy(spark):
+    shared = " ".join(f"s{i}" for i in range(16))
+    tail_a = " ".join(f"a{i}" for i in range(16))
+    tail_b = " ".join(f"b{i}" for i in range(16))
+    d = _docs(spark, [(1, f"{shared} {tail_a}"), (2, f"{shared} {tail_b}")])
+    out = {r.doc_id: r for r in chunk_dedup(d).collect()}
+    # doc 1 holds the canonical (min doc_id) copy of the shared chunk
+    assert out[1].n_chunks == 2 and out[1].n_kept == 2
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    assert out[1].clean_hash == hashlib.md5(f"{shared} {tail_a}".encode()).hexdigest()
+    assert out[2].clean_hash == hashlib.md5(tail_b.encode()).hexdigest()
+
+
+def test_chunk_dedup_all_dropped_yields_null_hash(spark):
+    shared = " ".join(f"s{i}" for i in range(16))
+    d = _docs(spark, [(1, shared), (2, shared)])
+    out = {r.doc_id: r for r in chunk_dedup(d).collect()}
+    assert out[1].n_kept == 1 and out[1].clean_hash is not None
+    assert out[2].n_kept == 0 and out[2].clean_hash is None
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    d = _docs(spark, [(1, "only three tokens"), (2, " ".join("t" + str(i) for i in range(9)))])
+    got = word_ngrams(d, n=8).collect()
+    assert {r.doc_id for r in got} == {2}
+    assert len(got) == 2  # 9 tokens -> two 8-grams
+
+
+def test_decontaminate_flags_exact_overlap_only(spark):
+    phrase = " ".join(f"p{i}" for i in range(8))
+    ev = _docs(spark, [(100, f"{phrase} extra tokens here")])
+    tr = _docs(
+        spark,
+        [
+            (1, f"lead in {phrase} trailing"),  # contains the eval 8-gram
+            (2, " ".join(f"q{i}" for i in range(20))),  # disjoint
+            (3, " ".join(f"p{i}" for i in range(7))),  # too short for any 8-gram
+        ],
+    )
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in decontaminate(tr, ev).collect()}
+    assert got[1][1] is True and got[1][0] >= 1
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_repetition_stats_planted_values(spark):
+    # 6 tokens "x y z x y z" -> trigrams: xyz yzx zxy xyz -> 4 total, 3 distinct
+    d = _docs(spark, [(1, "x y z x y z"), (2, "")])
+    got = {r.doc_id: r for r in repetition_stats(d).collect()}
+    assert got[1].dup_ngram_frac == pytest.approx(1 - 3 / 4, abs=1e-6)
+    assert got[1].top_token_share == pytest.approx(2 / 6, abs=1e-6)
+    assert got[2].dup_ngram_frac == 0.0 and got[2].top_token_share == 0.0
+
+
+def test_stratified_sample_matches_python_hash(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = {(r.doc_id, r.source) for r in stratified_sample(docs).collect()}
+    for r in docs.select("doc_id", "source").collect():
+        h = int(hashlib.md5(f"{r.doc_id}:{r.source}".encode()).hexdigest()[:13], 16) % 1000
+        rate = 100 + 50 * (int(r.source.lstrip("src")) % 8)
+        assert ((r.doc_id, r.source) in kept) == (h < rate)
+
+
+def test_corpus_ops_plans(spark):
+    """All five operators stay JVM-side; the sampler is map-only (no
+    Exchange) and the decontamination probe broadcasts the eval set."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 10 == 7)
+    tr = docs.filter(F.col("doc_id") % 10 != 7)
+    frames = {
+        "doc_chunks": doc_chunks(docs),
+        "chunk_dedup": chunk_dedup(docs),
+        "decontaminate": decontaminate(tr, ev),
+        "repetition_stats": repetition_stats(docs),
+        "stratified_sample": stratified_sample(docs),
+    }
+    plans = {
+        k: df._jdf.queryExecution().executedPlan().toString() for k, df in frames.items()
+    }
+    for k, plan in plans.items():
+        assert "Python" not in plan, f"{k}: {plan}"
+        assert "CartesianProduct" not in plan, f"{k}: {plan}"
+    assert "Exchange" not in plans["stratified_sample"], plans["stratified_sample"]
+    assert "BroadcastHashJoin" in plans["decontaminate"], plans["decontaminate"]
