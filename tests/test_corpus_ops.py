@@ -121,3 +121,51 @@ def test_corpus_ops_plans(spark):
         assert "CartesianProduct" not in plan, f"{k}: {plan}"
     assert "Exchange" not in plans["stratified_sample"], plans["stratified_sample"]
     assert "BroadcastHashJoin" in plans["decontaminate"], plans["decontaminate"]
+
+
+def test_chunk_dedup_matches_python_replay_on_random_corpora(spark):
+    """Property check: on random corpora with planted shared chunks,
+    chunk_dedup matches a pure-Python replay of the keep rule (an
+    occurrence survives iff it is the minimal (doc_id, chunk_id)
+    occurrence of its chunk text)."""
+    import random
+
+    rng = random.Random(77)
+    W = 16
+    # a pool of 6 shareable chunks + per-doc unique filler
+    pool = [" ".join(f"c{p}w{i}" for i in range(W)) for p in range(6)]
+    rows = []
+    for d in range(30):
+        parts = []
+        for k in range(rng.randint(1, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(pool))
+            else:
+                parts.append(" ".join(f"d{d}k{k}w{i}" for i in range(rng.randint(1, W))))
+        rng.shuffle(parts)
+        rows.append((d, " ".join(parts)))
+
+    # python replay
+    def chunks(text):
+        toks = [t for t in text.split(" ") if t]
+        return [" ".join(toks[i : i + W]) for i in range(0, len(toks), W)]
+
+    first = {}
+    for d, text in rows:
+        for cid, ct in enumerate(chunks(text)):
+            first.setdefault(ct, (d, cid))
+    want = {}
+    for d, text in rows:
+        ch = chunks(text)
+        kept = [ct for cid, ct in enumerate(ch) if first[ct] == (d, cid)]
+        want[d] = (
+            len(ch),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest() if kept else None,
+        )
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.clean_hash)
+        for r in chunk_dedup(_docs(spark, rows)).collect()
+    }
+    assert got == want
