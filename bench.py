@@ -39,6 +39,10 @@ HEADLINE = [
     "exact_dedup",
     "token_stats",
     "doc_fingerprint",
+    "chunk_dedup",
+    "decontaminate",
+    "repetition_stats",
+    "stratified_sample",
     "mention_extraction",
     "minhash_signatures",
     "lsh_candidates",

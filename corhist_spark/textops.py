@@ -331,23 +331,26 @@ def chunk_dedup(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
 DECON_NGRAM = 8
 
 
-def word_ngrams(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
-    """(doc_id, ng): distinct word n-grams per document, joined with a
-    single space.  Guarded against docs shorter than n tokens (Spark's
-    sequence would descend)."""
+def _raw_word_ngrams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, ng): every word n-gram occurrence — map-only, NOT
+    deduplicated (a corpus-wide distinct would shuffle the whole
+    n-gram stream; dedupe after pruning instead)."""
     toks = _token_array()
     d = docs.select("doc_id", toks.alias("toks"))
     idx = F.when(
         F.size("toks") >= n,
         F.sequence(F.lit(1), F.size("toks") - (n - 1)),
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    return (
-        d.select("doc_id", F.explode(idx).alias("i"), "toks")
-        .select(
-            "doc_id", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("ng")
-        )
-        .distinct()
+    return d.select("doc_id", F.explode(idx).alias("i"), "toks").select(
+        "doc_id", F.expr(f"array_join(slice(toks, i, {n}), ' ')").alias("ng")
     )
+
+
+def word_ngrams(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """(doc_id, ng): distinct word n-grams per document, joined with a
+    single space.  Guarded against docs shorter than n tokens (Spark's
+    sequence would descend)."""
+    return _raw_word_ngrams(docs, n).distinct()
 
 
 def decontaminate(
@@ -359,11 +362,18 @@ def decontaminate(
 
     The eval n-gram set is BROADCAST: benchmark suites are tiny
     relative to a 100 TB corpus, so the contamination check is a
-    map-side semi-probe over the training shingle stream — no shuffle
-    of the corpus at all.  n_hits counts distinct matching n-grams."""
+    map-side semi-probe over the RAW training n-gram stream — the
+    corpus-side distinct happens only on the surviving matches (a
+    vanishing fraction), so the corpus itself never shuffles.
+    n_hits counts distinct matching n-grams."""
     ev = F.broadcast(word_ngrams(eval_docs, n).select("ng").distinct())
-    tr = word_ngrams(train, n)
-    hits = tr.join(ev, "ng").groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    hits = (
+        _raw_word_ngrams(train, n)
+        .join(ev, "ng")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
     return (
         train.select("doc_id")
         .join(hits, "doc_id", "left")
