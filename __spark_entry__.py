@@ -421,6 +421,15 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Training-sequence packing: 16-token chunks concatenated in
+    (doc_id, chunk_id) order within doc_id%32 pack groups, cut at a
+    64-token budget (chunks never split; bounded overflow)."""
+    from corhist_spark.textops import sequence_pack
+
+    return sequence_pack(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic map-side per-source sampling (hash-threshold,
     zero shuffle)."""
@@ -1312,6 +1321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
+        "sequence_pack": q_sequence_pack,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1322,7 +1332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverse_corrections": q_inverse_corrections,
         "format_corrections": q_format_corrections,
         "conflict_corrections": q_conflict_corrections,
-        "item_corrections": q_item_corrections,
         "tclaim_corrections": q_tclaim_corrections,
         "deletion_baseline_eval": q_deletion_baseline_eval,
         "addition_baseline_eval": q_addition_baseline_eval,
@@ -1347,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to make room for the five new corpus-curation queries while
         # keeping the KG-construction core (cc_components,
         # canonical_triples, ...) inside the driver window ---
+        "item_corrections": q_item_corrections,
         "pricing_summary": q_pricing_summary,
         "token_stats": q_token_stats,
         "token_pieces": q_token_pieces,
@@ -2140,6 +2150,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_ngram_frac,
                    coalesce(tts.top_token_share, 0.0) AS top_token_share
             FROM g LEFT JOIN tts ON g.doc_id = tts.doc_id
+        """,
+        "sequence_pack": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(ceil(len(toks)/16.0) AS INT) - 1)) AS chunk_id,
+                     toks
+              FROM t WHERE len(toks) > 0),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     array_to_string(list_slice(toks, chunk_id*16+1, chunk_id*16+16), ' ') AS ctext,
+                     len(list_slice(toks, chunk_id*16+1, chunk_id*16+16)) AS n_toks,
+                     doc_id % 32 AS pack_group
+              FROM c),
+            s AS (
+              SELECT pack_group, doc_id, chunk_id, ctext, n_toks,
+                     CAST(floor((sum(n_toks) OVER (
+                         PARTITION BY pack_group ORDER BY doc_id, chunk_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) - n_toks) / 64.0) AS BIGINT) AS seq_id
+              FROM ch)
+            SELECT pack_group, seq_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                   md5(string_agg(ctext, ' ' ORDER BY doc_id, chunk_id)) AS seq_hash
+            FROM s GROUP BY pack_group, seq_id
         """,
         "stratified_sample": f"""
             WITH hsrc AS (

@@ -452,3 +452,59 @@ def stratified_sample(docs: DataFrame, rate_expr=None) -> DataFrame:
         "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', source)), 1, 13), 16, 10) AS BIGINT) % 1000"
     )
     return docs.filter(h < rate).select("doc_id", "source")
+
+
+PACK_BUDGET = 64
+PACK_GROUPS = 32
+
+
+def sequence_pack(
+    docs: DataFrame,
+    width: int = CHUNK_TOKENS,
+    budget: int = PACK_BUDGET,
+    n_groups: int = PACK_GROUPS,
+) -> DataFrame:
+    """Training-sequence packing (the concat-and-cut step before
+    batching): documents are chunked into ``width``-token windows,
+    concatenated in (doc_id, chunk_id) order within a pack group, and
+    cut into sequences of ~``budget`` tokens.  A chunk is assigned to
+    the sequence its STARTING token offset falls in, so sequences may
+    overflow by at most ``width - 1`` tokens — chunks are never split.
+    Returns (pack_group, seq_id, n_chunks, n_tokens, seq_hash).
+
+    Scale shape: the only shuffle is the window over pack_group — and
+    the group count is a parallelism knob.  On a real corpus you would
+    use the input partition id as the group (packing is order-agnostic
+    between groups, so co-partitioned packing needs NO shuffle at
+    all); doc_id % n_groups here keeps the grouping reproducible in
+    the SQL oracle."""
+    from pyspark.sql import Window
+
+    ch = _chunked(docs, width).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        F.size(F.split("chunk_text", " ")).alias("n_toks"),
+        (F.col("doc_id") % n_groups).alias("pack_group"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ch.withColumn(
+        "seq_id", F.floor((F.sum("n_toks").over(w) - F.col("n_toks")) / budget)
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("doc_id", "chunk_id", "chunk_text"))
+    )
+    return (
+        seq.groupBy("pack_group", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.md5(
+                F.array_join(F.transform(parts, lambda s: s["chunk_text"]), " ")
+            ).alias("seq_hash"),
+        )
+    )

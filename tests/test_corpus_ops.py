@@ -169,3 +169,35 @@ def test_chunk_dedup_matches_python_replay_on_random_corpora(spark):
         for r in chunk_dedup(_docs(spark, rows)).collect()
     }
     assert got == want
+
+
+def test_sequence_pack_boundaries_and_overflow(spark):
+    """Packing semantics: a chunk joins the sequence its starting
+    offset falls in, so a sequence can overflow by at most width-1
+    tokens and always holds at least one chunk."""
+    from corhist_spark.textops import sequence_pack
+
+    # one pack group (doc_ids = 0, 32, 64: all % 32 == 0)
+    d = _docs(
+        spark,
+        [
+            (0, " ".join(f"a{i}" for i in range(40))),   # chunks: 16,16,8
+            (32, " ".join(f"b{i}" for i in range(20))),  # chunks: 16,4
+            (64, " ".join(f"c{i}" for i in range(10))),  # chunks: 10
+        ],
+    )
+    out = sorted(
+        (r.seq_id, r.n_chunks, r.n_tokens)
+        for r in sequence_pack(d, width=16, budget=64, n_groups=32).collect()
+    )
+    # cum starts: 0,16,32,40,56,60 -> seq 0 holds all six chunks
+    # (starts < 64) with 70 tokens: overflow beyond budget but < 64+16
+    assert out == [(0, 6, 70)]
+
+    d2 = _docs(spark, [(0, " ".join(f"a{i}" for i in range(80)))])  # 5 full chunks
+    out2 = sorted(
+        (r.seq_id, r.n_chunks, r.n_tokens)
+        for r in sequence_pack(d2, width=16, budget=64, n_groups=32).collect()
+    )
+    # starts 0,16,32,48 -> seq 0 (64 toks exactly); start 64 -> seq 1
+    assert out2 == [(0, 4, 64), (1, 1, 16)]
