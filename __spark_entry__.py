@@ -421,6 +421,14 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_media_context(spark, sf_dir):
+    """Caption linking: each media span (>= 8-char token) paired with
+    the nearest preceding text mention within 4 positions."""
+    from corhist_spark.extract import media_context_links
+
+    return media_context_links(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_sequence_pack(spark, sf_dir):
     """Training-sequence packing: 16-token chunks concatenated in
     (doc_id, chunk_id) order within doc_id%32 pack groups, cut at a
@@ -1322,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "stratified_sample": q_stratified_sample,
         "sequence_pack": q_sequence_pack,
+        "media_context": q_media_context,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1334,7 +1343,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conflict_corrections": q_conflict_corrections,
         "tclaim_corrections": q_tclaim_corrections,
         "deletion_baseline_eval": q_deletion_baseline_eval,
-        "addition_baseline_eval": q_addition_baseline_eval,
         "aggregated_stats": q_aggregated_stats,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
@@ -1357,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keeping the KG-construction core (cc_components,
         # canonical_triples, ...) inside the driver window ---
         "item_corrections": q_item_corrections,
+        "addition_baseline_eval": q_addition_baseline_eval,
         "pricing_summary": q_pricing_summary,
         "token_stats": q_token_stats,
         "token_pieces": q_token_pieces,
@@ -2150,6 +2159,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_ngram_frac,
                    coalesce(tts.top_token_share, 0.0) AS top_token_share
             FROM g LEFT JOIN tts ON g.doc_id = tts.doc_id
+        """,
+        "media_context": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            p AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM t),
+            tok AS (SELECT doc_id, i - 1 AS span_idx, toks[i] AS tok FROM p),
+            media AS (
+              SELECT doc_id, span_idx, tok AS media_ref FROM tok WHERE length(tok) >= 8),
+            men AS (
+              SELECT doc_id, span_idx, tok AS mention FROM tok
+              WHERE regexp_full_match(tok, '[a-z]{6,7}'))
+            SELECT m.doc_id, m.span_idx, m.media_ref,
+                   arg_max(c.mention, c.span_idx) AS context_mention
+            FROM media m
+            JOIN men c ON c.doc_id = m.doc_id
+                      AND c.span_idx BETWEEN m.span_idx - 4 AND m.span_idx - 1
+            GROUP BY m.doc_id, m.span_idx, m.media_ref
         """,
         "sequence_pack": """
             WITH t AS (

@@ -160,3 +160,39 @@ def aggregate_triples(triples: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("evidence"),
         F.max("score").alias("score"),
     )
+
+
+def media_context_links(docs: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Caption-linking over an interleaved token stream: each media
+    span (>= 8-char token, the same convention the multimodal feature
+    path uses) links to the NEAREST preceding text mention
+    (``^[a-z]{6,7}$`` — mention-shaped but too short to be media)
+    within ``max_dist`` positions — (doc_id, span_idx, media_ref,
+    context_mention).
+
+    This is the media-grounding shape of interleaved KG construction:
+    the mention supplies the candidate entity for the media object.
+    Plan: posexplode (narrow) + ONE per-doc window (shuffle keyed by
+    doc_id, uniform); no join, no Python."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("span_idx", "tok"))
+        .select(
+            "doc_id",
+            "span_idx",
+            "tok",
+            (F.length("tok") >= 8).alias("is_media"),
+            F.when(F.col("tok").rlike("^[a-z]{6,7}$"), F.col("tok")).alias("mention"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("span_idx")
+        .rowsBetween(-max_dist, -1)
+    )
+    return (
+        toks.withColumn("context_mention", F.last("mention", ignorenulls=True).over(w))
+        .filter(F.col("is_media") & F.col("context_mention").isNotNull())
+        .select("doc_id", "span_idx", F.col("tok").alias("media_ref"), "context_mention")
+    )

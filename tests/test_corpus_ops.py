@@ -201,3 +201,22 @@ def test_sequence_pack_boundaries_and_overflow(spark):
     )
     # starts 0,16,32,48 -> seq 0 (64 toks exactly); start 64 -> seq 1
     assert out2 == [(0, 4, 64), (1, 1, 16)]
+
+
+def test_media_context_nearest_preceding_mention(spark):
+    from corhist_spark.extract import media_context_links
+
+    d = _docs(
+        spark,
+        [
+            # positions:  0      1       2       3         4
+            (1, "filler mention zzz mediatoken9 after"),
+            # mention at 1 within 4 of media at 3 -> linked; nothing after counts
+            (2, "mediatoken9 mention"),  # no PRECEDING mention -> dropped
+            (3, "mention a b c d mediatoken9"),  # distance 5 -> too far
+            (4, "firstt secondd mediatoken9"),  # two mentions: nearest wins
+        ],
+    )
+    got = {(r.doc_id, r.span_idx): r.context_mention
+           for r in media_context_links(d).collect()}
+    assert got == {(1, 3): "mention", (4, 2): "secondd"}
