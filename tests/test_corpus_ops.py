@@ -220,3 +220,22 @@ def test_media_context_nearest_preceding_mention(spark):
     got = {(r.doc_id, r.span_idx): r.context_mention
            for r in media_context_links(d).collect()}
     assert got == {(1, 3): "mention", (4, 2): "secondd"}
+
+
+def test_corpus_ops_null_text_safe(spark):
+    """NULL text must flow through every curation operator as an
+    empty/dropped doc, never crash (size(NULL) = -1 in Spark — the
+    n > 0 guards must hold)."""
+    from corhist_spark.textops import sequence_pack
+
+    d = spark.createDataFrame(
+        [(1, None, "src1"), (2, "some real tokens here", "src2")],
+        "doc_id long, text string, source string",
+    )
+    assert {r.doc_id for r in doc_chunks(d).collect()} == {2}
+    assert {r.doc_id: r.n_chunks for r in chunk_dedup(d).collect()} == {2: 1}
+    assert {(r.pack_group, r.n_chunks) for r in sequence_pack(d).collect()} == {(2, 1)}
+    rs = {r.doc_id: r.dup_ngram_frac for r in repetition_stats(d).collect()}
+    assert rs[1] == 0.0
+    ss = stratified_sample(d).collect()  # must not throw; doc 1 hash is NULL-safe
+    assert all(r.doc_id in (1, 2) for r in ss)
