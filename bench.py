@@ -43,6 +43,8 @@ HEADLINE = [
     "decontaminate",
     "repetition_stats",
     "stratified_sample",
+    "sequence_pack",
+    "media_context",
     "mention_extraction",
     "minhash_signatures",
     "lsh_candidates",
