@@ -1359,9 +1359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_triples": q_canonical_triples,
         # --- tail (positions 51+, outside the driver's 50-row cap this
         # round; all were driver-green in r1 and/or r2 and unchanged
-        # since; still pytest-oracled every run).  token_stats /
+        # since; still pytest-oracled every run).  item_corrections /
+        # addition_baseline_eval / pricing_summary / token_stats /
         # token_pieces / exact_dedup / oneof_corrections rotated here
-        # to make room for the five new corpus-curation queries while
+        # to make room for the seven new corpus-curation queries while
         # keeping the KG-construction core (cc_components,
         # canonical_triples, ...) inside the driver window ---
         "item_corrections": q_item_corrections,

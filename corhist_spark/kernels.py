@@ -203,6 +203,23 @@ def correction_candidates(
     # skip kernels with no constraint of that type — the constraint
     # table is driver-small, so prune the plan before it is built
     present = {r["type"] for r in constraints.select("type").collect()}
+    known = {
+        S.TYPE_SINGLE, S.TYPE_UNIQUE, S.TYPE_INVERSE, S.TYPE_SYMMETRIC,
+        S.TYPE_TYPE, S.TYPE_VALUE_TYPE, S.TYPE_TARGET_CLAIM, S.TYPE_ITEM,
+        S.TYPE_CONFLICT, S.TYPE_ONE_OF, S.TYPE_FORMAT,
+    }
+    if not present & known:
+        # every constraint has an unrecognized type QID — real WDQS
+        # dumps carry dozens of types beyond the ten implemented here,
+        # and the reference silently skips them (`mining/Main.java:89`
+        # only dispatches known builders); an empty candidate set is
+        # the correct result, not an error.  Checked BEFORE the eager
+        # diff checkpoints below so the no-op case pays nothing.
+        schema = ", ".join(
+            f"{c} {'boolean' if c == 'is_add' else 'long' if c == 'corr_rev' else 'string'}"
+            for c in ROW_COLS
+        )
+        return edits.sparkSession.createDataFrame([], schema)
 
     # the per-op diff frames (edits x revision metadata) are shared by
     # every kernel; materialize them once so an 8-kernel one-pass plan
@@ -260,19 +277,6 @@ def correction_candidates(
         maybe(_format, cons(S.TYPE_FORMAT), dels_nop, sameas),
     ]
     parts = [p for p in parts if p is not None]
-    if not parts:
-        # every constraint has an unrecognized type QID — real WDQS
-        # dumps carry dozens of types beyond the ten implemented here,
-        # and the reference silently skips them (`mining/Main.java:89`
-        # only dispatches known builders); an empty candidate set is
-        # the correct result, not an error
-        spark = edits.sparkSession
-        return spark.createDataFrame(
-            [],
-            "constraint_id string, property string, target_subj string, "
-            "target_obj string, is_add boolean, corr_subj string, "
-            "corr_pred string, corr_obj string, corr_rev long",
-        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

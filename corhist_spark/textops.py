@@ -238,12 +238,15 @@ def _token_array():
 
 
 def _chunked(docs: DataFrame, width: int) -> DataFrame:
-    """(doc_id, chunk_id, chunk_text): fixed-width token windows.
+    """(doc_id, chunk_id, chunk_text, n_toks): fixed-width token
+    windows.
 
     Map-only (split + sequence-explode + slice, all codegen); row
     growth is ~n_tokens/width per doc, far below the shingle explosion
     the dedup family already carries.  Guarded against empty token
-    lists — Spark's sequence(0, -1) would DESCEND, not return empty."""
+    lists — Spark's sequence(0, -1) would DESCEND, not return empty.
+    n_toks is emitted here (size of the slice) so callers never
+    re-split chunk_text just to count tokens."""
     toks = _token_array()
     d = docs.select("doc_id", toks.alias("toks"))
     n = F.size("toks")
@@ -257,6 +260,7 @@ def _chunked(docs: DataFrame, width: int) -> DataFrame:
         F.expr(f"array_join(slice(toks, chunk_id*{width}+1, {width}), ' ')").alias(
             "chunk_text"
         ),
+        F.expr(f"size(slice(toks, chunk_id*{width}+1, {width}))").alias("n_toks"),
     )
 
 
@@ -270,9 +274,7 @@ def doc_chunks(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
     return ch.select(
         "doc_id",
         "chunk_id",
-        F.size(F.filter(F.split("chunk_text", " "), lambda x: x != "")).alias(
-            "n_chunk_tokens"
-        ),
+        F.col("n_toks").alias("n_chunk_tokens"),
         F.md5("chunk_text").alias("chunk_hash"),
     )
 
@@ -484,7 +486,7 @@ def sequence_pack(
         "doc_id",
         "chunk_id",
         "chunk_text",
-        F.size(F.split("chunk_text", " ")).alias("n_toks"),
+        "n_toks",
         (F.col("doc_id") % n_groups).alias("pack_group"),
     )
     w = (

@@ -101,8 +101,13 @@ def test_stratified_sample_matches_python_hash(spark):
 
 
 def test_corpus_ops_plans(spark):
-    """All five operators stay JVM-side; the sampler is map-only (no
-    Exchange) and the decontamination probe broadcasts the eval set."""
+    """All curation operators stay JVM-side; the sampler is map-only
+    (no Exchange), the decontamination probe broadcasts the eval set,
+    and media_context/sequence_pack shuffle exactly once (their
+    per-doc/per-group window)."""
+    from corhist_spark.extract import media_context_links
+    from corhist_spark.textops import sequence_pack
+
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     ev = docs.filter(F.col("doc_id") % 10 == 7)
     tr = docs.filter(F.col("doc_id") % 10 != 7)
@@ -112,6 +117,8 @@ def test_corpus_ops_plans(spark):
         "decontaminate": decontaminate(tr, ev),
         "repetition_stats": repetition_stats(docs),
         "stratified_sample": stratified_sample(docs),
+        "sequence_pack": sequence_pack(docs),
+        "media_context": media_context_links(docs),
     }
     plans = {
         k: df._jdf.queryExecution().executedPlan().toString() for k, df in frames.items()
@@ -121,6 +128,11 @@ def test_corpus_ops_plans(spark):
         assert "CartesianProduct" not in plan, f"{k}: {plan}"
     assert "Exchange" not in plans["stratified_sample"], plans["stratified_sample"]
     assert "BroadcastHashJoin" in plans["decontaminate"], plans["decontaminate"]
+    # media_context promises "no join"; its window is the one shuffle
+    assert "Join" not in plans["media_context"], plans["media_context"]
+    for k in ("media_context", "sequence_pack"):
+        n_exch = plans[k].count("Exchange hashpartitioning")
+        assert n_exch == 1, f"{k}: expected exactly 1 shuffle, saw {n_exch}"
 
 
 def test_chunk_dedup_matches_python_replay_on_random_corpora(spark):
