@@ -20,13 +20,16 @@ import __spark_entry__ as entry_mod
 from corhist_spark.session import get_spark
 
 HEADLINE = [
-    # multi_constraint_corrections (8 kernels, one plan): ~24 s at
+    # multi_constraint_corrections (8 kernels, one plan): ~16-22 s at
     # sf0.1 is candidate-volume-bound (the synthetic V0..V30 value
     # space makes every deleted value co-held by hundreds of subjects,
-    # ~1.16M candidate rows), but the one-pass plan is ~3.6x cheaper
-    # than running the same 8 kernels singly (24 s vs 88 s cold), and
-    # the unique kernel's value-group join is salted (hot-value guard),
-    # so it is benched as a headline query since round 3.
+    # ~1.16M candidate rows).  Measured breakdown (r3, warm memo):
+    # shared diff checkpoints 1.4 s, candidate generation 13.7 s
+    # (unique 4.9 / single 3.6 / item 3.4 singly — the value-group
+    # joins), expansion + still-applied + distinct ~4.6 s.  The
+    # one-pass plan beats the same 8 kernels run singly (~23 s warm,
+    # ~88 s cold), and the unique kernel's value-group join is salted
+    # (hot-value guard), so it is benched as a headline query.
     "multi_constraint_corrections",
     "single_value_corrections",
     "state_intervals",
