@@ -251,3 +251,30 @@ def test_corpus_ops_null_text_safe(spark):
     assert rs[1] == 0.0
     ss = stratified_sample(d).collect()  # must not throw; doc 1 hash is NULL-safe
     assert all(r.doc_id in (1, 2) for r in ss)
+
+
+def test_sequence_pack_invariants_random(spark):
+    """Random-corpus invariants: token totals are preserved, every
+    sequence holds >= 1 chunk, and no sequence exceeds
+    budget + width - 1 tokens (the bounded-overflow guarantee)."""
+    import random
+
+    from corhist_spark.textops import sequence_pack
+
+    rng = random.Random(4242)
+    rows = [
+        (d, " ".join(f"d{d}w{i}" for i in range(rng.randint(0, 90))))
+        for d in range(60)
+    ]
+    W, B = 16, 64
+    out = sequence_pack(_docs(spark, rows), width=W, budget=B, n_groups=8).collect()
+    total_tokens = sum(len([t for t in text.split(" ") if t]) for _, text in rows)
+    assert sum(r.n_tokens for r in out) == total_tokens
+    assert all(r.n_chunks >= 1 for r in out)
+    assert max(r.n_tokens for r in out) <= B + W - 1
+    # seq ids are dense from 0 within each pack group
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.pack_group, []).append(r.seq_id)
+    for g, ids in by_group.items():
+        assert sorted(ids) == list(range(len(ids))), f"group {g}: {sorted(ids)}"
