@@ -510,3 +510,30 @@ def sequence_pack(
             ).alias("seq_hash"),
         )
     )
+
+
+def unigram_nll(docs: DataFrame) -> DataFrame:
+    """CCNet-style language-model quality proxy: per-document mean
+    negative log-likelihood under the corpus's own unigram
+    distribution — (doc_id, n_tokens, mean_nll).  High mean_nll =
+    rare-token-heavy (gibberish/noise), low = stopword-heavy
+    boilerplate; both tails are what quality filters cut.
+
+    Scale shape: pass 1 is a token-frequency aggregate (map-side
+    combine, uniform-ish keys); pass 2 joins the token stream against
+    the frequency table.  The frequency table has one row per DISTINCT
+    token (Zipf: millions of rows even at 100 TB — broadcastable in
+    practice, shuffle-joinable otherwise; hot stopword keys are probe-
+    side skew only, which AQE splits).  mean_nll is rounded to 6
+    decimals for cross-engine comparison."""
+    toks = docs.select("doc_id", F.explode(_token_array()).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").alias("total"))
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("tf") / F.col("total"))), 6).alias("mean_nll"),
+        )
+    )

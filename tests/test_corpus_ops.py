@@ -278,3 +278,18 @@ def test_sequence_pack_invariants_random(spark):
         by_group.setdefault(r.pack_group, []).append(r.seq_id)
     for g, ids in by_group.items():
         assert sorted(ids) == list(range(len(ids))), f"group {g}: {sorted(ids)}"
+
+
+def test_unigram_nll_planted_frequencies(spark):
+    import math
+
+    from corhist_spark.textops import unigram_nll
+
+    d = _docs(spark, [(1, "a a b"), (2, "b c")])
+    # freq: a=2, b=2, c=1; total=5
+    got = {r.doc_id: (r.n_tokens, r.mean_nll) for r in unigram_nll(d).collect()}
+    # doc 1 tokens a,a,b all have tf=2 -> every term is -ln(2/5)
+    want1 = round(-math.log(2 / 5), 6)
+    want2 = round((-math.log(2 / 5) + -math.log(1 / 5)) / 2, 6)
+    assert got[1] == (3, pytest.approx(want1, abs=1e-6))
+    assert got[2] == (2, pytest.approx(want2, abs=1e-6))
