@@ -48,6 +48,7 @@ HEADLINE = [
     "stratified_sample",
     "sequence_pack",
     "media_context",
+    "unigram_nll",
     "mention_extraction",
     "minhash_signatures",
     "lsh_candidates",
