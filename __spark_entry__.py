@@ -421,6 +421,14 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_source_mixing(spark, sf_dir):
+    """Temperature-weighted (alpha=0.5) source mixture + realization
+    rates for training-set composition."""
+    from corhist_spark.textops import source_mixing
+
+    return source_mixing(_t(spark, sf_dir, "documents"))
+
+
 def q_unigram_nll(spark, sf_dir):
     """Unigram-LM quality proxy: per-doc mean negative log-likelihood
     under the corpus's own unigram distribution."""
@@ -1340,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "media_context": q_media_context,
         "unigram_nll": q_unigram_nll,
+        "source_mixing": q_source_mixing,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1347,7 +1356,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_intervals": q_state_intervals,
         "current_state": q_current_state,
         "type_violations": q_type_violations,
-        "format_corrections": q_format_corrections,
         "conflict_corrections": q_conflict_corrections,
         "tclaim_corrections": q_tclaim_corrections,
         "deletion_baseline_eval": q_deletion_baseline_eval,
@@ -1367,14 +1375,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_triples": q_canonical_triples,
         # --- tail (positions 51+, outside the driver's 50-row cap this
         # round; all were driver-green in r1 and/or r2 and unchanged
-        # since; still pytest-oracled every run).  inverse_corrections /
-        # item_corrections / addition_baseline_eval / pricing_summary /
-        # token_stats / token_pieces / exact_dedup / oneof_corrections
-        # rotated here (each covered by an in-window sibling: the
-        # multi-constraint one-pass, tclaim, deletion_baseline, ...)
-        # to make room for the eight new corpus-curation queries while
+        # since; still pytest-oracled every run).  format/inverse/item/
+        # oneof_corrections / addition_baseline_eval / pricing_summary /
+        # token_stats / token_pieces / exact_dedup rotated here (each
+        # covered by an in-window sibling: the multi-constraint
+        # one-pass, tclaim, deletion_baseline, ...) to make room for
+        # the nine new corpus-curation queries while
         # keeping the KG-construction core (cc_components,
         # canonical_triples, ...) inside the driver window ---
+        "format_corrections": q_format_corrections,
         "inverse_corrections": q_inverse_corrections,
         "item_corrections": q_item_corrections,
         "addition_baseline_eval": q_addition_baseline_eval,
@@ -2171,6 +2180,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_ngram_frac,
                    coalesce(tts.top_token_share, 0.0) AS top_token_share
             FROM g LEFT JOIN tts ON g.doc_id = tts.doc_id
+        """,
+        "source_mixing": """
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT sum(pow(n_tokens, 0.5)) AS s_pow, sum(n_tokens) AS s_tok FROM per)
+            SELECT source, n_docs, n_tokens,
+                   round(pow(n_tokens, 0.5) / s_pow, 6) AS weight,
+                   round(least(1.0, pow(n_tokens, 0.5) / s_pow * s_tok / n_tokens), 6) AS rate
+            FROM per CROSS JOIN tot
         """,
         "unigram_nll": """
             WITH tk AS (

@@ -537,3 +537,37 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
             F.round(F.avg(-F.log(F.col("tf") / F.col("total"))), 6).alias("mean_nll"),
         )
     )
+
+
+def source_mixing(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Data-mixing stage: temperature-weighted source proportions for
+    training-set composition (the mT5-style upsampling rule) —
+    (source, n_docs, n_tokens, weight, rate).
+
+    weight_s = tokens_s^alpha / sum_t tokens_t^alpha; rate_s is the
+    per-source keep/upsample rate that realizes the mixture at the
+    full-corpus token budget, capped at 1.0 (no upsampling here —
+    feeding rate into stratified_sample closes the loop).  alpha < 1
+    flattens the mixture toward low-resource sources.
+
+    Scale shape: one per-source aggregate (20-ish rows at any corpus
+    size) + a broadcast of the two scalar totals — nothing here grows
+    with the corpus."""
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_token_array())).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow("n_tokens", alpha)).alias("s_pow"),
+        F.sum("n_tokens").alias("s_tok"),
+    )
+    w = F.pow("n_tokens", alpha) / F.col("s_pow")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(F.least(F.lit(1.0), w * F.col("s_tok") / F.col("n_tokens")), 6).alias(
+            "rate"
+        ),
+    )

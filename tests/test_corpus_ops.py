@@ -293,3 +293,24 @@ def test_unigram_nll_planted_frequencies(spark):
     want2 = round((-math.log(2 / 5) + -math.log(1 / 5)) / 2, 6)
     assert got[1] == (3, pytest.approx(want1, abs=1e-6))
     assert got[2] == (2, pytest.approx(want2, abs=1e-6))
+
+
+def test_source_mixing_temperature_flattening(spark):
+    """alpha=0.5 mixing: the big source is downsampled, the small one
+    would be upsampled (rate capped at 1.0)."""
+    from corhist_spark.textops import source_mixing
+
+    d = spark.createDataFrame(
+        [
+            (1, " ".join(f"a{i}" for i in range(16)), "big"),
+            (2, " ".join(f"b{i}" for i in range(4)), "small"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_mixing(d).collect()}
+    # sqrt weights: 4/(4+2), 2/(4+2); budget = 20 tokens
+    assert got["big"].weight == pytest.approx(4 / 6, abs=1e-6)
+    assert got["small"].weight == pytest.approx(2 / 6, abs=1e-6)
+    assert got["big"].rate == pytest.approx((4 / 6) * 20 / 16, abs=1e-6)  # 0.8333
+    assert got["small"].rate == 1.0  # 1.667 capped
+    assert got["big"].n_tokens == 16 and got["small"].n_docs == 1
