@@ -426,7 +426,7 @@ def q_source_mixing(spark, sf_dir):
     rates for training-set composition."""
     from corhist_spark.textops import source_mixing
 
-    return source_mixing(_t(spark, sf_dir, "documents"))
+    return source_mixing(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_unigram_nll(spark, sf_dir):
@@ -2189,8 +2189,10 @@ def oracle_sql() -> dict[str, str]:
             tot AS (
               SELECT sum(pow(n_tokens, 0.5)) AS s_pow, sum(n_tokens) AS s_tok FROM per)
             SELECT source, n_docs, n_tokens,
-                   round(pow(n_tokens, 0.5) / s_pow, 6) AS weight,
-                   round(least(1.0, pow(n_tokens, 0.5) / s_pow * s_tok / n_tokens), 6) AS rate
+                   round(CASE WHEN s_pow > 0 THEN pow(n_tokens, 0.5) / s_pow ELSE 0.0 END, 6) AS weight,
+                   round(CASE WHEN n_tokens > 0
+                              THEN least(1.0, pow(n_tokens, 0.5) / s_pow * s_tok / n_tokens)
+                              ELSE 0.0 END, 6) AS rate
             FROM per CROSS JOIN tot
         """,
         "unigram_nll": """

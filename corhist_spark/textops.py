@@ -561,13 +561,20 @@ def source_mixing(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
         F.sum(F.pow("n_tokens", alpha)).alias("s_pow"),
         F.sum("n_tokens").alias("s_tok"),
     )
-    w = F.pow("n_tokens", alpha) / F.col("s_pow")
+    w = F.when(F.col("s_pow") > 0, F.pow("n_tokens", alpha) / F.col("s_pow")).otherwise(
+        F.lit(0.0)
+    )
+    # a token-less source gets rate 0 (nothing to sample) — the CASE
+    # guards also keep ANSI mode from raising DIVIDE_BY_ZERO on the
+    # n_tokens = 0 divisor
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), w * F.col("s_tok") / F.col("n_tokens")),
+    ).otherwise(F.lit(0.0))
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "n_tokens",
         F.round(w, 6).alias("weight"),
-        F.round(F.least(F.lit(1.0), w * F.col("s_tok") / F.col("n_tokens")), 6).alias(
-            "rate"
-        ),
+        F.round(rate, 6).alias("rate"),
     )

@@ -314,3 +314,18 @@ def test_source_mixing_temperature_flattening(spark):
     assert got["big"].rate == pytest.approx((4 / 6) * 20 / 16, abs=1e-6)  # 0.8333
     assert got["small"].rate == 1.0  # 1.667 capped
     assert got["big"].n_tokens == 16 and got["small"].n_docs == 1
+
+
+def test_source_mixing_empty_source_is_zero_rate(spark):
+    """A token-less source must yield (weight 0, rate 0) — not an ANSI
+    DIVIDE_BY_ZERO crash."""
+    from corhist_spark.textops import source_mixing
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"a{i}" for i in range(8)), "real"), (2, "", "empty"), (3, None, "empty")],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_mixing(d).collect()}
+    assert got["empty"].n_tokens == 0
+    assert got["empty"].weight == 0.0 and got["empty"].rate == 0.0
+    assert got["real"].weight == 1.0 and got["real"].rate == 1.0
