@@ -234,3 +234,40 @@ def stream_apply_rules(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def join_edit_streams(
+    edits: DataFrame,
+    meta: DataFrame,
+    watermark: str = "10 minutes",
+    horizon_s: int = 600,
+    checkpoint_dir: str | None = None,
+):
+    """Stream-stream interval join: edit events and revision metadata
+    arrive on SEPARATE feeds (the reference's SSE updater reads one
+    merged feed, `game/ViolationDatabaseUpdater.java:72-109`; real
+    ingestion rarely gets that luxury).  An edit joins the metadata
+    row with the same rev_id arriving within ``horizon_s`` seconds of
+    it.  Both sides carry watermarks, so Spark evicts join state once
+    an edit can no longer find a matching metadata row — bounded
+    state at any feed volume.
+
+    edits: (rev_id, entity, ts); meta: (rev_id, author, mts).
+    Returns a DataStreamWriter (memory sink, availableNow) emitting
+    (rev_id, entity, author, ts, mts)."""
+    e = edits.withWatermark("ts", watermark)
+    m = meta.withColumnRenamed("rev_id", "m_rev").withWatermark("mts", watermark)
+    cond = (
+        (F.col("rev_id") == F.col("m_rev"))
+        & (F.col("mts") >= F.col("ts"))
+        & (F.col("mts") <= F.col("ts") + F.expr(f"interval {horizon_s} seconds"))
+    )
+    out = e.join(m, cond).select("rev_id", "entity", "author", "ts", "mts")
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -136,3 +136,48 @@ def test_windowed_counts_drop_late_rows(spark, tmp_path):
     assert got[("10:00", "e1")] == [2]
     assert got[("10:30", "e2")] == [1] and got[("10:30", "adv")] == [1]
     assert ("11:10", "adv") not in got  # last window never finalized
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two feeds (edit events / revision metadata) joined by rev_id
+    with a time-bound: metadata within the horizon joins, metadata
+    beyond the horizon does not, metadata without an edit is dropped."""
+    from datetime import datetime
+
+    from corhist_spark.streaming import join_edit_streams
+
+    def ts(h, m, s=0):
+        return datetime(2024, 1, 1, h, m, s)
+
+    esrc, msrc = str(tmp_path / "esrc"), str(tmp_path / "msrc")
+    esch = "rev_id long, entity string, ts timestamp"
+    msch = "rev_id long, author string, mts timestamp"
+    spark.createDataFrame(
+        [
+            (1, "Q1", ts(10, 0)),
+            (2, "Q2", ts(10, 1)),
+            (4, "Q4", ts(10, 2)),
+        ],
+        esch,
+    ).coalesce(1).write.parquet(esrc)
+    spark.createDataFrame(
+        [
+            (1, "alice", ts(10, 5)),       # within 600 s of 10:00 -> joins
+            (2, "bob", ts(10, 20)),        # 19 min after the edit -> beyond horizon
+            (3, "carol", ts(10, 3)),       # no matching edit -> dropped
+            (4, "dave", ts(9, 55)),        # metadata BEFORE the edit -> dropped
+        ],
+        msch,
+    ).coalesce(1).write.parquet(msrc)
+
+    e = spark.readStream.schema(esch).parquet(esrc)
+    m = spark.readStream.schema(msch).parquet(msrc)
+    q = (
+        join_edit_streams(e, m, checkpoint_dir=str(tmp_path / "jckpt"))
+        .queryName("ss_join")
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM ss_join").collect()
+    assert {(r.rev_id, r.entity, r.author) for r in rows} == {(1, "Q1", "alice")}
