@@ -429,6 +429,22 @@ def q_source_mixing(spark, sf_dir):
     return source_mixing(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_corpus_profile(spark, sf_dir):
+    """Per-source doc-length quantiles (exact percentile; swap to
+    approx_percentile at scale — accuracy pinned in tests)."""
+    from corhist_spark.textops import corpus_profile
+
+    return corpus_profile(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_token_cardinality(spark, sf_dir):
+    """Per-source vocabulary cardinality (exact; the HLL variant is
+    accuracy-pinned in tests as the 100 TB path)."""
+    from corhist_spark.textops import token_cardinality
+
+    return token_cardinality(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_unigram_nll(spark, sf_dir):
     """Unigram-LM quality proxy: per-doc mean negative log-likelihood
     under the corpus's own unigram distribution."""
@@ -1349,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_context": q_media_context,
         "unigram_nll": q_unigram_nll,
         "source_mixing": q_source_mixing,
+        "corpus_profile": q_corpus_profile,
+        "token_cardinality": q_token_cardinality,
         "unique_corrections": q_unique_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "single_value_corrections": q_single_value_corrections,
@@ -1356,8 +1374,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_intervals": q_state_intervals,
         "current_state": q_current_state,
         "type_violations": q_type_violations,
-        "conflict_corrections": q_conflict_corrections,
-        "tclaim_corrections": q_tclaim_corrections,
         "deletion_baseline_eval": q_deletion_baseline_eval,
         "aggregated_stats": q_aggregated_stats,
         "type_corrections": q_type_corrections,
@@ -1383,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the nine new corpus-curation queries while
         # keeping the KG-construction core (cc_components,
         # canonical_triples, ...) inside the driver window ---
+        "conflict_corrections": q_conflict_corrections,
+        "tclaim_corrections": q_tclaim_corrections,
         "format_corrections": q_format_corrections,
         "inverse_corrections": q_inverse_corrections,
         "item_corrections": q_item_corrections,
@@ -2180,6 +2198,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_ngram_frac,
                    coalesce(tts.top_token_share, 0.0) AS top_token_share
             FROM g LEFT JOIN tts ON g.doc_id = tts.doc_id
+        """,
+        "corpus_profile": """
+            WITH d AS (
+              SELECT source,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks
+              FROM documents)
+            SELECT source, count(*) AS n_docs,
+                   round(quantile_cont(n_toks, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_toks, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n_toks, 0.99), 6) AS p99_tokens
+            FROM d GROUP BY source
+        """,
+        "token_cardinality": """
+            WITH tk AS (
+              SELECT source,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents)
+            SELECT source, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_distinct
+            FROM tk GROUP BY source
         """,
         "source_mixing": """
             WITH per AS (

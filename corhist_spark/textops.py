@@ -578,3 +578,39 @@ def source_mixing(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
         F.round(w, 6).alias("weight"),
         F.round(rate, 6).alias("rate"),
     )
+
+
+def corpus_profile(docs: DataFrame) -> DataFrame:
+    """Corpus profiling: per-source document-length quantiles —
+    (source, n_docs, p50_tokens, p90_tokens, p99_tokens).
+
+    Uses EXACT percentiles (linear interpolation — the same estimator
+    DuckDB's quantile_cont uses, so the oracle matches bit-for-bit
+    after round-6).  At 100 TB swap F.percentile for
+    F.approx_percentile (map-side t-digest sketch, no full sort);
+    test_corpus_ops pins the approximation against the exact values
+    so the swap is a one-line change with a known error bound."""
+    n = F.size(_token_array())
+    d = docs.select("source", n.alias("n_toks"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_toks", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_toks", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.round(F.percentile("n_toks", F.lit(0.99)), 6).alias("p99_tokens"),
+    )
+
+
+def token_cardinality(docs: DataFrame) -> DataFrame:
+    """Vocabulary cardinality per source — (source, n_tokens,
+    n_distinct), exact.
+
+    Exact count-distinct shuffles every (source, token) pair; at
+    100 TB the right tool is approx_count_distinct (HyperLogLog++,
+    pure map-side partial aggregation).  The exact form is kept as the
+    driver-oracle query; test_corpus_ops pins the HLL estimate within
+    its error bound against this exact answer."""
+    toks = docs.select("source", F.explode(_token_array()).alias("tok"))
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )

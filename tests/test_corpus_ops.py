@@ -329,3 +329,40 @@ def test_source_mixing_empty_source_is_zero_rate(spark):
     assert got["empty"].n_tokens == 0
     assert got["empty"].weight == 0.0 and got["empty"].rate == 0.0
     assert got["real"].weight == 1.0 and got["real"].rate == 1.0
+
+
+def test_sketch_variants_match_exact_within_bounds(spark):
+    """The 100 TB paths — HyperLogLog count-distinct and t-digest
+    percentiles — stay within their error bounds of the exact answers
+    the driver oracle pins."""
+    from corhist_spark.textops import _token_array, token_cardinality
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.source: r.n_distinct for r in token_cardinality(docs).collect()}
+    toks = docs.select("source", F.explode(_token_array()).alias("tok"))
+    approx = {
+        r.source: r.n_approx
+        for r in toks.groupBy("source")
+        .agg(F.approx_count_distinct("tok", rsd=0.02).alias("n_approx"))
+        .collect()
+    }
+    for s, n in exact.items():
+        assert abs(approx[s] - n) <= max(3, 0.06 * n), (s, n, approx[s])
+
+    n = F.size(_token_array())
+    d = docs.select("source", n.alias("n_toks"))
+    ex = {
+        r.source: r.p90
+        for r in d.groupBy("source").agg(F.percentile("n_toks", F.lit(0.9)).alias("p90")).collect()
+    }
+    ap = {
+        r.source: r.p90
+        for r in d.groupBy("source")
+        .agg(F.approx_percentile("n_toks", F.lit(0.9), F.lit(10000)).alias("p90"))
+        .collect()
+    }
+    # approx_percentile returns a discrete element while the exact form
+    # interpolates; with 25 docs/source adjacent order stats are ~6
+    # tokens apart, so the bound covers discretization + sketch error
+    for s in ex:
+        assert abs(ap[s] - ex[s]) <= max(8.0, 0.1 * ex[s]), (s, ex[s], ap[s])
