@@ -49,6 +49,9 @@ HEADLINE = [
     "sequence_pack",
     "media_context",
     "unigram_nll",
+    "source_mixing",
+    "corpus_profile",
+    "token_cardinality",
     "mention_extraction",
     "minhash_signatures",
     "lsh_candidates",
