@@ -1396,7 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # token_stats / token_pieces / exact_dedup rotated here (each
         # covered by an in-window sibling: the multi-constraint
         # one-pass, tclaim, deletion_baseline, ...) to make room for
-        # the nine new corpus-curation queries while
+        # the eleven new corpus-curation queries while
         # keeping the KG-construction core (cc_components,
         # canonical_triples, ...) inside the driver window ---
         "conflict_corrections": q_conflict_corrections,

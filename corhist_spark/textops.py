@@ -592,11 +592,19 @@ def corpus_profile(docs: DataFrame) -> DataFrame:
     so the swap is a one-line change with a known error bound."""
     n = F.size(_token_array())
     d = docs.select("source", n.alias("n_toks"))
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.percentile("n_toks", F.lit(0.5)), 6).alias("p50_tokens"),
-        F.round(F.percentile("n_toks", F.lit(0.9)), 6).alias("p90_tokens"),
-        F.round(F.percentile("n_toks", F.lit(0.99)), 6).alias("p99_tokens"),
+    # one array-percentile aggregate: all three quantiles share a
+    # single per-group buffer and sort instead of three
+    ps = F.percentile("n_toks", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), ps.alias("_ps"))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_ps")[0], 6).alias("p50_tokens"),
+            F.round(F.col("_ps")[1], 6).alias("p90_tokens"),
+            F.round(F.col("_ps")[2], 6).alias("p99_tokens"),
+        )
     )
 
 
