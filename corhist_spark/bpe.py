@@ -108,8 +108,13 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
     d = docs.select("doc_id", F.explode(toks).alias("word")).select(
         "doc_id", F.expr("split(word, '')").alias("syms")
     )
-    for left, right, _ in merges:
+    for i, (left, right, _) in enumerate(merges):
         d = d.select("doc_id", _merge_pair_expr(left, right).alias("syms"))
+        # plan depth grows one nested aggregate per merge; cut the
+        # lineage periodically so a real tokenizer-sized merge table
+        # (tens of thousands) does not stall Catalyst analysis
+        if (i + 1) % 8 == 0:
+            d = d.localCheckpoint()
     return (
         d.select("doc_id", F.explode("syms").alias("piece"))
         .groupBy("doc_id")
