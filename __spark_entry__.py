@@ -351,6 +351,70 @@ def q_token_pieces(spark, sf_dir):
     )
 
 
+# Fixed BPE merge table for the driver-oracled segmentation query.
+# Chosen so (a) every merge actually fires on the synthetic corpus and
+# the table CHAINS (("t","a") then ("ta","b") builds "tab"), and (b)
+# the SQL oracle's chr(31)-delimited REPLACE transcription is exact: at
+# each step no live symbol other than r itself starts with r (the
+# replace pattern anchors l as a complete symbol and r's start, but not
+# r's end — a longer symbol sharing r as a prefix would falsely merge).
+BPE_FIXED_MERGES = [("t", "a"), ("ta", "b"), ("s", "c"), ("a", "g")]
+
+
+def _bpe_segments_sql() -> str:
+    """DuckDB transcription of apply_bpe with BPE_FIXED_MERGES, built
+    FROM the constant so the two cannot desync.  A word's symbol array
+    is a chr(31)-delimited string ('|a|b|c|'); applying one merge
+    greedily left-to-right equals ONE non-overlapping left-to-right
+    REPLACE of '|l|r' with '|lr': the leading delimiters anchor l as a
+    complete symbol and the scan's resume-after-replacement matches the
+    fold's no-reconsideration rule ([a,a,a] with (a,a) -> [aa,a]).
+    The pattern does not anchor r's END, hence the no-prefix-hazard
+    condition documented at BPE_FIXED_MERGES."""
+    seg = (
+        "chr(31) || array_to_string(list_transform("
+        "generate_series(1, CAST(length(word) AS INT)), i -> word[i]), chr(31))"
+        " || chr(31)"
+    )
+    for left, right in BPE_FIXED_MERGES:
+        seg = (
+            f"replace({seg}, chr(31) || '{left}' || chr(31) || '{right}',"
+            f" chr(31) || '{left}{right}')"
+        )
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+          FROM documents
+        ), s AS (
+          SELECT doc_id, {seg} AS segstr FROM w
+        ), p AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split(segstr, chr(31)), x -> x <> '')) AS piece
+          FROM s
+        )
+        SELECT doc_id, COUNT(*) AS n_pieces,
+               COUNT(DISTINCT piece) AS n_distinct_pieces
+        FROM p GROUP BY doc_id
+    """
+
+
+_BPE_SEGMENTS_SQL = _bpe_segments_sql()
+
+
+def q_bpe_segments(spark, sf_dir):
+    """BPE segmentation with a FIXED merge table (`bpe.apply_bpe`):
+    greedy left-to-right merge per word, merges applied in table order
+    inside one nested higher-order aggregate (constant plan depth).
+    Training's per-iteration argmax is data-dependent and stays pinned
+    by the exact pytest oracle (tests/test_bpe.py); application with a
+    constant table is deterministic and SQL-expressible, so this is
+    the driver-oracle row for the BPE pair."""
+    from corhist_spark.bpe import apply_bpe
+
+    return apply_bpe(_spread(spark, _t(spark, sf_dir, "documents")), BPE_FIXED_MERGES)
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: hash-groupBy, survivor = min doc_id."""
     d = _t(spark, sf_dir, "documents")
@@ -1304,6 +1368,55 @@ def q_late_users_except(spark, sf_dir):
     return last.subtract(first)  # EXCEPT (distinct) semantics
 
 
+_SWC_COUNTER = [0]
+
+
+def q_streaming_windowed_counts(spark, sf_dir):
+    """Batch-equivalence check for the streaming engine: the event-time
+    windowed aggregation of `streaming.windowed_revision_counts`
+    (10-minute windows, 5-minute watermark, append mode) run over the
+    bounded events file read as a STREAM to completion (availableNow,
+    single input file => one micro-batch, so no row is dropped as late
+    and the final watermark is exactly max(ts) - 5min).  Append mode
+    emits precisely the windows finalized by that watermark
+    (window_end <= watermark) — deterministic, so the oracle computes
+    the same windows as batch SQL.  This pins the streaming engine's
+    RESULTS against an independent engine, not just its state machine
+    (the pytest streaming suite covers late-data drops and watermark
+    eviction)."""
+    import shutil
+    import tempfile
+
+    from corhist_spark.streaming import windowed_revision_counts
+
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file streaming source requires a DIRECTORY; the testdata
+    # table is a single read-only file, so stage it into a temp dir
+    src_dir = tempfile.mkdtemp(prefix="swc_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(sch)
+        .parquet(src_dir)
+        # parquet stores NTZ; watermarks need TIMESTAMP — the session
+        # runs UTC (session.py) so the cast is offset-free
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").alias("entity"),
+        )
+    )
+    _SWC_COUNTER[0] += 1
+    name = f"swc_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
+    ck = tempfile.mkdtemp(prefix="swc_ck_")
+    writer = windowed_revision_counts(stream, checkpoint_dir=ck)
+    q = writer.queryName(name).start()
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        F.col("entity").alias("event_type"),
+        "n",
+    )
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
     part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
@@ -1337,68 +1450,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     query keeps its pytest oracle row (tests/test_entry_oracle.py runs
     ALL entries) regardless of position."""
     return {
-        # --- round-3 front: never-checked / r1-only / new / changed ---
-        "game_queue_stats": q_game_queue_stats,
-        "rule_pipeline_eval": q_rule_pipeline_eval,
-        "refined_rules": q_refined_rules,
-        "subclass_closure": q_subclass_closure,
-        "rev_diff_histogram": q_rev_diff_histogram,
-        "sampled_edits": q_sampled_edits,
-        "big_customer_ratio": q_big_customer_ratio,
-        "user_event_pivot": q_user_event_pivot,
-        "late_users_except": q_late_users_except,
-        "embedding_near_dups": q_embedding_near_dups,
-        "knn_lsh": q_knn_lsh,
-        "knn_lsh_recall": q_knn_lsh_recall,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_recall": q_knn_ivf_recall,
-        "dedup_survivors": q_dedup_survivors,
-        "corpus_selection": q_corpus_selection,
-        "media_features": q_media_features,
-        "frame_samples": q_frame_samples,
-        "doc_chunks": q_doc_chunks,
-        "chunk_dedup": q_chunk_dedup,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "stratified_sample": q_stratified_sample,
-        "sequence_pack": q_sequence_pack,
-        "media_context": q_media_context,
-        "unigram_nll": q_unigram_nll,
-        "source_mixing": q_source_mixing,
-        "corpus_profile": q_corpus_profile,
-        "token_cardinality": q_token_cardinality,
-        "unique_corrections": q_unique_corrections,
-        "multi_constraint_corrections": q_multi_constraint_corrections,
-        "single_value_corrections": q_single_value_corrections,
-        # --- stable mid-field ---
-        "state_intervals": q_state_intervals,
-        "current_state": q_current_state,
-        "type_violations": q_type_violations,
-        "deletion_baseline_eval": q_deletion_baseline_eval,
-        "aggregated_stats": q_aggregated_stats,
-        "type_corrections": q_type_corrections,
-        "vtype_corrections": q_vtype_corrections,
-        "interval_closure": q_interval_closure,
-        "mention_extraction": q_mention_extraction,
-        "span_triples": q_span_triples,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_candidates": q_lsh_candidates,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "salted_event_counts": q_salted_event_counts,
-        "knn_cosine": q_knn_cosine,
-        "cc_components": q_cc_components,
-        "canonical_triples": q_canonical_triples,
-        # --- tail (positions 51+, outside the driver's 50-row cap this
-        # round; all were driver-green in r1 and/or r2 and unchanged
-        # since; still pytest-oracled every run).  format/inverse/item/
-        # oneof_corrections / addition_baseline_eval / pricing_summary /
-        # token_stats / token_pieces / exact_dedup rotated here (each
-        # covered by an in-window sibling: the multi-constraint
-        # one-pass, tclaim, deletion_baseline, ...) to make room for
-        # the eleven new corpus-curation queries while
-        # keeping the KG-construction core (cc_components,
-        # canonical_triples, ...) inside the driver window ---
+        # --- round-4 front: token_pieces FIRST (the one query with no
+        # driver row in any round — new in r3 but mis-rotated straight
+        # to the tail), then everything with no r3 driver row (green in
+        # r1/r2, unchanged since), then the queries NEW or CHANGED this
+        # round, then a slice of the r3-green core so the flagship path
+        # keeps fresh rows ---
+        "token_pieces": q_token_pieces,
         "conflict_corrections": q_conflict_corrections,
         "tclaim_corrections": q_tclaim_corrections,
         "format_corrections": q_format_corrections,
@@ -1407,7 +1465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "addition_baseline_eval": q_addition_baseline_eval,
         "pricing_summary": q_pricing_summary,
         "token_stats": q_token_stats,
-        "token_pieces": q_token_pieces,
         "exact_dedup": q_exact_dedup,
         "oneof_corrections": q_oneof_corrections,
         "customers_without_orders": q_customers_without_orders,
@@ -1426,6 +1483,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conflict_violations": q_conflict_violations,
         "item_violations": q_item_violations,
         "tclaim_violations": q_tclaim_violations,
+        # --- new in r4 ---
+        "bpe_segments": q_bpe_segments,
+        "streaming_windowed_counts": q_streaming_windowed_counts,
+        # --- changed in r4 (per-constraint modulo sampling wired into
+        # the type/valueType/item/targetClaim kernels; stratified_sample
+        # NULL-rate coalesce; IVF centroid cap) ---
+        "stratified_sample": q_stratified_sample,
+        "type_corrections": q_type_corrections,
+        "vtype_corrections": q_vtype_corrections,
+        "multi_constraint_corrections": q_multi_constraint_corrections,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_recall": q_knn_ivf_recall,
+        # --- r3-green core kept inside the window ---
+        "single_value_corrections": q_single_value_corrections,
+        "unique_corrections": q_unique_corrections,
+        "state_intervals": q_state_intervals,
+        "current_state": q_current_state,
+        "cc_components": q_cc_components,
+        "canonical_triples": q_canonical_triples,
+        "mention_extraction": q_mention_extraction,
+        "span_triples": q_span_triples,
+        "dedup_survivors": q_dedup_survivors,
+        "rule_pipeline_eval": q_rule_pipeline_eval,
+        "refined_rules": q_refined_rules,
+        "subclass_closure": q_subclass_closure,
+        "interval_closure": q_interval_closure,
+        "game_queue_stats": q_game_queue_stats,
+        "knn_lsh": q_knn_lsh,
+        # --- tail (positions 51+, outside the driver's 50-row cap this
+        # round).  EVERY row below has a green driver row in
+        # CORRECTNESS_r03.json (checked last round) and its code is
+        # unchanged since; all stay pytest-oracled every run
+        # (tests/test_entry_oracle.py runs the full registry) ---
+        "rev_diff_histogram": q_rev_diff_histogram,
+        "sampled_edits": q_sampled_edits,
+        "big_customer_ratio": q_big_customer_ratio,
+        "user_event_pivot": q_user_event_pivot,
+        "late_users_except": q_late_users_except,
+        "embedding_near_dups": q_embedding_near_dups,
+        "knn_lsh_recall": q_knn_lsh_recall,
+        "corpus_selection": q_corpus_selection,
+        "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
+        "doc_chunks": q_doc_chunks,
+        "chunk_dedup": q_chunk_dedup,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "sequence_pack": q_sequence_pack,
+        "media_context": q_media_context,
+        "unigram_nll": q_unigram_nll,
+        "source_mixing": q_source_mixing,
+        "corpus_profile": q_corpus_profile,
+        "token_cardinality": q_token_cardinality,
+        "type_violations": q_type_violations,
+        "deletion_baseline_eval": q_deletion_baseline_eval,
+        "aggregated_stats": q_aggregated_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "salted_event_counts": q_salted_event_counts,
+        "knn_cosine": q_knn_cosine,
     }
 
 
@@ -2089,6 +2208,18 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{BPE_PIECE_RE}')) AS n_pieces,
                    len(list_distinct(regexp_extract_all(text, '{BPE_PIECE_RE}'))) AS n_distinct_pieces
             FROM documents
+        """,
+        "bpe_segments": _BPE_SEGMENTS_SQL,
+        "streaming_windowed_counts": """
+            WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
+            w AS (
+              SELECT CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 AS window_start,
+                     event_type
+              FROM events)
+            SELECT window_start, event_type, COUNT(*) AS n
+            FROM w, mx
+            WHERE (window_start + 600) * 1000 <= m - 300000
+            GROUP BY window_start, event_type
         """,
         "doc_fingerprint": """
             SELECT doc_id,

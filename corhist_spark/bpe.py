@@ -8,7 +8,14 @@ word count (one groupBy with map-side combine); every merge iteration
 then runs over the (unique-word, count) table, which is vocabulary-
 sized, orders of magnitude smaller than 100 TB of text.
 
-Iteration shape (mirrors canonicalize.connected_components):
+Training has two paths sharing exact semantics (equality pinned in
+tests/test_bpe.py): when the histogram fits under
+DRIVER_HISTOGRAM_MAX_ROWS it is collected ONCE and the merge loop runs
+driver-side (one Spark job total — the histogram is vocabulary-sized,
+so this is the normal case even at 100 TB of text); otherwise the
+distributed per-merge loop below runs.
+
+Distributed iteration shape (mirrors canonicalize.connected_components):
   1. explode adjacent symbol pairs weighted by word count
   2. one aggregate picks the max-count pair (deterministic tie-break:
      count desc, then pair lexicographic) — a 1-row collect
@@ -59,17 +66,76 @@ def _merge_pair_expr(left: str, right: str):
     )
 
 
-def train_bpe_merges(docs: DataFrame, n_merges: int = 10) -> list[tuple[str, str, int]]:
+# Above this vocabulary size the merge loop stays distributed; below it
+# the histogram is collected once and the remaining merges run driver-
+# side.  A real tokenizer's word histogram is VOCABULARY-sized (unique
+# words), orders of magnitude smaller than the corpus — at 100 TB of
+# text the histogram is typically a few million rows, so the collect
+# turns tens of thousands of sequential Spark jobs (one per merge) into
+# ONE job + a driver loop.  The distributed loop remains the fallback
+# for histograms that genuinely don't fit the driver.
+DRIVER_HISTOGRAM_MAX_ROWS = 500_000
+
+
+def _merge_word(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right merge — the exact pure-Python mirror of
+    `_merge_pair_expr` (so the two training paths are interchangeable;
+    equality is pinned in tests/test_bpe.py)."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == left and x == right:
+            out[-1] = left + right
+        else:
+            out.append(x)
+    return out
+
+
+def _train_merges_driver(
+    hist: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Driver-side merge loop over the collected (symbols, count)
+    histogram.  Tie-break identical to the distributed argmax: count
+    desc, then (l, r) lexicographic asc (ASCII == UTF-8 binary order
+    for this corpus; Spark's string sort is binary)."""
+    merges: list[tuple[str, str, int]] = []
+    words = [(list(syms), n) for syms, n in hist]
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (left, right), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((left, right, int(c)))
+        words = [(_merge_word(syms, left, right), n) for syms, n in words]
+    return merges
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    driver_max_rows: int = DRIVER_HISTOGRAM_MAX_ROWS,
+) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge table [(left, right, pair_count), ...].
 
-    The merge table is driver-sized by definition (a tokenizer has
-    tens of thousands of merges); each iteration collects exactly ONE
-    row (the argmax pair)."""
+    The one corpus-sized pass is the initial word histogram.  When the
+    histogram (vocabulary-sized) fits under ``driver_max_rows`` it is
+    collected once and the merge loop runs driver-side — train
+    wall-time is then flat in n_merges instead of one Spark job per
+    merge.  Larger vocabularies fall back to the distributed loop,
+    where each iteration collects exactly ONE row (the argmax pair)."""
     words = word_histogram(docs).select(
         F.expr("split(word, '')").alias("syms"), "n"
     )
     words = words.localCheckpoint()
+    if words.count() <= driver_max_rows:
+        hist = [(list(r["syms"]), int(r["n"])) for r in words.collect()]
+        return _train_merges_driver(hist, n_merges)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs = words.select(
@@ -100,21 +166,58 @@ def train_bpe_merges(docs: DataFrame, n_merges: int = 10) -> list[tuple[str, str
     return merges
 
 
-def apply_bpe(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+def apply_bpe(docs: DataFrame, merges: list) -> DataFrame:
     """Segment every document with a learned merge table —
     (doc_id, n_pieces, n_distinct_pieces).  Merges apply in learned
-    order, greedily left-to-right per word, all in array expressions."""
+    order, greedily left-to-right per word.
+
+    The whole merge table is ONE expression: an outer F.aggregate folds
+    over the merge-table array literal, the inner F.aggregate applies
+    one merge greedily to the word's symbol array (nested higher-order
+    functions — the inner lambda closes over the outer merge struct).
+    Plan depth is therefore CONSTANT in n_merges — no per-merge
+    projection towers and no corpus-materializing localCheckpoints
+    (which at tokenizer-sized tables meant checkpointing 100 TB of
+    symbol arrays thousands of times).  ``merges`` entries may be
+    (l, r) or (l, r, count)."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
     d = docs.select("doc_id", F.explode(toks).alias("word")).select(
-        "doc_id", F.expr("split(word, '')").alias("syms")
+        "doc_id", F.expr("split(word, '')").alias("chars")
     )
-    for i, (left, right, _) in enumerate(merges):
-        d = d.select("doc_id", _merge_pair_expr(left, right).alias("syms"))
-        # plan depth grows one nested aggregate per merge; cut the
-        # lineage periodically so a real tokenizer-sized merge table
-        # (tens of thousands) does not stall Catalyst analysis
-        if (i + 1) % 8 == 0:
-            d = d.localCheckpoint()
+    if not merges:  # empty table: pieces are the raw characters
+        d = d.select("doc_id", F.col("chars").alias("syms"))
+        return (
+            d.select("doc_id", F.explode("syms").alias("piece"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pieces"),
+                F.countDistinct("piece").alias("n_distinct_pieces"),
+            )
+        )
+    merge_arr = F.array(
+        *[
+            F.struct(F.lit(m[0]).alias("l"), F.lit(m[1]).alias("r"))
+            for m in merges
+        ]
+    )
+    seg = F.aggregate(
+        merge_arr,
+        F.col("chars"),
+        lambda syms, m: F.aggregate(
+            syms,
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == m["l"])
+                & (x == m["r"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(m["l"], m["r"])),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ),
+    )
+    d = d.select("doc_id", seg.alias("syms"))
     return (
         d.select("doc_id", F.explode("syms").alias("piece"))
         .groupBy("doc_id")

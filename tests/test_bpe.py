@@ -55,11 +55,24 @@ def _segment(word: str, merges) -> list[str]:
 
 
 def test_bpe_merges_match_python_trainer(spark):
+    """Default path (histogram fits -> collected once, driver loop)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     wc = {r.word: r.n for r in word_histogram(docs).collect()}
     want, _ = _python_bpe(wc, n_merges=8)
     got = train_bpe_merges(docs, n_merges=8)
     assert got == want
+
+
+def test_bpe_distributed_loop_matches_driver_path(spark):
+    """driver_max_rows=0 forces the distributed per-merge loop; both
+    training paths must learn the identical merge table (and match the
+    independent trainer)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wc = {r.word: r.n for r in word_histogram(docs).collect()}
+    want, _ = _python_bpe(wc, n_merges=6)
+    dist = train_bpe_merges(docs, n_merges=6, driver_max_rows=0)
+    drv = train_bpe_merges(docs, n_merges=6)
+    assert dist == drv == want
 
 
 def test_bpe_merges_on_planted_overlaps(spark):
