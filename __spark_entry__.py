@@ -1548,8 +1548,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+from corhist_spark.kernels import SAMPLING_THRESHOLD as _SAMPLING_THRESHOLD
 from corhist_spark.similarity import MAX_EMB_BUCKET as _SIM_MAX_BUCKET
 from corhist_spark.textops import HEXVAL_SQL, MAX_BUCKET
+
+
+def _samp_sql(cur: str, prop: str) -> str:
+    """The reference's modulo-sampling guard transcribed for the
+    type/valueType/item/targetClaim oracles (`AbstractQueriesBuilder
+    .java:56-60`): div = max(1, current-instances(property) / 1M),
+    keep rev_id % div = 0.  Numerically the identity at driver scale
+    (counts << threshold => div = 1) — transcribed so the oracle and
+    the kernels carry the SAME semantics, as the Spark side now wires
+    the guard unconditionally."""
+    return (
+        f"AND e.rev_id % GREATEST(1, (SELECT COUNT(*) FROM {cur} "
+        f"WHERE pred = '{prop}') // {_SAMPLING_THRESHOLD}) = 0"
+    )
 
 # shared shingle/minhash CTE text for the dedup oracles (must mirror
 # textops.minhash_signatures exactly)
@@ -2538,13 +2553,14 @@ def oracle_sql() -> dict[str, str]:
             + expansion_sql()
         ),
         "item_corrections": with_history_ctes(
-            """
+            f"""
             , kr AS (
               SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
                      e.subj AS corr_subj, 'P1' AS corr_pred, e.obj AS corr_obj,
                      'del' AS main_op, 'add' AS co_op, 'P1' AS property
               FROM h_edits e JOIN h_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
                 AND NOT EXISTS (SELECT 1 FROM h_state iv
                                 WHERE iv.subj = e.subj AND iv.pred = 'P2'
                                   AND iv.from_rev <= r.parent_rev_id
@@ -2558,12 +2574,13 @@ def oracle_sql() -> dict[str, str]:
                              AND iv.from_rev <= r.parent_rev_id
                              AND r.parent_rev_id < iv.to_rev
               WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
             )
             """
             + expansion_sql()
         ),
         "multi_constraint_corrections": with_history_ctes(
-            """
+            f"""
             , sv_cand AS (
               SELECT d.subj, d.obj, d.rev_id, iv.obj AS obj2
               FROM (SELECT e.rev_id, e.subj, e.obj, r.parent_rev_id AS g
@@ -2660,6 +2677,7 @@ def oracle_sql() -> dict[str, str]:
                      'del', 'add', 'P1'
               FROM h_edits e JOIN h_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
                 AND NOT EXISTS (SELECT 1 FROM h_state iv
                                 WHERE iv.subj = e.subj AND iv.pred = 'P2'
                                   AND iv.from_rev <= r.parent_rev_id
@@ -2673,11 +2691,13 @@ def oracle_sql() -> dict[str, str]:
                              AND iv.from_rev <= r.parent_rev_id
                              AND r.parent_rev_id < iv.to_rev
               WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
               UNION ALL
               SELECT 'c-tclaim-P1', e.subj, e.obj, e.rev_id, e.subj, 'P1', e.obj,
                      'del', 'add', 'P1'
               FROM h_edits e JOIN h_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
                 AND NOT EXISTS (SELECT 1 FROM h_state iv
                                 WHERE iv.subj = e.obj AND iv.pred = 'P2'
                                   AND iv.from_rev <= r.parent_rev_id
@@ -2691,6 +2711,7 @@ def oracle_sql() -> dict[str, str]:
                              AND iv.from_rev <= r.parent_rev_id
                              AND r.parent_rev_id < iv.to_rev
               WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
             )
             """
             + expansion_sql(keyed_by_constraint=True)
@@ -2807,13 +2828,14 @@ def oracle_sql() -> dict[str, str]:
             + expansion_sql(keyed_by_constraint=True, final_select=_REFINED_FINAL)
         ),
         "tclaim_corrections": with_history_ctes(
-            """
+            f"""
             , kr AS (
               SELECT e.subj AS target_subj, e.obj AS target_obj, e.rev_id AS corr_rev,
                      e.subj AS corr_subj, 'P1' AS corr_pred, e.obj AS corr_obj,
                      'del' AS main_op, 'add' AS co_op, 'P1' AS property
               FROM h_edits e JOIN h_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P1' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
                 AND NOT EXISTS (SELECT 1 FROM h_state iv
                                 WHERE iv.subj = e.obj AND iv.pred = 'P2'
                                   AND iv.from_rev <= r.parent_rev_id
@@ -2827,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
                              AND iv.from_rev <= r.parent_rev_id
                              AND r.parent_rev_id < iv.to_rev
               WHERE e.op = 'add' AND e.pred = 'P2' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("h_cur", "P1")}
             )
             """
             + expansion_sql()
@@ -2882,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
                      'del' AS main_op, 'add' AS co_op, 'P5' AS property
               FROM t_edits e JOIN t_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P5' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("t_cur", "P5")}
                 AND NOT EXISTS (
                   SELECT 1 FROM t_state ty
                   WHERE ty.subj = e.subj AND ty.pred = 'P31'
@@ -2899,6 +2923,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN t_state st ON st.subj = e.subj AND st.pred = 'P5'
                 AND st.from_rev <= r.parent_rev_id AND r.parent_rev_id < st.to_rev
               WHERE e.op = 'add' AND e.pred = 'P31' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("t_cur", "P5")}
                 AND (e.obj = 'C1' OR EXISTS (
                   SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
                     AND icl.to_rev = {MAX_REV}))
@@ -2959,6 +2984,7 @@ def oracle_sql() -> dict[str, str]:
                      'del' AS main_op, 'add' AS co_op, 'P6' AS property
               FROM t_edits e JOIN t_revs r USING (rev_id)
               WHERE e.op = 'del' AND e.pred = 'P6' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("t_cur", "P6")}
                 AND NOT EXISTS (
                   SELECT 1 FROM t_state ty
                   WHERE ty.subj = e.obj AND ty.pred = 'P31'
@@ -2976,6 +3002,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN t_state st ON st.obj = e.subj AND st.pred = 'P6'
                 AND st.from_rev <= r.parent_rev_id AND r.parent_rev_id < st.to_rev
               WHERE e.op = 'add' AND e.pred = 'P31' AND r.parent_rev_id IS NOT NULL
+                {_samp_sql("t_cur", "P6")}
                 AND (e.obj = 'C1' OR EXISTS (
                   SELECT 1 FROM icl WHERE icl.cls = e.obj AND icl.anc = 'C1'
                     AND icl.to_rev = {MAX_REV}))

@@ -191,12 +191,78 @@ def _emit(df: DataFrame, *, target_subj, target_obj, is_add, corr_subj, corr_pre
     )
 
 
+# The reference's volume guard (`AbstractQueriesBuilder.java:56-60`):
+# for the Type / ValueType / TargetRequiredClaim / Item lookups —
+# the four kernels whose builders call buildSamplingConstraint
+# (`TypeQueriesBuilder.java:32,47`, `ValueTypeQueriesBuilder.java:32,47`,
+# `TargetRequiredClaimQueriesBuilder.java:43,56`,
+# `ItemQueriesBuilder.java:42,52`) — candidate revisions are modulo-
+# sampled when the constraint's property is huge:
+#   div = max(1, current_instances(property) / 1_000_000)
+#   keep iff rev_id % div == 0
+# where current_instances is COUNT(*) of `?s prop ?o` in the CURRENT
+# state (`ConstraintViolationCorrectionLookup.java:237-245`).  At
+# Wikidata scale this is semantics-bearing for P31-sized properties;
+# below the threshold div = 1 and the filter is the identity.
+SAMPLING_THRESHOLD = 1_000_000
+
+SAMPLED_TYPES = frozenset(
+    {S.TYPE_TYPE, S.TYPE_VALUE_TYPE, S.TYPE_TARGET_CLAIM, S.TYPE_ITEM}
+)
+
+
+def _with_sampling_div(
+    constraints: DataFrame, state: DataFrame, sampling_threshold: int
+) -> DataFrame:
+    """Attach the per-constraint sampling divisor as a ``div`` column.
+
+    The per-property instance counts come from ONE partial-aggregate
+    count over the current state restricted to the (driver-small) set
+    of sampled-constraint properties — the distributed analogue of the
+    reference's per-constraint COUNT(*) query; the result is
+    property-count-sized and collected, so ``div`` rides along as a
+    literal inside the broadcast constraint table instead of forcing a
+    join into every kernel plan."""
+    rows = constraints.select("type", "property").distinct().collect()
+    props = sorted({r["property"] for r in rows if r["type"] in SAMPLED_TYPES})
+    counts: dict[str, int] = {}
+    if props:
+        counts = {
+            r["pred"]: int(r["cnt"])
+            for r in (
+                state.filter(
+                    (F.col("to_rev") == S.MAX_REV) & F.col("pred").isin(props)
+                )
+                .groupBy("pred")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            )
+        }
+    divs = {p: max(1, counts.get(p, 0) // sampling_threshold) for p in props}
+    div_expr = F.lit(1).cast("long")
+    if divs:
+        mapping = F.create_map(
+            *[F.lit(x) for p, d in sorted(divs.items()) for x in (p, d)]
+        )
+        div_expr = F.when(
+            F.col("type").isin(*SAMPLED_TYPES),
+            F.coalesce(F.element_at(mapping, F.col("property")), F.lit(1)),
+        ).otherwise(F.lit(1)).cast("long")
+    return constraints.withColumn("div", div_expr)
+
+
+def _sampled(df: DataFrame) -> DataFrame:
+    """`FILTER(?revId / div = ROUND(?revId / div))` == rev_id % div = 0."""
+    return df.filter(F.col("rev_id") % F.col("div") == 0)
+
+
 def correction_candidates(
     edits: DataFrame,
     revisions: DataFrame,
     state: DataFrame,
     closure: DataFrame,
     constraints: DataFrame,
+    sampling_threshold: int = SAMPLING_THRESHOLD,
 ) -> DataFrame:
     """Union of all kernels' candidate rows, DISTINCT (the queries are
     SELECT DISTINCT)."""
@@ -228,6 +294,11 @@ def correction_candidates(
     # constraint type actually has an addition branch — checkpointing
     # is EAGER, so building it for a deletions-only constraint set
     # would pay a full materialization for nothing.
+    if present & SAMPLED_TYPES:
+        constraints = _with_sampling_div(constraints, state, sampling_threshold)
+    else:
+        constraints = constraints.withColumn("div", F.lit(1).cast("long"))
+
     dels_nop = _diff_with_meta(edits, revisions, "del", need_prev=False).localCheckpoint()
     dels = dels_nop.filter(F.col("g").isNotNull())
     needs_adds = {
@@ -413,8 +484,11 @@ def _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, con
     hop handled by the direct `array_contains(classes, t)` check."""
     key = ["constraint_id", "rev_id", "subj", "obj"]
     carrier = "obj" if on_object else "subj"
-    # deletion branch: carrier lacked the required class at g
-    d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
+    # deletion branch: carrier lacked the required class at g.
+    # `buildSamplingConstraint` guards BOTH branches of this builder
+    # (`TypeQueriesBuilder.java:32,47`) — rev_id % div == 0 with div
+    # from the constraint's property instance count (`div` column).
+    d = _sampled(_anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas))
     typed = d.join(
         state,
         (F.col("st_subj") == F.col(carrier))
@@ -446,7 +520,7 @@ def _type_like(dels, adds, state, closure, sameas, del_triples, add_triples, con
 
     # addition branch: `carrier rel ?type` added; the type must reach
     # the classes in the CURRENT state (the subquery) AND at g
-    a = adds.join(cons, F.expr("array_contains(rels, pred)")).select(
+    a = _sampled(adds.join(cons, F.expr("array_contains(rels, pred)"))).select(
         "rev_id",
         F.col("subj").alias("carrier"),
         F.col("obj").alias("typ"),
@@ -506,7 +580,12 @@ def _claim_like(dels, adds, state, sameas, cons, on_object):
     `ItemQueriesBuilder.java:34-58`."""
     key = ["constraint_id", "rev_id", "subj", "obj"]
     carrier = "obj" if on_object else "subj"
-    d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
+    # both branches carry the reference's modulo-sampling guard
+    # (`TargetRequiredClaimQueriesBuilder.java:43,56`,
+    # `ItemQueriesBuilder.java:42,52`); div is keyed by the
+    # CONSTRAINT's property in the addition branch too (the reference
+    # counts instances of constraint.getProperty(), not of p2)
+    d = _sampled(_anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas))
     ev = (
         d.join(
             state,
@@ -530,7 +609,7 @@ def _claim_like(dels, adds, state, sameas, cons, on_object):
     )
     # addition branch: `carrier p2 ?o2` added while `?s prop ?o` in prev
     # state; the added triple is (subj=carrier, pred=p2, obj=o2)
-    a = adds.join(cons, F.col("pred") == F.col("p2_pred")).filter(
+    a = _sampled(adds.join(cons, F.col("pred") == F.col("p2_pred"))).filter(
         (F.size("items") == 0) | F.expr("array_contains(items, obj)")
     )
     st_anchor = F.col("st_obj") if on_object else F.col("st_subj")

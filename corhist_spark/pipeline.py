@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from .canonicalize import canonicalize_triples, connected_components, interval_closure
 from .expansion import build_corrections
 from .extract import aggregate_triples, extract_triples
-from .kernels import correction_candidates, prepare_constraints
+from .kernels import SAMPLING_THRESHOLD, correction_candidates, prepare_constraints
 from .state import build_state
 from .storage import Warehouse, run_resumable
 
@@ -24,18 +24,23 @@ def run_correction_pipeline(
     constraints_pdf,
     state: DataFrame | None = None,
     closure: DataFrame | None = None,
+    sampling_threshold: int = SAMPLING_THRESHOLD,
 ) -> DataFrame:
     """Compute the corrections dataset for all constraints in one pass.
 
     ``constraints_pdf`` is a pandas frame (the constraint table is
     driver-small and broadcast, `SURVEY.md §1.1` row 2).
+    ``sampling_threshold`` feeds the reference's per-constraint modulo
+    sampling guard (kernels.SAMPLING_THRESHOLD).
     """
     if state is None:
         state = build_state(edits).cache()
     if closure is None:
         closure = interval_closure(state)
     cons = prepare_constraints(spark, constraints_pdf)
-    rows = correction_candidates(edits, revisions, state, closure, cons)
+    rows = correction_candidates(
+        edits, revisions, state, closure, cons, sampling_threshold
+    )
     return build_corrections(rows, edits, revisions, state)
 
 
