@@ -1550,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 from corhist_spark.kernels import SAMPLING_THRESHOLD as _SAMPLING_THRESHOLD
 from corhist_spark.similarity import MAX_EMB_BUCKET as _SIM_MAX_BUCKET
+from corhist_spark.similarity import MAX_IVF_CENTROIDS as _MAX_IVF_CENTROIDS
 from corhist_spark.textops import HEXVAL_SQL, MAX_BUCKET
 
 
@@ -1987,9 +1988,11 @@ _DEDUP_COMP_CTES = """
 
 # IVF oracle CTEs (mirror similarity._ivf_scored / knn_ivf exactly:
 # deterministic first-sqrt(N) centroids, integer-quantized assignment)
-_IVF_CTES = """
+_IVF_CTES = f"""
     WITH nc AS (
-      SELECT greatest(16, CAST(ceil(sqrt(COUNT(*))) AS INT)) AS nc FROM embeddings
+      SELECT least({_MAX_IVF_CENTROIDS},
+                   greatest(16, CAST(ceil(sqrt(COUNT(*))) AS INT))) AS nc
+      FROM embeddings
     ), e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -2445,7 +2448,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, ({HEXVAL_SQL}) % 1000 AS h1000
               FROM hsrc)
             SELECT doc_id, source FROM v
-            WHERE h1000 < 100 + 50 * (TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 8)
+            WHERE h1000 < 100 + 50 * (COALESCE(TRY_CAST(regexp_extract(source, '(\\d+)$', 1) AS INT), 0) % 8)
         """,
         "oneof_corrections": with_history_ctes(
             """

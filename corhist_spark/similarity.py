@@ -179,13 +179,25 @@ def embedding_near_dups(
     )
 
 
-def cells_for_corpus(n_vectors: int, floor: int = 16) -> int:
-    """IVF coarse-cell count: ceil(sqrt(N)) with a floor — the standard
-    IVF sizing (cells ~ sqrt(N) balances assignment cost N*cells
-    against per-cell scan cost N/cells * nprobe)."""
+# Centroid-table bound: sqrt(N) outgrows executor memory somewhere
+# around 10^9-10^10 vectors (10^5 centroids x ~1 KB each broadcast to
+# every task).  Above the cap the cell count stops growing (per-cell
+# lists get longer instead — the standard IVF capacity trade) and the
+# assignment path switches from broadcast to sign-prefix sharding (see
+# knn_ivf / MAX_BROADCAST_CENTROIDS).
+MAX_IVF_CENTROIDS = 65_536
+
+
+def cells_for_corpus(
+    n_vectors: int, floor: int = 16, cap: int = MAX_IVF_CENTROIDS
+) -> int:
+    """IVF coarse-cell count: ceil(sqrt(N)) with a floor and a cap —
+    the standard IVF sizing (cells ~ sqrt(N) balances assignment cost
+    N*cells against per-cell scan cost N/cells * nprobe), bounded so
+    the centroid table can never outgrow a broadcast/shard budget."""
     import math
 
-    return max(floor, math.ceil(math.sqrt(max(int(n_vectors), 1))))
+    return min(cap, max(floor, math.ceil(math.sqrt(max(int(n_vectors), 1)))))
 
 
 def _quantized(col):
@@ -233,6 +245,61 @@ def _best_cell_ord():
     return F.struct(F.col("s").alias("s"), (-F.col("cid")).alias("nc"))
 
 
+def _prefix_bits(qv_col, n_planes: int):
+    """Sign-prefix of the integer-quantized vector under the SAME
+    deterministic plane family as lsh_buckets — used as the shard key
+    of the sharded IVF assignment."""
+    bits = []
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                qv_col,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(qv_col) - 1),
+                    lambda i: F.when(((i * 7 + j * 13) % 23) % 2 == 0, F.lit(1))
+                    .otherwise(F.lit(-1))
+                    .cast("long"),
+                ),
+                lambda x, h: x * h,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _ivf_scored_sharded(embeddings: DataFrame, n_cells: int, prefix_planes: int):
+    """Sharded coarse assignment for centroid tables too big to
+    broadcast: corpus vectors and centroids are both keyed by a short
+    sign-prefix (2^prefix_planes shards) and scored through a SHUFFLE
+    equi-join on the prefix — each task holds only its shard's
+    centroids (cells / 2^p of the table) instead of all of them, and
+    the corpus shuffles ONCE on the prefix key (linear, no broadcast).
+    A vector is assigned to its best centroid WITHIN its own prefix
+    shard — the standard locality approximation (recall floor pinned
+    in tests/test_similarity_guards.py); the broadcast path stays
+    bit-exact and is used whenever the table fits."""
+    e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
+    cent = (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+        .withColumn("pfx", _prefix_bits(F.col("cv"), prefix_planes))
+        # the point of this path is NOT broadcasting the centroids
+        .hint("SHUFFLE_HASH")
+    )
+    e = e.withColumn("pfx", _prefix_bits(F.col("qv"), prefix_planes))
+    return e.join(cent, "pfx").withColumn(
+        "s", _int_dot(F.col("qv"), F.col("cv"))
+    )
+
+
+# Beyond this many centroids the assignment no longer broadcasts the
+# centroid table; it shards by sign-prefix instead (_ivf_scored_sharded).
+MAX_BROADCAST_CENTROIDS = 4096
+
+
 def knn_ivf(
     embeddings: DataFrame,
     k: int = 3,
@@ -240,6 +307,8 @@ def knn_ivf(
     n_cells: int | None = None,
     n_probe: int = 2,
     round_to: int = 3,
+    max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
+    prefix_planes: int = 2,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest coarse
     centroid (inverted lists); a query searches only its ``n_probe``
@@ -257,7 +326,10 @@ def knn_ivf(
     on the sf0.001 fixture: 0.97 (vs 0.70 multi-probe LSH)."""
     if n_cells is None:
         n_cells = cells_for_corpus(embeddings.count())
-    scored = _ivf_scored(embeddings, n_cells)
+    if n_cells <= max_broadcast_centroids:
+        scored = _ivf_scored(embeddings, n_cells)
+    else:
+        scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)
     assign = scored.groupBy("vec_id").agg(
         F.max_by("cid", _best_cell_ord()).alias("cell"),
         F.first("v").alias("dv"),

@@ -444,11 +444,21 @@ def stratified_sample(docs: DataFrame, rate_expr=None) -> DataFrame:
     This is the 100 TB-shaped sampler: a pure map-side filter (rates
     are a closed-form expression or a broadcast lookup), unlike
     exact-quota sampling which needs a per-stratum window sort.
-    Default rate: 100 + 50 * (numeric source suffix % 8) per mille."""
+    Default rate: 100 + 50 * (numeric source suffix % 8) per mille;
+    a source WITHOUT a numeric suffix falls back to the 100-per-mille
+    base rate (the suffix try_cast is coalesced to 0 — previously the
+    NULL rate silently excluded the whole stratum)."""
     rate = (
         rate_expr
         if rate_expr is not None
-        else 100 + 50 * (F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 8)
+        else 100
+        + 50
+        * (
+            F.coalesce(
+                F.regexp_extract("source", r"(\d+)$", 1).try_cast("int"), F.lit(0)
+            )
+            % 8
+        )
     )
     h = F.expr(
         "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', source)), 1, 13), 16, 10) AS BIGINT) % 1000"

@@ -100,6 +100,24 @@ def test_stratified_sample_matches_python_hash(spark):
         assert ((r.doc_id, r.source) in kept) == (h < rate)
 
 
+def test_stratified_sample_source_without_numeric_suffix_keeps_base_rate(spark):
+    """A stratum whose source name has no numeric suffix must fall back
+    to the 100-per-mille base rate instead of being silently dropped
+    (the old NULL-rate behavior excluded the whole stratum)."""
+    n = 2000
+    d = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.lit(1).alias("n_chars"),
+    )
+    kept = stratified_sample(d).count()
+    assert kept > 0, "no-digit source stratum silently dropped"
+    # ~10% of 2000 expected under the base rate
+    assert 120 <= kept <= 280, kept
+
+
 def test_corpus_ops_plans(spark):
     """All curation operators stay JVM-side; the sampler is map-only
     (no Exchange), the decontamination probe broadcasts the eval set,

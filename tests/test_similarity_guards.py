@@ -74,6 +74,34 @@ def test_near_dup_normal_buckets_pass(spark):
     assert got == {(0, 1), (2, 3)}
 
 
+def test_knn_ivf_sharded_assignment_recall_and_plan(spark):
+    """Force the sharded assignment path (max_broadcast_centroids=1 <
+    n_cells): (a) recall must stay usable despite the same-prefix
+    approximation, (b) the physical plan must contain NO broadcast of
+    the centroid side — the whole point of the path is a bounded
+    shuffle-hash join on the sign-prefix shard key."""
+    from corhist_spark.similarity import knn_bruteforce, knn_ivf
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    iv = knn_ivf(e, k=3, n_queries=10, max_broadcast_centroids=1)
+    plan = iv._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, "sharded path must shuffle-hash join on prefix"
+    bf = knn_bruteforce(e, k=3, n_queries=10).select("query_id", "neighbor_id")
+    common = bf.join(
+        iv.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    ).count()
+    assert common / 30.0 >= 0.5, f"sharded IVF recall@3 {common / 30.0:.2f}"
+
+
+def test_cells_for_corpus_capped():
+    from corhist_spark.similarity import MAX_IVF_CENTROIDS, cells_for_corpus
+
+    assert cells_for_corpus(4_000) == 64
+    # 10^12 vectors: sqrt(N) = 10^6 would be an unbroadcastable table;
+    # the cap bounds it
+    assert cells_for_corpus(10**12) == MAX_IVF_CENTROIDS
+
+
 def test_ann_empty_and_tiny_inputs(spark):
     """Degenerate inputs must not crash: an empty embeddings table and
     a single-vector table yield empty results across the ANN family."""
