@@ -53,6 +53,12 @@ HEADLINE = [
     "corpus_profile",
     "token_cardinality",
     "mention_extraction",
+    # r4: BPE segmentation (fixed 4-merge table as ONE nested
+    # higher-order aggregate — constant plan depth) and the streaming
+    # batch-equivalence window aggregation (bounded file stream run to
+    # completion; time includes stream startup/commit overhead)
+    "bpe_segments",
+    "streaming_windowed_counts",
     "minhash_signatures",
     "lsh_candidates",
     "ngram_jaccard",
