@@ -542,6 +542,45 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_pii_stats(spark, sf_dir):
+    """PII scan + redaction (`textops.pii_stats`).  The synthetic
+    corpus carries no PII, so the query plants deterministic emails
+    (doc_id%3==0) and phone numbers (doc_id%3==1) into the text —
+    identically in the oracle — making counts and redacted hashes
+    vary per document instead of an all-zero check."""
+    from corhist_spark.textops import pii_stats
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact u"), F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit(" call +1555000"), F.col("doc_id").cast("string"),
+                F.lit(" today"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    return pii_stats(d.select("doc_id", aug.alias("text")))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS-style winnowing fingerprints (`textops.winnow_fingerprints`):
+    k-gram hashes, sliding w-window minima, distinct minima set per
+    document — map-only, all in-array."""
+    from corhist_spark.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_oneof_corrections(spark, sf_dir):
     """Full one-of kernel over the derived history (items={V0} on P2):
     deletion of a non-allowed value, still applied now."""
@@ -1486,6 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 ---
         "bpe_segments": q_bpe_segments,
         "streaming_windowed_counts": q_streaming_windowed_counts,
+        "pii_stats": q_pii_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
@@ -1509,13 +1550,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refined_rules": q_refined_rules,
         "subclass_closure": q_subclass_closure,
         "interval_closure": q_interval_closure,
-        "game_queue_stats": q_game_queue_stats,
-        "knn_lsh": q_knn_lsh,
         # --- tail (positions 51+, outside the driver's 50-row cap this
         # round).  EVERY row below has a green driver row in
         # CORRECTNESS_r03.json (checked last round) and its code is
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
+        "game_queue_stats": q_game_queue_stats,
+        "knn_lsh": q_knn_lsh,
         "rev_diff_histogram": q_rev_diff_histogram,
         "sampled_edits": q_sampled_edits,
         "big_customer_ratio": q_big_customer_ratio,
@@ -1551,7 +1592,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from corhist_spark.kernels import SAMPLING_THRESHOLD as _SAMPLING_THRESHOLD
 from corhist_spark.similarity import MAX_EMB_BUCKET as _SIM_MAX_BUCKET
 from corhist_spark.similarity import MAX_IVF_CENTROIDS as _MAX_IVF_CENTROIDS
-from corhist_spark.textops import HEXVAL_SQL, MAX_BUCKET
+from corhist_spark.textops import (
+    EMAIL_RE as _EMAIL_RE,
+    HEXVAL_SQL,
+    MAX_BUCKET,
+    PHONE_RE as _PHONE_RE,
+    WINNOW_K as _WINNOW_K,
+    WINNOW_W as _WINNOW_W,
+    hexval_sql,
+)
 
 
 def _samp_sql(cur: str, prop: str) -> str:
@@ -2238,6 +2287,59 @@ def oracle_sql() -> dict[str, str]:
             FROM w, mx
             WHERE (window_start + 600) * 1000 <= m - 300000
             GROUP BY window_start, event_type
+        """,
+        "pii_stats": f"""
+            WITH aug AS (
+              SELECT doc_id,
+                     COALESCE(text, '') ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                          WHEN doc_id % 3 = 1
+                          THEN ' call +1555000' || CAST(doc_id AS VARCHAR) || ' today'
+                          ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+                   md5(regexp_replace(
+                         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+            FROM aug
+        """,
+        "winnow_fingerprints": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(COALESCE(text, ''), ' '), x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= {_WINNOW_K}
+                          THEN list_transform(
+                                 generate_series(1, len(toks) - {_WINNOW_K - 1}),
+                                 i -> array_to_string(list_slice(toks, i, i + {_WINNOW_K - 1}), ' '))
+                          ELSE [] END AS grams
+              FROM t
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(grams, g -> CAST({hexval_sql("g")} AS BIGINT)) AS hs
+              FROM g
+            ), m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) > 0
+                          THEN list_transform(
+                                 generate_series(1, greatest(len(hs) - {_WINNOW_W - 1}, 1)),
+                                 i -> list_min(list_slice(hs, i, i + {_WINNOW_W - 1})))
+                          ELSE CAST([] AS BIGINT[]) END AS minima
+              FROM h
+            ), f AS (
+              SELECT doc_id, list_sort(list_distinct(minima)) AS fps FROM m
+            )
+            SELECT doc_id, len(fps) AS n_fingerprints,
+                   CASE WHEN len(fps) > 0
+                        THEN md5(array_to_string(
+                               list_transform(fps, x -> CAST(x AS VARCHAR)), ','))
+                   END AS fp_hash
+            FROM f
         """,
         "doc_fingerprint": """
             SELECT doc_id,

@@ -59,6 +59,8 @@ HEADLINE = [
     # completion; time includes stream startup/commit overhead)
     "bpe_segments",
     "streaming_windowed_counts",
+    "pii_stats",
+    "winnow_fingerprints",
     "minhash_signatures",
     "lsh_candidates",
     "ngram_jaccard",

@@ -68,10 +68,17 @@ def mention_pair_triples(docs: DataFrame) -> DataFrame:
 # permutations (a_b*v + c_b) — 8x fewer hash computations than hashing
 # per band.  Spark's conv() and the oracle's strpos-sum decode the same
 # 13 hex chars to the same integer.
-HEXVAL_SQL = "+".join(
-    f"(strpos('0123456789abcdef', substr(md5(s), {i + 1}, 1))-1)*{16 ** (12 - i)}"
-    for i in range(13)
-)
+def hexval_sql(expr: str = "s") -> str:
+    """DuckDB transcription of Spark's
+    ``CAST(conv(substr(md5(x),1,13),16,10) AS BIGINT)`` (DuckDB 1.x has
+    no conv()): decode the first 13 md5 hex chars positionally."""
+    return "+".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1))-1)*{16 ** (12 - i)}"
+        for i in range(13)
+    )
+
+
+HEXVAL_SQL = hexval_sql("s")
 
 
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS, n: int = SHINGLE) -> DataFrame:
@@ -631,4 +638,100 @@ def token_cardinality(docs: DataFrame) -> DataFrame:
     return toks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("tok").alias("n_distinct"),
+    )
+
+
+# --- PII detection / redaction -------------------------------------------
+
+# Patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark
+# executors) treat identically: character classes, greedy +/{m,n}, no
+# word boundaries, no lookaround.  Both engines are leftmost matchers
+# and these alternation-free greedy patterns yield identical spans.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{7,15}"
+
+
+def pii_stats(docs: DataFrame) -> DataFrame:
+    """PII scan + redaction over the text column — (doc_id, n_emails,
+    n_phones, redacted_hash): match counts per pattern and the md5 of
+    the text with every match replaced by a typed placeholder (emails
+    first, then phones; the placeholders contain no digits, so the
+    phone pass cannot match inside an email replacement).
+
+    Map-only (zero shuffle) and JVM-side — the 100 TB shape: a scrub
+    pass is a projection, never an aggregation.  A real pipeline adds
+    more pattern families (SSNs, IP addresses, street addresses); the
+    plumbing is identical per family."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    # NB: patterns go through the Python API (F.lit), NOT F.expr — a
+    # SQL string literal would eat the backslash escapes ('\.' -> '.')
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# --- Winnowing fingerprints (Schleimer et al. 2003, public) ---------------
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # k-grams per window
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints — (doc_id,
+    n_fingerprints, fp_hash): hash every k-token gram, slide a
+    w-gram window, keep each window's MINIMUM hash; the fingerprint
+    set is the distinct minima (guaranteed to share a member between
+    any two documents with a sufficiently long common token run —
+    the local-sampling property that makes winnowing the standard
+    near-copy detector).
+
+    Deviation from the paper: ties keep the min VALUE (the paper keeps
+    the rightmost minimal position); set-identical under distinct
+    hashes, and deterministic across engines either way.
+
+    Entirely in-array (map-only, zero shuffle): grams, hashes and
+    window minima never leave their row.  Documents shorter than k
+    tokens have no grams (empty fingerprint, NULL hash); shorter than
+    k+w-1 tokens yield a single whole-array window."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " "), lambda x: x != ""
+    )
+    d = docs.select("doc_id", toks.alias("toks"))
+    grams = F.when(
+        F.size("toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(toks)-{k - 1}),"
+            f" i -> concat_ws(' ', slice(toks, i, {k})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    d = d.select("doc_id", grams.alias("grams"))
+    d = d.select(
+        "doc_id",
+        F.expr(
+            "transform(grams, g -> CAST(conv(substr(md5(g), 1, 13), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    )
+    minima = F.when(
+        F.size("hs") > 0,
+        F.expr(
+            f"transform(sequence(1, greatest(size(hs)-{w - 1}, 1)),"
+            f" i -> array_min(slice(hs, i, {w})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<bigint>)"))
+    d = d.select("doc_id", F.array_sort(F.array_distinct(minima)).alias("fps"))
+    return d.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.when(
+            F.size("fps") > 0,
+            F.md5(F.concat_ws(",", F.expr("transform(fps, x -> CAST(x AS STRING))"))),
+        ).alias("fp_hash"),
     )

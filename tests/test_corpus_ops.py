@@ -118,6 +118,56 @@ def test_stratified_sample_source_without_numeric_suffix_keeps_base_rate(spark):
     assert 120 <= kept <= 280, kept
 
 
+def test_pii_stats_planted_values(spark):
+    from corhist_spark.textops import pii_stats
+
+    rows = [
+        (1, "mail a.b+c@foo.bar.com and x@y.io, call +12345678901 now"),
+        (2, "+123456 too short, no email here"),  # 6 digits < {7,}
+        (3, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_stats(d).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (2, 1)
+    assert (got[2].n_emails, got[2].n_phones) == (0, 0)
+    assert (got[3].n_emails, got[3].n_phones) == (0, 0)
+    red1 = "mail <EMAIL> and <EMAIL>, call <PHONE> now"
+    assert got[1].redacted_hash == hashlib.md5(red1.encode()).hexdigest()
+    assert got[3].redacted_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_winnow_fingerprints_matches_python(spark):
+    from corhist_spark.textops import WINNOW_K, WINNOW_W, winnow_fingerprints
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "a b",          # shorter than k -> no grams
+        3: "a b c d",      # fewer grams than w -> single window
+    }
+    d = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in winnow_fingerprints(d).collect()}
+
+    def py_winnow(text):
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < WINNOW_K:
+            return 0, None
+        grams = [
+            " ".join(toks[i : i + WINNOW_K])
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:13], 16) for g in grams]
+        minima = [
+            min(hs[i : i + WINNOW_W])
+            for i in range(max(len(hs) - WINNOW_W + 1, 1))
+        ]
+        fps = sorted(set(minima))
+        return len(fps), hashlib.md5(",".join(map(str, fps)).encode()).hexdigest()
+
+    for doc_id, text in texts.items():
+        n, h = py_winnow(text)
+        assert (got[doc_id].n_fingerprints, got[doc_id].fp_hash) == (n, h), doc_id
+
+
 def test_corpus_ops_plans(spark):
     """All curation operators stay JVM-side; the sampler is map-only
     (no Exchange), the decontamination probe broadcasts the eval set,
