@@ -61,6 +61,7 @@ HEADLINE = [
     "streaming_windowed_counts",
     "pii_stats",
     "winnow_fingerprints",
+    "streaming_interval_join",
     "minhash_signatures",
     "lsh_candidates",
     "ngram_jaccard",
