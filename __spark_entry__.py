@@ -1284,6 +1284,26 @@ def q_knn_ivf_recall(spark, sf_dir):
     return knn_ivf_recall(_t(spark, sf_dir, "embeddings"), n_cells=n_cells)
 
 
+def q_knn_ivf_sharded(spark, sf_dir):
+    """The sharded IVF assignment path (`similarity._ivf_scored_sharded`)
+    run as the PRIMARY path (max_broadcast_centroids=1 forces it even
+    at test scale): corpus and centroids shuffle-hash-join on a 2-plane
+    sign-prefix, assignment/probe restricted to same-prefix centroids.
+    The oracle transcribes the prefix computation, the within-prefix
+    argmax assignment and the nprobe=2 search — so the designated
+    100 TB path is itself cross-engine-verified, not just recall-
+    floor-tested."""
+    from corhist_spark.similarity import cells_for_corpus, knn_ivf
+
+    return knn_ivf(
+        _t(spark, sf_dir, "embeddings"),
+        k=3,
+        n_queries=10,
+        n_cells=cells_for_corpus(_emb_count(spark, sf_dir)),
+        max_broadcast_centroids=1,
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (bucketed candidates + exact
     in-bucket cosine verification)."""
@@ -1590,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_constraint_corrections": q_multi_constraint_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
+        "knn_ivf_sharded": q_knn_ivf_sharded,
         # --- r3-green core kept inside the window ---
         "single_value_corrections": q_single_value_corrections,
         "unique_corrections": q_unique_corrections,
@@ -1602,12 +1623,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "rule_pipeline_eval": q_rule_pipeline_eval,
         "refined_rules": q_refined_rules,
-        "subclass_closure": q_subclass_closure,
         # --- tail (positions 51+, outside the driver's 50-row cap this
         # round).  EVERY row below has a green driver row in
         # CORRECTNESS_r03.json (checked last round) and its code is
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
+        "subclass_closure": q_subclass_closure,
         "interval_closure": q_interval_closure,
         "game_queue_stats": q_game_queue_stats,
         "knn_lsh": q_knn_lsh,
@@ -2132,6 +2153,65 @@ _IVF_CTES = f"""
         FROM ivf_p
       ) WHERE rn <= 3
     )
+"""
+
+
+# Sharded-IVF oracle: the sign-prefix shard computation (2 planes, the
+# same deterministic plane family as _ANN_CTES), within-prefix argmax
+# assignment, and nprobe=2 within-prefix search — mirrors
+# similarity._ivf_scored_sharded bit-for-bit (integer-quantized dots).
+_IVF_SHARD_SQL = f"""
+    WITH nc AS (
+      SELECT least({_MAX_IVF_CENTROIDS},
+                   greatest(16, CAST(ceil(sqrt(COUNT(*))) AS INT))) AS nc
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+             list_transform(v, x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+      FROM e
+    ), idx AS (
+      SELECT vec_id, CAST(floor(v[CAST(i AS INT)] * 1000) AS BIGINT) AS w,
+             CAST(i AS INT) - 1 AS i0
+      FROM (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i FROM e)
+    ), planes AS (
+      SELECT vec_id, i0, w, unnest(generate_series(0, 1)) AS j FROM idx
+    ), bits AS (
+      SELECT vec_id, j,
+             CASE WHEN SUM(CASE WHEN ((i0*7 + j*13) % 23) % 2 = 0 THEN w ELSE -w END) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM planes GROUP BY vec_id, j
+    ), pfx AS (
+      SELECT vec_id, string_agg(bit, '' ORDER BY j) AS pfx FROM bits GROUP BY vec_id
+    ), cent AS (
+      SELECT vec_id AS cid, qv AS cv FROM n ORDER BY vec_id LIMIT (SELECT nc FROM nc)
+    ), score AS (
+      SELECT n.vec_id, c.cid, list_inner_product(n.qv, c.cv) AS s
+      FROM n, cent c, pfx pn, pfx pc
+      WHERE pn.vec_id = n.vec_id AND pc.vec_id = c.cid AND pn.pfx = pc.pfx
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM score
+    ), assignc AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM ranked WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked
+      WHERE vec_id < 10 AND rn <= 2
+    ), ivf_p AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
+      FROM probe p
+      JOIN assignc a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+      JOIN n q ON q.vec_id = p.query_id
+      JOIN n d ON d.vec_id = a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM ivf_p
+    ) WHERE rn <= 3
 """
 
 
@@ -3403,6 +3483,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 10) q
             LEFT JOIN common c USING (query_id)
         """,
+        "knn_ivf_sharded": _IVF_SHARD_SQL,
         "knn_ivf": _IVF_CTES + """
             SELECT query_id, neighbor_id, sim, rn FROM ivf_top
         """,

@@ -70,6 +70,7 @@ HEADLINE = [
     "knn_cosine",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_sharded",
     "embedding_near_dups",
     "cc_components",
     "subclass_closure",
