@@ -1529,6 +1529,58 @@ def q_streaming_interval_join(spark, sf_dir):
     )
 
 
+def q_violation_queue_merge(spark, sf_dir):
+    """The game queue's MERGE round (`streaming.upsert_violation_queue`,
+    the p/a/r/o machine of `game/ViolationDatabase.java:71-97,202-239`)
+    as a driver-oracled batch check: a deterministic pre-existing queue
+    (states cycled p/a/r/o by min event id; even-indexed statements
+    only) merged with an incoming violation batch (every third event,
+    constraint index < 4) so all four MERGE branches carry rows —
+    OBSOLETE+re-seen -> PROPOSED flips, untouched p/a/r rows,
+    OBSOLETE-not-reseen stays o (constraint index >= 4), and unseen
+    odd-indexed statements insert as PROPOSED."""
+    from corhist_spark.streaming import upsert_violation_queue
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 40).cast("string")).alias("statement_id"),
+        F.concat(F.lit("c"), (F.col("user_id") % 7).cast("string")).alias("constraint_id"),
+        "event_id",
+        "user_id",
+    )
+    extras = [
+        F.lit("Q1").alias("entity_id"),
+        F.lit("P1").alias("property_id"),
+        F.lit("T").alias("constraint_type"),
+        F.lit("m").alias("message"),
+        F.lit("{}").alias("edit_json"),
+    ]
+    queue0 = (
+        base.filter(F.col("event_id") % 2 == 0)
+        .groupBy("statement_id", "constraint_id")
+        .agg(F.min("event_id").alias("_e"))
+        .select(
+            "statement_id",
+            "constraint_id",
+            *extras,
+            # _e is always even (the %2 filter) so _e%4 would only hit
+            # {0,2}; _e//2 cycles all four states
+            F.element_at(
+                F.array(F.lit("p"), F.lit("a"), F.lit("r"), F.lit("o")),
+                ((F.floor(F.col("_e") / 2) % 4) + 1).cast("int"),
+            ).alias("state"),
+        )
+    )
+    incoming = (
+        base.filter((F.col("event_id") % 3 == 0) & (F.col("user_id") % 7 < 4))
+        .select("statement_id", "constraint_id")
+        .distinct()
+        .select("statement_id", "constraint_id", *extras)
+    )
+    out = upsert_violation_queue(queue0, incoming)
+    return out.select("statement_id", "constraint_id", "state")
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
     part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
@@ -1601,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "streaming_interval_join": q_streaming_interval_join,
+        "violation_queue_merge": q_violation_queue_merge,
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
@@ -1619,7 +1672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "canonical_triples": q_canonical_triples,
         "mention_extraction": q_mention_extraction,
-        "span_triples": q_span_triples,
         "dedup_survivors": q_dedup_survivors,
         "rule_pipeline_eval": q_rule_pipeline_eval,
         "refined_rules": q_refined_rules,
@@ -1628,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03.json (checked last round) and its code is
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
+        "span_triples": q_span_triples,
         "subclass_closure": q_subclass_closure,
         "interval_closure": q_interval_closure,
         "game_queue_stats": q_game_queue_stats,
@@ -2421,6 +2474,32 @@ def oracle_sql() -> dict[str, str]:
             FROM w, mx
             WHERE (window_start + 600) * 1000 <= m - 300000
             GROUP BY window_start, event_type
+        """,
+        "violation_queue_merge": """
+            WITH base AS (
+              SELECT 's' || CAST(event_id % 40 AS VARCHAR) AS sid,
+                     'c' || CAST(user_id % 7 AS VARCHAR) AS cid,
+                     event_id, user_id
+              FROM events),
+            q0 AS (
+              SELECT sid, cid,
+                     ['p','a','r','o'][CAST((MIN(event_id) // 2) % 4 AS INT) + 1] AS state
+              FROM base WHERE event_id % 2 = 0 GROUP BY sid, cid),
+            inc AS (
+              SELECT DISTINCT sid, cid FROM base
+              WHERE event_id % 3 = 0 AND user_id % 7 < 4),
+            upd AS (
+              SELECT q0.sid, q0.cid,
+                     CASE WHEN q0.state = 'o' AND i.sid IS NOT NULL
+                          THEN 'p' ELSE q0.state END AS state
+              FROM q0 LEFT JOIN inc i ON q0.sid = i.sid AND q0.cid = i.cid),
+            ins AS (
+              SELECT i.sid, i.cid, 'p' AS state FROM inc i
+              WHERE NOT EXISTS (SELECT 1 FROM q0
+                                WHERE q0.sid = i.sid AND q0.cid = i.cid))
+            SELECT sid AS statement_id, cid AS constraint_id, state FROM upd
+            UNION ALL
+            SELECT sid AS statement_id, cid AS constraint_id, state FROM ins
         """,
         "streaming_interval_join": """
             WITH e AS (
