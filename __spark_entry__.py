@@ -1581,6 +1581,44 @@ def q_violation_queue_merge(spark, sf_dir):
     return out.select("statement_id", "constraint_id", "state")
 
 
+def q_corrections_tsv(spark, sf_dir):
+    """The corrections TSV sink (`tsv.corrections_to_tsv` —
+    `ConstraintViolationCorrection.java:77-86`) as a driver-oracled
+    line serialization: a deterministic corrections frame planted with
+    every escape-worthy character (tab, newline, backslash) plus one-
+    and two-statement corrections, serialized to TSV lines and
+    compared against a SQL transcription of the escape chain
+    (backslash first, then tab, then newline — order matters)."""
+    from corhist_spark.tsv import corrections_to_tsv
+
+    ev = _t(spark, sf_dir, "events")
+    dirty = F.element_at(
+        F.array(F.lit("a\tb"), F.lit("c\nd"), F.lit("e\\f"), F.lit("plain")),
+        ((F.col("event_id") % 4) + 1).cast("int"),
+    )
+    subj = F.concat(F.lit("Q"), F.col("user_id").cast("string"))
+    op = F.when(F.col("event_id") % 2 == 0, F.lit("add")).otherwise(F.lit("del"))
+    st1 = F.struct(
+        subj.alias("subj"), F.lit("P1").alias("pred"),
+        dirty.alias("obj"), op.alias("op"),
+    )
+    st2 = F.struct(
+        subj.alias("subj"), F.lit("P2").alias("pred"),
+        F.lit("V\t1").alias("obj"), F.lit("del").alias("op"),
+    )
+    corr = ev.select(
+        F.concat(F.lit("c"), (F.col("event_id") % 5).cast("string")).alias("constraint_id"),
+        F.col("event_id").cast("long").alias("corr_rev"),
+        subj.alias("target_subj"),
+        F.lit("P1").alias("target_pred"),
+        dirty.alias("target_obj"),
+        F.when(F.col("event_id") % 3 == 0, F.array(st1, st2))
+        .otherwise(F.array(st1))
+        .alias("correction"),
+    )
+    return corrections_to_tsv(corr)
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
     part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
@@ -1654,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "streaming_interval_join": q_streaming_interval_join,
         "violation_queue_merge": q_violation_queue_merge,
+        "corrections_tsv": q_corrections_tsv,
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
@@ -1668,7 +1707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_value_corrections": q_single_value_corrections,
         "unique_corrections": q_unique_corrections,
         "state_intervals": q_state_intervals,
-        "current_state": q_current_state,
         "cc_components": q_cc_components,
         "canonical_triples": q_canonical_triples,
         "mention_extraction": q_mention_extraction,
@@ -1680,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03.json (checked last round) and its code is
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
+        "current_state": q_current_state,
         "span_triples": q_span_triples,
         "subclass_closure": q_subclass_closure,
         "interval_closure": q_interval_closure,
@@ -2474,6 +2513,33 @@ def oracle_sql() -> dict[str, str]:
             FROM w, mx
             WHERE (window_start + 600) * 1000 <= m - 300000
             GROUP BY window_start, event_type
+        """,
+        # raw string: '\t' / '\n' / '\\' below are the 2-char escape
+        # SEQUENCES the sink emits; real tabs are chr(9) concats
+        "corrections_tsv": r"""
+            WITH e AS (
+              SELECT event_id, user_id,
+                     ['a' || chr(9) || 'b', 'c' || chr(10) || 'd',
+                      'e\f', 'plain'][CAST(event_id % 4 AS INT) + 1] AS dirty,
+                     'Q' || CAST(user_id AS VARCHAR) AS subj,
+                     CASE WHEN event_id % 2 = 0 THEN 'history:addition'
+                          ELSE 'history:deletion' END AS g1
+              FROM events),
+            esc AS (
+              SELECT *,
+                     replace(replace(replace(dirty, '\', '\\'),
+                             chr(9), '\t'), chr(10), '\n') AS dirty_esc
+              FROM e)
+            SELECT 'c' || CAST(event_id % 5 AS VARCHAR) || chr(9)
+                   || CAST(event_id AS VARCHAR) || chr(9)
+                   || subj || chr(9) || 'P1' || chr(9) || dirty_esc || chr(9)
+                   || '->' || chr(9)
+                   || subj || chr(9) || 'P1' || chr(9) || dirty_esc || chr(9) || g1
+                   || CASE WHEN event_id % 3 = 0
+                           THEN chr(9) || subj || chr(9) || 'P2' || chr(9)
+                                || 'V\t1' || chr(9) || 'history:deletion'
+                           ELSE '' END AS value
+            FROM esc
         """,
         "violation_queue_merge": """
             WITH base AS (
