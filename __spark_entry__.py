@@ -1619,6 +1619,55 @@ def q_corrections_tsv(spark, sf_dir):
     return corrections_to_tsv(corr)
 
 
+def q_edit_messages(spark, sf_dir):
+    """EditDescriber messages (`describe.describe_edits`,
+    `game/EditDescriber.java:39-103`) as a driver-oracled string
+    construction: deterministic edits cycling all three action kinds
+    and all three value-JSON render shapes (entity id, string literal,
+    fallback-to-raw), with a statement-node table resolving only even
+    GUID indices — so the create/remove/replace messages, the
+    wbformatvalue fallback chain and the unresolved-GUID NULL path are
+    all cross-engine checked."""
+    from corhist_spark.describe import describe_edits
+
+    ev = _t(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    val = F.element_at(
+        F.array(
+            F.concat(F.lit('{"value":{"id":"Q'), u.cast("string"), F.lit('"}}')),
+            F.concat(F.lit('{"value":"s'), (e % 9).cast("string"), F.lit('"}')),
+            F.lit('{"x":1}'),
+        ),
+        ((u % 3) + 1).cast("int"),
+    )
+    action = F.element_at(
+        F.array(
+            F.lit("wbcreateclaim"), F.lit("wbremoveclaims"), F.lit("wbsetclaimvalue")
+        ),
+        ((e % 3) + 1).cast("int"),
+    )
+    params = F.create_map(
+        F.lit("entity"), F.concat(F.lit("E"), (u % 20).cast("string")),
+        F.lit("property"), F.concat(F.lit("P"), (u % 7).cast("string")),
+        F.lit("value"), val,
+        F.lit("claim"), F.concat(F.lit("g"), (e % 50).cast("string")),
+    )
+    edits = ev.select(
+        e.alias("event_id"),
+        F.struct(action.alias("action"), params.alias("params")).alias("edit"),
+    )
+    # guid -> (entity, prop, value) is FUNCTIONAL (derived from the
+    # guid index alone), so the dropDuplicates inside describe_edits
+    # is deterministic; only even indices resolve (e%4==0 => e%50 even)
+    sn = ev.filter(e % 4 == 0).select(
+        F.concat(F.lit("E"), (e % 50).cast("string")).alias("entity"),
+        F.concat(F.lit("P"), ((e % 50) % 7).cast("string")).alias("prop"),
+        F.concat(F.lit("v"), (e % 50).cast("string")).alias("value"),
+        F.concat(F.lit("g"), (e % 50).cast("string")).alias("guid"),
+    )
+    return describe_edits(edits, sn).select("event_id", "message")
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
     part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
@@ -1693,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "violation_queue_merge": q_violation_queue_merge,
         "corrections_tsv": q_corrections_tsv,
+        "edit_messages": q_edit_messages,
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
@@ -1705,7 +1755,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_sharded": q_knn_ivf_sharded,
         # --- r3-green core kept inside the window ---
         "single_value_corrections": q_single_value_corrections,
-        "unique_corrections": q_unique_corrections,
         "state_intervals": q_state_intervals,
         "cc_components": q_cc_components,
         "canonical_triples": q_canonical_triples,
@@ -1718,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03.json (checked last round) and its code is
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
+        "unique_corrections": q_unique_corrections,
         "current_state": q_current_state,
         "span_triples": q_span_triples,
         "subclass_closure": q_subclass_closure,
@@ -2513,6 +2563,48 @@ def oracle_sql() -> dict[str, str]:
             FROM w, mx
             WHERE (window_start + 600) * 1000 <= m - 300000
             GROUP BY window_start, event_type
+        """,
+        "edit_messages": """
+            WITH sn AS (
+              SELECT DISTINCT
+                     'E' || CAST(event_id % 50 AS VARCHAR) AS sent,
+                     'P' || CAST((event_id % 50) % 7 AS VARCHAR) AS sprop,
+                     'v' || CAST(event_id % 50 AS VARCHAR) AS sval,
+                     'g' || CAST(event_id % 50 AS VARCHAR) AS guid
+              FROM events WHERE event_id % 4 = 0),
+            ed AS (
+              SELECT event_id,
+                ['wbcreateclaim','wbremoveclaims','wbsetclaimvalue'][CAST(event_id % 3 AS INT) + 1] AS action,
+                'E' || CAST(user_id % 20 AS VARCHAR) AS entity,
+                'P' || CAST(user_id % 7 AS VARCHAR) AS property,
+                ['{"value":{"id":"Q' || CAST(user_id AS VARCHAR) || '"}}',
+                 '{"value":"s' || CAST(event_id % 9 AS VARCHAR) || '"}',
+                 '{"x":1}'][CAST(user_id % 3 AS INT) + 1] AS val,
+                'g' || CAST(event_id % 50 AS VARCHAR) AS claim
+              FROM events),
+            r AS (
+              SELECT ed.*, sn.sent, sn.sprop, sn.sval, sn.guid
+              FROM ed LEFT JOIN sn ON ed.claim = sn.guid),
+            v AS (
+              SELECT *, COALESCE(json_extract_string(val, '$.value.id'),
+                                 json_extract_string(val, '$.value'),
+                                 val) AS rendered
+              FROM r)
+            SELECT event_id,
+              CASE WHEN action = 'wbcreateclaim'
+                   THEN 'Add statement (' || entity || ', ' || property || ', '
+                        || rendered || ')'
+                   WHEN action = 'wbremoveclaims' AND guid IS NOT NULL
+                   THEN 'Remove <a href=''http://www.wikidata.org/entity/statement/'
+                        || claim || '''>statement</a> ('
+                        || sent || ', ' || sprop || ', ' || sval || ')'
+                   WHEN action = 'wbsetclaimvalue' AND guid IS NOT NULL
+                   THEN 'Edit <a href=''http://www.wikidata.org/entity/statement/'
+                        || claim || '''>statement</a> ('
+                        || sent || ', ' || sprop || ', ' || sval
+                        || '). Setting value to: ' || rendered
+              END AS message
+            FROM v
         """,
         # raw string: '\t' / '\n' / '\\' below are the 2-char escape
         # SEQUENCES the sink emits; real tabs are chr(9) concats
