@@ -1668,6 +1668,71 @@ def q_edit_messages(spark, sf_dir):
     return describe_edits(edits, sn).select("event_id", "message")
 
 
+def q_value_json(spark, sf_dir):
+    """Wikibase value serialization, all six kinds
+    (`values.serialize_value`, `game/SimpleValueSerializer.java:20-64`)
+    as a driver-oracled JSON construction: lexical forms cycle through
+    entity id / plain string / language-tagged string / dateTime (with
+    and without explicit precision+calendar, exercising the defaults)
+    / coordinates / quantity (with and without unit), and both engines
+    must produce byte-identical compact JSON.  Planted decimals stay
+    in plain notation (0.5/0.25) — the engines disagree on scientific-
+    notation rendering, so the 1e-6 coords default is exercised in
+    pytest, not here."""
+    from corhist_spark.values import serialize_value
+
+    ev = _t(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    kind = F.element_at(
+        F.array(
+            F.lit("iri"), F.lit("string"), F.lit("langString"),
+            F.lit("dateTime"), F.lit("coords"), F.lit("quantity"),
+        ),
+        ((e % 6) + 1).cast("int"),
+    )
+    obj = (
+        F.when(kind == "iri", F.concat(F.lit("Q"), u.cast("string")))
+        .when(kind == "string", F.concat(F.lit("s "), (e % 9).cast("string")))
+        .when(
+            kind == "langString",
+            F.concat(F.lit("hx"), (u % 5).cast("string"), F.lit("@en-GB")),
+        )
+        .when(
+            kind == "dateTime",
+            F.when(
+                u % 2 == 0,
+                F.concat(
+                    F.lit("+2024-01-0"), ((e % 9) + 1).cast("string"),
+                    F.lit("T00:00:00Z|9|Q1985786"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("+2024-02-0"), ((e % 9) + 1).cast("string"),
+                    F.lit("T00:00:00Z"),
+                )
+            ),
+        )
+        .when(
+            kind == "coords",
+            F.concat(
+                (u % 90).cast("string"), F.lit(".5|"),
+                (e % 180).cast("string"), F.lit(".25|0.125|Q2"),
+            ),
+        )
+        .otherwise(
+            F.when(
+                u % 2 == 0,
+                F.concat(F.lit("+"), (e % 100).cast("string"), F.lit("|Q11573")),
+            ).otherwise(F.concat(F.lit("+"), (e % 100).cast("string")))
+        )
+    )
+    return ev.select(
+        e.alias("event_id"),
+        kind.alias("obj_kind"),
+        serialize_value(obj, kind).alias("value_json"),
+    )
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
     part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
@@ -1743,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_queue_merge": q_violation_queue_merge,
         "corrections_tsv": q_corrections_tsv,
         "edit_messages": q_edit_messages,
+        "value_json": q_value_json,
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
@@ -1759,7 +1825,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "canonical_triples": q_canonical_triples,
         "mention_extraction": q_mention_extraction,
-        "dedup_survivors": q_dedup_survivors,
         "rule_pipeline_eval": q_rule_pipeline_eval,
         "refined_rules": q_refined_rules,
         # --- tail (positions 51+, outside the driver's 50-row cap this
@@ -1768,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
         "unique_corrections": q_unique_corrections,
+        "dedup_survivors": q_dedup_survivors,
         "current_state": q_current_state,
         "span_triples": q_span_triples,
         "subclass_closure": q_subclass_closure,
@@ -2563,6 +2629,54 @@ def oracle_sql() -> dict[str, str]:
             FROM w, mx
             WHERE (window_start + 600) * 1000 <= m - 300000
             GROUP BY window_start, event_type
+        """,
+        "value_json": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     ['iri','string','langString','dateTime','coords','quantity']
+                       [CAST(event_id % 6 AS INT) + 1] AS obj_kind
+              FROM events),
+            o AS (
+              SELECT event_id, user_id, obj_kind,
+                CASE obj_kind
+                  WHEN 'iri' THEN 'Q' || CAST(user_id AS VARCHAR)
+                  WHEN 'string' THEN 's ' || CAST(event_id % 9 AS VARCHAR)
+                  WHEN 'langString' THEN 'hx' || CAST(user_id % 5 AS VARCHAR) || '@en-GB'
+                  WHEN 'dateTime' THEN
+                    CASE WHEN user_id % 2 = 0
+                         THEN '+2024-01-0' || CAST((event_id % 9) + 1 AS VARCHAR)
+                              || 'T00:00:00Z|9|Q1985786'
+                         ELSE '+2024-02-0' || CAST((event_id % 9) + 1 AS VARCHAR)
+                              || 'T00:00:00Z' END
+                  WHEN 'coords' THEN CAST(user_id % 90 AS VARCHAR) || '.5|'
+                              || CAST(event_id % 180 AS VARCHAR) || '.25|0.125|Q2'
+                  ELSE CASE WHEN user_id % 2 = 0
+                            THEN '+' || CAST(event_id % 100 AS VARCHAR) || '|Q11573'
+                            ELSE '+' || CAST(event_id % 100 AS VARCHAR) END
+                END AS obj
+              FROM e)
+            SELECT event_id, obj_kind,
+              CASE obj_kind
+                WHEN 'iri' THEN CAST(json_object('id', obj) AS VARCHAR)
+                WHEN 'langString' THEN CAST(json_object(
+                    'language', regexp_extract(obj, '@([a-zA-Z-]+)$', 1),
+                    'text', regexp_replace(obj, '@[a-zA-Z-]+$', '')) AS VARCHAR)
+                WHEN 'dateTime' THEN CAST(json_object(
+                    'time', split_part(obj, '|', 1),
+                    'timezone', 0, 'before', 0, 'after', 0,
+                    'precision', COALESCE(TRY_CAST(NULLIF(split_part(obj, '|', 2), '') AS INT), 11),
+                    'calendarmodel', COALESCE(NULLIF(split_part(obj, '|', 3), ''), 'Q1985727')) AS VARCHAR)
+                WHEN 'coords' THEN CAST(json_object(
+                    'latitude', CAST(split_part(obj, '|', 1) AS DOUBLE),
+                    'longitude', CAST(split_part(obj, '|', 2) AS DOUBLE),
+                    'precision', CAST(split_part(obj, '|', 3) AS DOUBLE),
+                    'globe', split_part(obj, '|', 4)) AS VARCHAR)
+                WHEN 'quantity' THEN CAST(json_object(
+                    'amount', split_part(obj, '|', 1),
+                    'unit', COALESCE(NULLIF(split_part(obj, '|', 2), ''), '1')) AS VARCHAR)
+                ELSE CAST(json_object('value', obj) AS VARCHAR)
+              END AS value_json
+            FROM o
         """,
         "edit_messages": """
             WITH sn AS (

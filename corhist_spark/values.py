@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 
 def serialize_value(obj, obj_kind):
-    """-> JSON string column mirroring SimpleValueSerializer."""
+    """-> JSON string column mirroring SimpleValueSerializer.
+
+    Optional lexical parts use ``F.get`` (NULL past the end), NOT
+    ``getItem`` — under Spark 4 ANSI mode an out-of-bounds getItem
+    RAISES, which made the documented defaults (precision 11,
+    Gregorian calendar, unit "1") unreachable for short lexical forms
+    like ``+2024-01-01T00:00:00Z``."""
     part = F.split(obj, r"\|")
     entity = F.to_json(F.struct(obj.alias("id")))
     plain = F.to_json(F.struct(obj.alias("value")))  # wrapped for JSON framing
@@ -32,26 +38,26 @@ def serialize_value(obj, obj_kind):
     )
     date = F.to_json(
         F.struct(
-            part.getItem(0).alias("time"),
+            F.get(part, 0).alias("time"),
             F.lit(0).alias("timezone"),
             F.lit(0).alias("before"),
             F.lit(0).alias("after"),
-            F.coalesce(part.getItem(1).cast("int"), F.lit(11)).alias("precision"),
-            F.coalesce(part.getItem(2), F.lit("Q1985727")).alias("calendarmodel"),
+            F.coalesce(F.get(part, 1).cast("int"), F.lit(11)).alias("precision"),
+            F.coalesce(F.get(part, 2), F.lit("Q1985727")).alias("calendarmodel"),
         )
     )
     coords = F.to_json(
         F.struct(
-            part.getItem(0).cast("double").alias("latitude"),
-            part.getItem(1).cast("double").alias("longitude"),
-            F.coalesce(part.getItem(2).cast("double"), F.lit(0.000001)).alias("precision"),
-            F.coalesce(part.getItem(3), F.lit("Q2")).alias("globe"),
+            F.get(part, 0).cast("double").alias("latitude"),
+            F.get(part, 1).cast("double").alias("longitude"),
+            F.coalesce(F.get(part, 2).cast("double"), F.lit(0.000001)).alias("precision"),
+            F.coalesce(F.get(part, 3), F.lit("Q2")).alias("globe"),
         )
     )
     quantity = F.to_json(
         F.struct(
-            part.getItem(0).alias("amount"),
-            F.coalesce(part.getItem(1), F.lit("1")).alias("unit"),
+            F.get(part, 0).alias("amount"),
+            F.coalesce(F.get(part, 1), F.lit("1")).alias("unit"),
         )
     )
     return (
