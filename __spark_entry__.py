@@ -920,6 +920,75 @@ def q_rules_text(spark, sf_dir):
     )
 
 
+def q_edit_synthesis(spark, sf_dir):
+    """Edit synthesis dispatch (`edits_out.build_edits` +
+    `statement_nodes_from_snapshot`, `game/WikidataEditBuilder.java:
+    32-142`) as a driver-oracled check: corrections cycle all five
+    diff shapes (single add -> wbcreateclaim with both value-JSON
+    kinds; single del resolving to exactly one GUID -> wbremoveclaims;
+    single del resolving to TWO statement nodes -> dropped; add+del
+    same subject/predicate -> wbsetclaimvalue; two dels ->
+    unsupported), with GUIDs resolved through a p:/ps: snapshot and
+    the '-'->'$' munge.  The oracle derives the expected action/claim/
+    value per shape from the SPEC (the modulo arithmetic makes shape
+    and resolvability coincide: e%5 == (e%30)%5)."""
+    from corhist_spark.edits_out import build_edits, statement_nodes_from_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    k = (e % 30).cast("string")
+    ent = F.concat(F.lit("E"), k)
+    prop = F.concat(F.lit("P"), ((e % 30) % 7).cast("string"))
+    val = F.concat(F.lit("v"), k)
+    addval = F.when(u % 2 == 0, F.lit("Q9")).otherwise(F.lit("sv x"))
+
+    def st(subj, pred, obj, op):
+        return F.struct(
+            subj.alias("subj"), pred.alias("pred"), obj.alias("obj"),
+            F.lit(op).alias("op"),
+        )
+
+    corr_arr = (
+        F.when(e % 5 == 0, F.array(st(ent, prop, addval, "add")))
+        .when(e % 5 == 1, F.array(st(ent, prop, val, "del")))
+        .when(e % 5 == 2, F.array(st(ent, prop, val, "del")))
+        .when(
+            e % 5 == 3,
+            F.array(st(ent, prop, val, "del"), st(ent, prop, F.lit("Q5"), "add")),
+        )
+        .otherwise(
+            F.array(st(ent, prop, val, "del"), st(ent, prop, F.lit("x"), "del"))
+        )
+    )
+    corrections = ev.select(e.alias("event_id"), corr_arr.alias("correction"))
+    # snapshot: one statement node per (entity, prop, value); entities
+    # with k%5==2 get a SECOND node for the same triple (ambiguous GUID)
+    ks = ev.select((e % 30).alias("k")).distinct()
+    kk = F.col("k").cast("string")
+    sent = F.concat(F.lit("E"), kk)
+    sprop = F.concat(F.lit("P"), (F.col("k") % 7).cast("string"))
+    p1 = ks.select(sent.alias("subj"), F.concat(F.lit("p:"), sprop).alias("pred"),
+                   F.concat(F.lit("St-"), kk).alias("obj"))
+    ps1 = ks.select(F.concat(F.lit("St-"), kk).alias("subj"),
+                    F.concat(F.lit("ps:"), sprop).alias("pred"),
+                    F.concat(F.lit("v"), kk).alias("obj"))
+    dup = ks.filter(F.col("k") % 5 == 2)
+    p2 = dup.select(sent.alias("subj"), F.concat(F.lit("p:"), sprop).alias("pred"),
+                    F.concat(F.lit("Sx-"), kk).alias("obj"))
+    ps2 = dup.select(F.concat(F.lit("Sx-"), kk).alias("subj"),
+                     F.concat(F.lit("ps:"), sprop).alias("pred"),
+                     F.concat(F.lit("v"), kk).alias("obj"))
+    snapshot = p1.unionByName(ps1).unionByName(p2).unionByName(ps2)
+    out = build_edits(corrections, statement_nodes_from_snapshot(snapshot))
+    return out.select(
+        "event_id",
+        F.col("edit.action").alias("action"),
+        F.col("edit.params")["claim"].alias("claim"),
+        F.col("edit.params")["value"].alias("value_json"),
+        F.col("edit.params")["entity"].alias("entity"),
+    )
+
+
 def q_tclaim_corrections(spark, sf_dir):
     """Full target-requires-claim kernel (`TargetRequiredClaimQueriesBuilder.java:23-74`):
     the item kernel mirrored onto the object carrier — P1 objects must
@@ -1829,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_messages": q_edit_messages,
         "value_json": q_value_json,
         "rules_text": q_rules_text,
+        "edit_synthesis": q_edit_synthesis,
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
@@ -1841,7 +1911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_sharded": q_knn_ivf_sharded,
         # --- r3-green core kept inside the window ---
         "single_value_corrections": q_single_value_corrections,
-        "state_intervals": q_state_intervals,
         "cc_components": q_cc_components,
         "canonical_triples": q_canonical_triples,
         "rule_pipeline_eval": q_rule_pipeline_eval,
@@ -1851,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03.json (checked last round) and its code is
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
+        "state_intervals": q_state_intervals,
         "mention_extraction": q_mention_extraction,
         "unique_corrections": q_unique_corrections,
         "dedup_survivors": q_dedup_survivors,
@@ -2667,6 +2737,35 @@ def oracle_sql() -> dict[str, str]:
             FROM w, mx
             WHERE (window_start + 600) * 1000 <= m - 300000
             GROUP BY window_start, event_type
+        """,
+        "edit_synthesis": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(event_id % 30 AS VARCHAR) AS k,
+                     CAST((event_id % 30) % 7 AS VARCHAR) AS kp
+              FROM events)
+            SELECT event_id,
+              CASE event_id % 5
+                WHEN 0 THEN 'wbcreateclaim'
+                WHEN 1 THEN 'wbremoveclaims'
+                WHEN 3 THEN 'wbsetclaimvalue'
+              END AS action,
+              CASE event_id % 5
+                WHEN 1 THEN 'St$' || k
+                WHEN 3 THEN 'St$' || k
+              END AS claim,
+              CASE event_id % 5
+                WHEN 0 THEN
+                  CASE WHEN user_id % 2 = 0
+                       THEN CAST(json_object('type', 'wikibase-entityid',
+                              'value', json_object('id', 'Q9')) AS VARCHAR)
+                       ELSE CAST(json_object('type', 'string',
+                              'value', 'sv x') AS VARCHAR) END
+                WHEN 3 THEN CAST(json_object('type', 'wikibase-entityid',
+                              'value', json_object('id', 'Q5')) AS VARCHAR)
+              END AS value_json,
+              CASE WHEN event_id % 5 = 0 THEN 'E' || k END AS entity
+            FROM e
         """,
         "value_json": """
             WITH e AS (
