@@ -1392,6 +1392,18 @@ def q_knn_ivf_sharded(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (`similarity.semantic_dedup`):
+    constant-occupancy IVF cells, within-cell cosine >= threshold,
+    greedy keep-lowest-id survivor set."""
+    from corhist_spark.similarity import cells_for_dedup, semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=cells_for_dedup(_emb_count(spark, sf_dir)),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (bucketed candidates + exact
     in-bucket cosine verification)."""
@@ -1899,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_json": q_value_json,
         "rules_text": q_rules_text,
         "edit_synthesis": q_edit_synthesis,
+        "semantic_dedup": q_semantic_dedup,
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
@@ -1912,7 +1925,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r3-green core kept inside the window ---
         "single_value_corrections": q_single_value_corrections,
         "cc_components": q_cc_components,
-        "canonical_triples": q_canonical_triples,
         "rule_pipeline_eval": q_rule_pipeline_eval,
         "refined_rules": q_refined_rules,
         # --- tail (positions 51+, outside the driver's 50-row cap this
@@ -1920,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r03.json (checked last round) and its code is
         # unchanged since; all stay pytest-oracled every run
         # (tests/test_entry_oracle.py runs the full registry) ---
+        "canonical_triples": q_canonical_triples,
         "state_intervals": q_state_intervals,
         "mention_extraction": q_mention_extraction,
         "unique_corrections": q_unique_corrections,
@@ -3976,6 +3989,37 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN common c USING (query_id)
         """,
         "knn_ivf_sharded": _IVF_SHARD_SQL,
+        "semantic_dedup": """
+            WITH nc AS (
+              SELECT greatest(16, CAST(COUNT(*) // 64 AS INT)) AS nc FROM embeddings
+            ), e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), n AS (
+              SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+                     list_transform(v, x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+              FROM e
+            ), cent AS (
+              SELECT vec_id AS cid, qv AS cv FROM n ORDER BY vec_id LIMIT (SELECT nc FROM nc)
+            ), score AS (
+              SELECT n.vec_id, c.cid, list_inner_product(n.qv, c.cv) AS s
+              FROM n CROSS JOIN cent c
+            ), assignc AS (
+              SELECT vec_id, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+                FROM score
+              ) WHERE rn = 1
+            ), dups AS (
+              SELECT DISTINCT hi.vec_id AS vec_id
+              FROM assignc lo
+              JOIN assignc hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
+              JOIN n q ON q.vec_id = lo.vec_id
+              JOIN n d ON d.vec_id = hi.vec_id
+              WHERE ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) >= 0.25
+            )
+            SELECT a.vec_id, a.cell FROM assignc a
+            WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
+        """,
         "knn_ivf": _IVF_CTES + """
             SELECT query_id, neighbor_id, sim, rn FROM ivf_top
         """,

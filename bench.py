@@ -72,6 +72,7 @@ HEADLINE = [
     "knn_ivf",
     "knn_ivf_sharded",
     "embedding_near_dups",
+    "semantic_dedup",
     "cc_components",
     "subclass_closure",
 ]

@@ -360,6 +360,71 @@ def knn_ivf(
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
+def cells_for_dedup(n_vectors: int, occupancy: int = 64, floor: int = 16) -> int:
+    """Cell count for SEMANTIC DEDUP: N / occupancy, so expected cell
+    size stays CONSTANT as the corpus grows.  Unlike search sizing
+    (sqrt(N), cells_for_corpus), dedup compares all within-cell pairs —
+    constant occupancy keeps total pair volume LINEAR in N
+    (N * occupancy / 2); sqrt(N) occupancy would make it N^1.5.  The
+    centroid table then grows as N/occupancy, which is exactly what the
+    sharded assignment path exists for."""
+    return max(floor, int(n_vectors) // occupancy)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.25,
+    n_cells: int | None = None,
+    round_to: int = 3,
+    max_broadcast_centroids: int = 4096,
+    prefix_planes: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public): assign every vector to a coarse cell, compare cosine only
+    WITHIN cells, and greedily drop any vector that has a lower-id
+    in-cell neighbor at similarity >= threshold (keep-first).  Returns
+    the survivors (vec_id, cell).
+
+    The embedding-space sibling of the LSH near-dup pruner
+    (embedding_near_dups): clusters catch paraphrase-level duplicates
+    that byte-level LSH misses.  Scale shape: constant expected cell
+    occupancy (cells_for_dedup) keeps the within-cell pair volume
+    linear in N; assignment broadcasts the centroid table while it
+    fits and shards by sign-prefix beyond max_broadcast_centroids."""
+    if n_cells is None:
+        n_cells = cells_for_dedup(embeddings.count())
+    if n_cells <= max_broadcast_centroids:
+        scored = _ivf_scored(embeddings, n_cells)
+    else:
+        scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max_by("cid", _best_cell_ord()).alias("cell"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    lo = assign.select(
+        "cell", F.col("vec_id").alias("lo_id"), F.col("v").alias("lv"), F.col("nrm").alias("ln")
+    )
+    hi = assign.select(
+        "cell", F.col("vec_id").alias("hi_id"), F.col("v").alias("hv"), F.col("nrm").alias("hn")
+    )
+    dups = (
+        lo.join(hi, "cell")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .select(
+            F.col("hi_id").alias("vec_id"),
+            F.round(_dot(F.col("lv"), F.col("hv")) / (F.col("ln") * F.col("hn")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    return assign.join(dups, "vec_id", "left_anti").select("vec_id", "cell")
+
+
 def knn_ivf_recall(
     embeddings: DataFrame, k: int = 3, n_queries: int = 10, n_cells: int | None = None
 ) -> DataFrame:
