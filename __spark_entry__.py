@@ -1566,9 +1566,16 @@ def q_streaming_windowed_counts(spark, sf_dir):
     _SWC_COUNTER[0] += 1
     name = f"swc_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
     ck = tempfile.mkdtemp(prefix="swc_ck_")
-    writer = windowed_revision_counts(stream, checkpoint_dir=ck)
-    q = writer.queryName(name).start()
-    q.awaitTermination()
+    try:
+        writer = windowed_revision_counts(stream, checkpoint_dir=ck)
+        q = writer.queryName(name).start()
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the rows; the staged copy and the
+        # checkpoint are dead weight once the stream terminates — a
+        # bench loop would otherwise leak a parquet copy per repeat
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name).select(
         F.unix_timestamp("window_start").alias("window_start"),
         F.col("entity").alias("event_type"),
@@ -1618,8 +1625,12 @@ def q_streaming_interval_join(spark, sf_dir):
     _SWC_COUNTER[0] += 1
     name = f"sij_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
     ck = tempfile.mkdtemp(prefix="sij_ck_")
-    q = join_edit_streams(e, m, checkpoint_dir=ck).queryName(name).start()
-    q.awaitTermination()
+    try:
+        q = join_edit_streams(e, m, checkpoint_dir=ck).queryName(name).start()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name).select(
         "rev_id",
         "entity",
@@ -2517,9 +2528,19 @@ _IVF_SHARD_SQL = f"""
     ), cent AS (
       SELECT vec_id AS cid, qv AS cv FROM n ORDER BY vec_id LIMIT (SELECT nc FROM nc)
     ), score AS (
+      -- same-prefix pairs, plus the empty-shard fallback: a vector
+      -- whose prefix shard holds no centroid scores the global
+      -- min-cid centroid (mirrors similarity._ivf_scored_sharded)
       SELECT n.vec_id, c.cid, list_inner_product(n.qv, c.cv) AS s
       FROM n, cent c, pfx pn, pfx pc
       WHERE pn.vec_id = n.vec_id AND pc.vec_id = c.cid AND pn.pfx = pc.pfx
+      UNION ALL
+      SELECT n.vec_id, fb.cid, list_inner_product(n.qv, fb.cv) AS s
+      FROM n
+      JOIN pfx pn ON pn.vec_id = n.vec_id,
+           (SELECT cid, cv FROM cent ORDER BY cid LIMIT 1) fb
+      WHERE pn.pfx NOT IN (
+        SELECT DISTINCT pc.pfx FROM cent c2 JOIN pfx pc ON pc.vec_id = c2.cid)
     ), ranked AS (
       SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
       FROM score

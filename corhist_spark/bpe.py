@@ -96,22 +96,46 @@ def _train_merges_driver(
     """Driver-side merge loop over the collected (symbols, count)
     histogram.  Tie-break identical to the distributed argmax: count
     desc, then (l, r) lexicographic asc (ASCII == UTF-8 binary order
-    for this corpus; Spark's string sort is binary)."""
+    for this corpus; Spark's string sort is binary).
+
+    Pair counts are maintained INCREMENTALLY (the standard BPE-trainer
+    optimization): each merge rewrites only the words that contain the
+    merged pair (tracked in an occurrence index), so a tokenizer-sized
+    run is O(total symbol touches of affected words), not
+    O(n_merges x corpus symbols) — the naive full rescan per merge
+    would take hours of driver CPU at a few-million-row histogram
+    despite being 'one Spark job'.  Count equality with the full
+    rescan (and with the distributed loop) is pinned in
+    tests/test_bpe.py."""
     merges: list[tuple[str, str, int]] = []
     words = [(list(syms), n) for syms, n in hist]
+    counts: dict[tuple[str, str], int] = {}
+    occ: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, n) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + n
+            occ.setdefault(p, set()).add(idx)
     for _ in range(n_merges):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, n in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                counts[p] = counts.get(p, 0) + n
         if not counts:
             break
         (left, right), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         if c < 2:
             break
         merges.append((left, right, int(c)))
-        words = [(_merge_word(syms, left, right), n) for syms, n in words]
+        # rewrite ONLY words containing (left, right); occurrence sets
+        # may hold stale indices from earlier rewrites — harmless, the
+        # subtract/re-add below nets to zero for unaffected words
+        for idx in occ.pop((left, right), set()):
+            syms, n = words[idx]
+            for p in zip(syms, syms[1:]):
+                counts[p] -= n
+                if counts[p] <= 0:
+                    counts.pop(p, None)
+            new = _merge_word(syms, left, right)
+            words[idx] = (new, n)
+            for p in zip(new, new[1:]):
+                counts[p] = counts.get(p, 0) + n
+                occ.setdefault(p, set()).add(idx)
     return merges
 
 

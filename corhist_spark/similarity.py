@@ -212,6 +212,21 @@ def _int_dot(a, b):
     )
 
 
+def _ivf_centroids(e: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic centroid table shared by BOTH assignment paths
+    (the 'broadcast path stays bit-exact' guarantee and the DuckDB
+    oracles depend on the two paths never desyncing): rank-based
+    selection of the ``n_cells`` smallest vec_ids, NOT a
+    ``vec_id < n_cells`` filter — ids need not be dense or 0-based
+    (sharded id spaces, ids surviving upstream dedup), and a sparse id
+    space would silently yield an empty centroid table otherwise."""
+    return (
+        e.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+
+
 def _ivf_scored(embeddings: DataFrame, n_cells: int):
     """(vec_id, v, nrm, qv, cid, s) — every vector scored against every
     coarse centroid (integer-quantized dot product, so assignment is
@@ -225,15 +240,7 @@ def _ivf_scored(embeddings: DataFrame, n_cells: int):
     centroids IS the intended plan (IVF's coarse assignment is
     corpus x centroids by definition)."""
     e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
-    # rank-based selection (the n_cells smallest vec_ids), NOT a
-    # `vec_id < n_cells` filter: ids need not be dense or 0-based
-    # (sharded id spaces, ids surviving upstream dedup) — a sparse id
-    # space would silently yield an empty centroid table otherwise
-    cent = (
-        e.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
-    )
+    cent = _ivf_centroids(e, n_cells)
     return e.crossJoin(F.broadcast(cent)).withColumn(
         "s", _int_dot(F.col("qv"), F.col("cv"))
     )
@@ -279,20 +286,32 @@ def _ivf_scored_sharded(embeddings: DataFrame, n_cells: int, prefix_planes: int)
     A vector is assigned to its best centroid WITHIN its own prefix
     shard — the standard locality approximation (recall floor pinned
     in tests/test_similarity_guards.py); the broadcast path stays
-    bit-exact and is used whenever the table fits."""
+    bit-exact and is used whenever the table fits.
+
+    Empty-shard fallback: a prefix shard can contain corpus vectors
+    but ZERO centroids (e.g. sign-skewed embeddings with ingest-order
+    centroid selection) — the bare inner join would then silently DROP
+    those vectors from assignment (lost queries/neighbors in knn_ivf,
+    lost non-duplicate documents in semantic_dedup).  Such vectors are
+    routed to the global min-cid centroid instead (one broadcast row),
+    so every vector is always assigned somewhere."""
     e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
+    cent0 = _ivf_centroids(e, n_cells).localCheckpoint()
     cent = (
-        e.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
-        .withColumn("pfx", _prefix_bits(F.col("cv"), prefix_planes))
+        cent0.withColumn("pfx", _prefix_bits(F.col("cv"), prefix_planes))
         # the point of this path is NOT broadcasting the centroids
         .hint("SHUFFLE_HASH")
     )
     e = e.withColumn("pfx", _prefix_bits(F.col("qv"), prefix_planes))
-    return e.join(cent, "pfx").withColumn(
+    scored = e.join(cent, "pfx").withColumn(
         "s", _int_dot(F.col("qv"), F.col("cv"))
     )
+    fallback = cent0.orderBy("cid").limit(1)
+    missing = e.join(cent.select("pfx").distinct(), "pfx", "left_anti")
+    scored_fb = missing.crossJoin(F.broadcast(fallback)).withColumn(
+        "s", _int_dot(F.col("qv"), F.col("cv"))
+    )
+    return scored.unionByName(scored_fb)
 
 
 # Beyond this many centroids the assignment no longer broadcasts the
@@ -376,7 +395,7 @@ def semantic_dedup(
     threshold: float = 0.25,
     n_cells: int | None = None,
     round_to: int = 3,
-    max_broadcast_centroids: int = 4096,
+    max_broadcast_centroids: int | None = None,
     prefix_planes: int = 2,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -391,6 +410,10 @@ def semantic_dedup(
     occupancy (cells_for_dedup) keeps the within-cell pair volume
     linear in N; assignment broadcasts the centroid table while it
     fits and shards by sign-prefix beyond max_broadcast_centroids."""
+    if max_broadcast_centroids is None:
+        # same broadcast budget as knn_ivf — the two operators share
+        # the assignment machinery and must switch paths together
+        max_broadcast_centroids = MAX_BROADCAST_CENTROIDS
     if n_cells is None:
         n_cells = cells_for_dedup(embeddings.count())
     if n_cells <= max_broadcast_centroids:

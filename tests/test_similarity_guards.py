@@ -93,6 +93,29 @@ def test_knn_ivf_sharded_assignment_recall_and_plan(spark):
     assert common / 30.0 >= 0.5, f"sharded IVF recall@3 {common / 30.0:.2f}"
 
 
+def test_sharded_assignment_empty_shard_fallback(spark):
+    """A vector whose sign-prefix shard contains NO centroid must not
+    silently vanish from the assignment (lost query/neighbor in
+    knn_ivf, lost non-duplicate document in semantic_dedup): it falls
+    back to the global min-cid centroid.  Planted: 17 identical
+    positive vectors (centroids = first 16, all one prefix) plus one
+    negated outlier in the complementary prefix."""
+    from corhist_spark.similarity import semantic_dedup
+
+    rows = [(i, [2.0, 1.0, 1.0, 1.0]) for i in range(17)]
+    rows.append((99, [-2.0, -1.0, -1.0, -1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.9, n_cells=16, max_broadcast_centroids=1
+        ).collect()
+    }
+    # the 17 identical vectors collapse to their lowest id; the outlier
+    # (cosine -1 to everything) must SURVIVE, not disappear
+    assert kept == {0, 99}
+
+
 def test_cells_for_corpus_capped():
     from corhist_spark.similarity import MAX_IVF_CENTROIDS, cells_for_corpus
 
