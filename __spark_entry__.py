@@ -1359,17 +1359,37 @@ def q_knn_ivf(spark, sf_dir):
     search (integer-quantized assignment, oracle-exact)."""
     from corhist_spark.similarity import cells_for_corpus, knn_ivf
 
+    from corhist_spark.similarity import MAX_IVF_CENTROIDS
+
     n_cells = cells_for_corpus(_emb_count(spark, sf_dir))
-    return knn_ivf(_t(spark, sf_dir, "embeddings"), n_cells=n_cells)
+    # the oracle transcribes the BROADCAST assignment; pin that path
+    # explicitly (n_cells is capped at MAX_IVF_CENTROIDS, so this bound
+    # can never be exceeded) so a larger corpus cannot silently switch
+    # the checked query onto the approximate sharded algorithm — the
+    # sharded path has its own dedicated oracle (knn_ivf_sharded)
+    return knn_ivf(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=n_cells,
+        max_broadcast_centroids=MAX_IVF_CENTROIDS,
+    )
 
 
 def q_knn_ivf_recall(spark, sf_dir):
     """IVF quality gate: per-query overlap between IVF top-k and the
     brute-force top-k."""
-    from corhist_spark.similarity import cells_for_corpus, knn_ivf_recall
+    from corhist_spark.similarity import (
+        MAX_IVF_CENTROIDS,
+        cells_for_corpus,
+        knn_ivf_recall,
+    )
 
     n_cells = cells_for_corpus(_emb_count(spark, sf_dir))
-    return knn_ivf_recall(_t(spark, sf_dir, "embeddings"), n_cells=n_cells)
+    # pinned to the broadcast path for the same reason as q_knn_ivf
+    return knn_ivf_recall(
+        _t(spark, sf_dir, "embeddings"),
+        n_cells=n_cells,
+        max_broadcast_centroids=MAX_IVF_CENTROIDS,
+    )
 
 
 def q_knn_ivf_sharded(spark, sf_dir):
@@ -1389,6 +1409,9 @@ def q_knn_ivf_sharded(spark, sf_dir):
         n_queries=10,
         n_cells=cells_for_corpus(_emb_count(spark, sf_dir)),
         max_broadcast_centroids=1,
+        # the oracle transcribes a 2-plane prefix; pin it (the library
+        # default now scales planes with the centroid-table size)
+        prefix_planes=2,
     )
 
 
@@ -1398,8 +1421,12 @@ def q_semantic_dedup(spark, sf_dir):
     greedy keep-lowest-id survivor set."""
     from corhist_spark.similarity import cells_for_dedup, semantic_dedup
 
+    # threshold: EXPLICIT fixture setting (the random embeddings have no
+    # pairs in the library default's ~0.9 paper regime); the oracle
+    # interpolates the same _SEMDEDUP_FIXTURE_THRESHOLD constant
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
+        threshold=_SEMDEDUP_FIXTURE_THRESHOLD,
         n_cells=cells_for_dedup(_emb_count(spark, sf_dir)),
     )
 
@@ -1998,6 +2025,16 @@ from corhist_spark.textops import (
     WINNOW_W as _WINNOW_W,
     hexval_sql,
 )
+from corhist_spark.similarity import (
+    DEDUP_FLOOR as _DEDUP_FLOOR,
+    DEDUP_OCCUPANCY as _DEDUP_OCCUPANCY,
+)
+
+# the synthetic random embeddings have no pairs in SemDeDup's ~0.9+
+# production regime, so the HARNESS passes this low threshold explicitly
+# (q_semantic_dedup) and the oracle interpolates the same constant —
+# the library default stays at similarity.SEMDEDUP_DEFAULT_THRESHOLD
+_SEMDEDUP_FIXTURE_THRESHOLD = 0.25
 
 
 def _samp_sql(cur: str, prop: str) -> str:
@@ -2972,7 +3009,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id,
                    len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
-                   len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+                   -- phones counted on the EMAIL-REDACTED text (mirrors
+                   -- textops.pii_stats): counts == placeholders emitted
+                   len(regexp_extract_all(
+                         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{_PHONE_RE}')) AS n_phones,
                    md5(regexp_replace(
                          regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
@@ -4010,9 +4051,15 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN common c USING (query_id)
         """,
         "knn_ivf_sharded": _IVF_SHARD_SQL,
-        "semantic_dedup": """
+        # literals derived from the Python constants (occupancy/floor
+        # from similarity.cells_for_dedup, threshold from the fixture
+        # constant the Spark query passes) so a change to either side
+        # cannot silently desync engine and oracle
+        "semantic_dedup": f"""
             WITH nc AS (
-              SELECT greatest(16, CAST(COUNT(*) // 64 AS INT)) AS nc FROM embeddings
+              SELECT greatest({_DEDUP_FLOOR},
+                              CAST(COUNT(*) // {_DEDUP_OCCUPANCY} AS INT)) AS nc
+              FROM embeddings
             ), e AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings
@@ -4036,7 +4083,8 @@ def oracle_sql() -> dict[str, str]:
               JOIN assignc hi ON lo.cell = hi.cell AND lo.vec_id < hi.vec_id
               JOIN n q ON q.vec_id = lo.vec_id
               JOIN n d ON d.vec_id = hi.vec_id
-              WHERE ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) >= 0.25
+              WHERE ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3)
+                    >= {_SEMDEDUP_FIXTURE_THRESHOLD}
             )
             SELECT a.vec_id, a.cell FROM assignc a
             WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)

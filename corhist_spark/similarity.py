@@ -327,7 +327,7 @@ def knn_ivf(
     n_probe: int = 2,
     round_to: int = 3,
     max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
-    prefix_planes: int = 2,
+    prefix_planes: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest coarse
     centroid (inverted lists); a query searches only its ``n_probe``
@@ -345,6 +345,8 @@ def knn_ivf(
     on the sf0.001 fixture: 0.97 (vs 0.70 multi-probe LSH)."""
     if n_cells is None:
         n_cells = cells_for_corpus(embeddings.count())
+    if prefix_planes is None:
+        prefix_planes = prefix_planes_for_cells(n_cells)
     if n_cells <= max_broadcast_centroids:
         scored = _ivf_scored(embeddings, n_cells)
     else:
@@ -379,24 +381,61 @@ def knn_ivf(
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
 
 
-def cells_for_dedup(n_vectors: int, occupancy: int = 64, floor: int = 16) -> int:
+# cells_for_dedup defaults — exported so the DuckDB oracle derives the
+# same literals instead of hardcoding them (a silent desync risk)
+DEDUP_OCCUPANCY = 64
+DEDUP_FLOOR = 16
+
+# SemDeDup's published operating regime keeps only pairs that are
+# near-identical in embedding space; anything much lower over-deletes
+# (most non-duplicate pairs in a real corpus exceed cosine 0.25).
+SEMDEDUP_DEFAULT_THRESHOLD = 0.9
+
+
+def cells_for_dedup(
+    n_vectors: int, occupancy: int = DEDUP_OCCUPANCY, floor: int = DEDUP_FLOOR
+) -> int:
     """Cell count for SEMANTIC DEDUP: N / occupancy, so expected cell
     size stays CONSTANT as the corpus grows.  Unlike search sizing
     (sqrt(N), cells_for_corpus), dedup compares all within-cell pairs —
     constant occupancy keeps total pair volume LINEAR in N
     (N * occupancy / 2); sqrt(N) occupancy would make it N^1.5.  The
-    centroid table then grows as N/occupancy, which is exactly what the
-    sharded assignment path exists for."""
+    centroid table then grows as N/occupancy — UNCAPPED on purpose (a
+    cap would let occupancy grow past the budget and the pair volume go
+    quadratic); instead the sharded assignment path scales its shard
+    count with the table (prefix_planes_for_cells), keeping the
+    per-task centroid share bounded."""
     return max(floor, int(n_vectors) // occupancy)
+
+
+# Per-task centroid budget of the sharded assignment: a shard holds
+# ~n_cells / 2^planes centroids; planes scale so that share stays under
+# this bound instead of growing linearly with the corpus.
+PREFIX_SHARD_CENTROID_BUDGET = 4096
+
+
+def prefix_planes_for_cells(
+    n_cells: int, per_task_budget: int = PREFIX_SHARD_CENTROID_BUDGET
+) -> int:
+    """Shard-key width for the sharded IVF assignment: enough sign
+    planes that each of the 2^planes prefix shards holds at most
+    ~``per_task_budget`` centroids (expected, under balanced signs).
+    A FIXED plane count would let the per-task centroid share grow
+    linearly with the centroid table (~N/256 for semantic-dedup sizing)
+    — exactly the unbounded-state failure the sharded path exists to
+    prevent."""
+    import math
+
+    return max(2, math.ceil(math.log2(max(int(n_cells), 1) / per_task_budget)))
 
 
 def semantic_dedup(
     embeddings: DataFrame,
-    threshold: float = 0.25,
+    threshold: float = SEMDEDUP_DEFAULT_THRESHOLD,
     n_cells: int | None = None,
     round_to: int = 3,
     max_broadcast_centroids: int | None = None,
-    prefix_planes: int = 2,
+    prefix_planes: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public): assign every vector to a coarse cell, compare cosine only
@@ -409,13 +448,20 @@ def semantic_dedup(
     that byte-level LSH misses.  Scale shape: constant expected cell
     occupancy (cells_for_dedup) keeps the within-cell pair volume
     linear in N; assignment broadcasts the centroid table while it
-    fits and shards by sign-prefix beyond max_broadcast_centroids."""
+    fits and shards by sign-prefix beyond max_broadcast_centroids.
+
+    The default threshold follows the paper's regime (~0.9+: only
+    near-identical pairs are duplicates).  Synthetic random-embedding
+    fixtures have no such pairs, so the test harness passes a low
+    threshold EXPLICITLY — that is a fixture setting, not a default."""
     if max_broadcast_centroids is None:
         # same broadcast budget as knn_ivf — the two operators share
         # the assignment machinery and must switch paths together
         max_broadcast_centroids = MAX_BROADCAST_CENTROIDS
     if n_cells is None:
         n_cells = cells_for_dedup(embeddings.count())
+    if prefix_planes is None:
+        prefix_planes = prefix_planes_for_cells(n_cells)
     if n_cells <= max_broadcast_centroids:
         scored = _ivf_scored(embeddings, n_cells)
     else:
@@ -449,12 +495,19 @@ def semantic_dedup(
 
 
 def knn_ivf_recall(
-    embeddings: DataFrame, k: int = 3, n_queries: int = 10, n_cells: int | None = None
+    embeddings: DataFrame,
+    k: int = 3,
+    n_queries: int = 10,
+    n_cells: int | None = None,
+    max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
 ) -> DataFrame:
     """Recall gate for the IVF path: per query, overlap between IVF
     top-k and brute-force top-k ((query_id, n_common))."""
     bf = knn_bruteforce(embeddings, k, n_queries).select("query_id", "neighbor_id")
-    iv = knn_ivf(embeddings, k, n_queries, n_cells).select("query_id", "neighbor_id")
+    iv = knn_ivf(
+        embeddings, k, n_queries, n_cells,
+        max_broadcast_centroids=max_broadcast_centroids,
+    ).select("query_id", "neighbor_id")
     common = (
         bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")

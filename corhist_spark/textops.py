@@ -663,15 +663,20 @@ def pii_stats(docs: DataFrame) -> DataFrame:
     more pattern families (SSNs, IP addresses, street addresses); the
     plumbing is identical per family."""
     text = F.coalesce(F.col("text"), F.lit(""))
-    redacted = F.regexp_replace(
-        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
-    )
+    # phones are counted on the EMAIL-REDACTED text — the same string
+    # the phone replacement pass actually runs on — so n_phones always
+    # equals the number of <PHONE> placeholders emitted (a +digit run
+    # inside an email local part is neither counted nor redacted)
+    email_redacted = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    redacted = F.regexp_replace(email_redacted, PHONE_RE, "<PHONE>")
     # NB: patterns go through the Python API (F.lit), NOT F.expr — a
     # SQL string literal would eat the backslash escapes ('\.' -> '.')
     return docs.select(
         "doc_id",
         F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
-        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(
+            F.regexp_extract_all(email_redacted, F.lit(PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
         F.md5(redacted).alias("redacted_hash"),
     )
 

@@ -125,12 +125,19 @@ def test_pii_stats_planted_values(spark):
         (1, "mail a.b+c@foo.bar.com and x@y.io, call +12345678901 now"),
         (2, "+123456 too short, no email here"),  # 6 digits < {7,}
         (3, None),
+        # a +digit run INSIDE an email local part: redacted as part of
+        # <EMAIL>, so it must not be counted as a phone either (counts
+        # correspond to the placeholders actually emitted)
+        (4, "write u+1234567@x.com ok"),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in pii_stats(d).collect()}
     assert (got[1].n_emails, got[1].n_phones) == (2, 1)
     assert (got[2].n_emails, got[2].n_phones) == (0, 0)
     assert (got[3].n_emails, got[3].n_phones) == (0, 0)
+    assert (got[4].n_emails, got[4].n_phones) == (1, 0)
+    red4 = "write <EMAIL> ok"
+    assert got[4].redacted_hash == hashlib.md5(red4.encode()).hexdigest()
     red1 = "mail <EMAIL> and <EMAIL>, call <PHONE> now"
     assert got[1].redacted_hash == hashlib.md5(red1.encode()).hexdigest()
     assert got[3].redacted_hash == hashlib.md5(b"").hexdigest()

@@ -125,6 +125,24 @@ def test_cells_for_corpus_capped():
     assert cells_for_corpus(10**12) == MAX_IVF_CENTROIDS
 
 
+def test_prefix_planes_scale_with_centroid_table():
+    """The sharded assignment's per-task centroid share must stay
+    bounded: planes scale so ~n_cells / 2^planes <= the task budget.
+    A fixed 2-plane shard key would let the share grow linearly with
+    the centroid table (~N/256 at semantic-dedup sizing)."""
+    from corhist_spark.similarity import (
+        PREFIX_SHARD_CENTROID_BUDGET as B,
+        cells_for_dedup,
+        prefix_planes_for_cells,
+    )
+
+    assert prefix_planes_for_cells(16) == 2
+    assert prefix_planes_for_cells(4 * B) == 2
+    for n_cells in (8 * B, 1_000_000, cells_for_dedup(10**10)):
+        p = prefix_planes_for_cells(n_cells)
+        assert n_cells / 2**p <= B, (n_cells, p)
+
+
 def test_ann_empty_and_tiny_inputs(spark):
     """Degenerate inputs must not crash: an empty embeddings table and
     a single-vector table yield empty results across the ANN family."""
