@@ -509,6 +509,17 @@ def q_token_cardinality(spark, sf_dir):
     return token_cardinality(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_bigram_nll(spark, sf_dir):
+    """Bigram-LM quality score (`textops.bigram_nll`): per-doc mean
+    NLL of each token given its predecessor under the corpus's own
+    add-k-smoothed bigram statistics — the sharper successor of the
+    unigram proxy (transition improbability catches token-salad that
+    unigram frequencies miss)."""
+    from corhist_spark.textops import bigram_nll
+
+    return bigram_nll(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_unigram_nll(spark, sf_dir):
     """Unigram-LM quality proxy: per-doc mean negative log-likelihood
     under the corpus's own unigram distribution."""
@@ -1232,19 +1243,34 @@ def _dup_components(spark, sf_dir):
 def q_corpus_selection(spark, sf_dir):
     """The end-to-end training-corpus selection a 100 TB pipeline runs:
     keep documents that pass the quality floor (>= 0.3), the language
-    gate (marker-word 'en') and near-dup removal (survivor of its
-    LSH/Jaccard duplicate cluster).  Composes q_quality_score,
-    q_lang_id and q_dedup_survivors into ONE declarative plan."""
+    gate (marker-word 'en'), near-dup removal (survivor of its
+    LSH/Jaccard duplicate cluster) and the bigram-LM perplexity band
+    (mean bigram NLL within _BIGRAM_NLL_CAP_FACTOR of the corpus
+    average — the CCNet-style cut of the improbable-transition tail).
+    Composes q_quality_score, q_lang_id, q_dedup_survivors and
+    q_bigram_nll into ONE declarative plan."""
+    from corhist_spark.textops import bigram_nll
+
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     dups = (
         _dup_components(spark, sf_dir)
         .filter(F.col("node") != F.col("component"))
         .select(F.col("node").alias("doc_id"))
     )
+    bn = bigram_nll(d).select("doc_id", "mean_nll")
+    # cap rounded to 3 decimals BEFORE scaling so the cross-engine
+    # comparison never hinges on last-bit float summation order
+    cap = bn.agg(
+        (F.round(F.avg("mean_nll"), 3) * F.lit(_BIGRAM_NLL_CAP_FACTOR)).alias("nll_cap")
+    )
     return (
         d.select("doc_id", _quality_expr().alias("quality"), _lang_is_en().alias("_en"))
         .filter((F.col("quality") >= 0.3) & F.col("_en"))
         .join(dups, "doc_id", "left_anti")
+        .join(bn, "doc_id", "left")
+        .crossJoin(F.broadcast(cap))
+        # docs with < 2 tokens carry no bigram evidence -> pass
+        .filter(F.col("mean_nll").isNull() | (F.col("mean_nll") <= F.col("nll_cap")))
         .select("doc_id", "quality")
     )
 
@@ -1953,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed in r4 (per-constraint modulo sampling wired into
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
+        "bigram_nll": q_bigram_nll,
         "stratified_sample": q_stratified_sample,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
@@ -2029,6 +2056,13 @@ from corhist_spark.similarity import (
     DEDUP_FLOOR as _DEDUP_FLOOR,
     DEDUP_OCCUPANCY as _DEDUP_OCCUPANCY,
 )
+from corhist_spark.textops import BIGRAM_ADD_K as _BIGRAM_ADD_K
+
+# corpus_selection's perplexity band: keep docs whose bigram mean-NLL is
+# within this factor of the (3-decimal-rounded) corpus average.  1.02 on
+# the synthetic corpus's tight NLL spread (3.26-3.64 at sf0.01) filters a
+# real tail (~3%) instead of being vacuously permissive.
+_BIGRAM_NLL_CAP_FACTOR = 1.02
 
 # the synthetic random embeddings have no pairs in SemDeDup's ~0.9+
 # production regime, so the HARNESS passes this low threshold explicitly
@@ -3197,6 +3231,30 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS rate
             FROM per CROSS JOIN tot
         """,
+        # add-k constant interpolated from textops.BIGRAM_ADD_K; C(w1 ·)
+        # counts w1 as a bigram START so the conditional normalizes
+        "bigram_nll": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            bg AS (
+              SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                     toks[CAST(i AS INT) + 1] AS w2
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 2)),
+            bf AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2),
+            uf AS (SELECT w1, count(*) AS uc FROM bg GROUP BY w1),
+            v AS (
+              SELECT count(DISTINCT tok) AS vsz
+              FROM (SELECT unnest(toks) AS tok FROM t))
+            SELECT doc_id,
+                   count(*) AS n_bigrams,
+                   round(avg(-ln((bc + {_BIGRAM_ADD_K}) / (uc + {_BIGRAM_ADD_K} * vsz))), 6) AS mean_nll
+            FROM bg JOIN bf USING (w1, w2) JOIN uf USING (w1) CROSS JOIN v
+            GROUP BY doc_id
+        """,
         "unigram_nll": """
             WITH tk AS (
               SELECT doc_id,
@@ -3924,7 +3982,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "corpus_selection": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
-        + _DEDUP_COMP_CTES + """
+        + _DEDUP_COMP_CTES + f"""
             , qual AS (
               SELECT doc_id,
                      CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS n,
@@ -3932,13 +3990,39 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(string_split(text, ' '),
                                      x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits
               FROM documents
+            ), bt AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), bgr AS (
+              SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                     toks[CAST(i AS INT) + 1] AS w2
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM bt WHERE len(toks) >= 2)
+            ), bbf AS (SELECT w1, w2, count(*) AS bc FROM bgr GROUP BY w1, w2),
+            buf AS (SELECT w1, count(*) AS uc FROM bgr GROUP BY w1),
+            bv AS (
+              SELECT count(DISTINCT tok) AS vsz
+              FROM (SELECT unnest(toks) AS tok FROM bt)
+            ), bnll AS (
+              SELECT doc_id,
+                     round(avg(-ln((bc + {_BIGRAM_ADD_K}) / (uc + {_BIGRAM_ADD_K} * vsz))), 6) AS mean_nll
+              FROM bgr JOIN bbf USING (w1, w2) JOIN buf USING (w1) CROSS JOIN bv
+              GROUP BY doc_id
+            ), bcap AS (
+              SELECT round(avg(mean_nll), 3) * {_BIGRAM_NLL_CAP_FACTOR} AS nll_cap
+              FROM bnll
             )
             SELECT q.doc_id, ROUND(LEAST(1.0, n / 50.0) * (u / n), 6) AS quality
             FROM qual q
             LEFT JOIN comp c ON c.node = q.doc_id
+            LEFT JOIN bnll b ON b.doc_id = q.doc_id
             WHERE ROUND(LEAST(1.0, n / 50.0) * (u / n), 6) >= 0.3
               AND q.hits * 10 >= q.n
               AND (c.node IS NULL OR c.component = q.doc_id)
+              AND (b.mean_nll IS NULL
+                   OR b.mean_nll <= (SELECT nll_cap FROM bcap))
         """,
         "media_features": """
             WITH t AS (

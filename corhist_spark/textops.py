@@ -556,6 +556,60 @@ def unigram_nll(docs: DataFrame) -> DataFrame:
     )
 
 
+BIGRAM_ADD_K = 0.1
+
+
+def bigram_nll(docs: DataFrame, k: float = BIGRAM_ADD_K) -> DataFrame:
+    """Bigram language-model quality score with add-k smoothing —
+    (doc_id, n_bigrams, mean_nll): per-document mean negative
+    log-likelihood of each token given its predecessor, under the
+    corpus's own bigram statistics.
+
+    P(w2|w1) = (C(w1 w2) + k) / (C(w1 ·) + k·V), where C(w1 ·) counts
+    w1 as a bigram START (so the conditional normalizes exactly) and V
+    is the corpus vocabulary size.  A sharper signal than the unigram
+    proxy (unigram_nll): token-salad with plausible word frequencies
+    scores high here because its TRANSITIONS are improbable, while
+    boilerplate scores low — the two tails quality filters cut.
+
+    Scale shape mirrors unigram_nll one order up: pass 1 aggregates
+    bigram and bigram-start counts (map-side combine); pass 2 joins the
+    bigram stream against both tables (Zipf-sized — broadcastable in
+    practice, shuffle-joinable otherwise; hot stopword-pair keys are
+    probe-side skew, which AQE splits) plus the broadcast 1-row vocab
+    scalar.  Docs with < 2 tokens have no bigrams and drop out, same as
+    token-less docs under unigram_nll.  mean_nll rounds to 6 decimals
+    for cross-engine comparison."""
+    toks = docs.select("doc_id", _token_array().alias("toks"))
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    uf = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("uc"))
+    vocab = (
+        docs.select(F.explode(_token_array()).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vsz"))
+    )
+    scored = bg.join(bf, ["w1", "w2"]).join(uf, "w1").crossJoin(F.broadcast(vocab))
+    nll = -F.log(
+        (F.col("bc") + F.lit(k)) / (F.col("uc") + F.lit(k) * F.col("vsz"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(nll), 6).alias("mean_nll"),
+    )
+
+
 def source_mixing(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     """Data-mixing stage: temperature-weighted source proportions for
     training-set composition (the mT5-style upsampling rule) —

@@ -370,6 +370,28 @@ def test_unigram_nll_planted_frequencies(spark):
     assert got[2] == (2, pytest.approx(want2, abs=1e-6))
 
 
+def test_bigram_nll_planted_transitions(spark):
+    """Hand-computed add-k bigram NLL: P(w2|w1) = (C(w1 w2)+k) /
+    (C(w1 ·)+k·V), with C(w1 ·) the bigram-START count so the
+    conditional normalizes; docs shorter than 2 tokens drop out."""
+    import math
+
+    from corhist_spark.textops import BIGRAM_ADD_K as k, bigram_nll
+
+    d = _docs(spark, [(1, "a b a b"), (2, "a c"), (3, "x")])
+    # bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,c)
+    # C(a,b)=2 C(b,a)=1 C(a,c)=1; starts: C(a·)=3 C(b·)=1; V=4 (a,b,c,x)
+    got = {r.doc_id: (r.n_bigrams, r.mean_nll) for r in bigram_nll(d).collect()}
+    p_ab = (2 + k) / (3 + k * 4)
+    p_ba = (1 + k) / (1 + k * 4)
+    p_ac = (1 + k) / (3 + k * 4)
+    want1 = round((-math.log(p_ab) * 2 + -math.log(p_ba)) / 3, 6)
+    want2 = round(-math.log(p_ac), 6)
+    assert got[1] == (3, pytest.approx(want1, abs=1e-6))
+    assert got[2] == (1, pytest.approx(want2, abs=1e-6))
+    assert 3 not in got  # single-token doc has no transition evidence
+
+
 def test_source_mixing_temperature_flattening(spark):
     """alpha=0.5 mixing: the big source is downsampled, the small one
     would be upsampled (rate capped at 1.0)."""
