@@ -477,6 +477,44 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(tr, ev)
 
 
+def q_substring_decontaminate(spark, sf_dir):
+    """Exact-substring decontamination (`textops.substring_decontaminate`,
+    the sliding-window Lee-et-al form): eval docs hashed into ALL
+    50-char windows (broadcast), train docs hashed at stride 25, match
+    => contaminated char spans.  The synthetic corpus shares no natural
+    50-char runs across documents, so the query PLANTS contamination —
+    every third train doc appends a 90-char verbatim slice of its
+    decade's eval doc (90 >= window + stride - 1, so detection is
+    guaranteed, not probabilistic) — identically in both engines."""
+    from corhist_spark.textops import substring_decontaminate
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_RES).select(
+        "doc_id", "text"
+    )
+    tr = d.filter(F.col("doc_id") % DECON_EVAL_MOD != DECON_EVAL_RES)
+    evsrc = ev.select(
+        (F.col("doc_id") - DECON_EVAL_RES).alias("_dec"),
+        F.col("text").alias("_ev_text"),
+    )
+    planted = (
+        tr.withColumn("_dec", F.col("doc_id") - F.col("doc_id") % DECON_EVAL_MOD)
+        .join(F.broadcast(evsrc), "_dec", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 3 == 0) & F.col("_ev_text").isNotNull(),
+                F.concat(
+                    F.col("text"), F.lit(" "), F.substring("_ev_text", 11, 90)
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return substring_decontaminate(planted, ev)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals (dup trigram fraction,
     top-token share)."""
@@ -1745,6 +1783,56 @@ def q_violation_queue_merge(spark, sf_dir):
     return out.select("statement_id", "constraint_id", "state")
 
 
+def q_stateful_queue_equivalence(spark, sf_dir):
+    """Batch-equivalence check for the CUSTOM STATEFUL STREAMING
+    operator (`streaming.stateful_violation_queue`, the p/a/r/o machine
+    as applyInPandasWithState): a deterministic event log derived from
+    the events table (kinds cycled by event_id % 8 so every transition
+    branch fires, seq zero-padded so the per-key sort is total) runs
+    through the real streaming state machine to completion
+    (availableNow), and the surviving per-key states are compared to a
+    DuckDB transcription of the machine's CLOSED FORM — after the first
+    violation the last approve/reject is absorbing (violation cannot
+    leave a/r, obsolete cannot leave a/r), otherwise the last
+    violation/obsolete event decides p vs o; keys never seeing a
+    violation emit nothing.  This closes the last pytest-only gap of
+    the streaming family: the stateful operator's RESULTS are now
+    cross-engine-verified, not just its transitions."""
+    import shutil
+    import tempfile
+
+    from corhist_spark.streaming import QUEUE_EVENT_SCHEMA, stateful_violation_queue
+
+    ev = _t(spark, sf_dir, "events")
+    kinds = F.array(
+        *[F.lit(k) for k in (
+            "violation", "violation", "violation", "approve",
+            "reject", "obsolete", "obsolete", "violation",
+        )]
+    )
+    derived = ev.select(
+        F.concat(F.lit("s"), (F.col("event_id") % 50).cast("string")).alias("statement_id"),
+        F.concat(F.lit("c"), (F.col("user_id") % 5).cast("string")).alias("constraint_id"),
+        F.element_at(kinds, (F.col("event_id") % 8 + 1).cast("int")).alias("kind"),
+        # seq is a STRING in the event schema; zero-pad so the state
+        # machine's lexicographic sort equals numeric event order
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("seq"),
+    )
+    src = tempfile.mkdtemp(prefix="sqe_src_")
+    derived.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(QUEUE_EVENT_SCHEMA).parquet(src)
+    _SWC_COUNTER[0] += 1
+    name = f"sqe_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
+    ck = tempfile.mkdtemp(prefix="sqe_ck_")
+    try:
+        q = stateful_violation_queue(stream, ck).queryName(name).start()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).select("statement_id", "constraint_id", "state")
+
+
 def q_corrections_tsv(spark, sf_dir):
     """The corrections TSV sink (`tsv.corrections_to_tsv` —
     `ConstraintViolationCorrection.java:77-86`) as a driver-oracled
@@ -1970,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "streaming_interval_join": q_streaming_interval_join,
         "violation_queue_merge": q_violation_queue_merge,
+        "stateful_queue_equivalence": q_stateful_queue_equivalence,
         "corrections_tsv": q_corrections_tsv,
         "edit_messages": q_edit_messages,
         "value_json": q_value_json,
@@ -1980,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the type/valueType/item/targetClaim kernels; stratified_sample
         # NULL-rate coalesce; IVF centroid cap) ---
         "bigram_nll": q_bigram_nll,
+        "substring_decontaminate": q_substring_decontaminate,
         "stratified_sample": q_stratified_sample,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
@@ -2057,6 +2147,10 @@ from corhist_spark.similarity import (
     DEDUP_OCCUPANCY as _DEDUP_OCCUPANCY,
 )
 from corhist_spark.textops import BIGRAM_ADD_K as _BIGRAM_ADD_K
+from corhist_spark.textops import (
+    SUBSTR_STRIDE as _SUBSTR_STRIDE,
+    SUBSTR_WINDOW as _SUBSTR_WINDOW,
+)
 
 # corpus_selection's perplexity band: keep docs whose bigram mean-NLL is
 # within this factor of the (3-decimal-rounded) corpus average.  1.02 on
@@ -3015,6 +3109,47 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT sid AS statement_id, cid AS constraint_id, state FROM ins
         """,
+        # the stateful streaming queue's CLOSED FORM (see
+        # q_stateful_queue_equivalence): events before the first
+        # violation are dropped; after it the last approve/reject is
+        # absorbing; otherwise the last violation/obsolete decides p/o
+        "stateful_queue_equivalence": """
+            WITH ev AS (
+              SELECT 's' || CAST(event_id % 50 AS VARCHAR) AS statement_id,
+                     'c' || CAST(user_id % 5 AS VARCHAR) AS constraint_id,
+                     CASE CAST(event_id % 8 AS INT)
+                          WHEN 3 THEN 'approve'
+                          WHEN 4 THEN 'reject'
+                          WHEN 5 THEN 'obsolete'
+                          WHEN 6 THEN 'obsolete'
+                          ELSE 'violation' END AS kind,
+                     event_id AS seq
+              FROM events),
+            fv AS (
+              SELECT statement_id, constraint_id, min(seq) AS t0
+              FROM ev WHERE kind = 'violation'
+              GROUP BY statement_id, constraint_id),
+            post AS (
+              SELECT e.* FROM ev e
+              JOIN fv f USING (statement_id, constraint_id)
+              WHERE e.seq >= f.t0),
+            last_ar AS (
+              SELECT statement_id, constraint_id, arg_max(kind, seq) AS k
+              FROM post WHERE kind IN ('approve', 'reject')
+              GROUP BY statement_id, constraint_id),
+            last_vo AS (
+              SELECT statement_id, constraint_id, arg_max(kind, seq) AS k
+              FROM post WHERE kind IN ('violation', 'obsolete')
+              GROUP BY statement_id, constraint_id)
+            SELECT f.statement_id, f.constraint_id,
+                   CASE WHEN ar.k = 'approve' THEN 'a'
+                        WHEN ar.k = 'reject' THEN 'r'
+                        WHEN vo.k = 'violation' THEN 'p'
+                        ELSE 'o' END AS state
+            FROM fv f
+            LEFT JOIN last_ar ar USING (statement_id, constraint_id)
+            LEFT JOIN last_vo vo USING (statement_id, constraint_id)
+        """,
         "streaming_interval_join": """
             WITH e AS (
               SELECT event_id AS rev_id, user_id, epoch_ms(ts) AS ts_ms
@@ -3171,6 +3306,49 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 10 <> 7
+        """,
+        # window/stride interpolated from textops.SUBSTR_WINDOW/STRIDE;
+        # the planted 90-char eval slice mirrors q_substring_decontaminate
+        "substring_decontaminate": f"""
+            WITH ev AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_RES}
+            ), tr AS (
+              SELECT t.doc_id,
+                     CASE WHEN t.doc_id % 3 = 0 AND e.text IS NOT NULL
+                          THEN t.text || ' ' || substr(e.text, 11, 90)
+                          ELSE t.text END AS text
+              FROM (SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_RES}) t
+              LEFT JOIN ev e ON e.doc_id = t.doc_id - (t.doc_id % {DECON_EVAL_MOD}) + {DECON_EVAL_RES}
+            ), evw AS (
+              SELECT DISTINCT md5(substr(text, CAST(i AS INT), {_SUBSTR_WINDOW})) AS wh
+              FROM (SELECT text,
+                           unnest(generate_series(1, len(text) - {_SUBSTR_WINDOW - 1})) AS i
+                    FROM ev WHERE len(text) >= {_SUBSTR_WINDOW})
+            ), trw AS (
+              SELECT doc_id, CAST(j * {_SUBSTR_STRIDE} AS INT) AS start,
+                     md5(substr(text, CAST(j * {_SUBSTR_STRIDE} + 1 AS INT), {_SUBSTR_WINDOW})) AS wh
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(0,
+                             CAST(floor((len(text) - {_SUBSTR_WINDOW}) / {_SUBSTR_STRIDE}) AS INT))) AS j
+                    FROM tr WHERE len(text) >= {_SUBSTR_WINDOW})
+            ), m AS (
+              SELECT doc_id, start FROM trw JOIN evw USING (wh)
+            ), stats AS (
+              SELECT doc_id, count(*) AS n_matched_windows FROM m GROUP BY doc_id
+            ), chars AS (
+              SELECT doc_id, count(DISTINCT pos) AS n_contaminated_chars
+              FROM (SELECT doc_id,
+                           unnest(generate_series(start, start + {_SUBSTR_WINDOW - 1})) AS pos
+                    FROM m)
+              GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(s.n_matched_windows, 0) AS BIGINT) AS n_matched_windows,
+                   CAST(coalesce(c.n_contaminated_chars, 0) AS BIGINT) AS n_contaminated_chars,
+                   coalesce(s.n_matched_windows, 0) > 0 AS contaminated
+            FROM tr t
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN chars c USING (doc_id)
         """,
         "repetition_stats": """
             WITH t AS (

@@ -370,6 +370,32 @@ def test_unigram_nll_planted_frequencies(spark):
     assert got[2] == (2, pytest.approx(want2, abs=1e-6))
 
 
+def test_substring_decontaminate_planted_spans(spark):
+    """Planted exact-substring contamination: a train doc embedding a
+    74-char (window+stride-1) verbatim eval run MUST be flagged; a doc
+    sharing only word-level overlap must not; span positions merge to
+    distinct char counts."""
+    from corhist_spark.textops import substring_decontaminate
+
+    ev_text = "E" * 30 + "0123456789" * 12  # 150 chars
+    shared = ev_text[40:114]  # 74 chars -> guaranteed detection
+    train_rows = [
+        (1, "x" * 37 + shared + "y" * 20),  # contaminated mid-doc
+        (2, "0123456789 " * 10),            # word overlap only, no 50-char run
+        (3, None),
+        (4, "z" * 200),                     # clean long doc
+    ]
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(7, ev_text)], "doc_id long, text string")
+    got = {r.doc_id: r for r in substring_decontaminate(tr, ev).collect()}
+    assert got[1].contaminated and got[1].n_matched_windows >= 1
+    # matched windows cover at most the shared run plus stride slop
+    assert 50 <= got[1].n_contaminated_chars <= 74 + 24
+    for i in (2, 3, 4):
+        assert not got[i].contaminated, i
+        assert got[i].n_contaminated_chars == 0
+
+
 def test_bigram_nll_planted_transitions(spark):
     """Hand-computed add-k bigram NLL: P(w2|w1) = (C(w1 w2)+k) /
     (C(w1 ·)+k·V), with C(w1 ·) the bigram-START count so the
