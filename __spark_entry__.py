@@ -1479,6 +1479,27 @@ def q_knn_ivf_sharded(spark, sf_dir):
     )
 
 
+def q_knn_ivf_trained(spark, sf_dir):
+    """IVF search against a TRAINED coarse quantizer
+    (`similarity.train_ivf_centroids`): 2 Lloyd rounds — max-inner-
+    product assignment, exact-integer component sums, spherically
+    re-normalized integer centroids — then the standard broadcast IVF
+    search.  The oracle transcribes the ENTIRE training loop (both
+    rounds) plus the search, so the k-means refinement itself is
+    cross-engine-verified; the skewed-fixture recall win over
+    ingest-order centroids is pinned in tests/test_similarity_guards."""
+    from corhist_spark.similarity import (
+        cells_for_corpus,
+        knn_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_cells = cells_for_corpus(_emb_count(spark, sf_dir))
+    cent = train_ivf_centroids(emb, n_cells)
+    return knn_ivf(emb, n_cells=n_cells, centroids=cent)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (`similarity.semantic_dedup`):
     constant-occupancy IVF cells, within-cell cosine >= threshold,
@@ -2077,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
         "knn_ivf_sharded": q_knn_ivf_sharded,
+        "knn_ivf_trained": q_knn_ivf_trained,
         # --- r3-green core kept inside the window ---
         "single_value_corrections": q_single_value_corrections,
         "cc_components": q_cc_components,
@@ -2658,6 +2680,91 @@ _IVF_CTES = f"""
         FROM ivf_p
       ) WHERE rn <= 3
     )
+"""
+
+
+def _ivf_train_round(prev: str, out: str) -> str:
+    """One Lloyd round of the trained-quantizer oracle (mirrors
+    similarity.train_ivf_centroids bit-for-bit): max-inner-product
+    assignment against ``prev``, exact integer per-cell component sums,
+    double mean, spherical norm as a LEFT FOLD in index order
+    (list_reduce over a 0.0-prepended list == Spark's F.aggregate
+    seed), round-to-integer re-quantization; empty/zero-mean cells keep
+    their previous centroid."""
+    return f"""
+    {out}_assign AS (
+      SELECT vec_id, cid AS cell, qv FROM (
+        SELECT n.vec_id, c.cid, n.qv,
+               row_number() OVER (PARTITION BY n.vec_id
+                                  ORDER BY list_inner_product(n.qv, c.cv) DESC, c.cid) AS rn
+        FROM n CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), {out}_sums AS (
+      SELECT cell, d, SUM(qv[CAST(d AS INT)]) AS sx, COUNT(*) AS cnt
+      FROM (SELECT cell, qv, unnest(generate_series(1, len(qv))) AS d
+            FROM {out}_assign)
+      GROUP BY cell, d
+    ), {out}_norm AS (
+      SELECT cell, means,
+             sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(means, m -> m * m)),
+               (a, b) -> a + b)) AS nrm
+      FROM (SELECT cell, list(CAST(sx AS DOUBLE) / cnt ORDER BY d) AS means
+            FROM {out}_sums GROUP BY cell)
+    ), {out} AS (
+      SELECT p.cid,
+             CASE WHEN u.cell IS NOT NULL AND u.nrm > 0
+                  THEN list_transform(u.means,
+                         m -> CAST(round(m * 1000.0 / u.nrm, 0) AS BIGINT))
+                  ELSE p.cv END AS cv
+      FROM {prev} p LEFT JOIN {out}_norm u ON u.cell = p.cid
+    )"""
+
+
+# Trained-IVF oracle: the full 2-round Lloyd refinement of the coarse
+# quantizer transcribed in SQL, then the standard broadcast IVF search
+# against the trained centroid table (mirrors q_knn_ivf_trained).
+_IVF_TRAINED_SQL = f"""
+    WITH nc AS (
+      SELECT least({_MAX_IVF_CENTROIDS},
+                   greatest(16, CAST(ceil(sqrt(COUNT(*))) AS INT))) AS nc
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+             list_transform(v, x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+      FROM e
+    ), cent0 AS (
+      SELECT vec_id AS cid, qv AS cv FROM n
+      ORDER BY vec_id LIMIT (SELECT nc FROM nc)
+    ), {_ivf_train_round("cent0", "cent1")}, {_ivf_train_round("cent1", "cent2")},
+    score AS (
+      SELECT n.vec_id, c.cid, list_inner_product(n.qv, c.cv) AS s
+      FROM n CROSS JOIN cent2 c
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+      FROM score
+    ), assignc AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM ranked WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ranked
+      WHERE vec_id < 10 AND rn <= 2
+    ), ivf_p AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3) AS sim
+      FROM probe p
+      JOIN assignc a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+      JOIN n q ON q.vec_id = p.query_id
+      JOIN n d ON d.vec_id = a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM ivf_p
+    ) WHERE rn <= 3
 """
 
 
@@ -4313,6 +4420,7 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN common c USING (query_id)
         """,
         "knn_ivf_sharded": _IVF_SHARD_SQL,
+        "knn_ivf_trained": _IVF_TRAINED_SQL,
         # literals derived from the Python constants (occupancy/floor
         # from similarity.cells_for_dedup, threshold from the fixture
         # constant the Spark query passes) so a change to either side

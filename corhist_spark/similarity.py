@@ -227,20 +227,21 @@ def _ivf_centroids(e: DataFrame, n_cells: int) -> DataFrame:
     )
 
 
-def _ivf_scored(embeddings: DataFrame, n_cells: int):
+def _ivf_scored(embeddings: DataFrame, n_cells: int, centroids: DataFrame | None = None):
     """(vec_id, v, nrm, qv, cid, s) — every vector scored against every
     coarse centroid (integer-quantized dot product, so assignment is
     engine-exact).
 
-    Centroid choice is deterministic (the first ``n_cells`` vectors)
-    instead of trained k-means: the oracle must replicate the quantizer
-    bit-for-bit, and the scale shape — a small broadcast centroid table
+    Default centroid choice is deterministic (the first ``n_cells``
+    vectors): the oracle must replicate the quantizer bit-for-bit, and
+    the scale shape — a small broadcast centroid table
     nested-loop-joined against the corpus, then probe-limited search —
-    is identical either way.  The broadcast NLJ against sqrt(N)
-    centroids IS the intended plan (IVF's coarse assignment is
-    corpus x centroids by definition)."""
+    is identical either way.  Pass ``centroids`` (cid, cv) to score
+    against a TRAINED quantizer instead (train_ivf_centroids).  The
+    broadcast NLJ against sqrt(N) centroids IS the intended plan (IVF's
+    coarse assignment is corpus x centroids by definition)."""
     e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
-    cent = _ivf_centroids(e, n_cells)
+    cent = _ivf_centroids(e, n_cells) if centroids is None else centroids
     return e.crossJoin(F.broadcast(cent)).withColumn(
         "s", _int_dot(F.col("qv"), F.col("cv"))
     )
@@ -250,6 +251,95 @@ def _ivf_scored(embeddings: DataFrame, n_cells: int):
 # (mirrored by the oracle's `ORDER BY s DESC, cid` rank)
 def _best_cell_ord():
     return F.struct(F.col("s").alias("s"), (-F.col("cid")).alias("nc"))
+
+
+IVF_TRAIN_ITERS = 2
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    n_iters: int = IVF_TRAIN_ITERS,
+    seed_centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Lloyd-refined coarse quantizer (the k-means|| shape, public):
+    seed with the deterministic first-``n_cells`` vectors, then
+    ``n_iters`` rounds of assign (max-inner-product, the same
+    integer-quantized argmax the search path uses) -> per-cell mean ->
+    spherical re-normalization back to the quantized integer scale.
+    Returns (cid, cv) to pass into knn_ivf / semantic_dedup.
+
+    Ingest-order centroids are fine on uniform fixtures but degrade
+    recall on CLUSTERED real-world embeddings (several seeds land in
+    one dense region while sparse regions get none — so nearby queries
+    and their true neighbors split across cells).  Training moves
+    centroids toward the actual density (pinned by the skewed-fixture
+    recall test in tests/test_similarity_guards.py).
+
+    Cross-engine exactness (the DuckDB oracle transcribes the whole
+    loop): per-cell component sums are exact longs; the mean, the
+    spherical norm (a LEFT Fold over components in index order) and the
+    final round() are identical IEEE double sequences in both engines.
+    Cells that capture no vectors, or whose mean is the zero vector,
+    keep their previous centroid.
+
+    Scale shape: each round is one broadcast-assignment pass (the same
+    plan as search-time assignment) plus a (cell, dim)-keyed partial
+    aggregate — linear in N per round.  At 100 TB you train on a
+    SAMPLE (standard k-means|| practice) and this function receives
+    that sample; n_iters is a small constant."""
+    e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
+    cent = (
+        _ivf_centroids(e, n_cells) if seed_centroids is None else seed_centroids
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        scored = e.crossJoin(F.broadcast(cent)).withColumn(
+            "s", _int_dot(F.col("qv"), F.col("cv"))
+        )
+        assign = scored.groupBy("vec_id").agg(
+            F.max_by("cid", _best_cell_ord()).alias("cell"),
+            F.first("qv").alias("qv"),
+        )
+        sums = (
+            assign.select("cell", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("cnt"))
+        )
+        upd = (
+            sums.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "sx", "cnt"))).alias("cols"))
+            .select(
+                "cell",
+                F.expr("transform(cols, c -> CAST(c.sx AS DOUBLE) / c.cnt)").alias("means"),
+            )
+            .select(
+                "cell",
+                "means",
+                # left fold in index order — mirrored by the oracle's
+                # list_reduce over a 0.0-prepended list
+                F.sqrt(
+                    F.aggregate(
+                        F.col("means"), F.lit(0.0), lambda acc, x: acc + x * x
+                    )
+                ).alias("nrm"),
+            )
+            .select(
+                "cell",
+                F.when(
+                    F.col("nrm") > 0,
+                    F.expr(
+                        "transform(means,"
+                        " m -> CAST(round(m * 1000.0 / nrm, 0) AS BIGINT))"
+                    ),
+                ).alias("new_cv"),
+            )
+        )
+        cent = (
+            cent.join(upd, cent["cid"] == upd["cell"], "left")
+            .select("cid", F.coalesce("new_cv", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+    return cent
 
 
 def _prefix_bits(qv_col, n_planes: int):
@@ -328,10 +418,13 @@ def knn_ivf(
     round_to: int = 3,
     max_broadcast_centroids: int = MAX_BROADCAST_CENTROIDS,
     prefix_planes: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to their nearest coarse
     centroid (inverted lists); a query searches only its ``n_probe``
-    closest cells.  Same output shape as knn_bruteforce.
+    closest cells.  Same output shape as knn_bruteforce.  Pass
+    ``centroids`` (cid, cv — e.g. train_ivf_centroids) to search a
+    trained quantizer; it rides the broadcast assignment path.
 
     The scale path alongside knn_lsh: candidate volume per query is
     n_probe * N / n_cells ~ 2*sqrt(N) at the default sizing, and the
@@ -347,7 +440,9 @@ def knn_ivf(
         n_cells = cells_for_corpus(embeddings.count())
     if prefix_planes is None:
         prefix_planes = prefix_planes_for_cells(n_cells)
-    if n_cells <= max_broadcast_centroids:
+    if centroids is not None:
+        scored = _ivf_scored(embeddings, n_cells, centroids=centroids)
+    elif n_cells <= max_broadcast_centroids:
         scored = _ivf_scored(embeddings, n_cells)
     else:
         scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)
