@@ -2039,12 +2039,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_entry_oracle.py runs ALL entries) regardless of
     position."""
     return {
-        # --- round-4 front: token_pieces FIRST (the one query with no
-        # driver row in any round — new in r3 but mis-rotated straight
-        # to the tail), then everything with no r3 driver row (green in
-        # r1/r2, unchanged since), then the queries NEW or CHANGED this
-        # round, then a slice of the r3-green core so the flagship path
-        # keeps fresh rows ---
+        # --- round-5 front (the driver's 50-row window): the 4 queries
+        # NEW in r5, the 5 whose code CHANGED in r5 (pii_stats phone
+        # count order, semantic_dedup explicit fixture threshold +
+        # derived oracle constants, knn_ivf/knn_ivf_recall broadcast-
+        # path pinning, knn_ivf_sharded prefix-plane pinning), then ALL
+        # 40 rows whose last driver row was r3 (the rotation promise:
+        # no row older than two rounds), then the flagship ---
+        "bigram_nll": q_bigram_nll,
+        "substring_decontaminate": q_substring_decontaminate,
+        "stateful_queue_equivalence": q_stateful_queue_equivalence,
+        "knn_ivf_trained": q_knn_ivf_trained,
+        "pii_stats": q_pii_stats,
+        "semantic_dedup": q_semantic_dedup,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_recall": q_knn_ivf_recall,
+        "knn_ivf_sharded": q_knn_ivf_sharded,
+        # --- the r3-tail: last driver row in CORRECTNESS_r03.json ---
+        "corpus_selection": q_corpus_selection,  # also changed in r5 (NLL band)
+        "canonical_triples": q_canonical_triples,
+        "state_intervals": q_state_intervals,
+        "mention_extraction": q_mention_extraction,
+        "unique_corrections": q_unique_corrections,
+        "dedup_survivors": q_dedup_survivors,
+        "current_state": q_current_state,
+        "span_triples": q_span_triples,
+        "subclass_closure": q_subclass_closure,
+        "interval_closure": q_interval_closure,
+        "game_queue_stats": q_game_queue_stats,
+        "knn_lsh": q_knn_lsh,
+        "rev_diff_histogram": q_rev_diff_histogram,
+        "sampled_edits": q_sampled_edits,
+        "big_customer_ratio": q_big_customer_ratio,
+        "user_event_pivot": q_user_event_pivot,
+        "late_users_except": q_late_users_except,
+        "embedding_near_dups": q_embedding_near_dups,
+        "knn_lsh_recall": q_knn_lsh_recall,
+        "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
+        "doc_chunks": q_doc_chunks,
+        "chunk_dedup": q_chunk_dedup,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "sequence_pack": q_sequence_pack,
+        "media_context": q_media_context,
+        "unigram_nll": q_unigram_nll,
+        "source_mixing": q_source_mixing,
+        "corpus_profile": q_corpus_profile,
+        "token_cardinality": q_token_cardinality,
+        "type_violations": q_type_violations,
+        "deletion_baseline_eval": q_deletion_baseline_eval,
+        "aggregated_stats": q_aggregated_stats,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidates": q_lsh_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "salted_event_counts": q_salted_event_counts,
+        "knn_cosine": q_knn_cosine,
+        # --- flagship kept fresh every round ---
+        "single_value_corrections": q_single_value_corrections,
+        # --- tail (positions 51+, outside the driver's 50-row cap this
+        # round).  EVERY row below has a green driver row in
+        # CORRECTNESS_r04.json (checked last round) and its code is
+        # unchanged since; all stay pytest-oracled every run
+        # (tests/test_entry_oracle.py runs the full registry) ---
         "token_pieces": q_token_pieces,
         "conflict_corrections": q_conflict_corrections,
         "tclaim_corrections": q_tclaim_corrections,
@@ -2072,83 +2130,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conflict_violations": q_conflict_violations,
         "item_violations": q_item_violations,
         "tclaim_violations": q_tclaim_violations,
-        # --- new in r4 ---
         "bpe_segments": q_bpe_segments,
         "streaming_windowed_counts": q_streaming_windowed_counts,
-        "pii_stats": q_pii_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "streaming_interval_join": q_streaming_interval_join,
         "violation_queue_merge": q_violation_queue_merge,
-        "stateful_queue_equivalence": q_stateful_queue_equivalence,
         "corrections_tsv": q_corrections_tsv,
         "edit_messages": q_edit_messages,
         "value_json": q_value_json,
         "rules_text": q_rules_text,
         "edit_synthesis": q_edit_synthesis,
-        "semantic_dedup": q_semantic_dedup,
-        # --- changed in r4 (per-constraint modulo sampling wired into
-        # the type/valueType/item/targetClaim kernels; stratified_sample
-        # NULL-rate coalesce; IVF centroid cap) ---
-        "bigram_nll": q_bigram_nll,
-        "substring_decontaminate": q_substring_decontaminate,
         "stratified_sample": q_stratified_sample,
         "type_corrections": q_type_corrections,
         "vtype_corrections": q_vtype_corrections,
         "multi_constraint_corrections": q_multi_constraint_corrections,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_recall": q_knn_ivf_recall,
-        "knn_ivf_sharded": q_knn_ivf_sharded,
-        "knn_ivf_trained": q_knn_ivf_trained,
-        # --- r3-green core kept inside the window ---
-        "single_value_corrections": q_single_value_corrections,
         "cc_components": q_cc_components,
         "rule_pipeline_eval": q_rule_pipeline_eval,
         "refined_rules": q_refined_rules,
-        # --- tail (positions 51+, outside the driver's 50-row cap this
-        # round).  EVERY row below has a green driver row in
-        # CORRECTNESS_r03.json (checked last round) and its code is
-        # unchanged since; all stay pytest-oracled every run
-        # (tests/test_entry_oracle.py runs the full registry) ---
-        "canonical_triples": q_canonical_triples,
-        "state_intervals": q_state_intervals,
-        "mention_extraction": q_mention_extraction,
-        "unique_corrections": q_unique_corrections,
-        "dedup_survivors": q_dedup_survivors,
-        "current_state": q_current_state,
-        "span_triples": q_span_triples,
-        "subclass_closure": q_subclass_closure,
-        "interval_closure": q_interval_closure,
-        "game_queue_stats": q_game_queue_stats,
-        "knn_lsh": q_knn_lsh,
-        "rev_diff_histogram": q_rev_diff_histogram,
-        "sampled_edits": q_sampled_edits,
-        "big_customer_ratio": q_big_customer_ratio,
-        "user_event_pivot": q_user_event_pivot,
-        "late_users_except": q_late_users_except,
-        "embedding_near_dups": q_embedding_near_dups,
-        "knn_lsh_recall": q_knn_lsh_recall,
-        "corpus_selection": q_corpus_selection,
-        "media_features": q_media_features,
-        "frame_samples": q_frame_samples,
-        "doc_chunks": q_doc_chunks,
-        "chunk_dedup": q_chunk_dedup,
-        "decontaminate": q_decontaminate,
-        "repetition_stats": q_repetition_stats,
-        "sequence_pack": q_sequence_pack,
-        "media_context": q_media_context,
-        "unigram_nll": q_unigram_nll,
-        "source_mixing": q_source_mixing,
-        "corpus_profile": q_corpus_profile,
-        "token_cardinality": q_token_cardinality,
-        "type_violations": q_type_violations,
-        "deletion_baseline_eval": q_deletion_baseline_eval,
-        "aggregated_stats": q_aggregated_stats,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_candidates": q_lsh_candidates,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "salted_event_counts": q_salted_event_counts,
-        "knn_cosine": q_knn_cosine,
     }
 
 

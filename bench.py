@@ -149,7 +149,11 @@ def main() -> None:
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    for name in HEADLINE:
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (used by the sf1
+    # heavy-path tier, tools/bench_sf1.sh)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = [q for q in HEADLINE if q in (only.split(",") if only else HEADLINE)]
+    for name in headline:
         if name not in qs:
             continue
         # min-of-N: host noise on this box is large (hypervisor CPU
@@ -173,6 +177,17 @@ def main() -> None:
     lfl = like_for_like_vs_prev(timings)
     if lfl is not None:
         payload["like_for_like_vs_prev"] = lfl
+    # sf1 heavy-path tier: measured once per round via tools/bench_sf1.sh
+    # (10x data is too heavy to regenerate inside every driver bench run)
+    # and committed as BENCH_SF1.json with provenance; embedded here so
+    # the driver-recorded BENCH_r{N}.json carries the scale evidence.
+    sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
+    if os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as fh:
+                payload["sf1"] = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(payload))
 
 

@@ -396,7 +396,7 @@ def _single(dels, state, del_triples, cons):
 N_VALUE_SALTS = 8
 
 
-def _unique(dels, state, sameas, cons, n_salts: int = N_VALUE_SALTS):
+def _unique(dels, state, sameas, cons, n_salts: int | None = None):
     """`UniqueValueQueriesBuilder.java:24-40`.
 
     Hot-value guard: the state join key is (pred, obj) — VALUE-keyed,
@@ -408,7 +408,17 @@ def _unique(dels, state, sameas, cons, n_salts: int = N_VALUE_SALTS):
     Result-identical to the unsalted join (every matching pair meets on
     exactly one salt); the reference's own guard is global modulo
     sampling (`AbstractQueriesBuilder.java:56-60`), which changes
-    results — salting does not."""
+    results — salting does not.
+
+    ``n_salts`` defaults to max(N_VALUE_SALTS, defaultParallelism):
+    the salt count must grow with the cluster or the hot group's
+    per-task share stays constant while everything else scales out —
+    the sf1 tier caught exactly that (a fixed 8-way salt left one task
+    partially aggregating ~1/8th of a 100x candidate volume)."""
+    if n_salts is None:
+        n_salts = max(
+            N_VALUE_SALTS, dels.sparkSession.sparkContext.defaultParallelism
+        )
     d = _anti_sameas(dels.join(cons, F.col("pred") == F.col("property")), sameas)
     d = d.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_dsalt")

@@ -548,7 +548,18 @@ def semantic_dedup(
     The default threshold follows the paper's regime (~0.9+: only
     near-identical pairs are duplicates).  Synthetic random-embedding
     fixtures have no such pairs, so the test harness passes a low
-    threshold EXPLICITLY — that is a fixture setting, not a default."""
+    threshold EXPLICITLY — that is a fixture setting, not a default.
+
+    COST NOTE (measured at the sf1 tier, 20k vectors / 312 cells): the
+    broadcast-exact assignment scores every vector against every cell —
+    O(N * N/occupancy) dot products at dedup sizing, i.e. quadratic in
+    N even though the memory footprint broadcasts fine.  The sharded
+    path scores only same-prefix centroids (~per_task_budget per
+    vector once planes scale), which makes assignment WORK linear in N
+    — 5x faster already at sf1 (15.3 s vs 77.0 s).  At real scale pass
+    ``max_broadcast_centroids`` low (or let n_cells exceed it) to take
+    the sharded path; the broadcast path remains the bit-exact oracle
+    reference."""
     if max_broadcast_centroids is None:
         # same broadcast budget as knn_ivf — the two operators share
         # the assignment machinery and must switch paths together
