@@ -143,6 +143,8 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs("BENCH", exist_ok=True)
+    # capture the preserved tail BEFORE open("w") truncates the file
+    sf1_tail = _sf1_section()
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — throughput + scaling evidence\n\n"
@@ -171,7 +173,22 @@ def main() -> None:
             f" ({'PASS' if eff >= 0.8 else 'BELOW'} the >= 0.8 bar)\n\n"
             "Headline per-query timings are produced by `bench.py`\n"
             "(driver-recorded as BENCH_r{N}.json).\n"
+            + sf1_tail
         )
+
+
+def _sf1_section() -> str:
+    """Preserve the sf1-tier section across regenerations: everything
+    in BENCH/BASELINE.md from the '## sf1 tier' heading on is kept
+    verbatim (it is maintained by hand from BENCH_SF1.json findings)."""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+    except OSError:
+        return ""
+    marker = "\n## sf1 tier"
+    idx = old.find(marker)
+    return old[idx:] if idx >= 0 else ""
 
 
 if __name__ == "__main__":
