@@ -62,6 +62,14 @@ HEADLINE = [
     "pii_stats",
     "winnow_fingerprints",
     "streaming_interval_join",
+    # r5: bigram-LM quality score, exact-substring decontamination,
+    # the stateful queue machine run to completion (includes stream
+    # startup/commit overhead like the other streaming rows), and the
+    # Lloyd-trained IVF quantizer (training + search)
+    "bigram_nll",
+    "substring_decontaminate",
+    "stateful_queue_equivalence",
+    "knn_ivf_trained",
     "minhash_signatures",
     "lsh_candidates",
     "ngram_jaccard",

@@ -68,7 +68,7 @@ def media_spans(spans: DataFrame) -> DataFrame:
 
 def decode_media(payload: bytes, kind: str) -> bytes:
     """STUB: real image/audio decode (PIL/torchaudio/ffmpeg) is not
-    available in this container (absence re-verified rounds 2-4:
+    available in this container (absence re-verified rounds 2-5:
     PIL/cv2/soundfile all unimportable)."""
     raise NotImplementedError(
         f"media decode for kind={kind!r} requires codec libraries not "

@@ -2,7 +2,7 @@
 
 The design targets Iceberg (`spark.read.format("iceberg")`, MERGE INTO,
 snapshot-based resume) per SURVEY §1.3; this environment has no Iceberg
-runtime jar (re-verified rounds 2, 3 AND 4: no iceberg/delta jar under
+runtime jar (re-verified rounds 2-5: no iceberg/delta jar under
 pyspark/jars or anywhere on disk), so the same semantics run on a
 parquet warehouse directory with atomic directory-swap commits:
 
