@@ -2178,6 +2178,32 @@ from corhist_spark.textops import (
 # real tail (~3%) instead of being vacuously permissive.
 _BIGRAM_NLL_CAP_FACTOR = 1.02
 
+# Shared transcription of textops.bigram_nll (bt..bnll CTE chain, no
+# leading WITH) — used verbatim by BOTH the bigram_nll oracle and the
+# corpus_selection perplexity band, so the band and the score cannot
+# silently desync.
+_BIGRAM_NLL_CTES = f"""bt AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), bgr AS (
+              SELECT doc_id, toks[CAST(i AS INT)] AS w1,
+                     toks[CAST(i AS INT) + 1] AS w2
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM bt WHERE len(toks) >= 2)
+            ), bbf AS (SELECT w1, w2, count(*) AS bc FROM bgr GROUP BY w1, w2),
+            buf AS (SELECT w1, count(*) AS uc FROM bgr GROUP BY w1),
+            bv AS (
+              SELECT count(DISTINCT tok) AS vsz
+              FROM (SELECT unnest(toks) AS tok FROM bt)
+            ), bnll AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(-ln((bc + {_BIGRAM_ADD_K}) / (uc + {_BIGRAM_ADD_K} * vsz))), 6) AS mean_nll
+              FROM bgr JOIN bbf USING (w1, w2) JOIN buf USING (w1) CROSS JOIN bv
+              GROUP BY doc_id
+            )"""
+
 # the synthetic random embeddings have no pairs in SemDeDup's ~0.9+
 # production regime, so the HARNESS passes this low threshold explicitly
 # (q_semantic_dedup) and the oracle interpolates the same constant —
@@ -2789,6 +2815,9 @@ _IVF_SHARD_SQL = f"""
     ), planes AS (
       SELECT vec_id, i0, w, unnest(generate_series(0, 1)) AS j FROM idx
     ), bits AS (
+      -- planes 0-1 of similarity._prefix_bits (multiplier 7 below
+      -- j=2, so this 2-plane transcription matches the family's
+      -- multiplicative deep planes never being reached here)
       SELECT vec_id, j,
              CASE WHEN SUM(CASE WHEN ((i0*7 + j*13) % 23) % 2 = 0 THEN w ELSE -w END) >= 0
                   THEN '1' ELSE '0' END AS bit
@@ -3515,28 +3544,12 @@ def oracle_sql() -> dict[str, str]:
             FROM per CROSS JOIN tot
         """,
         # add-k constant interpolated from textops.BIGRAM_ADD_K; C(w1 ·)
-        # counts w1 as a bigram START so the conditional normalizes
+        # counts w1 as a bigram START so the conditional normalizes.
+        # The CTE fragment is SHARED with the corpus_selection oracle
+        # (_BIGRAM_NLL_CTES) so the band and the score cannot desync.
         "bigram_nll": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
-              FROM documents),
-            bg AS (
-              SELECT doc_id, toks[CAST(i AS INT)] AS w1,
-                     toks[CAST(i AS INT) + 1] AS w2
-              FROM (SELECT doc_id, toks,
-                           unnest(generate_series(1, len(toks) - 1)) AS i
-                    FROM t WHERE len(toks) >= 2)),
-            bf AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY w1, w2),
-            uf AS (SELECT w1, count(*) AS uc FROM bg GROUP BY w1),
-            v AS (
-              SELECT count(DISTINCT tok) AS vsz
-              FROM (SELECT unnest(toks) AS tok FROM t))
-            SELECT doc_id,
-                   count(*) AS n_bigrams,
-                   round(avg(-ln((bc + {_BIGRAM_ADD_K}) / (uc + {_BIGRAM_ADD_K} * vsz))), 6) AS mean_nll
-            FROM bg JOIN bf USING (w1, w2) JOIN uf USING (w1) CROSS JOIN v
-            GROUP BY doc_id
+            WITH {_BIGRAM_NLL_CTES}
+            SELECT doc_id, n_bigrams, mean_nll FROM bnll
         """,
         "unigram_nll": """
             WITH tk AS (
@@ -4273,27 +4286,7 @@ def oracle_sql() -> dict[str, str]:
                      len(list_filter(string_split(text, ' '),
                                      x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits
               FROM documents
-            ), bt AS (
-              SELECT doc_id,
-                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
-              FROM documents
-            ), bgr AS (
-              SELECT doc_id, toks[CAST(i AS INT)] AS w1,
-                     toks[CAST(i AS INT) + 1] AS w2
-              FROM (SELECT doc_id, toks,
-                           unnest(generate_series(1, len(toks) - 1)) AS i
-                    FROM bt WHERE len(toks) >= 2)
-            ), bbf AS (SELECT w1, w2, count(*) AS bc FROM bgr GROUP BY w1, w2),
-            buf AS (SELECT w1, count(*) AS uc FROM bgr GROUP BY w1),
-            bv AS (
-              SELECT count(DISTINCT tok) AS vsz
-              FROM (SELECT unnest(toks) AS tok FROM bt)
-            ), bnll AS (
-              SELECT doc_id,
-                     round(avg(-ln((bc + {_BIGRAM_ADD_K}) / (uc + {_BIGRAM_ADD_K} * vsz))), 6) AS mean_nll
-              FROM bgr JOIN bbf USING (w1, w2) JOIN buf USING (w1) CROSS JOIN bv
-              GROUP BY doc_id
-            ), bcap AS (
+            ), {_BIGRAM_NLL_CTES}, bcap AS (
               SELECT round(avg(mean_nll), 3) * {_BIGRAM_NLL_CAP_FACTOR} AS nll_cap
               FROM bnll
             )

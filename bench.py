@@ -158,9 +158,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run (used by the sf1
-    # heavy-path tier, tools/bench_sf1.sh)
+    # heavy-path tier, tools/bench_sf1.sh).  Names resolve against the
+    # FULL registry — not just HEADLINE — and unknown names are an
+    # error, not a silent drop (a typo'd list would otherwise read as
+    # "measured everything").
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    headline = [q for q in HEADLINE if q in (only.split(",") if only else HEADLINE)]
+    if only:
+        headline = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in headline if q not in qs]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names not in queries(): {unknown}")
+    else:
+        headline = HEADLINE
     for name in headline:
         if name not in qs:
             continue

@@ -343,17 +343,33 @@ def train_ivf_centroids(
 
 
 def _prefix_bits(qv_col, n_planes: int):
-    """Sign-prefix of the integer-quantized vector under the SAME
-    deterministic plane family as lsh_buckets — used as the shard key
-    of the sharded IVF assignment."""
+    """Sign-prefix of the integer-quantized vector — the shard key of
+    the sharded IVF assignment.  Plane j has components
+    h_j[i] = +1 if ((i*m_j + j*13) % 23) % 2 == 0 else -1 with
+    m_j = 7 for j < 2 (identical to lsh_buckets' first two planes —
+    the 2-plane driver oracle transcribes exactly these) and
+    m_j = 7 + 2*j beyond: the multiplicative term keeps the deeper
+    planes DISTINCT as j grows (the additive family repeats sign
+    patterns early — e.g. its planes 1/10/15 coincide at dim 8 —
+    which would silently collapse shards and break the per-task
+    centroid budget).  All 16 planes are distinct at dim >= 16
+    (pinned in tests); plane count is capped at PREFIX_MAX_PLANES —
+    the family is mod-23 periodic, so more planes stop adding
+    shards (see prefix_planes_for_cells)."""
     bits = []
     for j in range(n_planes):
+        m = 7 if j < 2 else 7 + 2 * j
         proj = F.aggregate(
             F.zip_with(
                 qv_col,
                 F.transform(
                     F.sequence(F.lit(0), F.size(qv_col) - 1),
-                    lambda i: F.when(((i * 7 + j * 13) % 23) % 2 == 0, F.lit(1))
+                    # PySpark invokes the lambda immediately while
+                    # building the expression, so closing over the
+                    # loop's m/j is safe (no late binding)
+                    lambda i: F.when(
+                        ((i * m + j * 13) % 23) % 2 == 0, F.lit(1)
+                    )
                     .otherwise(F.lit(-1))
                     .cast("long"),
                 ),
@@ -436,16 +452,19 @@ def knn_ivf(
     kind of plan that dies at 10^10 vectors.  Only the tiny query
     subset pays a window (for its n_probe cells).  Measured recall@3
     on the sf0.001 fixture: 0.97 (vs 0.70 multi-probe LSH)."""
-    if n_cells is None:
-        n_cells = cells_for_corpus(embeddings.count())
-    if prefix_planes is None:
-        prefix_planes = prefix_planes_for_cells(n_cells)
     if centroids is not None:
-        scored = _ivf_scored(embeddings, n_cells, centroids=centroids)
-    elif n_cells <= max_broadcast_centroids:
-        scored = _ivf_scored(embeddings, n_cells)
+        # explicit centroid table: n_cells/prefix_planes are unused on
+        # this path — deriving them would cost a full corpus count()
+        scored = _ivf_scored(embeddings, 0, centroids=centroids)
     else:
-        scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)
+        if n_cells is None:
+            n_cells = cells_for_corpus(embeddings.count())
+        if n_cells <= max_broadcast_centroids:
+            scored = _ivf_scored(embeddings, n_cells)
+        else:
+            if prefix_planes is None:
+                prefix_planes = prefix_planes_for_cells(n_cells)
+            scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)
     assign = scored.groupBy("vec_id").agg(
         F.max_by("cid", _best_cell_ord()).alias("cell"),
         F.first("v").alias("dv"),
@@ -508,6 +527,15 @@ def cells_for_dedup(
 # this bound instead of growing linearly with the corpus.
 PREFIX_SHARD_CENTROID_BUDGET = 4096
 
+# The prefix family stops yielding NEW independent planes past this
+# width (mod-23 periodicity + the dimensionality bound on realizable
+# sign patterns), so more planes would add shard-key characters without
+# adding shards.  16 planes x the 4096 budget bounds the per-task share
+# for centroid tables up to ~2.7e8 cells (~1.7e10 vectors at dedup
+# occupancy 64); beyond that the share grows as n_cells / 2^16 —
+# documented residual, not silent.
+PREFIX_MAX_PLANES = 16
+
 
 def prefix_planes_for_cells(
     n_cells: int, per_task_budget: int = PREFIX_SHARD_CENTROID_BUDGET
@@ -518,10 +546,14 @@ def prefix_planes_for_cells(
     A FIXED plane count would let the per-task centroid share grow
     linearly with the centroid table (~N/256 for semantic-dedup sizing)
     — exactly the unbounded-state failure the sharded path exists to
-    prevent."""
+    prevent.  Capped at PREFIX_MAX_PLANES: past the family's
+    independent-plane supply, extra planes no longer split shards."""
     import math
 
-    return max(2, math.ceil(math.log2(max(int(n_cells), 1) / per_task_budget)))
+    return min(
+        PREFIX_MAX_PLANES,
+        max(2, math.ceil(math.log2(max(int(n_cells), 1) / per_task_budget))),
+    )
 
 
 def semantic_dedup(

@@ -108,6 +108,22 @@ def _queue_transition(cur: str | None, kind: str) -> str | None:
     return cur
 
 
+def _fold_queue_events(pdfs: Iterator[pd.DataFrame], cur: str | None) -> str | None:
+    """Fold a key's events (possibly split across SEVERAL Arrow chunks
+    in arbitrary order — maxRecordsPerBatch splits big groups) through
+    the transition machine: concatenate first, sort by seq ONCE.  A
+    per-chunk sort would apply transitions out of global seq order and
+    corrupt the state (caught in round-5 review; pinned by
+    test_stateful_streaming.test_fold_sorts_across_chunks)."""
+    new = cur
+    chunks = list(pdfs)
+    if chunks:
+        batch = pd.concat(chunks)
+        for kind in batch.sort_values("seq")["kind"]:
+            new = _queue_transition(new, kind)
+    return new
+
+
 def stateful_violation_queue(events: DataFrame, checkpoint_dir: str):
     """Custom stateful streaming operator: the violation-queue state
     machine as ``applyInPandasWithState`` keyed by
@@ -117,10 +133,7 @@ def stateful_violation_queue(events: DataFrame, checkpoint_dir: str):
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         cur = state.get[0] if state.exists else None
-        new = cur
-        for pdf in pdfs:
-            for kind in pdf.sort_values("seq")["kind"]:
-                new = _queue_transition(new, kind)
+        new = _fold_queue_events(pdfs, cur)
         if new is not None and new != cur:
             state.update((new,))
             yield pd.DataFrame(

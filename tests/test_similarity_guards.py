@@ -225,6 +225,33 @@ def test_prefix_planes_scale_with_centroid_table():
     for n_cells in (8 * B, 1_000_000, cells_for_dedup(10**10)):
         p = prefix_planes_for_cells(n_cells)
         assert n_cells / 2**p <= B, (n_cells, p)
+    # past the family's independent-plane supply the count caps (more
+    # planes would add key characters without adding shards)
+    from corhist_spark.similarity import PREFIX_MAX_PLANES
+
+    assert prefix_planes_for_cells(cells_for_dedup(10**14)) == PREFIX_MAX_PLANES
+
+
+def test_prefix_plane_family_distinct():
+    """The multiplicative prefix family must yield DISTINCT sign
+    patterns for every plane up to the cap (at realistic dims) — the
+    additive LSH family repeats early (planes 1/10/15 coincide at
+    dim 8), silently collapsing shards below the budget."""
+    from corhist_spark.similarity import PREFIX_MAX_PLANES
+
+    def pattern(j, dims):
+        m = 7 if j < 2 else 7 + 2 * j
+        return tuple(
+            1 if ((i * m + j * 13) % 23) % 2 == 0 else -1 for i in range(dims)
+        )
+
+    for dims in (16, 32, 64):
+        pats = {pattern(j, dims) for j in range(PREFIX_MAX_PLANES)}
+        assert len(pats) == PREFIX_MAX_PLANES, (dims, len(pats))
+    # the additive family this replaces repeats at dim 8 (planes 1/10/
+    # 15 coincide); the hybrid still loses a few there — sign-pattern
+    # space at dim 8 is only 2^8, real embedding dims are >= 256
+    assert len({pattern(j, 8) for j in range(PREFIX_MAX_PLANES)}) >= 12
 
 
 def test_ann_empty_and_tiny_inputs(spark):

@@ -49,6 +49,21 @@ def test_stateful_queue_across_batches(spark, tmp_path):
     assert ("s3", "c1") not in final
 
 
+def test_fold_sorts_across_chunks():
+    """A key whose events arrive split across Arrow chunks must fold in
+    GLOBAL seq order: chunk1 holds (v seq1, a seq4), chunk2 (r seq2,
+    o seq5).  Global order v,r,a,o ends 'a' (last approve/reject wins);
+    a buggy per-chunk sort would process v,a then r,o and end 'r'."""
+    import pandas as pd
+
+    from corhist_spark.streaming import _fold_queue_events
+
+    c1 = pd.DataFrame({"kind": ["violation", "approve"], "seq": ["0001", "0004"]})
+    c2 = pd.DataFrame({"kind": ["reject", "obsolete"], "seq": ["0002", "0005"]})
+    assert _fold_queue_events(iter([c1, c2]), None) == "a"
+    assert _fold_queue_events(iter([]), "p") == "p"
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Ingest dedup: a re-arrival of the same text within the watermark
     horizon is dropped; a distinct text passes; state is bounded by the
