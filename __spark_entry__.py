@@ -1504,15 +1504,25 @@ def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (`similarity.semantic_dedup`):
     constant-occupancy IVF cells, within-cell cosine >= threshold,
     greedy keep-lowest-id survivor set."""
-    from corhist_spark.similarity import cells_for_dedup, semantic_dedup
+    from corhist_spark.similarity import (
+        MAX_BROADCAST_CENTROIDS,
+        cells_for_dedup,
+        semantic_dedup,
+    )
 
     # threshold: EXPLICIT fixture setting (the random embeddings have no
     # pairs in the library default's ~0.9 paper regime); the oracle
-    # interpolates the same _SEMDEDUP_FIXTURE_THRESHOLD constant
+    # interpolates the same _SEMDEDUP_FIXTURE_THRESHOLD constant.
+    # max_broadcast_centroids pins the broadcast-exact assignment the
+    # oracle transcribes — the library default auto-switches to the
+    # approximate sharded path by WORK past SEMDEDUP_AUTO_SHARD_CELLS,
+    # which would desync engine and oracle at larger scale factors
+    # (same pinning contract as q_knn_ivf).
     return semantic_dedup(
         _t(spark, sf_dir, "embeddings"),
         threshold=_SEMDEDUP_FIXTURE_THRESHOLD,
         n_cells=cells_for_dedup(_emb_count(spark, sf_dir)),
+        max_broadcast_centroids=MAX_BROADCAST_CENTROIDS,
     )
 
 

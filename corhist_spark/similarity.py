@@ -522,6 +522,33 @@ def cells_for_dedup(
     return max(floor, int(n_vectors) // occupancy)
 
 
+# Above this many cells the broadcast-exact assignment's O(N * n_cells)
+# WORK term dominates the sharded path's extra shuffle even though the
+# centroid table still fits a broadcast: at dedup sizing n_cells grows
+# as N/occupancy, so broadcast assignment work is quadratic in N.
+# Measured at the sf1 tier (20k vectors, 312 cells): broadcast 70.1 s
+# vs sharded 15.3 s.  Applies only when the caller does NOT pin
+# max_broadcast_centroids — a pinned value keeps the pure size rule so
+# the oracle-backed queries hold their transcribed path.
+SEMDEDUP_AUTO_SHARD_CELLS = 256
+
+
+def semdedup_assignment_path(
+    n_cells: int, max_broadcast_centroids: int | None = None
+) -> str:
+    """Which assignment the dedup takes: 'broadcast' (exact, scores all
+    cells) or 'sharded' (sign-prefix, scores same-prefix cells).  A
+    pinned ``max_broadcast_centroids`` selects by SIZE alone (the
+    oracle-pinning contract); the default selects by WORK — dedup cell
+    counts grow linearly with N, so the switch must trip long before
+    the broadcast memory bound does."""
+    if max_broadcast_centroids is not None:
+        return "broadcast" if n_cells <= max_broadcast_centroids else "sharded"
+    if n_cells > min(SEMDEDUP_AUTO_SHARD_CELLS, MAX_BROADCAST_CENTROIDS):
+        return "sharded"
+    return "broadcast"
+
+
 # Per-task centroid budget of the sharded assignment: a shard holds
 # ~n_cells / 2^planes centroids; planes scale so that share stays under
 # this bound instead of growing linearly with the corpus.
@@ -588,19 +615,17 @@ def semantic_dedup(
     N even though the memory footprint broadcasts fine.  The sharded
     path scores only same-prefix centroids (~per_task_budget per
     vector once planes scale), which makes assignment WORK linear in N
-    — 5x faster already at sf1 (15.3 s vs 77.0 s).  At real scale pass
-    ``max_broadcast_centroids`` low (or let n_cells exceed it) to take
-    the sharded path; the broadcast path remains the bit-exact oracle
-    reference."""
-    if max_broadcast_centroids is None:
-        # same broadcast budget as knn_ivf — the two operators share
-        # the assignment machinery and must switch paths together
-        max_broadcast_centroids = MAX_BROADCAST_CENTROIDS
+    — 5x faster already at sf1 (15.3 s vs 77.0 s).  The default
+    therefore switches to the sharded path by WORK
+    (semdedup_assignment_path: n_cells > SEMDEDUP_AUTO_SHARD_CELLS),
+    long before the broadcast MEMORY bound trips; pass an explicit
+    ``max_broadcast_centroids`` to select by size alone (the
+    oracle-backed harness query pins the broadcast path this way)."""
     if n_cells is None:
         n_cells = cells_for_dedup(embeddings.count())
     if prefix_planes is None:
         prefix_planes = prefix_planes_for_cells(n_cells)
-    if n_cells <= max_broadcast_centroids:
+    if semdedup_assignment_path(n_cells, max_broadcast_centroids) == "broadcast":
         scored = _ivf_scored(embeddings, n_cells)
     else:
         scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)

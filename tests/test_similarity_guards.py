@@ -276,3 +276,43 @@ def test_planes_scale_with_corpus(n, expected):
     # expected occupancy N / 2^planes stays <= 1 once past the floor
     if n > 256:
         assert n / 2 ** planes_for_corpus(n) <= 1.0
+
+
+def test_semdedup_auto_shard_by_work():
+    """The dedup assignment must switch to the sharded path by WORK,
+    not just broadcast size: dedup cell counts grow as N/occupancy, so
+    the broadcast-exact assignment's O(N * n_cells) score volume goes
+    quadratic in N long before the centroid table stops fitting a
+    broadcast (measured sf1: 70.1 s broadcast vs 15.3 s sharded at just
+    312 cells).  A pinned max_broadcast_centroids selects by size alone
+    — the contract the oracle-backed harness query relies on."""
+    from corhist_spark.similarity import (
+        MAX_BROADCAST_CENTROIDS,
+        SEMDEDUP_AUTO_SHARD_CELLS,
+        semdedup_assignment_path,
+    )
+
+    # default (unpinned): work rule — trips far below the memory bound
+    assert SEMDEDUP_AUTO_SHARD_CELLS < MAX_BROADCAST_CENTROIDS
+    assert semdedup_assignment_path(SEMDEDUP_AUTO_SHARD_CELLS) == "broadcast"
+    assert semdedup_assignment_path(SEMDEDUP_AUTO_SHARD_CELLS + 1) == "sharded"
+    # pinned: size rule only (oracle pinning), even past the work bound
+    assert semdedup_assignment_path(312, MAX_BROADCAST_CENTROIDS) == "broadcast"
+    assert semdedup_assignment_path(MAX_BROADCAST_CENTROIDS + 1, MAX_BROADCAST_CENTROIDS) == "sharded"
+    assert semdedup_assignment_path(17, 16) == "sharded"
+
+
+def test_semdedup_unpinned_routes_sharded(spark):
+    """An unpinned semantic_dedup call past the work bound must
+    actually take the sharded plan (shuffle-hash join on the prefix
+    key, no broadcast of the centroid side)."""
+    from corhist_spark.similarity import SEMDEDUP_AUTO_SHARD_CELLS, semantic_dedup
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    survivors = semantic_dedup(
+        e, threshold=0.25, n_cells=SEMDEDUP_AUTO_SHARD_CELLS + 1
+    )
+    plan = survivors._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, "unpinned dedup past work bound must shard"
+    # every vector still assigned somewhere: survivors + dropped = N
+    assert 0 < survivors.count() <= e.count()
