@@ -23,17 +23,23 @@ prepared-statement-per-correction (`:167-208`).
 Shuffle budget: the target guard and the co-edit match are ONE join
 against ``edits`` (keyed on the candidate revision + op), with the
 guard evaluated as a per-candidate aggregate instead of a second
-anti-join; the min-distance window and the per-row aggregate then
+anti-join — and both predicates pushed into the join condition, so
+only edits that can affect the aggregate ever reach the groupBy
+shuffle (at sf1 this cuts the intermediate from candidates x
+co-op-edits-per-revision, hundreds of millions of rows, to the
+matching pairs).  The min-distance window and the per-row aggregate
 share the ``row_key`` partitioning, so the whole expansion costs one
 edits join + one groupBy + one window.  The kernel output is
-localCheckpoint-ed so the (much deeper) kernel plan is computed once,
-not once per downstream consumer.
+localCheckpoint-ed (DISK_ONLY — candidate sets reach ~1e8 rows at
+sf1) so the (much deeper) kernel plan is computed once, not once per
+downstream consumer.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .kernels import ROW_COLS
 from .schemas import MAX_REV
@@ -53,8 +59,16 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
         F.col("rev_id").alias("corr_rev"), F.col("author").alias("main_author")
     )
     # cut the kernel lineage once: `rows` feeds both the candidate fan-
-    # out and the final re-join, and the still-applied filter downstream
-    rows = rows.join(main_author, "corr_rev", "left").localCheckpoint()
+    # out and the final re-join, and the still-applied filter downstream.
+    # DISK_ONLY: the candidate set can be huge (98M rows for the sf1
+    # unique kernel — value-keyed joins are quadratic on hot values);
+    # deserialized in-memory blocks at that size GC-thrash an 8g heap,
+    # while serialized disk blocks stream back fine.  On a cluster this
+    # lineage cut would be a warehouse write; executor-local disk is the
+    # local-mode equivalent.
+    rows = rows.join(main_author, "corr_rev", "left").localCheckpoint(
+        storageLevel=StorageLevel.DISK_ONLY
+    )
 
     # candidate revisions: distance 0 (the revision itself) and the
     # same-author isBasedOn neighbors at distance 1 (both directions)
@@ -95,15 +109,30 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
         F.col("pred").alias("e_pred"),
         F.col("obj").alias("e_obj"),
     )
-    j = cands.join(ed, (F.col("e_rev") == F.col("cand_rev")) & (F.col("e_op") == F.col("co_op")))
     is_guard = (
         (F.col("e_subj") == F.col("target_subj"))
         & (F.col("e_pred") == F.col("property"))
         & (F.col("e_obj") == F.col("target_obj"))
     )
+    is_co = (F.col("e_subj") == F.col("corr_subj")) & (
+        (F.col("e_pred") == F.col("corr_pred")) | (F.col("e_obj") == F.col("corr_obj"))
+    )
+    # the guard/co-edit predicates are pushed INTO the join: only edits
+    # that can affect the aggregate survive the match.  Result-identical
+    # — a (row_key, cand_rev) group whose joined edits all fail both
+    # predicates would aggregate to guarded=0 + empty co_arr and be
+    # dropped by the `matched` filter anyway — but the intermediate
+    # volume drops from candidates x all-co-op-edits-per-revision
+    # (hundreds of millions of rows at sf1) to just the matching pairs
+    # before the groupBy shuffle.
+    j = cands.join(
+        ed,
+        (F.col("e_rev") == F.col("cand_rev"))
+        & (F.col("e_op") == F.col("co_op"))
+        & (is_guard | is_co),
+    )
     co_stmt = F.when(
-        (F.col("e_subj") == F.col("corr_subj"))
-        & ((F.col("e_pred") == F.col("corr_pred")) | (F.col("e_obj") == F.col("corr_obj"))),
+        is_co,
         F.struct(
             F.col("e_subj").alias("subj"),
             F.col("e_pred").alias("pred"),
@@ -200,5 +229,12 @@ def filter_still_applied(corrections: DataFrame, state: DataFrame) -> DataFrame:
 def build_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame, state: DataFrame) -> DataFrame:
     """Full post-kernel pipeline: expansion then still-applied.  The
     expansion output is checkpointed — still-applied consumes it twice
-    (explode + semi-join back) and it is small relative to its plan."""
-    return filter_still_applied(expand_corrections(rows, edits, revisions).localCheckpoint(), state)
+    (explode + semi-join back) and it is small relative to its plan.
+    DISK_ONLY for the same reason as the candidate checkpoint: the
+    expanded set is candidate-sized."""
+    return filter_still_applied(
+        expand_corrections(rows, edits, revisions).localCheckpoint(
+            storageLevel=StorageLevel.DISK_ONLY
+        ),
+        state,
+    )

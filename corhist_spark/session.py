@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # GCLocker guard: allocation-heavy stages over JNI-critical
+        # sections (Arrow/parquet) can abort with "Retried waiting for
+        # GCLocker too often" under heap pressure (observed on the
+        # 98M-row sf1 unique-kernel expansion); retrying the allocation
+        # more times turns a hard executor death into a slow GC cycle
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
