@@ -89,6 +89,11 @@ HEADLINE = [
     "knn_ivf_sharded",
     "embedding_near_dups",
     "semantic_dedup",
+    # r5: frequency-based boilerplate pruning (planted banner/nav
+    # fixture) and semantic dedup inside a Lloyd-trained quantizer
+    # (training + assignment + in-cell dedup)
+    "boilerplate_removal",
+    "semantic_dedup_trained",
     "cc_components",
     "subclass_closure",
 ]

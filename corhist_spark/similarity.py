@@ -590,6 +590,7 @@ def semantic_dedup(
     round_to: int = 3,
     max_broadcast_centroids: int | None = None,
     prefix_planes: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public): assign every vector to a coarse cell, compare cosine only
@@ -603,6 +604,10 @@ def semantic_dedup(
     occupancy (cells_for_dedup) keeps the within-cell pair volume
     linear in N; assignment broadcasts the centroid table while it
     fits and shards by sign-prefix beyond max_broadcast_centroids.
+    Pass ``centroids`` (cid, cv — e.g. train_ivf_centroids) to dedup
+    within a TRAINED quantizer's cells; on skewed corpora trained
+    cells are balanced, so the in-cell pair volume stays near the
+    occupancy budget instead of concentrating in one giant cell.
 
     The default threshold follows the paper's regime (~0.9+: only
     near-identical pairs are duplicates).  Synthetic random-embedding
@@ -621,14 +626,19 @@ def semantic_dedup(
     long before the broadcast MEMORY bound trips; pass an explicit
     ``max_broadcast_centroids`` to select by size alone (the
     oracle-backed harness query pins the broadcast path this way)."""
-    if n_cells is None:
-        n_cells = cells_for_dedup(embeddings.count())
-    if prefix_planes is None:
-        prefix_planes = prefix_planes_for_cells(n_cells)
-    if semdedup_assignment_path(n_cells, max_broadcast_centroids) == "broadcast":
-        scored = _ivf_scored(embeddings, n_cells)
+    if centroids is not None:
+        # explicit (trained) centroid table — broadcast assignment, as
+        # in knn_ivf; n_cells/prefix_planes are unused on this path
+        scored = _ivf_scored(embeddings, 0, centroids=centroids)
     else:
-        scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)
+        if n_cells is None:
+            n_cells = cells_for_dedup(embeddings.count())
+        if prefix_planes is None:
+            prefix_planes = prefix_planes_for_cells(n_cells)
+        if semdedup_assignment_path(n_cells, max_broadcast_centroids) == "broadcast":
+            scored = _ivf_scored(embeddings, n_cells)
+        else:
+            scored = _ivf_scored_sharded(embeddings, n_cells, prefix_planes)
     assign = (
         scored.groupBy("vec_id")
         .agg(

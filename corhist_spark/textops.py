@@ -244,9 +244,10 @@ def _token_array():
     return F.filter(F.split("text", " "), lambda x: x != "")
 
 
-def _chunked(docs: DataFrame, width: int) -> DataFrame:
-    """(doc_id, chunk_id, chunk_text, n_toks): fixed-width token
-    windows.
+def _chunked(docs: DataFrame, width: int, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id, *carry, chunk_id, chunk_text, n_toks): fixed-width
+    token windows; ``carry`` names extra document columns to keep on
+    every chunk row (e.g. ``source`` for per-source boilerplate stats).
 
     Map-only (split + sequence-explode + slice, all codegen); row
     growth is ~n_tokens/width per doc, far below the shingle explosion
@@ -255,14 +256,15 @@ def _chunked(docs: DataFrame, width: int) -> DataFrame:
     n_toks is emitted here (size of the slice) so callers never
     re-split chunk_text just to count tokens."""
     toks = _token_array()
-    d = docs.select("doc_id", toks.alias("toks"))
+    d = docs.select("doc_id", *carry, toks.alias("toks"))
     n = F.size("toks")
     ids = F.when(
         n > 0,
         F.sequence(F.lit(0), F.ceil(n / F.lit(float(width))).cast("int") - 1),
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    return d.select("doc_id", F.explode(ids).alias("chunk_id"), "toks").select(
+    return d.select("doc_id", *carry, F.explode(ids).alias("chunk_id"), "toks").select(
         "doc_id",
+        *carry,
         "chunk_id",
         F.expr(f"array_join(slice(toks, chunk_id*{width}+1, {width}), ' ')").alias(
             "chunk_text"
@@ -309,6 +311,85 @@ def chunk_dedup(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
         (F.col("doc_id") == F.col("keep.doc_id"))
         & (F.col("chunk_id") == F.col("keep.chunk_id")),
     )
+    kept_parts = F.array_sort(
+        F.collect_list(
+            F.when(F.col("is_keep"), F.struct("chunk_id", "chunk_text"))
+        )
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("is_keep").cast("int")).alias("n_kept"),
+            kept_parts.alias("_parts"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_kept",
+            F.when(
+                F.col("n_kept") > 0,
+                F.md5(
+                    F.array_join(
+                        F.transform("_parts", lambda s: s["chunk_text"]), " "
+                    )
+                ),
+            ).alias("clean_hash"),
+        )
+    )
+
+
+BOILER_MIN_FRAC = 0.25
+BOILER_MIN_DOCS = 2
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    width: int = CHUNK_TOKENS,
+    min_frac: float = BOILER_MIN_FRAC,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """Frequency-based boilerplate pruning (the RefinedWeb / CCNet
+    line-dedup step, public): a text segment that recurs across many
+    DIFFERENT documents of the same source (headers, navigation,
+    license banners) is boilerplate — drop every occurrence and
+    reassemble the remaining text in order.  Segments are fixed
+    ``width``-token windows (the corpus is single-line; on newline-
+    delimited text the same shape runs with lines as segments).  A
+    segment is boilerplate within its source when it appears in at
+    least ``max(min_docs, ceil(min_frac * source_doc_count))``
+    distinct documents.
+
+    Differs from chunk_dedup (which keeps ONE canonical copy of every
+    repeated chunk): boilerplate removal drops ALL occurrences of
+    high-document-frequency segments and leaves low-frequency
+    repetition alone.
+
+    Returns (doc_id, n_chunks, n_kept, clean_hash) — chunk_dedup's
+    shape, so the two compose in a curation pipeline.
+
+    Scale shape: one groupBy on (source, chunk_hash) for the
+    document-frequency count (hash keys — uniform), a broadcast-sized
+    per-source total, one anti-join of the chunk stream against the
+    (small by construction — df >= a fraction of the source) boiler
+    set, one groupBy doc_id to reassemble.  All shuffles linear in
+    chunk count; no self-join, no corpus-wide window."""
+    ch = _chunked(docs, width, carry=("source",)).withColumn(
+        "h", F.md5("chunk_text")
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src_docs"))
+    thresh = F.greatest(
+        F.lit(min_docs), F.ceil(F.lit(min_frac) * F.col("n_src_docs")).cast("int")
+    )
+    boiler = (
+        ch.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(F.broadcast(totals), "source")
+        .filter(F.col("df") >= thresh)
+        .select("source", "h")
+    )
+    tagged = ch.join(boiler.withColumn("_b", F.lit(True)), ["source", "h"], "left")
+    tagged = tagged.withColumn("is_keep", F.col("_b").isNull())
     kept_parts = F.array_sort(
         F.collect_list(
             F.when(F.col("is_keep"), F.struct("chunk_id", "chunk_text"))

@@ -14,6 +14,7 @@ from corhist_spark.textops import (
     chunk_dedup,
     decontaminate,
     doc_chunks,
+    remove_boilerplate,
     repetition_stats,
     stratified_sample,
     word_ngrams,
@@ -56,6 +57,51 @@ def test_chunk_dedup_all_dropped_yields_null_hash(spark):
     out = {r.doc_id: r for r in chunk_dedup(d).collect()}
     assert out[1].n_kept == 1 and out[1].clean_hash is not None
     assert out[2].n_kept == 0 and out[2].clean_hash is None
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_remove_boilerplate_threshold_boundary(spark):
+    """4 docs in one source, threshold = max(2, ceil(0.25*4)) = 2: the
+    banner (df=4) and the pair segment (df=2, exactly AT the threshold)
+    are dropped from every occurrence; the unique tails (df=1) stay.
+    A second source with the SAME banner text but df=1 keeps it —
+    frequency is counted per source, not globally."""
+    banner = " ".join(f"h{i}" for i in range(16))
+    pair = " ".join(f"p{i}" for i in range(16))
+    tails = {k: " ".join(f"t{k}_{i}" for i in range(16)) for k in range(4)}
+    d = _src_docs(
+        spark,
+        [
+            (0, "s", f"{banner} {pair} {tails[0]}"),
+            (1, "s", f"{banner} {pair} {tails[1]}"),
+            (2, "s", f"{banner} {tails[2]}"),
+            (3, "s", f"{banner} {tails[3]}"),
+            (9, "other", f"{banner} {tails[0]}"),
+        ],
+    )
+    out = {r.doc_id: r for r in remove_boilerplate(d).collect()}
+    assert out[0].n_chunks == 3 and out[0].n_kept == 1
+    assert out[0].clean_hash == hashlib.md5(tails[0].encode()).hexdigest()
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    # same banner text, different source, df=1 there -> kept
+    assert out[9].n_kept == 2
+    assert (
+        out[9].clean_hash
+        == hashlib.md5(f"{banner} {tails[0]}".encode()).hexdigest()
+    )
+
+
+def test_remove_boilerplate_drops_all_occurrences(spark):
+    """Unlike chunk_dedup (one canonical copy kept), boilerplate
+    removal drops EVERY occurrence — a doc that is pure boilerplate
+    comes back with n_kept=0 and a null clean_hash."""
+    banner = " ".join(f"h{i}" for i in range(16))
+    d = _src_docs(spark, [(0, "s", banner), (1, "s", banner), (2, "s", banner)])
+    out = {r.doc_id: r for r in remove_boilerplate(d).collect()}
+    assert all(out[k].n_kept == 0 and out[k].clean_hash is None for k in (0, 1, 2))
 
 
 def test_word_ngrams_short_doc_guard(spark):
@@ -194,6 +240,9 @@ def test_corpus_ops_plans(spark):
         "stratified_sample": stratified_sample(docs),
         "sequence_pack": sequence_pack(docs),
         "media_context": media_context_links(docs),
+        "remove_boilerplate": remove_boilerplate(
+            docs.select("doc_id", "source", "text")
+        ),
     }
     plans = {
         k: df._jdf.queryExecution().executedPlan().toString() for k, df in frames.items()

@@ -189,6 +189,53 @@ def test_trained_centroids_recover_skewed_recall(spark):
     assert trained > ingest + 0.1
 
 
+def test_semantic_dedup_trained_cells_balance_occupancy(spark):
+    """Dedup-side counterpart of the trained-recall test: semantic
+    dedup's in-cell pair volume is quadratic in cell OCCUPANCY, so on
+    clustered embeddings a bad (single-cluster ingest-order) quantizer
+    concentrates vectors into a few giant cells — the pair-volume
+    budget cells_for_dedup promises is blown even though the cell
+    COUNT is right.  Lloyd refinement from the same bad seeds must
+    measurably flatten the occupancy histogram.  Threshold 1.01 is
+    unreachable (round-3 cosine tops out at 1.0) so NO vector dedups —
+    the fixture's i/i+101 lattice pairs are exact duplicates, which a
+    lower threshold would silently remove — and the returned
+    (vec_id, cell) IS the raw assignment."""
+    from pyspark.sql import functions as F
+
+    from corhist_spark.similarity import (
+        _quantized,
+        semantic_dedup,
+        train_ivf_centroids,
+        with_norm,
+    )
+
+    e = _skewed_embeddings(spark)
+    en = with_norm(e).withColumn("qv", _quantized(F.col("v")))
+    bad_seeds = (
+        en.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cv"))
+    )
+
+    def max_occupancy(survivors):
+        return (
+            survivors.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+
+    ingest = max_occupancy(semantic_dedup(e, threshold=1.01, centroids=bad_seeds))
+    cent = train_ivf_centroids(e, 16, n_iters=4, seed_centroids=bad_seeds)
+    trained = max_occupancy(semantic_dedup(e, threshold=1.01, centroids=cent))
+    # 400 vectors / 16 cells: balanced ~25/cell.  Measured on the
+    # deterministic fixture: ingest 123 (one giant cell holds ~31% of
+    # the corpus -> ~24x the balanced pair volume), trained 58.
+    assert ingest >= 4 * (400 // 16), f"fixture no longer skewed: max occ {ingest}"
+    assert trained < ingest / 2, (trained, ingest)
+    assert trained <= 60, f"training left a giant cell: {trained}"
+
+
 def test_trained_centroids_keep_uniform_recall(spark):
     """Training must not COST recall where ingest-order seeding was
     already fine: on the uniform sf0.001 embeddings the trained
