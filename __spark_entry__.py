@@ -598,6 +598,24 @@ def q_unigram_nll(spark, sf_dir):
     return unigram_nll(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+# DSIR target domain for the harness: the English slice (lang = 'en',
+# 218 of 500 docs at sf0.01) — a real, non-degenerate target the
+# oracle can name with one predicate.
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style importance-weighted selection
+    (`textops.dsir_select`): per-doc mean log importance weight
+    ln(p_target/p_raw) under hashed unigram+bigram bag models
+    (target = the English slice), deterministic selected = weight > 0
+    threshold variant."""
+    from corhist_spark.textops import dsir_select
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return dsir_select(d, d.filter(F.col("lang") == _DSIR_TARGET_LANG))
+
+
 def q_media_context(spark, sf_dir):
     """Caption linking: each media span (>= 8-char token) paired with
     the nearest preceding text mention within 4 positions."""
@@ -2103,28 +2121,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (tests/test_entry_oracle.py runs ALL entries) regardless of
     position."""
     return {
-        # --- round-5 front (the driver's 50-row window): the 6 queries
-        # NEW in r5, 4 of the 5 whose code CHANGED in r5 (pii_stats
+        # --- round-5 front (the driver's 50-row window): the 7 queries
+        # NEW in r5, 3 of the 5 whose code CHANGED in r5 (pii_stats
         # phone count order, semantic_dedup explicit fixture threshold
-        # + derived oracle constants, knn_ivf broadcast-path pinning,
-        # knn_ivf_sharded prefix-plane pinning), then ALL 40 rows whose
-        # last driver row was r3 (the rotation promise: no row older
-        # than two rounds).  The window holds exactly 50, so two
-        # r4-green rows yield their seats this round: knn_ivf_recall
-        # (its r5 change is the SAME pinning kwarg as knn_ivf, which
-        # stays in-window) and the flagship single_value_corrections
-        # (unchanged since its r4 green row; entry() still smoke-runs
-        # it every round) — both sit at positions 51-52 and stay
-        # pytest-oracled every run ---
+        # + derived oracle constants, knn_ivf_sharded prefix-plane
+        # pinning), then ALL 40 rows whose last driver row was r3 (the
+        # rotation promise: no row older than two rounds).  The window
+        # holds exactly 50, so three r4-green rows yield their seats
+        # this round: knn_ivf + knn_ivf_recall (their only r5 change is
+        # the broadcast-pin kwarg, whose pinned value EQUALS the
+        # library default at sf0.01 cell counts — behaviorally a no-op
+        # at driver scale, and knn_ivf_trained/knn_ivf_sharded exercise
+        # the same scoring code in-window) and the flagship
+        # single_value_corrections (unchanged since its r4 green row;
+        # entry() still smoke-runs it every round) — all three sit at
+        # positions 51-53 and stay pytest-oracled every run ---
         "bigram_nll": q_bigram_nll,
         "substring_decontaminate": q_substring_decontaminate,
         "stateful_queue_equivalence": q_stateful_queue_equivalence,
         "knn_ivf_trained": q_knn_ivf_trained,
         "boilerplate_removal": q_boilerplate_removal,
         "semantic_dedup_trained": q_semantic_dedup_trained,
+        "dsir_select": q_dsir_select,
         "pii_stats": q_pii_stats,
         "semantic_dedup": q_semantic_dedup,
-        "knn_ivf": q_knn_ivf,
         "knn_ivf_sharded": q_knn_ivf_sharded,
         # --- the r3-tail: last driver row in CORRECTNESS_r03.json ---
         "corpus_selection": q_corpus_selection,  # also changed in r5 (NLL band)
@@ -2174,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stay pytest-oracled every run (tests/test_entry_oracle.py
         # runs the full registry) ---
         "single_value_corrections": q_single_value_corrections,
+        "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
         "token_pieces": q_token_pieces,
         "conflict_corrections": q_conflict_corrections,
@@ -2242,6 +2263,8 @@ from corhist_spark.textops import (
     BOILER_MIN_DOCS as _BOILER_MIN_DOCS,
     BOILER_MIN_FRAC as _BOILER_MIN_FRAC,
     CHUNK_TOKENS as _CHUNK_TOKENS,
+    DSIR_ALPHA as _DSIR_ALPHA,
+    DSIR_BUCKETS as _DSIR_BUCKETS,
 )
 from corhist_spark.textops import BIGRAM_ADD_K as _BIGRAM_ADD_K
 from corhist_spark.textops import (
@@ -3723,6 +3746,48 @@ def oracle_sql() -> dict[str, str]:
         "bigram_nll": f"""
             WITH {_BIGRAM_NLL_CTES}
             SELECT doc_id, n_bigrams, mean_nll FROM bnll
+        """,
+        # bucket count / smoothing alpha / target language interpolated
+        # from textops.DSIR_BUCKETS / DSIR_ALPHA / _DSIR_TARGET_LANG;
+        # the bucket hash is the repo's shared md5 decode (hexval_sql)
+        "dsir_select": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id, unnest(toks) AS feat FROM t WHERE len(toks) > 0
+              UNION ALL
+              SELECT doc_id,
+                     toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS feat
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 2)
+            ), fb AS (
+              SELECT doc_id, ({hexval_sql("feat")}) % {_DSIR_BUCKETS} AS b FROM f
+            ), tgt AS (
+              SELECT DISTINCT doc_id FROM documents WHERE lang = '{_DSIR_TARGET_LANG}'
+            ), tb AS (
+              SELECT fb.doc_id, fb.b FROM fb JOIN tgt USING (doc_id)
+            ), rc AS (SELECT b, count(*) AS cr FROM fb GROUP BY b),
+            tc AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+            rtot AS (SELECT count(*) AS rn FROM fb),
+            ttot AS (SELECT count(*) AS tn FROM tb),
+            ratios AS (
+              SELECT rc.b,
+                     ln((COALESCE(tc.ct, 0) + {_DSIR_ALPHA})
+                        / (tn + {_DSIR_ALPHA * _DSIR_BUCKETS}))
+                   - ln((rc.cr + {_DSIR_ALPHA})
+                        / (rn + {_DSIR_ALPHA * _DSIR_BUCKETS})) AS lw
+              FROM rc LEFT JOIN tc USING (b) CROSS JOIN rtot CROSS JOIN ttot
+            ), sc AS (
+              SELECT fb.doc_id, count(*) AS n_feats,
+                     round(avg(r.lw), 6) AS log_weight
+              FROM fb JOIN ratios r USING (b)
+              GROUP BY fb.doc_id
+            )
+            SELECT doc_id, n_feats, log_weight, log_weight > 0 AS selected
+            FROM sc
         """,
         "unigram_nll": """
             WITH tk AS (

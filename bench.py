@@ -90,10 +90,13 @@ HEADLINE = [
     "embedding_near_dups",
     "semantic_dedup",
     # r5: frequency-based boilerplate pruning (planted banner/nav
-    # fixture) and semantic dedup inside a Lloyd-trained quantizer
-    # (training + assignment + in-cell dedup)
+    # fixture), semantic dedup inside a Lloyd-trained quantizer
+    # (training + assignment + in-cell dedup), and DSIR-style
+    # importance-weighted selection (hashed unigram+bigram models,
+    # English-slice target)
     "boilerplate_removal",
     "semantic_dedup_trained",
+    "dsir_select",
     "cc_components",
     "subclass_closure",
 ]

@@ -782,6 +782,104 @@ def bigram_nll(docs: DataFrame, k: float = BIGRAM_ADD_K) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 0.5
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    public) — (doc_id, n_feats, log_weight, selected): score every raw
+    document by its per-feature mean log importance weight
+    ln(p_target(b)) - ln(p_raw(b)) under bag-of-hashed-ngram models of
+    the TARGET domain vs the RAW corpus, and flag documents that look
+    more target-like than raw-like.
+
+    Features are word unigrams AND bigrams hashed into ``n_buckets``
+    via the repo's cross-engine md5 hash (the paper's hashed n-gram
+    generative model); bucket probabilities are add-``alpha``-smoothed
+    frequencies from exact integer counts.  ``selected`` is the
+    deterministic threshold variant (log_weight > 0, i.e. the doc is
+    literally more probable under the target model); the paper's
+    Gumbel-top-k resampling needs per-doc noise — feed ``log_weight``
+    into stratified_sample's hash-threshold machinery for that, the
+    score column is the reusable part.  log_weight rounds to 6 decimals
+    for cross-engine comparison (the bigram_nll convention).
+
+    Scale shape: two feature streams (raw, target) aggregate to AT MOST
+    ``n_buckets`` rows each — map-side combine does almost all the
+    work, and the per-bucket log-ratio table is broadcast-sized by
+    construction, as are the two 1-row totals.  The scoring pass is the
+    feature stream joined against that broadcast table and re-grouped
+    by doc_id: linear in corpus tokens, no self-join, no global sort —
+    the selection threshold is per-doc, NOT a corpus-wide quantile
+    (which would need a second full pass or a sketch at 100 TB).
+
+    Docs with zero tokens have no features and drop out (the
+    unigram_nll/bigram_nll convention)."""
+    toks = docs.select("doc_id", _token_array().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    feats = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.when(
+                    F.size("toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(toks)-1),"
+                        " i -> concat(toks[i-1], ' ', toks[i]))"
+                    ),
+                ).otherwise(F.expr("CAST(array() AS array<string>)")),
+            )
+        ).alias("feat"),
+    )
+    fb = feats.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substr(md5(feat), 1, 13), 16, 10) AS BIGINT) % {n_buckets}"
+        ).alias("b"),
+    )
+    tgt_ids = target.select("doc_id").distinct()
+    tb = fb.join(tgt_ids, "doc_id", "left_semi")
+    rc = fb.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tc = tb.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    rtot = fb.agg(F.count(F.lit(1)).alias("rn"))
+    ttot = tb.agg(F.count(F.lit(1)).alias("tn"))
+    ratios = (
+        rc.join(tc, "b", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tn") + F.lit(alpha * n_buckets))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(alpha))
+                    / (F.col("rn") + F.lit(alpha * n_buckets))
+                )
+            ).alias("lw"),
+        )
+    )
+    scored = fb.join(F.broadcast(ratios), "b")
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_feats"),
+        F.round(F.avg("lw"), 6).alias("log_weight"),
+    )
+    return out.select(
+        "doc_id", "n_feats", "log_weight", (F.col("log_weight") > 0).alias("selected")
+    )
+
+
 def source_mixing(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
     """Data-mixing stage: temperature-weighted source proportions for
     training-set composition (the mT5-style upsampling rule) —

@@ -14,6 +14,7 @@ from corhist_spark.textops import (
     chunk_dedup,
     decontaminate,
     doc_chunks,
+    dsir_select,
     remove_boilerplate,
     repetition_stats,
     stratified_sample,
@@ -92,6 +93,39 @@ def test_remove_boilerplate_threshold_boundary(spark):
         out[9].clean_hash
         == hashlib.md5(f"{banner} {tails[0]}".encode()).hexdigest()
     )
+
+
+def test_dsir_select_planted_domains(spark):
+    """DSIR importance weighting on a two-domain plant: docs made of
+    target-domain tokens score a positive mean log weight (more
+    probable under the target model) and are selected; docs made of
+    off-domain tokens score negative and are not.  n_feats counts
+    unigrams + bigrams (2n-1 for an n-token doc); an empty doc has no
+    features and drops out; a one-token doc contributes its unigram
+    only (no degenerate bigram).  The two vocabularies are DISJOINT on
+    purpose: a raw-only doc that reused a target token would (rightly)
+    drag target docs' weights down — per-bucket cr grows while ct
+    stays, which is DSIR working, not a bug."""
+    d = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma alpha"),
+            (1, "beta alpha gamma"),
+            (2, "zork quux blorp zork"),
+            (3, "quux blorp zork"),
+            (4, ""),
+            (5, "solo"),
+        ],
+    )
+    out = {r.doc_id: r for r in dsir_select(d, d.filter(F.col("doc_id") <= 1)).collect()}
+    assert 4 not in out
+    assert out[0].n_feats == 7 and out[1].n_feats == 5  # 2n-1
+    assert out[5].n_feats == 1
+    assert out[0].selected and out[1].selected
+    assert out[0].log_weight > 0 < out[1].log_weight
+    # raw-only vocabulary: never more probable under the target model
+    assert not out[2].selected and not out[3].selected and not out[5].selected
+    assert out[2].log_weight < 0 > out[3].log_weight
 
 
 def test_remove_boilerplate_drops_all_occurrences(spark):
@@ -243,6 +277,7 @@ def test_corpus_ops_plans(spark):
         "remove_boilerplate": remove_boilerplate(
             docs.select("doc_id", "source", "text")
         ),
+        "dsir_select": dsir_select(docs, docs.filter(F.col("lang") == "en")),
     }
     plans = {
         k: df._jdf.queryExecution().executedPlan().toString() for k, df in frames.items()
@@ -252,6 +287,9 @@ def test_corpus_ops_plans(spark):
         assert "CartesianProduct" not in plan, f"{k}: {plan}"
     assert "Exchange" not in plans["stratified_sample"], plans["stratified_sample"]
     assert "BroadcastHashJoin" in plans["decontaminate"], plans["decontaminate"]
+    # dsir's scoring join must ride the broadcast ratio table (its
+    # <= n_buckets size is by construction), never a shuffle join
+    assert "BroadcastHashJoin" in plans["dsir_select"], plans["dsir_select"]
     # media_context promises "no join"; its window is the one shuffle
     assert "Join" not in plans["media_context"], plans["media_context"]
     for k in ("media_context", "sequence_pack"):
