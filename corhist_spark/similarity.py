@@ -261,6 +261,8 @@ def train_ivf_centroids(
     n_cells: int,
     n_iters: int = IVF_TRAIN_ITERS,
     seed_centroids: DataFrame | None = None,
+    assignment: str = "broadcast",
+    prefix_planes: int | None = None,
 ) -> DataFrame:
     """Lloyd-refined coarse quantizer (the k-means|| shape, public):
     seed with the deterministic first-``n_cells`` vectors, then
@@ -283,19 +285,33 @@ def train_ivf_centroids(
     Cells that capture no vectors, or whose mean is the zero vector,
     keep their previous centroid.
 
-    Scale shape: each round is one broadcast-assignment pass (the same
-    plan as search-time assignment) plus a (cell, dim)-keyed partial
-    aggregate — linear in N per round.  At 100 TB you train on a
-    SAMPLE (standard k-means|| practice) and this function receives
-    that sample; n_iters is a small constant."""
+    Scale shape: each round is one assignment pass plus a (cell,
+    dim)-keyed partial aggregate.  ``assignment="broadcast"`` (the
+    bit-exact default the knn_ivf_trained oracle transcribes) scores
+    every vector against every centroid — O(N * n_cells) work per
+    round, quadratic in N at dedup sizing where n_cells ~ N/occupancy.
+    ``assignment="sharded"`` runs each round's assignment through the
+    sign-prefix shard join instead (_sharded_scored: same-prefix
+    centroids only + the empty-shard min-cid fallback) — per-vector
+    work capped at the shard budget, LINEAR in N per round, no
+    centroid broadcast; the resulting quantizer is its own
+    deterministic algorithm (within-prefix Lloyd), driver-oracled
+    end-to-end via semantic_dedup_trained_sharded.  At 100 TB you
+    train on a SAMPLE (standard k-means|| practice) and this function
+    receives that sample; n_iters is a small constant."""
+    if assignment == "sharded" and prefix_planes is None:
+        prefix_planes = prefix_planes_for_cells(n_cells)
     e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
     cent = (
         _ivf_centroids(e, n_cells) if seed_centroids is None else seed_centroids
     ).localCheckpoint()
     for _ in range(n_iters):
-        scored = e.crossJoin(F.broadcast(cent)).withColumn(
-            "s", _int_dot(F.col("qv"), F.col("cv"))
-        )
+        if assignment == "sharded":
+            scored = _sharded_scored(e, cent, prefix_planes)
+        else:
+            scored = e.crossJoin(F.broadcast(cent)).withColumn(
+                "s", _int_dot(F.col("qv"), F.col("cv"))
+            )
         assign = scored.groupBy("vec_id").agg(
             F.max_by("cid", _best_cell_ord()).alias("cell"),
             F.first("qv").alias("qv"),
@@ -382,7 +398,34 @@ def _prefix_bits(qv_col, n_planes: int):
     return F.concat(*bits)
 
 
-def _ivf_scored_sharded(embeddings: DataFrame, n_cells: int, prefix_planes: int):
+def _sharded_scored(e: DataFrame, cent0: DataFrame, prefix_planes: int):
+    """Core of the sharded assignment over a PREPARED corpus frame
+    (vec_id, v, nrm, qv) and an arbitrary (cid, cv) centroid table —
+    shared by the ingest-order path (_ivf_scored_sharded) and the
+    sharded Lloyd training rounds (train_ivf_centroids)."""
+    cent = (
+        cent0.withColumn("pfx", _prefix_bits(F.col("cv"), prefix_planes))
+        # the point of this path is NOT broadcasting the centroids
+        .hint("SHUFFLE_HASH")
+    )
+    ep = e.withColumn("pfx", _prefix_bits(F.col("qv"), prefix_planes))
+    scored = ep.join(cent, "pfx").withColumn(
+        "s", _int_dot(F.col("qv"), F.col("cv"))
+    )
+    fallback = cent0.orderBy("cid").limit(1)
+    missing = ep.join(cent.select("pfx").distinct(), "pfx", "left_anti")
+    scored_fb = missing.crossJoin(F.broadcast(fallback)).withColumn(
+        "s", _int_dot(F.col("qv"), F.col("cv"))
+    )
+    return scored.unionByName(scored_fb)
+
+
+def _ivf_scored_sharded(
+    embeddings: DataFrame,
+    n_cells: int,
+    prefix_planes: int,
+    centroids: DataFrame | None = None,
+):
     """Sharded coarse assignment for centroid tables too big to
     broadcast: corpus vectors and centroids are both keyed by a short
     sign-prefix (2^prefix_planes shards) and scored through a SHUFFLE
@@ -392,7 +435,9 @@ def _ivf_scored_sharded(embeddings: DataFrame, n_cells: int, prefix_planes: int)
     A vector is assigned to its best centroid WITHIN its own prefix
     shard — the standard locality approximation (recall floor pinned
     in tests/test_similarity_guards.py); the broadcast path stays
-    bit-exact and is used whenever the table fits.
+    bit-exact and is used whenever the table fits.  Pass ``centroids``
+    (cid, cv) to shard-assign against an explicit (e.g. trained)
+    table instead of the ingest-order first-``n_cells``.
 
     Empty-shard fallback: a prefix shard can contain corpus vectors
     but ZERO centroids (e.g. sign-skewed embeddings with ingest-order
@@ -402,22 +447,12 @@ def _ivf_scored_sharded(embeddings: DataFrame, n_cells: int, prefix_planes: int)
     routed to the global min-cid centroid instead (one broadcast row),
     so every vector is always assigned somewhere."""
     e = with_norm(embeddings).withColumn("qv", _quantized(F.col("v")))
-    cent0 = _ivf_centroids(e, n_cells).localCheckpoint()
-    cent = (
-        cent0.withColumn("pfx", _prefix_bits(F.col("cv"), prefix_planes))
-        # the point of this path is NOT broadcasting the centroids
-        .hint("SHUFFLE_HASH")
+    cent0 = (
+        _ivf_centroids(e, n_cells).localCheckpoint()
+        if centroids is None
+        else centroids
     )
-    e = e.withColumn("pfx", _prefix_bits(F.col("qv"), prefix_planes))
-    scored = e.join(cent, "pfx").withColumn(
-        "s", _int_dot(F.col("qv"), F.col("cv"))
-    )
-    fallback = cent0.orderBy("cid").limit(1)
-    missing = e.join(cent.select("pfx").distinct(), "pfx", "left_anti")
-    scored_fb = missing.crossJoin(F.broadcast(fallback)).withColumn(
-        "s", _int_dot(F.col("qv"), F.col("cv"))
-    )
-    return scored.unionByName(scored_fb)
+    return _sharded_scored(e, cent0, prefix_planes)
 
 
 # Beyond this many centroids the assignment no longer broadcasts the
@@ -627,9 +662,17 @@ def semantic_dedup(
     ``max_broadcast_centroids`` to select by size alone (the
     oracle-backed harness query pins the broadcast path this way)."""
     if centroids is not None:
-        # explicit (trained) centroid table — broadcast assignment, as
-        # in knn_ivf; n_cells/prefix_planes are unused on this path
-        scored = _ivf_scored(embeddings, 0, centroids=centroids)
+        # explicit (trained) centroid table: broadcast-exact assignment
+        # by default (the oracle-transcribed path, as in knn_ivf);
+        # passing prefix_planes alongside selects the sharded
+        # assignment against the same table — linear work, the scale
+        # pairing for sharded-trained quantizers
+        if prefix_planes is not None:
+            scored = _ivf_scored_sharded(
+                embeddings, 0, prefix_planes, centroids=centroids
+            )
+        else:
+            scored = _ivf_scored(embeddings, 0, centroids=centroids)
     else:
         if n_cells is None:
             n_cells = cells_for_dedup(embeddings.count())

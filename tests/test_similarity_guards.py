@@ -93,6 +93,36 @@ def test_knn_ivf_sharded_assignment_recall_and_plan(spark):
     assert common / 30.0 >= 0.5, f"sharded IVF recall@3 {common / 30.0:.2f}"
 
 
+def test_sharded_trained_dedup_plan_and_partition(spark):
+    """The fully-linear trained dedup chain
+    (train assignment="sharded" -> semantic_dedup(centroids,
+    prefix_planes)): (a) NO stage may broadcast the centroid table —
+    every assignment (2 training rounds + the final one) must ride the
+    shuffle-hash prefix join, (b) the result is a total partition:
+    every corpus vector is either a survivor or was dropped as an
+    in-cell duplicate, never silently lost to an empty shard."""
+    from corhist_spark.similarity import (
+        cells_for_dedup,
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n = e.count()
+    cent = train_ivf_centroids(
+        e, cells_for_dedup(n), assignment="sharded", prefix_planes=2
+    )
+    out = semantic_dedup(e, threshold=0.25, centroids=cent, prefix_planes=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, "sharded assignment must shuffle-hash join"
+    survivors = out.collect()
+    assert len({r.vec_id for r in survivors}) == len(survivors)
+    # threshold high enough that the uniform fixture has no dups at
+    # all -> survivors == the whole corpus == the raw assignment
+    total = semantic_dedup(e, threshold=1.01, centroids=cent, prefix_planes=2)
+    assert total.count() == n, "sharded trained assignment lost vectors"
+
+
 def test_sharded_assignment_empty_shard_fallback(spark):
     """A vector whose sign-prefix shard contains NO centroid must not
     silently vanish from the assignment (lost query/neighbor in
