@@ -96,9 +96,20 @@ HEADLINE = [
     # English-slice target)
     "boilerplate_removal",
     "semantic_dedup_trained",
+    # the fully-linear variant: sharded Lloyd rounds + sharded final
+    # assignment — the scale deployment of trained dedup
+    "semantic_dedup_trained_sharded",
     "dsir_select",
     "cc_components",
     "subclass_closure",
+    # late r5: KG graph-shape analytics over the derived entity graph
+    # (degree-oriented triangles, 8-iteration PageRank) and the
+    # constant-size mergeable profiling sketches (count-min heavy
+    # hitters, deterministic HLL distinct)
+    "triangle_counts",
+    "pagerank",
+    "cms_heavy_hitters",
+    "hll_shingles",
 ]
 
 

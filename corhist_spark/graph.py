@@ -1,0 +1,184 @@
+"""Whole-graph analytics over the canonicalized KG: per-node triangle
+counts / clustering coefficients and fixed-iteration PageRank.
+
+The reference mines rules from the revision history but never profiles
+the GRAPH it builds; once a pipeline materializes canonical triples at
+10^12-document scale, graph-shape statistics (local clustering, node
+centrality) are the standard next consumers — these are the
+kg_construct graft-mandate counterparts of the ANN/dedup family, built
+on public algorithms:
+
+- Triangle counting uses the degree-orientation technique (Suri &
+  Vassilvitskii, "Counting Triangles and the Curse of the Last
+  Reducer", WWW 2011): orient every undirected edge from its
+  lower-(degree, id) endpoint to the higher one, enumerate wedges only
+  from each node's OUT-neighbors, and close them against the oriented
+  edge set.  Out-degree under this orientation is O(sqrt(m)) even for
+  hub nodes, so wedge volume is bounded by sum(d_out^2) <= m^1.5 —
+  the skew-proof bound that makes the plan survive power-law degree
+  distributions (a hub with degree 10^6 contributes wedges only
+  through its low-degree neighbors).  Every step is an equi-join /
+  aggregate shuffled on node keys; no broadcast, no cartesian.
+
+- PageRank (Brin & Page 1998) runs a fixed number of synchronous
+  power-iteration rounds with uniform teleport and dangling-mass
+  redistribution.  The adjacency (src, dst, out_degree) is derived
+  once and localCheckpoint-ed so the upstream plan never re-executes;
+  each round is exactly one shuffle join (ranks x adjacency on src)
+  plus one groupBy(dst) partial-aggregated sum.  At cluster scale the
+  adjacency would be a bucketed table on src so every round's join is
+  co-located; rank frames are checkpointed per round to cut lineage
+  (same fixpoint pattern as canonicalize.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_ITERS = 8
+PR_DAMPING = 0.85
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation + local clustering coefficient
+    over an undirected edge list ``edges(src, dst)`` (duplicates,
+    reversed duplicates and self-loops are cleaned here).
+
+    Returns (node, degree, n_triangles, clustering) where clustering =
+    2*T / (deg*(deg-1)) rounded to 6 decimals (0.0 for degree < 2).
+
+    Each triangle {x, y, z} (ranked x < y < z by (degree, node)) is
+    found exactly once: as the wedge (y, z) out of x closed by the
+    oriented edge y -> z — no pair-ordering dedup needed because the
+    oriented edge set contains each edge in one direction only.
+    """
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # reused 3x below (degrees, orientation, wedge closing) — cut
+        # the upstream lineage once
+        .localCheckpoint()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient each edge from the lower-(degree, node) endpoint to the
+    # higher — two node-keyed equi-joins against the degree table
+    with_deg = (
+        canon.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    # wedges out of each node's out-neighborhood (bounded by the
+    # orientation), closed against the oriented edge set
+    o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    o2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = o1.join(o2, "x").filter(F.col("y") != F.col("z"))
+    tris = wedges.join(
+        oriented,
+        (F.col("y") == F.col("u")) & (F.col("z") == F.col("v")),
+        "left_semi",
+    )
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+def pagerank(
+    edges: DataFrame, n_iters: int = PR_ITERS, damping: float = PR_DAMPING
+) -> DataFrame:
+    """Fixed-``n_iters`` synchronous PageRank over a directed edge list
+    ``edges(src, dst)`` (duplicates/self-loops cleaned here; a
+    self-loop is a legitimate sink-avoiding edge in some formulations
+    but we drop it to match the classic definition).
+
+    Returns (node, rank_norm) with rank_norm = rank * n_nodes rounded
+    to 6 decimals (1.0 = the uniform-rank baseline) — normalizing
+    before rounding keeps ~6 significant digits regardless of graph
+    size, and the cross-engine float contract (sums whose addition
+    order differs between engines agree to ~1e-12, far inside the
+    rounding grid) matches the repo-wide precedent (cosines, NLLs).
+
+    Dangling mass (rank sitting on nodes with no out-edges) is
+    redistributed uniformly each round, so total rank is conserved and
+    sums to 1 every iteration.  The per-round dangling scalar is read
+    off the PREVIOUS round's checkpointed frame — a driver-side
+    constant-size aggregate, same pattern as the closure loops.
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    # adjacency with out-degree attached, derived once; at cluster
+    # scale this is the bucketed-by-src table every round re-reads
+    adj = e.join(outdeg, "src").localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(n_iters):
+        dang = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        contribs = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .select(F.col("dst"), (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dang / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_norm")
+    )

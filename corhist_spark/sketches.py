@@ -1,0 +1,191 @@
+"""Mergeable one-pass sketches for corpus profiling at 100-TB scale:
+count-min heavy hitters and a deterministic HyperLogLog-style distinct
+estimator.
+
+At 10^12 documents you cannot afford "groupBy token" / "COUNT(DISTINCT
+shingle)" as a routine profiling step — the profile itself must be a
+constant-size, mergeable summary built in one pass (Cormode &
+Muthukrishnan 2005 for count-min; Flajolet et al. 2007 for HLL).  Both
+sketches here are exact-deterministic (md5-keyed hashing, integer
+register math) so their results are cross-engine transcribable into
+DuckDB oracles — unlike Spark's built-in approx_count_distinct, whose
+HLL++ internals are not reproducible SQL.
+
+Scale shape:
+- The CMS build explodes depth rows per token occurrence and
+  immediately groupBy(row, bucket)-aggregates — map-side partial
+  aggregation collapses each partition to <= depth*width rows before
+  the (single) shuffle, so the sketch costs one linear pass whatever
+  the corpus size.  Querying the sketch needs a CANDIDATE set (the
+  sketch answers point queries, it does not enumerate) — the standard
+  two-pass pattern; candidates here come from a deterministic document
+  sample, and any true heavy hitter appears in a large-enough sample
+  with overwhelming probability.
+- The HLL build is one groupBy(bucket).max over the token stream —
+  again one map-side-combined shuffle to m rows.  Registers are
+  derived from the md5 hex string with pure string/CASE arithmetic
+  (no float log2 on the hot path) so Spark and DuckDB produce
+  bit-identical registers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_CAND_MOD = 16  # candidate sample: doc_id % CMS_CAND_MOD == 0
+CMS_MIN_PPM = 500  # heavy-hitter threshold, parts-per-million
+HLL_BUCKETS = 256  # 2 hex chars; sigma = 1.04/sqrt(256) = 6.5%
+# alpha_m for m >= 128 (Flajolet et al. 2007, Fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_BUCKETS)
+
+
+def _hex13(col):
+    """First 13 md5 hex chars as a 52-bit BIGINT — the repo-wide
+    deterministic hash (same decode as textops.hexval_sql)."""
+    return F.expr(f"CAST(conv(substr(md5({col}), 1, 13), 16, 10) AS BIGINT)")
+
+
+def doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) — whitespace tokens, empties dropped."""
+    return docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+
+
+def cms_build(tokens: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-min sketch of the ``tok`` column: (row, bucket, cnt) with
+    depth*width cells.  Row r's hash is md5("r:" || tok) — independent
+    salted hashes, one md5 per (token occurrence, row)."""
+    rows = tokens.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    )
+    return (
+        rows.withColumn(
+            "bucket",
+            _hex13("concat(CAST(r AS STRING), ':', tok)") % width,
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    candidate_mod: int = CMS_CAND_MOD,
+    min_ppm: int = CMS_MIN_PPM,
+) -> DataFrame:
+    """Tokens whose count-min ESTIMATE is >= min_ppm parts-per-million
+    of the total token stream -> (token, est_count).
+
+    est_count = min over the depth rows of the addressed cell (the CM
+    upper bound: est >= true count always, with overestimation bounded
+    by e*N/width per row).  Candidates are the distinct tokens of the
+    deterministic doc_id % candidate_mod == 0 document sample; the
+    threshold compare is pure integer math (est * 1e6 >= total *
+    min_ppm) so both engines decide identically."""
+    toks = doc_tokens(docs)
+    sketch = cms_build(toks, depth, width)
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    cand = (
+        doc_tokens(docs.filter(F.col("doc_id") % candidate_mod == 0))
+        .select("tok")
+        .distinct()
+    )
+    cand_cells = cand.select(
+        "tok", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    ).withColumn(
+        "bucket", _hex13("concat(CAST(r AS STRING), ':', tok)") % width
+    )
+    est = (
+        cand_cells.join(sketch, ["r", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))  # single-row totals frame
+        .filter(F.col("est_count") * 1_000_000 >= F.col("total") * min_ppm)
+        .select(F.col("tok").alias("token"), "est_count")
+    )
+
+
+def _hll_rho(tail_col: str):
+    """rho(tail) = 1 + number of leading zero BITS of the 52-bit value
+    written as 13 hex chars — computed by counting leading '0' hex
+    chars plus a CASE on the first non-zero char.  String/CASE only:
+    float log2 would misround near exact powers of two (log2(2^52 - 1)
+    rounds to 52.0 in IEEE double), and this must match DuckDB
+    bit-for-bit."""
+    z = F.length(F.regexp_extract(F.col(tail_col), "^0*", 0))
+    first = F.substring(
+        F.regexp_extract(F.col(tail_col), "^0*(.?)", 1), 1, 1
+    )
+    extra = (
+        F.when(first == "1", 3)
+        .when(first.isin("2", "3"), 2)
+        .when(first.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    # all-zero tail (z = 13): rho = 52 + 1
+    return F.when(z == 13, F.lit(53)).otherwise(z * 4 + extra + 1)
+
+
+def hll_registers(values: DataFrame, col: str = "s") -> DataFrame:
+    """(bucket, reg) HLL registers over the ``col`` column: bucket =
+    first 2 md5 hex chars (256 buckets), reg = max rho of the next 13
+    hex chars (52 bits).  One map-side-combined shuffle to <= 256
+    rows; registers merge across partitions/files by max."""
+    h = values.select(F.md5(F.col(col)).alias("h"))
+    return (
+        h.select(
+            F.expr("CAST(conv(substr(h, 1, 2), 16, 10) AS INT)").alias("bucket"),
+            F.substring("h", 3, 13).alias("tail"),
+        )
+        .select("bucket", _hll_rho("tail").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_BUCKETS) -> DataFrame:
+    """One-row (hll_estimate BIGINT, zero_registers INT) from a
+    register table.  Raw estimate alpha*m^2 / sum(2^-reg) with absent
+    buckets contributing 2^0 = 1; small-range linear counting
+    m*ln(m/zeros) when raw <= 2.5m and zeros > 0 (Flajolet et al.'s
+    standard correction).  The 256-term double sum is order-dependent
+    only at ~1e-15 relative — rounding the ~N-sized estimate to an
+    integer is far outside that noise."""
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    ).select(
+        (F.col("s_present") + (F.lit(m) - F.col("n_present"))).alias("s"),
+        (F.lit(m) - F.col("n_present")).cast("int").alias("zero_registers"),
+    )
+    raw = F.lit(HLL_ALPHA * m * m) / F.col("s")
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("zero_registers") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zero_registers")),
+    ).otherwise(raw)
+    return agg.select(
+        F.round(est, 0).cast("bigint").alias("hll_estimate"),
+        "zero_registers",
+    )
+
+
+def hll_distinct_shingles(docs: DataFrame, n: int = 16) -> DataFrame:
+    """One-row HLL distinct-count estimate of the corpus's n-char
+    shingle population (the minhash shingle universe — the cardinality
+    a dedup planner needs, at 10^12 docs far too large to COUNT
+    (DISTINCT)).  Same shingle extraction as textops.minhash_signatures."""
+    sh = docs.select(
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+        ).alias("i"),
+        "text",
+    ).select(F.expr(f"substr(text, i, {n})").alias("s"))
+    return hll_estimate(hll_registers(sh))

@@ -1,0 +1,257 @@
+"""Unit tests for the KG graph-analytics (triangles, PageRank) and
+sketch-profiling (count-min, HLL) operators, against hand-checked
+fixtures and exact pure-Python reference implementations — the
+cross-engine DuckDB rows live in test_entry_oracle.py; these pin the
+ALGORITHMS on graphs/streams small enough to verify by hand."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from corhist_spark.graph import pagerank, triangle_counts
+from corhist_spark.sketches import (
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_ALPHA,
+    HLL_BUCKETS,
+    cms_build,
+    cms_heavy_hitters,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+# ---- triangles ----
+
+
+def test_triangle_counts_hand_checked(spark):
+    # K4 on {a,b,c,d} minus edge c-d, plus pendant e:
+    #   triangles: {a,b,c}, {a,b,d}  ->  a:2 b:2 c:1 d:1 e:0
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("a", "e"),
+        # noise the cleaner must drop: self-loop, dup, reversed dup
+        ("a", "a"), ("b", "a"), ("a", "b"),
+    ]
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in triangle_counts(_edges(spark, pairs)).collect()
+    }
+    assert got == {
+        "a": (4, 2, round(2 * 2 / (4 * 3), 6)),
+        "b": (3, 2, round(2 * 2 / (3 * 2), 6)),
+        "c": (2, 1, 1.0),
+        "d": (2, 1, 1.0),
+        "e": (1, 0, 0.0),
+    }
+
+
+def test_triangle_counts_random_vs_python(spark):
+    # pseudo-random multigraph (the entry fixture's shape) vs a brute
+    # triple-loop reference
+    import itertools
+
+    k = 24
+    pairs = [
+        (f"n{i % k}", f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k}")
+        for i in range(400)
+    ]
+    adj: dict[str, set] = {}
+    for s, d in pairs:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    want_t = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                want_t[n] += 1
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(_edges(spark, pairs)).collect()
+    }
+    assert got == {n: (len(adj[n]), want_t[n]) for n in adj}
+
+
+# ---- pagerank ----
+
+
+def _pagerank_python(pairs, n_iters=8, damping=0.85):
+    e = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    out: dict[str, list] = {}
+    for s, d in e:
+        out.setdefault(s, []).append(d)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iters):
+        dang = sum(rank[v] for v in nodes if v not in out)
+        contrib = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += rank[s] / len(ds)
+        rank = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + dang / n)
+            for v in nodes
+        }
+    return {v: round(rank[v] * n, 6) for v in nodes}, rank
+
+
+def test_pagerank_vs_python_and_mass_conserved(spark):
+    # cycle + chord + a DANGLING sink (f has no out-edges) so the
+    # dangling-redistribution branch actually runs
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+        ("c", "f"), ("b", "f"),
+        ("a", "a"), ("a", "b"),  # cleaner noise
+    ]
+    want, raw = _pagerank_python(pairs)
+    got = {r["node"]: r["rank_norm"] for r in pagerank(_edges(spark, pairs)).collect()}
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-6), v
+    assert sum(raw.values()) == pytest.approx(1.0, abs=1e-12)  # mass conserved
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # on a directed cycle every node has rank exactly 1/n -> norm 1.0
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = {r["node"]: r["rank_norm"] for r in pagerank(_edges(spark, pairs)).collect()}
+    assert got == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
+
+
+# ---- count-min ----
+
+
+def test_cms_estimate_upper_bounds_truth_and_finds_heavy(spark):
+    # 'the' at ~33%, 'of' at ~17%, long uniform tail: both heavies
+    # must surface; every CM estimate >= the true count (the sketch's
+    # one-sided guarantee), and est <= truth + N/width per row bound
+    # is loose enough that on this tiny stream est == truth for the
+    # heavies with overwhelming probability, so pin the ppm filter
+    # end-to-end instead of the estimates.
+    docs = spark.createDataFrame(
+        [(i, " ".join(["the", "the", "of", f"w{i}", f"u{i % 97}", "the"]))
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    hh = {r["token"]: r["est_count"] for r in cms_heavy_hitters(docs).collect()}
+    assert "the" in hh and "of" in hh
+    true_the, true_of = 600, 200
+    assert hh["the"] >= true_the and hh["of"] >= true_of
+    # no singleton from the tail can pass the 500-ppm bar (1200 total
+    # stream = bar at >= 1 ... so singletons CAN pass only if their
+    # estimate collides up to >= 0.6; assert the heavies dominate)
+    assert hh["the"] == max(hh.values())
+
+
+def test_cms_sketch_size_is_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"a b c d e f g h w{i}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    from corhist_spark.sketches import doc_tokens
+
+    sk = cms_build(doc_tokens(docs))
+    assert sk.count() <= CMS_DEPTH * CMS_WIDTH  # constant-size summary
+
+
+# ---- HLL ----
+
+
+def _hll_python(values):
+    regs: dict[int, int] = {}
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        bucket = int(h[:2], 16)
+        tail = h[2:15]
+        bits = bin(int(tail, 16))[2:].zfill(52)
+        rho = 53 if int(tail, 16) == 0 else bits.index("1") + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    m = HLL_BUCKETS
+    s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    zeros = m - len(regs)
+    raw = HLL_ALPHA * m * m / s
+    if raw <= 2.5 * m and zeros > 0:
+        est = float(m) * math.log(float(m) / zeros)
+    else:
+        est = raw
+    return int(round(est)), zeros
+
+
+def test_hll_registers_match_bit_reference(spark):
+    # the string/CASE rho must equal the true leading-zero count of
+    # the 52-bit tail for every value — compare register tables
+    vals = [f"v{i}" for i in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r["bucket"]: r["reg"] for r in hll_registers(df).collect()}
+    want: dict[int, int] = {}
+    for v in vals:
+        h = hashlib.md5(v.encode()).hexdigest()
+        b, tail = int(h[:2], 16), h[2:15]
+        bits = bin(int(tail, 16))[2:].zfill(52)
+        rho = 53 if int(tail, 16) == 0 else bits.index("1") + 1
+        want[b] = max(want.get(b, 0), rho)
+    assert got == want
+
+
+def test_hll_estimate_matches_python_and_is_accurate(spark):
+    vals = [f"item-{i}" for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    row = hll_estimate(hll_registers(df)).first()
+    want_est, want_zeros = _hll_python(vals)
+    assert row["zero_registers"] == want_zeros
+    assert row["hll_estimate"] == want_est
+    # 256 buckets -> sigma ~6.5%; 3 sigma = 20%
+    assert abs(row["hll_estimate"] - 5000) / 5000 < 0.20
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 20 distinct values -> most registers zero -> the linear-counting
+    # branch fires and is near-exact
+    vals = [f"x{i}" for i in range(20)]
+    df = spark.createDataFrame([(v,) for v in vals * 5], "s string")
+    row = hll_estimate(hll_registers(df)).first()
+    want_est, want_zeros = _hll_python(vals)
+    assert (row["hll_estimate"], row["zero_registers"]) == (want_est, want_zeros)
+    assert abs(row["hll_estimate"] - 20) <= 2
+
+
+# ---- plan guards (the 100-TB shape) ----
+
+
+def test_graph_and_sketch_plans_stay_jvm_side(spark):
+    docs = spark.createDataFrame(
+        [(i, "a b c " + f"w{i}") for i in range(50)], "doc_id long, text string"
+    )
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    for df in (
+        triangle_counts(edges),
+        pagerank(edges, n_iters=2),
+        cms_heavy_hitters(docs),
+        hll_registers(docs.select(F.col("text").alias("s"))),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedges_use_oriented_out_degree(spark):
+    # a star (hub h with 30 leaves) has NO triangles; the degree
+    # orientation must direct every edge leaf->hub, so wedge volume
+    # from the hub side is zero (the Suri-Vassilvitskii skew bound) —
+    # pin the result and that the count is exact
+    pairs = [("h", f"l{i}") for i in range(30)]
+    rows = triangle_counts(_edges(spark, pairs)).collect()
+    assert all(r["n_triangles"] == 0 for r in rows)
+    hub = [r for r in rows if r["node"] == "h"][0]
+    assert hub["degree"] == 30 and hub["clustering"] == 0.0
