@@ -3395,9 +3395,14 @@ _CMS_SQL = f"""
     WHERE e.est_count * 1000000 >= t.total * {_CMS_MIN_PPM}
 """
 
-# rho(tail) via leading-zero HEX-char count + CASE on the first
-# non-zero char — string/CASE only, mirroring sketches._hll_rho
-# bit-for-bit (no float log2 anywhere).
+# rho(v) = 53 - bit_length(v) over the decoded 52-bit tail —
+# integer/length arithmetic only, mirroring sketches.hll_registers
+# bit-for-bit (Spark conv(v,10,2) == DuckDB bin(v) char-for-char on
+# non-negative inputs; no float log2 anywhere).
+_HLL_TAIL_DECODE = "+".join(
+    f"(strpos('0123456789abcdef', substr(h, {3 + i}, 1))-1)*{16 ** (12 - i)}"
+    for i in range(13)
+)
 _HLL_SQL = f"""
     WITH sh AS (
       SELECT substr(text, CAST(i AS INT), 16) AS s
@@ -3408,16 +3413,12 @@ _HLL_SQL = f"""
     parts AS (
       SELECT (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
              + strpos('0123456789abcdef', substr(h, 2, 1)) - 1 AS bucket,
-             length(regexp_extract(substr(h, 3, 13), '^0*')) AS z,
-             substr(regexp_extract(substr(h, 3, 13), '^0*(.?)', 1), 1, 1) AS f
+             {_HLL_TAIL_DECODE} AS v
       FROM h
     ), regs AS MATERIALIZED (
       SELECT bucket,
-             MAX(CASE WHEN z = 13 THEN 53 ELSE z * 4
-                   + CASE WHEN f = '1' THEN 3
-                          WHEN f IN ('2', '3') THEN 2
-                          WHEN f IN ('4', '5', '6', '7') THEN 1
-                          ELSE 0 END + 1 END) AS reg
+             MAX(CASE WHEN v = 0 THEN 53
+                      ELSE CAST(53 - length(bin(v)) AS INT) END) AS reg
       FROM parts GROUP BY bucket
     ), agg AS (
       SELECT SUM(power(2.0, -reg)) AS s_present, COUNT(*) AS n_present

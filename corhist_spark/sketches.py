@@ -23,9 +23,9 @@ Scale shape:
   with overwhelming probability.
 - The HLL build is one groupBy(bucket).max over the token stream —
   again one map-side-combined shuffle to m rows.  Registers are
-  derived from the md5 hex string with pure string/CASE arithmetic
-  (no float log2 on the hot path) so Spark and DuckDB produce
-  bit-identical registers.
+  derived from the md5 hex digits with pure integer/bit-length
+  arithmetic (no float log2, no per-row regexp on the hot path) so
+  Spark and DuckDB produce bit-identical registers.
 """
 
 from __future__ import annotations
@@ -46,6 +46,22 @@ def _hex13(col):
     """First 13 md5 hex chars as a 52-bit BIGINT — the repo-wide
     deterministic hash (same decode as textops.hexval_sql)."""
     return F.expr(f"CAST(conv(substr(md5({col}), 1, 13), 16, 10) AS BIGINT)")
+
+
+def _spread(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Tiny-input guard for explode-amplified scans: a 100-TB corpus
+    arrives in thousands of file partitions, but a small or compacted
+    input can map to FEWER partitions than cores, and the 10-40x
+    token/shingle explode that follows then pins all the hash work on
+    those few tasks (measured at the sf1 tier: 19M shingle-md5s ran
+    on 2 of 32 cores, 46s instead of ~4s).  Hash-spread the small
+    pre-explode input across the session parallelism only in that
+    case — at real scale the scan already has more partitions than
+    this and the guard is a no-op, never an extra corpus shuffle."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, key)
+    return docs
 
 
 def doc_tokens(docs: DataFrame) -> DataFrame:
@@ -88,7 +104,7 @@ def cms_heavy_hitters(
     deterministic doc_id % candidate_mod == 0 document sample; the
     threshold compare is pure integer math (est * 1e6 >= total *
     min_ppm) so both engines decide identically."""
-    toks = doc_tokens(docs)
+    toks = doc_tokens(_spread(docs))
     sketch = cms_build(toks, depth, width)
     total = toks.agg(F.count(F.lit(1)).alias("total"))
     cand = (
@@ -113,39 +129,32 @@ def cms_heavy_hitters(
     )
 
 
-def _hll_rho(tail_col: str):
-    """rho(tail) = 1 + number of leading zero BITS of the 52-bit value
-    written as 13 hex chars — computed by counting leading '0' hex
-    chars plus a CASE on the first non-zero char.  String/CASE only:
-    float log2 would misround near exact powers of two (log2(2^52 - 1)
-    rounds to 52.0 in IEEE double), and this must match DuckDB
-    bit-for-bit."""
-    z = F.length(F.regexp_extract(F.col(tail_col), "^0*", 0))
-    first = F.substring(
-        F.regexp_extract(F.col(tail_col), "^0*(.?)", 1), 1, 1
-    )
-    extra = (
-        F.when(first == "1", 3)
-        .when(first.isin("2", "3"), 2)
-        .when(first.isin("4", "5", "6", "7"), 1)
-        .otherwise(0)
-    )
-    # all-zero tail (z = 13): rho = 52 + 1
-    return F.when(z == 13, F.lit(53)).otherwise(z * 4 + extra + 1)
-
-
 def hll_registers(values: DataFrame, col: str = "s") -> DataFrame:
     """(bucket, reg) HLL registers over the ``col`` column: bucket =
     first 2 md5 hex chars (256 buckets), reg = max rho of the next 13
     hex chars (52 bits).  One map-side-combined shuffle to <= 256
-    rows; registers merge across partitions/files by max."""
+    rows; registers merge across partitions/files by max.
+
+    rho(v) = 1 + leading-zero-bits of the 52-bit tail value =
+    53 - bit_length(v), with bit_length read as the LENGTH of the
+    unpadded base-2 string (Spark conv(v,10,2) == DuckDB bin(v)
+    char-for-char on non-negative inputs) — pure integer/length
+    arithmetic on the hot path: float log2 would misround near exact
+    powers of two, and per-row regexps cost ~2us each at 10^8-shingle
+    scale (measured 30% of the sf1 wall before this formulation)."""
     h = values.select(F.md5(F.col(col)).alias("h"))
     return (
         h.select(
             F.expr("CAST(conv(substr(h, 1, 2), 16, 10) AS INT)").alias("bucket"),
-            F.substring("h", 3, 13).alias("tail"),
+            F.expr("CAST(conv(substr(h, 3, 13), 16, 10) AS BIGINT)").alias("v"),
         )
-        .select("bucket", _hll_rho("tail").alias("rho"))
+        .select(
+            "bucket",
+            F.expr(
+                "CASE WHEN v = 0 THEN 53"
+                " ELSE CAST(53 - length(conv(v, 10, 2)) AS INT) END"
+            ).alias("rho"),
+        )
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
@@ -182,7 +191,7 @@ def hll_distinct_shingles(docs: DataFrame, n: int = 16) -> DataFrame:
     shingle population (the minhash shingle universe — the cardinality
     a dedup planner needs, at 10^12 docs far too large to COUNT
     (DISTINCT)).  Same shingle extraction as textops.minhash_signatures."""
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
         ).alias("i"),
