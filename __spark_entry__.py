@@ -1744,6 +1744,43 @@ def q_hll_shingles(spark, sf_dir):
     return hll_distinct_shingles(_t(spark, sf_dir, "documents"))
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous 4-round label propagation (Raghavan et al. 2007)
+    over the derived entity graph — deterministic (min-label
+    tie-break, fixed synchronous schedule) community detection for
+    KG shape profiling; integer/string comparisons only, so the
+    DuckDB transcription is exact."""
+    from corhist_spark.graph import label_propagation
+
+    return label_propagation(_kg_edges(spark, sf_dir))
+
+
+def q_predicate_pmi(spark, sf_dir):
+    """PMI between predicate pairs over the subjects of the derived
+    current state — the schema-shape statistic that surfaces
+    strongly coupled properties for constraint/rule mining.  The
+    log ratio is ONE double division of two exact BIGINT products."""
+    from corhist_spark.graph import predicate_pmi
+
+    return predicate_pmi(_hist_current(spark, sf_dir))
+
+
+# fixed deterministic keyword profile for the BM25 selection query —
+# shared verbatim by the Spark query and the DuckDB transcription
+_BM25_QUERY = ("join", "stream", "vector")
+
+
+def q_bm25_select(spark, sf_dir):
+    """Okapi BM25 scores for a fixed keyword profile over documents —
+    the retrieval-style curation complement of dsir_select (pick
+    training documents matching a topic profile).  Lucene's
+    always-positive idf; corpus scanned once, query terms filtered
+    BEFORE aggregation, N/avgdl single-row broadcast."""
+    from corhist_spark.retrieval import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), list(_BM25_QUERY))
+
+
 def q_canonical_triples(spark, sf_dir):
     """Graph materialize with entity canonicalization: the current-
     state triples of the derived history remapped through connected
@@ -2319,6 +2356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "hll_shingles": q_hll_shingles,
+        "label_propagation": q_label_propagation,
+        "predicate_pmi": q_predicate_pmi,
+        "bm25_select": q_bm25_select,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3438,6 +3478,94 @@ _HLL_SQL = f"""
              END, 0) AS BIGINT) AS hll_estimate,
            zero_registers
     FROM est0
+"""
+
+from corhist_spark.graph import LPA_ITERS as _LPA_ITERS
+from corhist_spark.retrieval import BM25_B as _BM25_B
+from corhist_spark.retrieval import BM25_K1 as _BM25_K1
+
+
+def _lpa_round(k: int) -> str:
+    """One synchronous LPA round (mirrors graph.label_propagation):
+    most frequent neighbor label, frequency ties -> smallest label."""
+    return f"""l{k} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.u AS node, l.label, COUNT(*) AS c,
+               row_number() OVER (PARTITION BY e.u
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM und e JOIN l{k - 1} l ON l.node = e.v
+        GROUP BY e.u, l.label
+      ) WHERE rn = 1
+    )"""
+
+
+_LPA_SQL = f"""{_KG_EDGE_CTES}, canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM und
+    ), {", ".join(_lpa_round(k) for k in range(1, _LPA_ITERS + 1))}
+    SELECT node, label FROM l{_LPA_ITERS}
+"""
+
+# Predicate-pair PMI over the derived current state: the body extends
+# the shared history WITH-list (leading comma), mirroring
+# graph.predicate_pmi — exact-integer products, one double division.
+_PMI_BODY = """
+    , sp AS MATERIALIZED (SELECT DISTINCT subj, pred FROM h_cur),
+    pnn AS (SELECT COUNT(DISTINCT subj) AS n_subjects FROM sp),
+    pmarg AS (SELECT pred, COUNT(*) AS n_pred FROM sp GROUP BY pred),
+    ppairs AS (
+      SELECT a.pred AS pred_a, b.pred AS pred_b, COUNT(*) AS n_both
+      FROM sp a JOIN sp b ON a.subj = b.subj AND a.pred < b.pred
+      GROUP BY a.pred, b.pred
+    )
+    SELECT p.pred_a, p.pred_b, p.n_both,
+           round(ln(CAST(p.n_both * (SELECT n_subjects FROM pnn) AS DOUBLE)
+                    / CAST(ma.n_pred * mb.n_pred AS DOUBLE)), 6) AS pmi
+    FROM ppairs p
+    JOIN pmarg ma ON ma.pred = p.pred_a
+    JOIN pmarg mb ON mb.pred = p.pred_b
+"""
+
+# Okapi BM25 with Lucene's always-positive idf; floats enter only as
+# repr-interpolated Python constants CAST to DOUBLE so both engines
+# evaluate the identical expression tree (avgdl is an exact BIGINT
+# sum / exact count in both).
+_BM25_SQL = f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), dl AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN ({", ".join(f"'{t}'" for t in _BM25_QUERY)})
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+    )
+    SELECT t.doc_id,
+           round(SUM(
+             ln(CAST(1.0 AS DOUBLE)
+                + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                  / (f.df + CAST(0.5 AS DOUBLE)))
+             * (t.tf * CAST({_BM25_K1 + 1.0!r} AS DOUBLE))
+             / (t.tf + CAST({_BM25_K1!r} AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE) - CAST({_BM25_B!r} AS DOUBLE)
+                   + CAST({_BM25_B!r} AS DOUBLE) * d.dl / s.avgdl))
+           ), 6) AS bm25
+    FROM tf t
+    JOIN dfreq f USING (tok)
+    JOIN dl d USING (doc_id), stats s
+    GROUP BY t.doc_id
 """
 
 
@@ -5089,6 +5217,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _PAGERANK_SQL,
         "cms_heavy_hitters": _CMS_SQL,
         "hll_shingles": _HLL_SQL,
+        "label_propagation": _LPA_SQL,
+        "predicate_pmi": with_history_ctes(_PMI_BODY),
+        "bm25_select": _BM25_SQL,
         # literals derived from the Python constants (occupancy/floor
         # from similarity.cells_for_dedup, threshold from the fixture
         # constant the Spark query passes) so a change to either side

@@ -110,6 +110,12 @@ HEADLINE = [
     "pagerank",
     "cms_heavy_hitters",
     "hll_shingles",
+    # late r5 batch 2: deterministic community detection, predicate
+    # co-occurrence PMI over the derived current state, and BM25
+    # keyword-profile selection
+    "label_propagation",
+    "predicate_pmi",
+    "bm25_select",
 ]
 
 

@@ -182,3 +182,111 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rank_norm")
     )
+
+
+LPA_ITERS = 4
+
+
+def label_propagation(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    over the undirected graph of ``edges(src, dst)``, run a fixed
+    ``n_iters`` rounds -> (node, label): cheap community detection
+    for KG shape profiling (densely interlinked entity clusters keep
+    converging onto one label).
+
+    Deterministic by construction, unlike the paper's asynchronous
+    random-sweep variant: labels start as the node's own id, every
+    round each node takes the most frequent label among its
+    neighbors, and frequency ties break toward the SMALLEST label —
+    integer/string comparisons only, no floats anywhere, so the
+    DuckDB transcription is exact.
+
+    Scale shape: each round is ONE node-keyed equi-join (labels onto
+    the reversed adjacency) + one partial-aggregated count + one
+    per-node window over <= degree distinct labels; at cluster scale
+    the adjacency is bucketed on the join side so every round
+    co-locates, and label frames are checkpointed per round to cut
+    lineage (the pagerank/closure fixpoint pattern)."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(n_iters):
+        neigh = und.join(labels, und["v"] == labels["node"]).select(
+            und["u"].alias("node"), "label"
+        )
+        labels = (
+            neigh.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def predicate_pmi(state: DataFrame) -> DataFrame:
+    """Pointwise mutual information between predicate PAIRS over the
+    subjects that carry both — the KG schema-shape statistic that
+    surfaces strongly coupled properties (e.g. birth-date ~ birth-
+    place) for constraint/rule mining: (pred_a, pred_b, n_both, pmi)
+    with pred_a < pred_b, presence-based (distinct subject-predicate),
+    pmi = ln(n_both * n_subjects / (n_a * n_b)) rounded to 6 decimals
+    — the ratio is formed as ONE double division of two EXACT BIGINT
+    products, so both engines feed ln the identical double.
+
+    Scale shape: one distinct over (subj, pred), then a subject-keyed
+    self-join whose per-subject output is bounded by the predicate
+    vocabulary (a KG has thousands of properties, not billions), then
+    a pair-keyed count — the only corpus-sized shuffles are the
+    distinct and the subject join; marginals and the subject total
+    are property-vocabulary-sized and broadcast."""
+    sp = state.select("subj", "pred").distinct().localCheckpoint()
+    n = sp.select(F.countDistinct("subj").alias("n_subjects"))
+    marg = sp.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pred"))
+    a = sp.select("subj", F.col("pred").alias("pred_a"))
+    bb = sp.select("subj", F.col("pred").alias("pred_b"))
+    pairs = (
+        a.join(bb, "subj")
+        .filter(F.col("pred_a") < F.col("pred_b"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("pred").alias("pred_a"), F.col("n_pred").alias("n_a"))),
+            "pred_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("pred").alias("pred_b"), F.col("n_pred").alias("n_b"))),
+            "pred_b",
+        )
+        .crossJoin(F.broadcast(n))  # single-row totals frame
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_both",
+            F.round(
+                F.log(
+                    (F.col("n_both") * F.col("n_subjects")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

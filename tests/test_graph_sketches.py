@@ -1,8 +1,9 @@
-"""Unit tests for the KG graph-analytics (triangles, PageRank) and
-sketch-profiling (count-min, HLL) operators, against hand-checked
-fixtures and exact pure-Python reference implementations — the
-cross-engine DuckDB rows live in test_entry_oracle.py; these pin the
-ALGORITHMS on graphs/streams small enough to verify by hand."""
+"""Unit tests for the KG graph-analytics (triangles, PageRank, label
+propagation, predicate PMI), sketch-profiling (count-min, HLL) and
+retrieval (BM25) operators, against hand-checked fixtures and exact
+pure-Python reference implementations — the cross-engine DuckDB rows
+live in test_entry_oracle.py; these pin the ALGORITHMS on
+graphs/streams small enough to verify by hand."""
 
 from __future__ import annotations
 
@@ -129,6 +130,118 @@ def test_pagerank_uniform_on_symmetric_cycle(spark):
     assert got == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
 
 
+# ---- label propagation ----
+
+
+def _lpa_python(pairs, n_iters=4):
+    canon = sorted({(min(s, d), max(s, d)) for s, d in pairs if s != d})
+    adj: dict[str, list] = {}
+    for a, b in canon:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    label = {v: v for v in adj}
+    for _ in range(n_iters):
+        new = {}
+        for v in adj:
+            counts: dict[str, int] = {}
+            for u in adj[v]:
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            new[v] = min(
+                counts, key=lambda lb: (-counts[lb], lb)
+            )  # max freq, tie -> smallest label
+        label = new
+    return label
+
+
+def test_label_propagation_two_communities(spark):
+    from corhist_spark.graph import label_propagation
+
+    # two triangles joined by one bridge edge: each triangle converges
+    # onto its own min label
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+        ("b", "a"), ("a", "a"),  # cleaner noise
+    ]
+    got = {r["node"]: r["label"] for r in label_propagation(_edges(spark, pairs)).collect()}
+    assert got == _lpa_python(pairs)
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["y"] == got["z"]  # the far triangle stays one community
+
+
+def test_label_propagation_random_vs_python(spark):
+    k = 20
+    pairs = [
+        (f"n{i % k}", f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k}")
+        for i in range(120)
+    ]
+    from corhist_spark.graph import label_propagation
+
+    got = {r["node"]: r["label"] for r in label_propagation(_edges(spark, pairs)).collect()}
+    assert got == _lpa_python(pairs)
+
+
+# ---- predicate PMI ----
+
+
+def test_predicate_pmi_hand_checked(spark):
+    from corhist_spark.graph import predicate_pmi
+
+    state = spark.createDataFrame(
+        [
+            ("s1", "P1", "v"), ("s1", "P2", "v"),
+            ("s2", "P1", "v"), ("s2", "P2", "v"), ("s2", "P2", "w"),  # dup presence
+            ("s3", "P1", "v"),
+            ("s4", "P3", "v"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = predicate_pmi(state).collect()
+    assert len(rows) == 1  # only (P1, P2) co-occurs
+    r = rows[0]
+    assert (r["pred_a"], r["pred_b"], r["n_both"]) == ("P1", "P2", 2)
+    # pmi = ln(n_both * n / (n_a * n_b)) = ln(2*4 / (3*2))
+    assert r["pmi"] == pytest.approx(round(math.log(8 / 6), 6), abs=1e-9)
+
+
+# ---- BM25 ----
+
+
+def test_bm25_vs_python(spark):
+    from corhist_spark.retrieval import BM25_B, BM25_K1, bm25_scores
+
+    texts = {
+        0: "join join vector table scan",
+        1: "join table table scan scan filter",
+        2: "vector vector vector pad pad pad pad pad",
+        3: "table scan filter group sort",  # no query terms -> absent
+    }
+    q = ["join", "vector"]
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, q).collect()}
+
+    toks = {d: t.split() for d, t in texts.items()}
+    n, avgdl = len(toks), sum(map(len, toks.values())) / len(toks)
+    want = {}
+    for d, ts in toks.items():
+        s = 0.0
+        for t in set(q) & set(ts):
+            df = sum(1 for ts2 in toks.values() if t in ts2)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = ts.count(t)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(ts) / avgdl)
+            )
+        if s:
+            want[d] = round(s, 6)
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=2e-6), d
+    # doc 0 matches both terms; doc 1 matches one and is longer
+    assert got[0] > got[1]
+
+
 # ---- count-min ----
 
 
@@ -230,13 +343,22 @@ def test_hll_small_range_linear_counting(spark):
 
 
 def test_graph_and_sketch_plans_stay_jvm_side(spark):
+    from corhist_spark.graph import label_propagation, predicate_pmi
+    from corhist_spark.retrieval import bm25_scores
+
     docs = spark.createDataFrame(
         [(i, "a b c " + f"w{i}") for i in range(50)], "doc_id long, text string"
+    )
+    state = spark.createDataFrame(
+        [("s1", "P1", "v"), ("s1", "P2", "v")], "subj string, pred string, obj string"
     )
     edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
     for df in (
         triangle_counts(edges),
         pagerank(edges, n_iters=2),
+        label_propagation(edges, n_iters=2),
+        predicate_pmi(state),
+        bm25_scores(docs, ["a", "b"]),
         cms_heavy_hitters(docs),
         hll_registers(docs.select(F.col("text").alias("s"))),
     ):
