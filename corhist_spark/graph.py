@@ -132,9 +132,10 @@ def pagerank(
 
     Dangling mass (rank sitting on nodes with no out-edges) is
     redistributed uniformly each round, so total rank is conserved and
-    sums to 1 every iteration.  The per-round dangling scalar is read
-    off the PREVIOUS round's checkpointed frame — a driver-side
-    constant-size aggregate, same pattern as the closure loops.
+    sums to 1 every iteration.  The per-round dangling scalar rides
+    the round's OWN plan as a broadcast single-row aggregate over the
+    previous (checkpointed, node-sized) rank frame — one job per
+    round, no driver round-trip between rounds.
     """
     e = (
         edges.select("src", "dst")
@@ -157,9 +158,7 @@ def pagerank(
     for _ in range(n_iters):
         dang = (
             ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         contribs = (
             adj.join(ranks, adj["src"] == ranks["node"])
@@ -169,12 +168,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dang))  # single-row totals frame
             .select(
                 "node",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dang / n))
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
