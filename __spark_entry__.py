@@ -1755,6 +1755,17 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(_kg_edges(spark, sf_dir))
 
 
+def q_random_walks(spark, sf_dir):
+    """DeepWalk-style deterministic walk corpus over the derived
+    entity graph (one 4-step walk per node; next hop = md5-hash
+    argmin over neighbors, the hash-in-place-of-RNG determinism of
+    stratified_sample) — the graph-embedding training input, fully
+    DuckDB-transcribed step by step."""
+    from corhist_spark.graph import random_walks
+
+    return random_walks(_kg_edges(spark, sf_dir))
+
+
 def q_predicate_pmi(spark, sf_dir):
     """PMI between predicate pairs over the subjects of the derived
     current state — the schema-shape statistic that surfaces
@@ -2359,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": q_label_propagation,
         "predicate_pmi": q_predicate_pmi,
         "bm25_select": q_bm25_select,
+        "random_walks": q_random_walks,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3498,6 +3510,38 @@ def _lpa_round(k: int) -> str:
       ) WHERE rn = 1
     )"""
 
+
+from corhist_spark.graph import WALK_STEPS as _WALK_STEPS
+
+
+def _walk_step(t: int) -> str:
+    """One deterministic walk step (mirrors graph.random_walks): next
+    hop = argmin over neighbors of the 13-hex md5 decode of
+    "walk:t:neighbor", ties by neighbor."""
+    h = hexval_sql(f"f.walk || ':{t}:' || e.v")
+    return f"""w{t} AS MATERIALIZED (
+      SELECT walk, node FROM (
+        SELECT f.walk, e.v AS node,
+               row_number() OVER (PARTITION BY f.walk
+                                  ORDER BY {h}, e.v) AS rn
+        FROM w{t - 1} f JOIN und e ON e.u = f.node
+      ) WHERE rn = 1
+    )"""
+
+
+_WALKS_SQL = f"""{_KG_EDGE_CTES}, canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), w0 AS MATERIALIZED (
+      SELECT DISTINCT u AS walk, u AS node FROM und
+    ), {", ".join(_walk_step(t) for t in range(1, _WALK_STEPS + 1))}
+    SELECT walk, 0 AS step, node FROM w0
+    {" ".join(f"UNION ALL SELECT walk, {t} AS step, node FROM w{t}" for t in range(1, _WALK_STEPS + 1))}
+"""
 
 _LPA_SQL = f"""{_KG_EDGE_CTES}, canon AS (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
@@ -5220,6 +5264,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": _LPA_SQL,
         "predicate_pmi": with_history_ctes(_PMI_BODY),
         "bm25_select": _BM25_SQL,
+        "random_walks": _WALKS_SQL,
         # literals derived from the Python constants (occupancy/floor
         # from similarity.cells_for_dedup, threshold from the fixture
         # constant the Spark query passes) so a change to either side

@@ -116,6 +116,8 @@ HEADLINE = [
     "label_propagation",
     "predicate_pmi",
     "bm25_select",
+    # deterministic DeepWalk-style walk corpus (graph-embedding input)
+    "random_walks",
 ]
 
 

@@ -243,6 +243,71 @@ def label_propagation(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
     return labels
 
 
+WALK_STEPS = 4
+
+
+def random_walks(edges: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
+    """DeepWalk-style walk corpus over the undirected graph of
+    ``edges(src, dst)`` — one ``n_steps``-step walk started at EVERY
+    node -> (walk, step, node) rows, step 0..n_steps: the corpus a
+    graph-embedding trainer (DeepWalk, Perozzi et al. 2014 /
+    node2vec, Grover & Leskovec 2016 — both public) consumes, and the
+    kg_construct bridge from the materialized graph back into
+    training-data generation.
+
+    The classic samplers draw the next hop from an RNG; here the next
+    hop from v at step t is the neighbor u minimizing the
+    deterministic 52-bit md5 hash of "walk:t:u" (ties by u) — the
+    same hash-in-place-of-RNG choice as stratified sampling, making
+    walks reproducible across engines, runs and partitionings, and
+    the whole corpus DuckDB-transcribable.  Each walk mixes the walk
+    id and step into the hash, so different walks take different
+    turns at the same node.
+
+    Scale shape: step t is ONE node-keyed equi-join (frontier x
+    adjacency, candidate volume = sum of frontier degrees <= 2m) plus
+    a per-walk argmin window over <= degree candidates — linear per
+    step, n_steps a small constant; the frontier is checkpointed per
+    step like every other fixpoint loop."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    from pyspark.sql import Window
+
+    frontier = und.select(F.col("u").alias("walk")).distinct().withColumn(
+        "node", F.col("walk")
+    )
+    out = frontier.withColumn("step", F.lit(0))
+    w = Window.partitionBy("walk").orderBy("h", "v")
+    for t in range(1, n_steps + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .withColumn(
+                "h",
+                F.expr(
+                    f"CAST(conv(substr(md5(concat(walk, ':', '{t}', ':', v)), 1, 13),"
+                    " 16, 10) AS BIGINT)"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("walk", F.col("v").alias("node"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(nxt.withColumn("step", F.lit(t)))
+        frontier = nxt
+    return out.select("walk", "step", "node")
+
+
 def predicate_pmi(state: DataFrame) -> DataFrame:
     """Pointwise mutual information between predicate PAIRS over the
     subjects that carry both — the KG schema-shape statistic that

@@ -182,6 +182,73 @@ def test_label_propagation_random_vs_python(spark):
     assert got == _lpa_python(pairs)
 
 
+# ---- random walks ----
+
+
+def _walks_python(pairs, n_steps=4):
+    canon = sorted({(min(s, d), max(s, d)) for s, d in pairs if s != d})
+    adj: dict[str, list] = {}
+    for a, b in canon:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    rows = set()
+    for start in adj:
+        node = start
+        rows.add((start, 0, node))
+        for t in range(1, n_steps + 1):
+            node = min(
+                adj[node],
+                key=lambda v: (
+                    int(hashlib.md5(f"{start}:{t}:{v}".encode()).hexdigest()[:13], 16),
+                    v,
+                ),
+            )
+            rows.add((start, t, node))
+    return rows
+
+
+def test_random_walks_vs_python(spark):
+    from corhist_spark.graph import random_walks
+
+    k = 16
+    pairs = [
+        (f"n{i % k}", f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k}")
+        for i in range(80)
+    ]
+    got = {
+        (r["walk"], r["step"], r["node"])
+        for r in random_walks(_edges(spark, pairs)).collect()
+    }
+    assert got == _walks_python(pairs)
+
+
+def test_random_walks_shape_and_determinism(spark):
+    from corhist_spark.graph import random_walks
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = random_walks(_edges(spark, pairs), n_steps=3)
+    rows = {(r["walk"], r["step"], r["node"]) for r in df.collect()}
+    # one walk per node, steps 0..3, every hop along a real edge
+    assert {w for w, _, _ in rows} == {"a", "b", "c", "d"}
+    assert all(
+        sum(1 for w, s, _ in rows if w == start and s == t) == 1
+        for start in "abcd"
+        for t in range(4)
+    )
+    und = {(min(a, b), max(a, b)) for a, b in pairs}
+    path = {w: [n for _, s, n in sorted(r for r in rows if r[0] == w)] for w in "abcd"}
+    for w, p in path.items():
+        assert p[0] == w
+        for x, y in zip(p, p[1:]):
+            assert (min(x, y), max(x, y)) in und
+    # second run is identical (hash determinism, no RNG state)
+    rows2 = {
+        (r["walk"], r["step"], r["node"])
+        for r in random_walks(_edges(spark, pairs), n_steps=3).collect()
+    }
+    assert rows2 == rows
+
+
 # ---- predicate PMI ----
 
 
@@ -353,10 +420,13 @@ def test_graph_and_sketch_plans_stay_jvm_side(spark):
         [("s1", "P1", "v"), ("s1", "P2", "v")], "subj string, pred string, obj string"
     )
     edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    from corhist_spark.graph import random_walks
+
     for df in (
         triangle_counts(edges),
         pagerank(edges, n_iters=2),
         label_propagation(edges, n_iters=2),
+        random_walks(edges, n_steps=2),
         predicate_pmi(state),
         bm25_scores(docs, ["a", "b"]),
         cms_heavy_hitters(docs),
