@@ -48,20 +48,10 @@ def _hex13(col):
     return F.expr(f"CAST(conv(substr(md5({col}), 1, 13), 16, 10) AS BIGINT)")
 
 
-def _spread(docs: DataFrame, key: str = "doc_id") -> DataFrame:
-    """Tiny-input guard for explode-amplified scans: a 100-TB corpus
-    arrives in thousands of file partitions, but a small or compacted
-    input can map to FEWER partitions than cores, and the 10-40x
-    token/shingle explode that follows then pins all the hash work on
-    those few tasks (measured at the sf1 tier: 19M shingle-md5s ran
-    on 2 of 32 cores, 46s instead of ~4s).  Hash-spread the small
-    pre-explode input across the session parallelism only in that
-    case — at real scale the scan already has more partitions than
-    this and the guard is a no-op, never an extra corpus shuffle."""
-    target = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target, key)
-    return docs
+# the tiny-input guard for explode-amplified scans lives in textops
+# (shared with the MinHash signature build, which hit the same
+# 2-of-32-cores starvation at the sf1 tier)
+from corhist_spark.textops import spread_small_input as _spread
 
 
 def doc_tokens(docs: DataFrame) -> DataFrame:

@@ -64,6 +64,24 @@ def mention_pair_triples(docs: DataFrame) -> DataFrame:
     )
 
 
+def spread_small_input(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Tiny-input guard for explode-amplified scans: a 100-TB corpus
+    arrives in thousands of file partitions, but a small or compacted
+    input can map to FEWER scan partitions than cores, and the 10-40x
+    token/shingle explode that follows then pins all the hash work on
+    those few tasks (measured at the sf1 tier: 19M shingle hashes on
+    2 of 32 cores — 62 s for the HLL sketch, 54 s for the cold
+    MinHash signature build, vs ~5 s spread).  Hash-spread the small
+    pre-explode input across the session parallelism only in that
+    case — at real scale the scan already has more partitions than
+    this and the guard is a no-op, never an extra corpus shuffle.
+    Result-neutral: a hash repartition reorders rows, nothing else."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target, key)
+    return docs
+
+
 # 52-bit shingle hash: one md5 per shingle, then cheap per-band affine
 # permutations (a_b*v + c_b) — 8x fewer hash computations than hashing
 # per band.  Spark's conv() and the oracle's strpos-sum decode the same
@@ -89,6 +107,7 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS, n: int = SHINGLE
     partial agg over the shingle rows) and unpivoted afterwards —
     exploding rows x n_bands before the shuffle would move 8x the
     data for the same result."""
+    docs = spread_small_input(docs)
     sh = docs.select(
         "doc_id",
         "text",
