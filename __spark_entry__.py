@@ -1776,6 +1776,69 @@ def q_predicate_pmi(spark, sf_dir):
     return predicate_pmi(_hist_current(spark, sf_dir))
 
 
+def q_k_core(spark, sf_dir):
+    """3-core of the derived entity graph by 6 synchronous peeling
+    rounds (degree recount + survivor semi-joins per round) — the
+    dense-backbone extraction that separates the KG's interlinked
+    core from its pendant fringe; integer-only, so the unrolled
+    DuckDB transcription is exact."""
+    from corhist_spark.graph import k_core
+
+    return k_core(_kg_edges(spark, sf_dir))
+
+
+# BFS seed selection: the repo-standard md5 hash-in-place-of-RNG,
+# salted 'seed:' so it is independent of every other hash of the node
+# id; ~1/41 of nodes seed the traversal
+_BFS_SEED_MOD = 41
+
+
+def q_bfs_distances(spark, sf_dir):
+    """Bounded multi-source BFS over the derived entity graph: exact
+    hop distances (<= 4) from a deterministic ~2.4% seed sample of
+    the nodes — the bounded-radius reachability profile / GraphSAGE
+    neighborhood primitive.  One frontier-x-adjacency join + one
+    anti-join per round, everything integer."""
+    from corhist_spark.graph import bfs_distances
+
+    edges = _kg_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(
+        F.expr(
+            "CAST(conv(substr(md5(concat('seed:', node)), 1, 13), 16, 10) AS BIGINT)"
+        )
+        % _BFS_SEED_MOD
+        == 0
+    )
+    return bfs_distances(edges, seeds)
+
+
+def q_hits(spark, sf_dir):
+    """Fixed-8-round HITS hubs/authorities (L1-normalized, classic
+    auth-then-hub update order) over the directed entity graph —
+    the hub/authority split PageRank collapses; published as
+    score * n_nodes rounded to 6 decimals (the pagerank float
+    contract)."""
+    from corhist_spark.graph import hits
+
+    return hits(_kg_edges(spark, sf_dir))
+
+
+def q_token_quantiles(spark, sf_dir):
+    """p50/p90/p99 of the per-document token count via the fixed-width
+    binned histogram sketch — the mergeable (cell-wise-add) summary
+    that replaces a full sort for length-distribution profiling at
+    10^12 documents; the integer cum*100 >= total*q compare decides
+    identically on both engines."""
+    from corhist_spark.sketches import token_count_quantiles
+
+    return token_count_quantiles(_t(spark, sf_dir, "documents"))
+
+
 # fixed deterministic keyword profile for the BM25 selection query —
 # shared verbatim by the Spark query and the DuckDB transcription
 _BM25_QUERY = ("join", "stream", "vector")
@@ -2373,6 +2436,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_pmi": q_predicate_pmi,
         "bm25_select": q_bm25_select,
         "random_walks": q_random_walks,
+        # --- r5 batch 3 (same placement rule as the eight above:
+        # outside the full window, pytest-oracled at sf0.01 every run,
+        # green locally at sf0.001 / sf0.1 / sf1, rotate to the r6
+        # front): 3-core peel, bounded multi-source BFS, HITS
+        # hubs/authorities, histogram-quantile sketch ---
+        "k_core": q_k_core,
+        "bfs_distances": q_bfs_distances,
+        "hits": q_hits,
+        "token_quantiles": q_token_quantiles,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3556,6 +3628,138 @@ _LPA_SQL = f"""{_KG_EDGE_CTES}, canon AS (
       SELECT DISTINCT u AS node, u AS label FROM und
     ), {", ".join(_lpa_round(k) for k in range(1, _LPA_ITERS + 1))}
     SELECT node, label FROM l{_LPA_ITERS}
+"""
+
+from corhist_spark.graph import BFS_ROUNDS as _BFS_ROUNDS
+from corhist_spark.graph import KCORE_K as _KCORE_K
+from corhist_spark.graph import KCORE_ROUNDS as _KCORE_ROUNDS
+
+
+def _kcore_round(r: int) -> str:
+    """One synchronous peel round (mirrors graph.k_core): recount
+    degrees over the surviving edge set, keep nodes with degree >= k,
+    keep edges whose BOTH endpoints survive."""
+    return f"""d{r} AS (
+      SELECT node, COUNT(*) AS c FROM (
+        SELECT a AS node FROM e{r - 1} UNION ALL SELECT b AS node FROM e{r - 1}
+      ) GROUP BY node
+    ), kp{r} AS MATERIALIZED (
+      SELECT node FROM d{r} WHERE c >= {_KCORE_K}
+    ), e{r} AS MATERIALIZED (
+      SELECT a, b FROM e{r - 1}
+      WHERE a IN (SELECT node FROM kp{r})
+        AND b IN (SELECT node FROM kp{r})
+    )"""
+
+
+_KCORE_SQL = f"""{_KG_EDGE_CTES}, e0 AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), {", ".join(_kcore_round(r) for r in range(1, _KCORE_ROUNDS + 1))}
+    SELECT node, COUNT(*) AS core_degree FROM (
+      SELECT a AS node FROM e{_KCORE_ROUNDS}
+      UNION ALL SELECT b AS node FROM e{_KCORE_ROUNDS}
+    ) GROUP BY node
+"""
+
+
+def _bfs_round(t: int) -> str:
+    """One BFS expansion round (mirrors graph.bfs_distances): the new
+    frontier = unvisited neighbors of the previous frontier; visited
+    set grows monotonically, so first-arrival = min distance."""
+    return f"""f{t} AS MATERIALIZED (
+      SELECT DISTINCT e.v AS node
+      FROM f{t - 1} f JOIN und e ON e.u = f.node
+      WHERE e.v NOT IN (SELECT node FROM s{t - 1})
+    ), s{t} AS MATERIALIZED (
+      SELECT node, dist FROM s{t - 1}
+      UNION ALL SELECT node, {t} AS dist FROM f{t}
+    )"""
+
+
+_BFS_SQL = f"""{_KG_EDGE_CTES}, canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), s0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node, 0 AS dist FROM und
+      WHERE ({hexval_sql("'seed:' || u")}) % {_BFS_SEED_MOD} = 0
+    ), f0 AS (SELECT node FROM s0),
+    {", ".join(_bfs_round(t) for t in range(1, _BFS_ROUNDS + 1))}
+    SELECT node, dist FROM s{_BFS_ROUNDS}
+"""
+
+from corhist_spark.graph import HITS_ITERS as _HITS_ITERS
+
+
+def _hits_round(k: int) -> str:
+    """One synchronous HITS round (mirrors graph.hits): authority =
+    in-edge hub sum then hub = out-edge sum of the NEW authority,
+    each L1-normalized by its own single-row total."""
+    return f"""ar{k} AS (
+      SELECT e.dst AS node, SUM(h.hub) AS s
+      FROM e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst
+    ), at{k} AS (SELECT SUM(s) AS t FROM ar{k}),
+    a{k} AS MATERIALIZED (
+      SELECT n0.node,
+             COALESCE(r.s, CAST(0.0 AS DOUBLE)) / (SELECT t FROM at{k}) AS auth
+      FROM nodes n0 LEFT JOIN ar{k} r ON r.node = n0.node
+    ), hr{k} AS (
+      SELECT e.src AS node, SUM(a.auth) AS s
+      FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src
+    ), ht{k} AS (SELECT SUM(s) AS t FROM hr{k}),
+    h{k} AS MATERIALIZED (
+      SELECT n0.node,
+             COALESCE(r.s, CAST(0.0 AS DOUBLE)) / (SELECT t FROM ht{k}) AS hub
+      FROM nodes n0 LEFT JOIN hr{k} r ON r.node = n0.node
+    )"""
+
+
+_HITS_SQL = f"""{_KG_EDGE_CTES}, e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+      )
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    h0 AS MATERIALIZED (
+      SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS hub FROM nodes
+    ), {", ".join(_hits_round(k) for k in range(1, _HITS_ITERS + 1))}
+    SELECT a.node,
+           round(a.auth * (SELECT n FROM nn), 6) AS auth_norm,
+           round(h.hub * (SELECT n FROM nn), 6) AS hub_norm
+    FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h USING (node)
+"""
+
+from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
+from corhist_spark.sketches import QUANT_QS as _QQS
+
+# token definition = the repo-wide whitespace split with empties
+# dropped; `//` (DuckDB) == `div` (Spark) on the non-negative counts
+_QUANT_SQL = f"""
+    WITH counts AS (
+      SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS v
+      FROM documents
+    ), hist AS MATERIALIZED (
+      SELECT v // {_QBW} AS bin, COUNT(*) AS n
+      FROM counts GROUP BY bin
+    ), cum AS (
+      SELECT bin,
+             CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM hist
+    ), qq AS (SELECT unnest([{", ".join(str(q) for q in _QQS)}]) AS q)
+    SELECT q, bin * {_QBW} AS bin_lo,
+           bin * {_QBW} + {_QBW - 1} AS bin_hi,
+           cum AS cum_count, total AS total_count
+    FROM (
+      SELECT qq.q, c.bin, c.cum, c.total,
+             row_number() OVER (PARTITION BY qq.q ORDER BY c.bin) AS rn
+      FROM qq JOIN cum c ON c.cum * 100 >= c.total * qq.q
+    ) WHERE rn = 1
 """
 
 # Predicate-pair PMI over the derived current state: the body extends
@@ -5267,6 +5471,10 @@ def oracle_sql() -> dict[str, str]:
         "predicate_pmi": with_history_ctes(_PMI_BODY),
         "bm25_select": _BM25_SQL,
         "random_walks": _WALKS_SQL,
+        "k_core": _KCORE_SQL,
+        "bfs_distances": _BFS_SQL,
+        "hits": _HITS_SQL,
+        "token_quantiles": _QUANT_SQL,
         # literals derived from the Python constants (occupancy/floor
         # from similarity.cells_for_dedup, threshold from the fixture
         # constant the Spark query passes) so a change to either side

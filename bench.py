@@ -118,6 +118,15 @@ HEADLINE = [
     "bm25_select",
     # deterministic DeepWalk-style walk corpus (graph-embedding input)
     "random_walks",
+    # late r5 batch 3: dense-backbone extraction (6-round 3-core peel),
+    # bounded multi-source BFS reachability (4 hops from a ~2.4%
+    # deterministic seed sample), and the fixed-bin histogram-quantile
+    # sketch over per-document token counts
+    "k_core",
+    "bfs_distances",
+    "token_quantiles",
+    # fixed-8-round HITS hubs/authorities (L1-normalized)
+    "hits",
 ]
 
 

@@ -358,3 +358,203 @@ def predicate_pmi(state: DataFrame) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected distinct edge list (a < b, self-loops and
+    duplicates dropped) — the shared preamble of every undirected
+    analytic here."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def k_core(edges: DataFrame, k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """k-core of the undirected graph of ``edges(src, dst)`` by
+    ``n_rounds`` synchronous peeling rounds (Matula & Beck 1983; the
+    distributed formulation is the standard Pregel-style peel): each
+    round recomputes degrees over the SURVIVING edge set and drops
+    every node with degree < k together with its incident edges.
+    Returns (node, core_degree) — the surviving nodes with their
+    within-core degree; at fixpoint every core_degree >= k and the
+    node set is exactly the k-core.
+
+    A fixed round count keeps the computation a deterministic function
+    of the input on both engines (the LPA/Lloyd unrolled-transcription
+    contract); at cluster scale the loop instead runs until a round
+    removes nothing (one cheap count per round), which the fixed bound
+    upper-approximates on the fixture graphs — peeling converges in
+    O(peel depth) rounds, small for the ~constant-degree KG graphs
+    profiled here.
+
+    Scale shape: one node-keyed partial-aggregated degree count + two
+    semi-joins of the edge set against the (node-sized) survivor list
+    per round — no broadcast of anything corpus-sized, edge frames
+    checkpointed per round to cut lineage.  Survivor lists are
+    node-sized and usually broadcast-able; Catalyst/AQE picks that up
+    at runtime without the plan pinning it."""
+    e = _undirected(edges).localCheckpoint()
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
+BFS_ROUNDS = 4
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, n_rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Multi-source breadth-first distances over the undirected graph
+    of ``edges(src, dst)`` from the ``seeds(node)`` set, bounded at
+    ``n_rounds`` hops -> (node, dist): dist = exact shortest-path hop
+    count for every node within n_rounds of a seed, seeds at 0; nodes
+    farther than n_rounds are absent.  The bounded-radius reachability
+    profile a KG curator reads off the seed entities (e.g. "how much
+    of the graph sits within 4 hops of the typed backbone") — and the
+    neighborhood-sampling primitive of GraphSAGE-style trainers
+    (Hamilton et al. 2017, public).
+
+    Integer-only (hop counters, min-distance by construction: a node
+    enters the distance table the first round it is reachable and is
+    anti-joined away afterwards), so the DuckDB unrolled
+    transcription is exact.
+
+    Scale shape: round t is ONE node-keyed equi-join (frontier x
+    adjacency — candidate volume = sum of frontier degrees) + a
+    distinct + an anti-join against the visited set; frontiers are
+    checkpointed per round, and the visited set grows monotonically
+    to at most the node table.  No broadcast of anything
+    corpus-sized; at cluster scale the adjacency is bucketed on u so
+    every round's probe co-locates."""
+    canon = _undirected(edges)
+    und = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .join(nodes, "node", "left_semi")
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for t in range(1, n_rounds + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt.withColumn("dist", F.lit(t)))
+        frontier = nxt
+    return dist
+
+
+HITS_ITERS = 8
+
+
+def hits(edges: DataFrame, n_iters: int = HITS_ITERS) -> DataFrame:
+    """Fixed-``n_iters`` synchronous HITS (Kleinberg 1999) over the
+    directed edge list ``edges(src, dst)`` -> (node, auth_norm,
+    hub_norm): the hub/authority split that PageRank's single score
+    collapses — in a KG, authorities are the entities many sources
+    point AT (canonical targets), hubs the entities that point at
+    many authorities (aggregator/listing nodes).
+
+    Each round updates authority(v) = sum of hub over in-edges then
+    hub(u) = sum of the NEW authority over out-edges (the classic
+    update order), normalizing each vector to SUM 1 (the L1 variant —
+    same fixpoint direction as the usual L2, but the normalizer is a
+    plain sum, which keeps the whole computation inside the repo's
+    cross-engine float contract: order-dependent addition noise is
+    ~1e-15 relative, and results are published as value * n_nodes
+    rounded to 6 decimals, the pagerank precedent).  Nodes with no
+    in-edges carry authority exactly 0 (likewise hubs), so the
+    normalizing totals are strictly positive on any nonempty graph.
+
+    Scale shape: per round, two node-keyed equi-joins against the
+    checkpointed adjacency + two partial-aggregated sums + two
+    single-row broadcast totals — no corpus-sized broadcast, score
+    frames checkpointed per round (the pagerank/LPA fixpoint
+    pattern); at cluster scale the adjacency is bucketed once on each
+    join key."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    hub = nodes.withColumn("hub", F.lit(1.0 / n)).localCheckpoint()
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("s"))
+        )
+        a_tot = a_raw.agg(F.sum("s").alias("t"))
+        auth = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .crossJoin(F.broadcast(a_tot))  # single-row totals frame
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("t")).alias("auth"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src")
+            .agg(F.sum("auth").alias("s"))
+        )
+        h_tot = h_raw.agg(F.sum("s").alias("t"))
+        hub = (
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .crossJoin(F.broadcast(h_tot))  # single-row totals frame
+            .select(
+                "node",
+                (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("t")).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            F.round(F.col("auth") * F.lit(float(n)), 6).alias("auth_norm"),
+            F.round(F.col("hub") * F.lit(float(n)), 6).alias("hub_norm"),
+        )
+    )

@@ -188,3 +188,74 @@ def hll_distinct_shingles(docs: DataFrame, n: int = 16) -> DataFrame:
         "text",
     ).select(F.expr(f"substr(text, i, {n})").alias("s"))
     return hll_estimate(hll_registers(sh))
+
+
+QUANT_BIN_WIDTH = 8  # token-count bin width (docs cluster at O(100) tokens)
+QUANT_QS = (50, 90, 99)  # integer percents — exact cross-engine compares
+
+
+def binned_quantiles(values: DataFrame, col: str = "v", bin_width: int = QUANT_BIN_WIDTH, qs=QUANT_QS) -> DataFrame:
+    """Fixed-width-binned quantile summary of the integer ``col``
+    column -> one row per requested percentile q: (q, bin_lo, bin_hi,
+    cum_count, total_count), where [bin_lo, bin_hi] is the FIRST bin
+    whose cumulative count covers q percent of the population
+    (cum * 100 >= total * q — pure integer compare, both engines
+    decide identically).
+
+    This is the mergeable-histogram member of the sketch family
+    (Greenwald-Khanna / t-digest solve the same problem with adaptive
+    bins; fixed-width bins trade a bounded value-resolution error of
+    bin_width for EXACT determinism and a trivial merge = cell-wise
+    add).  At 10^12 documents an exact percentile is a full sort;
+    this is one map-side-combined groupBy to <= range/bin_width rows,
+    then a window over that constant-size histogram."""
+    hist = (
+        # integer division (Spark `div` == DuckDB `//` on the
+        # non-negative counts here) — NOT a double divide + cast,
+        # whose rounding direction differs between the engines
+        values.select(F.expr(f"{col} div {bin_width}").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    # the ordered window runs over the CONSTANT-SIZE histogram
+    # (<= value_range/bin_width rows), never the corpus; the total is
+    # a broadcast single-row aggregate, same pattern as every other
+    # totals frame in the repo
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = hist.agg(F.sum("n").alias("total"))
+    cum = hist.select("bin", F.sum("n").over(w).alias("cum")).crossJoin(
+        F.broadcast(total)
+    )
+    q_rows = cum.crossJoin(
+        F.broadcast(
+            values.sparkSession.createDataFrame([(q,) for q in qs], "q INT")
+        )
+    ).filter(F.col("cum") * 100 >= F.col("total") * F.col("q"))
+    first = (
+        q_rows.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("q").orderBy("bin"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return first.select(
+        "q",
+        (F.col("bin") * bin_width).alias("bin_lo"),
+        (F.col("bin") * bin_width + bin_width - 1).alias("bin_hi"),
+        F.col("cum").alias("cum_count"),
+        F.col("total").alias("total_count"),
+    )
+
+
+def token_count_quantiles(docs: DataFrame, bin_width: int = QUANT_BIN_WIDTH, qs=QUANT_QS) -> DataFrame:
+    """Percentiles of the per-document token count through the binned
+    quantile sketch — the length-distribution profile a packing /
+    curation planner reads before choosing sequence lengths, costed
+    as one linear pass + a constant-size histogram instead of a full
+    sort.  Token definition = the repo-wide whitespace split with
+    empties dropped (textops._token_array)."""
+    counts = docs.select(
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("v")
+    )
+    return binned_quantiles(counts, "v", bin_width, qs)

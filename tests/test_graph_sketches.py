@@ -447,3 +447,261 @@ def test_triangle_wedges_use_oriented_out_degree(spark):
     assert all(r["n_triangles"] == 0 for r in rows)
     hub = [r for r in rows if r["node"] == "h"][0]
     assert hub["degree"] == 30 and hub["clustering"] == 0.0
+
+
+# ---- k-core ----
+
+
+def _kcore_python(pairs, k=3, rounds=6):
+    edges = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    for _ in range(rounds):
+        deg: dict[str, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, c in deg.items() if c >= k}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_k_core_hand_checked(spark):
+    from corhist_spark.graph import k_core
+
+    # K4 {a,b,c,d} is its own 3-core; the pendant path c-e-f peels
+    # away (e has degree 2, then f degree 0) — TWO rounds needed, so
+    # this also pins that peeling cascades
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ("c", "e"), ("e", "f"),
+        ("a", "a"), ("b", "a"),  # cleaner noise
+    ]
+    got = {r["node"]: r["core_degree"] for r in k_core(_edges(spark, pairs)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_k_core_random_vs_python(spark):
+    k = 24
+    pairs = [
+        (f"n{i % k}", f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k}")
+        for i in range(300)
+    ]
+    from corhist_spark.graph import k_core
+
+    got = {r["node"]: r["core_degree"] for r in k_core(_edges(spark, pairs)).collect()}
+    assert got == _kcore_python(pairs)
+
+
+def test_k_core_empty_when_graph_too_sparse(spark):
+    from corhist_spark.graph import k_core
+
+    # a tree has no 3-core at all
+    pairs = [("a", "b"), ("b", "c"), ("b", "d"), ("d", "e")]
+    assert k_core(_edges(spark, pairs)).count() == 0
+
+
+# ---- bounded BFS ----
+
+
+def _bfs_python(pairs, seeds, rounds=4):
+    canon = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    adj: dict[str, set] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds if s in adj}
+    frontier = set(dist)
+    for t in range(1, rounds + 1):
+        nxt = {v for u in frontier for v in adj[u]} - dist.keys()
+        for v in nxt:
+            dist[v] = t
+        frontier = nxt
+    return dist
+
+
+def test_bfs_distances_hand_checked(spark):
+    from corhist_spark.graph import bfs_distances
+
+    # path a-b-c-d-e-f-g from seed a: g is 6 hops out -> absent at
+    # the 4-round bound; a ghost seed not in the graph is dropped
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "g")]
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(_edges(spark, pairs), seeds).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_bfs_distances_multi_source_takes_min(spark):
+    from corhist_spark.graph import bfs_distances
+
+    # seeds at both ends of the path: distances meet in the middle
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(_edges(spark, pairs), seeds).collect()}
+    assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_bfs_distances_random_vs_python(spark):
+    from corhist_spark.graph import bfs_distances
+
+    k = 40
+    pairs = [
+        (f"n{i % k}", f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k}")
+        for i in range(90)
+    ]
+    seed_nodes = ["n0", "n7"]
+    seeds = spark.createDataFrame([(s,) for s in seed_nodes], "node string")
+    got = {r["node"]: r["dist"] for r in bfs_distances(_edges(spark, pairs), seeds).collect()}
+    assert got == _bfs_python(pairs, seed_nodes)
+
+
+# ---- binned quantiles ----
+
+
+def test_binned_quantiles_hand_checked(spark):
+    from corhist_spark.sketches import binned_quantiles
+
+    # uniform 1..100, width 8: bin b holds 8b..8b+7 so cum(bin b) =
+    # min(8b+7, 100); first bins covering 50/90/99% are 6/11/12
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v int")
+    got = {
+        r["q"]: (r["bin_lo"], r["bin_hi"], r["cum_count"], r["total_count"])
+        for r in binned_quantiles(df).collect()
+    }
+    assert got == {
+        50: (48, 55, 55, 100),
+        90: (88, 95, 95, 100),
+        99: (96, 103, 100, 100),
+    }
+
+
+def test_binned_quantiles_vs_python(spark):
+    from corhist_spark.sketches import QUANT_BIN_WIDTH, binned_quantiles
+
+    vals = [int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 400 for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {r["q"]: (r["bin_lo"], r["cum_count"]) for r in binned_quantiles(df).collect()}
+    hist: dict[int, int] = {}
+    for v in vals:
+        hist[v // QUANT_BIN_WIDTH] = hist.get(v // QUANT_BIN_WIDTH, 0) + 1
+    want = {}
+    for q in (50, 90, 99):
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum * 100 >= len(vals) * q:
+                want[q] = (b * QUANT_BIN_WIDTH, cum)
+                break
+    assert got == want
+
+
+def test_token_count_quantiles_counts_tokens_like_the_repo(spark):
+    from corhist_spark.sketches import token_count_quantiles
+
+    # double spaces produce empty splits that must NOT count
+    docs = spark.createDataFrame(
+        [(1, "a  b c"), (2, "x " * 20), (3, "")], "doc_id long, text string"
+    )
+    rows = {r["q"]: r for r in token_count_quantiles(docs, bin_width=4).collect()}
+    # token counts: 3, 20, 0 -> bins 0, 5, 0; p50 lands in bin 0
+    assert (rows[50]["bin_lo"], rows[50]["cum_count"], rows[50]["total_count"]) == (0, 2, 3)
+    assert rows[99]["bin_lo"] == 20
+
+
+def test_new_ops_plans_stay_jvm_side(spark):
+    from corhist_spark.graph import bfs_distances, k_core
+    from corhist_spark.sketches import binned_quantiles
+
+    edges = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    seeds = spark.createDataFrame([("a",)], "node string")
+    vals = spark.createDataFrame([(v,) for v in range(50)], "v int")
+    for df in (
+        k_core(edges, n_rounds=2),
+        bfs_distances(edges, seeds, n_rounds=2),
+        binned_quantiles(vals),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+# ---- HITS ----
+
+
+def _hits_python(pairs, n_iters=8):
+    e = sorted({(s, d) for s, d in pairs if s != d})
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    n = len(nodes)
+    inn: dict[str, list] = {}
+    out: dict[str, list] = {}
+    for s, d in e:
+        out.setdefault(s, []).append(d)
+        inn.setdefault(d, []).append(s)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {}
+    for _ in range(n_iters):
+        auth = {v: sum(hub[u] for u in inn.get(v, [])) for v in nodes}
+        t = sum(auth.values())
+        auth = {v: a / t for v, a in auth.items()}
+        hub = {v: sum(auth[d] for d in out.get(v, [])) for v in nodes}
+        t = sum(hub.values())
+        hub = {v: h / t for v, h in hub.items()}
+    return {v: (round(auth[v] * n, 6), round(hub[v] * n, 6)) for v in nodes}
+
+
+def test_hits_vs_python(spark):
+    from corhist_spark.graph import hits
+
+    pairs = [
+        ("a", "b"), ("a", "c"), ("d", "b"), ("d", "c"), ("b", "c"),
+        ("c", "e"),
+        ("a", "a"), ("a", "b"),  # cleaner noise
+    ]
+    want = _hits_python(pairs)
+    got = {
+        r["node"]: (r["auth_norm"], r["hub_norm"])
+        for r in hits(_edges(spark, pairs)).collect()
+    }
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=2e-6), v
+        assert got[v][1] == pytest.approx(want[v][1], abs=2e-6), v
+
+
+def test_hits_bipartite_hub_authority_split(spark):
+    from corhist_spark.graph import hits
+
+    # pure hubs h1,h2 point at pure authorities x,y,z: hubs end with
+    # zero authority and authorities with zero hub score
+    pairs = [(h, a) for h in ("h1", "h2") for a in ("x", "y", "z")]
+    got = {
+        r["node"]: (r["auth_norm"], r["hub_norm"])
+        for r in hits(_edges(spark, pairs)).collect()
+    }
+    for h in ("h1", "h2"):
+        assert got[h][0] == 0.0 and got[h][1] > 0
+    for a in ("x", "y", "z"):
+        assert got[a][0] > 0 and got[a][1] == 0.0
+    # symmetry: equal hubs, equal authorities
+    assert got["h1"] == got["h2"] and got["x"] == got["y"] == got["z"]
+
+
+def test_hits_random_vs_python(spark):
+    from corhist_spark.graph import hits
+
+    k = 20
+    pairs = [
+        (f"n{i % k}", f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k}")
+        for i in range(120)
+    ]
+    want = _hits_python(pairs)
+    got = {
+        r["node"]: (r["auth_norm"], r["hub_norm"])
+        for r in hits(_edges(spark, pairs)).collect()
+    }
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=2e-6), v
+        assert got[v][1] == pytest.approx(want[v][1], abs=2e-6), v
