@@ -1950,6 +1950,14 @@ def q_late_users_except(spark, sf_dir):
 
 _SWC_COUNTER = [0]
 
+# watermark-advancer rows for q_streaming_dedup — texts that cannot
+# collide with the synthetic corpus; shared verbatim with the oracle.
+# TWO advancers because the dedup operator evicts expired state at the
+# END of a batch: the first pushes the watermark past the epoch-0
+# expiries, the second's batch performs the eviction, and only a batch
+# AFTER that re-admits re-arrivals (verified against a hand harness).
+_SDD_ADVANCERS = ("wm-advancer-7f3a-sentinel-a", "wm-advancer-7f3a-sentinel-b")
+
 
 def q_streaming_windowed_counts(spark, sf_dir):
     """Batch-equivalence check for the streaming engine: the event-time
@@ -2058,6 +2066,80 @@ def q_streaming_interval_join(spark, sf_dir):
         "author",
         F.unix_millis("ts").alias("ts_ms"),
         F.unix_millis("mts").alias("mts_ms"),
+    )
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Batch-equivalence check for watermarked streaming dedup
+    (`streaming.streaming_dedup_documents`, dropDuplicatesWithinWatermark
+    — BOUNDED state, the 100-TB/day ingest front door): the document
+    feed is staged as FOUR files consumed as separate micro-batches
+    (maxFilesPerTrigger=1, availableNow, mtime-ordered):
+
+      batch 0  every document, ts spread over 10 minutes
+      batch 1  unique watermark-advancer row 20 DAYS later
+      batch 2  second advancer at 25 days (state eviction happens at
+               the END of a batch, and the watermark itself lags one
+               batch — this batch runs with the 20-day watermark and
+               evicts batch 0's expired state on completion)
+      batch 3  re-arrivals of every doc_id%3==0 document 30 days out
+
+    The re-arrivals find no state and are re-admitted — emitted
+    AGAIN.  Exactly one row per distinct hash is emitted per batch it
+    survives in, so (text_hash, n_emitted) is deterministic even
+    though WHICH duplicate row survives inside a batch is not:
+    n_emitted = 2 for re-sent hashes, 1 otherwise.  Plain
+    dropDuplicates would emit every re-arrival once total (unbounded
+    state); this pins the eviction semantics cross-engine."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from corhist_spark.streaming import streaming_dedup_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = 1704067200  # 2024-01-01 UTC
+    e0 = docs.select(
+        "text", (F.lit(base) + F.col("doc_id") % 600).alias("ts_sec")
+    )
+    adv_a = spark.createDataFrame([(_SDD_ADVANCERS[0],)], "text string").select(
+        "text", F.lit(base + 20 * 86400).alias("ts_sec")
+    )
+    adv_b = spark.createDataFrame([(_SDD_ADVANCERS[1],)], "text string").select(
+        "text", F.lit(base + 25 * 86400).alias("ts_sec")
+    )
+    e1 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "text", (F.lit(base + 30 * 86400) + F.col("doc_id") % 600).alias("ts_sec")
+    )
+    src = tempfile.mkdtemp(prefix="sdd_src_")
+    for i, df in enumerate((e0, adv_a, adv_b, e1)):
+        tmp = tempfile.mkdtemp(prefix=f"sdd_w{i}_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/{i}_epoch.parquet"
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        # the file source replays oldest-mtime first — pin the order
+        os.utime(dst, (base + i * 100, base + i * 100))
+        shutil.rmtree(tmp, ignore_errors=True)
+    stream = (
+        spark.readStream.schema("text string, ts_sec bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("text", F.col("ts_sec").cast("timestamp").alias("ts"))
+    )
+    _SWC_COUNTER[0] += 1
+    name = f"sdd_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
+    ck = tempfile.mkdtemp(prefix="sdd_ck_")
+    try:
+        q = streaming_dedup_documents(stream, checkpoint_dir=ck).queryName(name).start()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("n_emitted"))
     )
 
 
@@ -2445,6 +2527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_distances": q_bfs_distances,
         "hits": q_hits,
         "token_quantiles": q_token_quantiles,
+        # watermarked streaming dedup with real state EVICTION across
+        # three mtime-ordered micro-batches (same placement rule)
+        "streaming_dedup": q_streaming_dedup,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5475,6 +5560,24 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _BFS_SQL,
         "hits": _HITS_SQL,
         "token_quantiles": _QUANT_SQL,
+        # batch transcription of the four-micro-batch replay: one
+        # emission per distinct hash per batch it survives in (batch 0
+        # = all docs, batches 1-2 = the advancer sentinels, batch 3 =
+        # the doc_id%3==0 re-arrivals re-admitted after state eviction)
+        "streaming_dedup": f"""
+            WITH d AS (SELECT md5(text) AS text_hash, doc_id FROM documents),
+            feed AS (
+              SELECT DISTINCT text_hash FROM d
+              UNION ALL
+              SELECT md5('{_SDD_ADVANCERS[0]}') AS text_hash
+              UNION ALL
+              SELECT md5('{_SDD_ADVANCERS[1]}') AS text_hash
+              UNION ALL
+              SELECT DISTINCT text_hash FROM d WHERE doc_id % 3 = 0
+            )
+            SELECT text_hash, COUNT(*) AS n_emitted
+            FROM feed GROUP BY text_hash
+        """,
         # literals derived from the Python constants (occupancy/floor
         # from similarity.cells_for_dedup, threshold from the fixture
         # constant the Spark query passes) so a change to either side

@@ -127,6 +127,10 @@ HEADLINE = [
     "token_quantiles",
     # fixed-8-round HITS hubs/authorities (L1-normalized)
     "hits",
+    # watermarked streaming dedup: four mtime-ordered micro-batches
+    # exercising real state EVICTION + re-admission (time includes
+    # stream startup/commit overhead like the other streaming rows)
+    "streaming_dedup",
 ]
 
 
