@@ -2143,6 +2143,18 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement: the
+    100 documents with the largest ln(u)/n_tokens priority (u = the
+    deterministic (0,1] hash uniform of 'ws:doc_id') — inclusion
+    probability proportional to token mass, computed as one linear
+    map pass + a distributed top-k.  The mixture-building sampler of
+    a training-data pipeline in its shuffle-free form."""
+    from corhist_spark.textops import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"))
+
+
 def q_violation_queue_merge(spark, sf_dir):
     """The game queue's MERGE round (`streaming.upsert_violation_queue`,
     the p/a/r/o machine of `game/ViolationDatabase.java:71-97,202-239`)
@@ -2528,8 +2540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "token_quantiles": q_token_quantiles,
         # watermarked streaming dedup with real state EVICTION across
-        # three mtime-ordered micro-batches (same placement rule)
+        # four mtime-ordered micro-batches (same placement rule)
         "streaming_dedup": q_streaming_dedup,
+        # Efraimidis-Spirakis weighted sampling without replacement
+        "weighted_sample": q_weighted_sample,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3819,6 +3833,7 @@ _HITS_SQL = f"""{_KG_EDGE_CTES}, e AS MATERIALIZED (
     FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h USING (node)
 """
 
+from corhist_spark.textops import WSAMPLE_K as _WSAMPLE_K
 from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
 from corhist_spark.sketches import QUANT_QS as _QQS
 
@@ -5564,6 +5579,25 @@ def oracle_sql() -> dict[str, str]:
         # emission per distinct hash per batch it survives in (batch 0
         # = all docs, batches 1-2 = the advancer sentinels, batch 3 =
         # the doc_id%3==0 re-arrivals re-admitted after state eviction)
+        # priority = round(ln((h+1)/2^52) / n_tokens, 9): the uniform is
+        # an exact power-of-two division so both engines feed ln the
+        # identical double; constants shared with textops.weighted_sample
+        "weighted_sample": f"""
+            WITH scored AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+                     round(
+                       ln(({hexval_sql("'ws:' || CAST(doc_id AS VARCHAR)")} + 1)
+                          / {float(1 << 52)!r})
+                       / len(list_filter(string_split(text, ' '), x -> x <> '')),
+                       9) AS priority
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, priority FROM scored
+            WHERE n_tokens > 0
+            ORDER BY priority DESC, doc_id
+            LIMIT {_WSAMPLE_K}
+        """,
         "streaming_dedup": f"""
             WITH d AS (SELECT md5(text) AS text_hash, doc_id FROM documents),
             feed AS (

@@ -131,6 +131,8 @@ HEADLINE = [
     # exercising real state EVICTION + re-admission (time includes
     # stream startup/commit overhead like the other streaming rows)
     "streaming_dedup",
+    # Efraimidis-Spirakis weighted sampling (one map pass + TakeOrdered)
+    "weighted_sample",
 ]
 
 

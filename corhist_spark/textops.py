@@ -1083,3 +1083,50 @@ def winnow_fingerprints(
             F.md5(F.concat_ws(",", F.expr("transform(fps, x -> CAST(x AS STRING))"))),
         ).alias("fp_hash"),
     )
+
+
+WSAMPLE_K = 100
+
+
+def weighted_sample(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` documents with
+    inclusion probability proportional to token count — the
+    Efraimidis-Spirakis (2006) priority ("exponential race") scheme:
+    each row draws u ~ Uniform(0,1] and the k rows with the largest
+    u^(1/w) win; selecting on r = ln(u)/w is equivalent (monotone)
+    and better conditioned.  The mixture-building sampler of a
+    training-data pipeline (sample by quality score, token mass, ...)
+    in its one-pass, shuffle-free form.
+
+    u is the repo-standard deterministic hash uniform: the 13-hex md5
+    decode of "ws:doc_id" mapped to (0, 1] via (h + 1) / 2^52 — an
+    EXACT power-of-two division, so both engines form the identical
+    double before the single ln() call; r is rounded to 9 decimals
+    and ties break on doc_id (the rounded-cosine ranking precedent —
+    a last-ulp ln() divergence sits ~7 orders of magnitude inside the
+    rounding grid).  Zero-token documents carry zero weight and are
+    excluded (u^(1/0) is ill-defined; their inclusion probability is
+    the 0-mass limit).
+
+    Scale shape: one linear map pass (hash + ln per row), then a
+    distributed top-k (orderBy + limit = TakeOrdered partial top-k
+    per partition, merged on the driver over k-sized partials) — no
+    global sort, no single-partition window, nothing corpus-sized
+    moves."""
+    w = F.size(_token_array())
+    u = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('ws:', CAST(doc_id AS STRING))), 1, 13),"
+            " 16, 10) AS BIGINT)"
+        )
+        + F.lit(1)
+    ) / F.lit(float(1 << 52))
+    scored = (
+        docs.select(
+            "doc_id",
+            w.alias("n_tokens"),
+            F.round(F.log(u) / w, 9).alias("priority"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    return scored.orderBy(F.desc("priority"), F.asc("doc_id")).limit(k)

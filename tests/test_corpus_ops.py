@@ -576,3 +576,40 @@ def test_sketch_variants_match_exact_within_bounds(spark):
     # tokens apart, so the bound covers discretization + sketch error
     for s in ex:
         assert abs(ap[s] - ex[s]) <= max(8.0, 0.1 * ex[s]), (s, ex[s], ap[s])
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """Efraimidis-Spirakis top-k with deterministic hash uniforms —
+    Spark result must equal a pure-Python replication exactly (set
+    AND priorities), and longer docs must be overrepresented."""
+    import hashlib as _hl
+    import math as _m
+
+    from corhist_spark.textops import weighted_sample
+
+    # weights 1..60 (doc d has d tokens); doc 0 is empty -> excluded
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{j}" for j in range(d))) for d in range(61)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["priority"])
+        for r in weighted_sample(docs, k=20).collect()
+    }
+    scored = []
+    for d in range(1, 61):
+        h = int(_hl.md5(f"ws:{d}".encode()).hexdigest()[:13], 16)
+        u = (h + 1) / float(1 << 52)
+        scored.append((round(_m.log(u) / d, 9), -d))
+    scored.sort(reverse=True)
+    want_ids = {-d for _, d in scored[:20]}
+    assert set(got) == want_ids
+    for pr, negd in scored[:20]:
+        assert got[-negd] == (-negd, pr)
+    # weight bias: the sampled mean weight must exceed the population
+    # mean (30.5) — heavier docs win the exponential race more often
+    assert sum(w for w, _ in got.values()) / len(got) > 30.5
+    # shuffle-free top-k: TakeOrdered, no global Sort exchange
+    plan = weighted_sample(docs, k=20)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
