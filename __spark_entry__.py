@@ -2155,6 +2155,25 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf * ln(N/df), the ratio one
+    double division of exact BIGINTs; ranking on the rounded-6 grid
+    with token tiebreaks) — the per-document keyword profile
+    complementing BM25's query-side scoring."""
+    from corhist_spark.textops import tfidf_terms
+
+    return tfidf_terms(_t(spark, sf_dir, "documents"))
+
+
+def q_cross_source_dups(spark, sf_dir):
+    """Cross-source duplicate-leakage matrix: distinct text hashes
+    shared by each source pair — the double-counting / contamination
+    diagnostic a mixture curator reads before weighting sources."""
+    from corhist_spark.textops import cross_source_dups
+
+    return cross_source_dups(_t(spark, sf_dir, "documents"))
+
+
 def q_violation_queue_merge(spark, sf_dir):
     """The game queue's MERGE round (`streaming.upsert_violation_queue`,
     the p/a/r/o machine of `game/ViolationDatabase.java:71-97,202-239`)
@@ -2544,6 +2563,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         # Efraimidis-Spirakis weighted sampling without replacement
         "weighted_sample": q_weighted_sample,
+        # per-document TF-IDF keyword profile + cross-source duplicate
+        # leakage matrix
+        "tfidf_terms": q_tfidf_terms,
+        "cross_source_dups": q_cross_source_dups,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3833,6 +3856,7 @@ _HITS_SQL = f"""{_KG_EDGE_CTES}, e AS MATERIALIZED (
     FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h USING (node)
 """
 
+from corhist_spark.textops import TFIDF_TOP_K as _TFIDF_TOP_K
 from corhist_spark.textops import WSAMPLE_K as _WSAMPLE_K
 from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
 from corhist_spark.sketches import QUANT_QS as _QQS
@@ -5597,6 +5621,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_tokens > 0
             ORDER BY priority DESC, doc_id
             LIMIT {_WSAMPLE_K}
+        """,
+        # tfidf = tf * ln(CAST(n_docs AS DOUBLE) / df), rounded to 6;
+        # rank per doc on the rounded grid with token tiebreaks
+        "tfidf_terms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS token
+              FROM documents
+            ), tf AS MATERIALIZED (
+              SELECT doc_id, token, COUNT(*) AS tf FROM toks
+              GROUP BY doc_id, token
+            ), dfm AS (
+              SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+            ), nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.token, t.tf,
+                     round(t.tf * ln(CAST((SELECT n_docs FROM nn) AS DOUBLE)
+                                     / CAST(d.df AS DOUBLE)), 6) AS tfidf
+              FROM tf t JOIN dfm d USING (token)
+            )
+            SELECT doc_id, token, tf, tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, token) AS rn
+              FROM scored
+            ) WHERE rn <= {_TFIDF_TOP_K}
+        """,
+        "cross_source_dups": """
+            WITH hs AS (
+              SELECT DISTINCT md5(text) AS text_hash, source FROM documents
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   COUNT(*) AS n_shared
+            FROM hs a JOIN hs b ON a.text_hash = b.text_hash
+            WHERE a.source < b.source
+            GROUP BY 1, 2
         """,
         "streaming_dedup": f"""
             WITH d AS (SELECT md5(text) AS text_hash, doc_id FROM documents),

@@ -133,6 +133,9 @@ HEADLINE = [
     "streaming_dedup",
     # Efraimidis-Spirakis weighted sampling (one map pass + TakeOrdered)
     "weighted_sample",
+    # per-doc TF-IDF keyword profile + cross-source dup-leakage matrix
+    "tfidf_terms",
+    "cross_source_dups",
 ]
 
 

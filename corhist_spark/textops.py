@@ -1130,3 +1130,79 @@ def weighted_sample(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
         .filter(F.col("n_tokens") > 0)
     )
     return scored.orderBy(F.desc("priority"), F.asc("doc_id")).limit(k)
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_terms(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document -> (doc_id, token, tf,
+    tfidf): the per-document keyword profile (Sparck Jones 1972) that
+    complements BM25's query-side scoring — topic tagging / index
+    keying for a curated corpus.
+
+    tfidf = tf * ln(N / df) with N = total documents and df = number
+    of documents containing the token, formed as ONE double division
+    of two exact BIGINTs before the single ln() (the predicate-PMI
+    float contract), rounded to 6 decimals; per-doc ranking is on the
+    ROUNDED score with token tiebreaks, so both engines rank the
+    identical grid.
+
+    Scale shape: one (doc, token) groupBy over the token stream, one
+    token-keyed df marginal (vocabulary-sized -> broadcast), a
+    single-row N total, then a per-document top-k window over <=
+    distinct-tokens-per-doc rows — the only corpus-sized shuffle is
+    the (doc, token) aggregation, which map-side combines."""
+    from pyspark.sql import Window
+
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    toks = docs.select(
+        "doc_id", F.explode(_token_array()).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_marg = (
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        tf.join(F.broadcast(df_marg), "token")
+        .crossJoin(F.broadcast(n))  # single-row totals frame
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .drop("rn")
+    )
+
+
+def cross_source_dups(docs: DataFrame) -> DataFrame:
+    """Cross-source duplicate-leakage matrix -> (source_a, source_b,
+    n_shared) with source_a < source_b: for each pair of sources, how
+    many distinct text hashes occur in BOTH — the diagnostic a
+    mixture curator reads before weighting sources (a source pair
+    sharing most of its content double-counts its weight; also the
+    train/eval contamination shape when one source is a benchmark).
+
+    Scale shape: one distinct over (text_hash, source), then a
+    hash-keyed self-join whose per-hash output is bounded by the
+    SOURCE vocabulary (dozens, not documents), then a pair-keyed
+    count — the predicate-PMI plan on content hashes."""
+    hs = docs.select(
+        F.md5("text").alias("text_hash"), "source"
+    ).distinct().localCheckpoint()
+    a = hs.select("text_hash", F.col("source").alias("source_a"))
+    b = hs.select("text_hash", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "text_hash")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

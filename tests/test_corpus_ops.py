@@ -613,3 +613,64 @@ def test_weighted_sample_matches_python_reference(spark):
     plan = weighted_sample(docs, k=20)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_terms_vs_python(spark):
+    import math as _m
+
+    from corhist_spark.textops import tfidf_terms
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "banana banana date",
+        3: "apple date date date",
+        4: "egg egg egg egg",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["token"]): (r["tf"], r["tfidf"])
+        for r in tfidf_terms(docs, top_k=2).collect()
+    }
+    toks = {d: t.split() for d, t in texts.items()}
+    n = len(toks)
+    dfm: dict[str, int] = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfm[t] = dfm.get(t, 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        scored = sorted(
+            (
+                (round(ts.count(t) * _m.log(n / dfm[t]), 6), t)
+                for t in set(ts)
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        for s, t in scored:
+            want[(d, t)] = (ts.count(t), s)
+    assert got == want
+    # 'egg' is unique to doc 4 and repeated: its idf = ln(4) tops
+    assert got[(4, "egg")][1] == round(4 * _m.log(4.0), 6)
+
+
+def test_cross_source_dups_planted(spark):
+    from corhist_spark.textops import cross_source_dups
+
+    rows = [
+        # "shared-1" leaks into all three sources, "shared-2" into a+b;
+        # each source also has private content, and exact dups WITHIN a
+        # source must not inflate the pair counts (distinct per source)
+        (1, "shared-1", "s_a"), (2, "shared-1", "s_b"), (3, "shared-1", "s_c"),
+        (4, "shared-2", "s_a"), (5, "shared-2", "s_b"), (6, "shared-2", "s_b"),
+        (7, "only-a", "s_a"), (8, "only-c", "s_c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in cross_source_dups(docs).collect()
+    }
+    assert got == {
+        ("s_a", "s_b"): 2,
+        ("s_a", "s_c"): 1,
+        ("s_b", "s_c"): 1,
+    }
