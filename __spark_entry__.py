@@ -1828,6 +1828,18 @@ def q_hits(spark, sf_dir):
     return hits(_kg_edges(spark, sf_dir))
 
 
+def q_neighbor_jaccard(spark, sf_dir):
+    """Structural entity similarity over the derived entity graph:
+    node pairs with neighbor-set jaccard >= 10% after stop-node
+    removal (degree > 64 hubs dropped FIRST — explicit skew control,
+    wedge volume bounded by m * hub_cap).  The entity-resolution
+    candidate generator by link structure; the threshold compare is
+    pure integer."""
+    from corhist_spark.graph import neighbor_jaccard
+
+    return neighbor_jaccard(_kg_edges(spark, sf_dir))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2567,6 +2579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage matrix
         "tfidf_terms": q_tfidf_terms,
         "cross_source_dups": q_cross_source_dups,
+        # structural entity similarity (neighbor-set jaccard with
+        # stop-node removal) — ER candidates by link structure
+        "neighbor_jaccard": q_neighbor_jaccard,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3858,6 +3873,39 @@ _HITS_SQL = f"""{_KG_EDGE_CTES}, e AS MATERIALIZED (
 
 from corhist_spark.textops import TFIDF_TOP_K as _TFIDF_TOP_K
 from corhist_spark.textops import WSAMPLE_K as _WSAMPLE_K
+from corhist_spark.graph import NJ_HUB_CAP as _NJ_HUB_CAP
+from corhist_spark.graph import NJ_MIN_PCT as _NJ_MIN_PCT
+
+# wedge centers enumerate common neighbors exactly once per unordered
+# pair (v < y on the two spokes); hub removal FIRST mirrors
+# graph.neighbor_jaccard
+_NJ_SQL = f"""{_KG_EDGE_CTES}, canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+    ), keep AS (
+      SELECT node FROM deg WHERE d <= {_NJ_HUB_CAP}
+    ), fund AS MATERIALIZED (
+      SELECT u, v FROM und
+      WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep)
+    ), fdeg AS MATERIALIZED (
+      SELECT u, COUNT(*) AS d FROM fund GROUP BY u
+    ), wedge AS (
+      SELECT e1.v AS x, e2.v AS y, COUNT(*) AS common
+      FROM fund e1 JOIN fund e2 ON e1.u = e2.u AND e1.v < e2.v
+      GROUP BY 1, 2
+    )
+    SELECT w.x AS node_a, w.y AS node_b, w.common,
+           round(w.common / CAST(dx.d + dy.d - w.common AS DOUBLE), 6) AS jaccard
+    FROM wedge w JOIN fdeg dx ON dx.u = w.x JOIN fdeg dy ON dy.u = w.y
+    WHERE w.common * 100 >= {_NJ_MIN_PCT} * (dx.d + dy.d - w.common)
+"""
+
 from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
 from corhist_spark.sketches import QUANT_QS as _QQS
 
@@ -5599,6 +5647,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": _BFS_SQL,
         "hits": _HITS_SQL,
         "token_quantiles": _QUANT_SQL,
+        "neighbor_jaccard": _NJ_SQL,
         # batch transcription of the four-micro-batch replay: one
         # emission per distinct hash per batch it survives in (batch 0
         # = all docs, batches 1-2 = the advancer sentinels, batch 3 =

@@ -136,6 +136,9 @@ HEADLINE = [
     # per-doc TF-IDF keyword profile + cross-source dup-leakage matrix
     "tfidf_terms",
     "cross_source_dups",
+    # structural entity similarity (neighbor-set jaccard, stop-node
+    # removal first — explicit hub-skew control)
+    "neighbor_jaccard",
 ]
 
 

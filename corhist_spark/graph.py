@@ -558,3 +558,79 @@ def hits(edges: DataFrame, n_iters: int = HITS_ITERS) -> DataFrame:
             F.round(F.col("hub") * F.lit(float(n)), 6).alias("hub_norm"),
         )
     )
+
+
+NJ_HUB_CAP = 64
+NJ_MIN_PCT = 10
+
+
+def neighbor_jaccard(
+    edges: DataFrame, hub_cap: int = NJ_HUB_CAP, min_pct: int = NJ_MIN_PCT
+) -> DataFrame:
+    """Structural entity similarity: node pairs whose NEIGHBOR SETS
+    overlap -> (node_a, node_b, common, jaccard) for pairs with
+    jaccard >= min_pct percent, node_a < node_b.  This is the
+    entity-resolution candidate generator by link structure
+    (co-citation similarity — two KG entities pointing at the same
+    things are merge candidates even without a sameAs edge), i.e. a
+    set-similarity join over adjacency lists.
+
+    Skew control is explicit, not hoped-for: nodes with degree >
+    hub_cap are removed FIRST (stop-node removal, the standard move
+    in co-occurrence mining — a hub like P31/Q5 is structurally
+    similar to everything and its wedge volume is degree^2), so the
+    per-node wedge fan-out is bounded by hub_cap and total wedge
+    volume by m * hub_cap.  The jaccard is then exact on the filtered
+    graph: common and the degrees are integers, the threshold compare
+    is integer (common * 100 >= min_pct * (da + db - common)), and
+    only the reported jaccard itself is a rounded division — both
+    engines decide membership identically.
+
+    Scale shape: wedge enumeration is one self-equi-join of the
+    hub-filtered adjacency on the wedge CENTER (shuffled on a
+    node key, per-center output <= hub_cap^2) + a pair-keyed count;
+    degree tables are node-sized side inputs."""
+    canon = _undirected(edges)
+    und = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.filter(F.col("d") <= hub_cap).select(F.col("u").alias("node"))
+    fund = (
+        und.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+        .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+        .select("u", "v")
+        # reused 3x (degrees + both wedge sides); checkpoint before the
+        # self-join and rename the right side (Spark 4.1 AttributeMap
+        # guard, see canonicalize.py)
+        .localCheckpoint()
+    )
+    fdeg = fund.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    right = fund.select(F.col("u").alias("u2"), F.col("v").alias("y"))
+    wedges = (
+        fund.join(right, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("y")))
+        .groupBy(F.col("v").alias("x"), "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    dx = fdeg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    dy = fdeg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    return (
+        wedges.join(dx, "x")
+        .join(dy, "y")
+        .filter(
+            F.col("common") * 100
+            >= min_pct * (F.col("dx") + F.col("dy") - F.col("common"))
+        )
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("dx") + F.col("dy") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

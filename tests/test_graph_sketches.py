@@ -705,3 +705,60 @@ def test_hits_random_vs_python(spark):
     for v in want:
         assert got[v][0] == pytest.approx(want[v][0], abs=2e-6), v
         assert got[v][1] == pytest.approx(want[v][1], abs=2e-6), v
+
+
+# ---- neighbor jaccard ----
+
+
+def _nj_python(pairs, hub_cap=64, min_pct=10):
+    canon = {(min(s, d), max(s, d)) for s, d in pairs if s != d}
+    adj: dict[str, set] = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    keep = {n for n in adj if len(adj[n]) <= hub_cap}
+    fadj = {n: adj[n] & keep for n in keep}
+    out = {}
+    nodes = sorted(fadj)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1:]:
+            common = len(fadj[x] & fadj[y])
+            union = len(fadj[x]) + len(fadj[y]) - common
+            if common and common * 100 >= min_pct * union:
+                out[(x, y)] = (common, round(common / union, 6))
+    return out
+
+
+def test_neighbor_jaccard_hand_checked(spark):
+    from corhist_spark.graph import neighbor_jaccard
+
+    # a and b share neighbors {n1, n2}; a also has n3, b also has n4:
+    # jaccard(a,b) = 2/4.  hub h (degree > cap) must vanish first and
+    # drag its wedges with it.
+    pairs = [
+        ("a", "n1"), ("a", "n2"), ("a", "n3"),
+        ("b", "n1"), ("b", "n2"), ("b", "n4"),
+    ] + [("h", f"x{i}") for i in range(5)] + [("a", "h"), ("b", "h")]
+    got = {
+        (r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+        for r in neighbor_jaccard(_edges(spark, pairs), hub_cap=4, min_pct=10).collect()
+    }
+    want = _nj_python(pairs, hub_cap=4, min_pct=10)
+    assert got == want
+    assert got[("a", "b")] == (2, 0.5)
+    assert not any("h" in p for p in got)
+
+
+def test_neighbor_jaccard_random_vs_python(spark):
+    from corhist_spark.graph import neighbor_jaccard
+
+    k = 30
+    pairs = [
+        (f"n{i % k}", f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k}")
+        for i in range(200)
+    ]
+    got = {
+        (r["node_a"], r["node_b"]): (r["common"], r["jaccard"])
+        for r in neighbor_jaccard(_edges(spark, pairs), hub_cap=12, min_pct=10).collect()
+    }
+    assert got == _nj_python(pairs, hub_cap=12, min_pct=10)
