@@ -48,3 +48,24 @@ def test_cli_main_runs_full_pipeline(spark, corpus, sdf, tmp_path, capsys, monke
     assert n > 0
     # resumable: warehouse tables landed on disk
     assert (tmp_path / "wh").exists()
+
+
+def test_spark_submit_py_files_deployment():
+    """The north rule's deployment clause, for real: zip the package,
+    spark-submit the full pipeline from a NEUTRAL cwd (repo absent
+    from sys.path), and require the per-table row counts — driver
+    imports and executor-side pandas-UDF unpickling must both resolve
+    corhist_spark from the --py-files zip (tools/submit_smoke.sh)."""
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_SMOKE_CPUS"] = "4"
+    p = subprocess.run(
+        ["sh", os.path.join(repo, "tools", "submit_smoke.sh")],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+    assert "submit smoke OK" in p.stdout
+    assert "corrections: " in p.stdout
