@@ -1801,7 +1801,9 @@ def q_bfs_distances(spark, sf_dir):
     anti-join per round, everything integer."""
     from corhist_spark.graph import bfs_distances
 
-    edges = _kg_edges(spark, sf_dir)
+    # derived once for BOTH the seed scan and the traversal (the seed
+    # branch would otherwise re-run the events scan + md5 decode)
+    edges = _kg_edges(spark, sf_dir).localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))

@@ -517,6 +517,14 @@ def hits(edges: DataFrame, n_iters: int = HITS_ITERS) -> DataFrame:
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # empty/self-loop-only input: empty result, like the sibling
+        # graph operators (not a driver-side ZeroDivisionError)
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("auth_norm"),
+            F.lit(0.0).alias("hub_norm"),
+        )
     hub = nodes.withColumn("hub", F.lit(1.0 / n)).localCheckpoint()
     auth = None
     for _ in range(n_iters):

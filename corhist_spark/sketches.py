@@ -255,7 +255,7 @@ def token_count_quantiles(docs: DataFrame, bin_width: int = QUANT_BIN_WIDTH, qs=
     as one linear pass + a constant-size histogram instead of a full
     sort.  Token definition = the repo-wide whitespace split with
     empties dropped (textops._token_array)."""
-    counts = docs.select(
-        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("v")
-    )
+    from corhist_spark.textops import _token_array
+
+    counts = docs.select(F.size(_token_array()).alias("v"))
     return binned_quantiles(counts, "v", bin_width, qs)

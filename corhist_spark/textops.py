@@ -1149,7 +1149,8 @@ def tfidf_terms(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
     identical grid.
 
     Scale shape: one (doc, token) groupBy over the token stream, one
-    token-keyed df marginal (vocabulary-sized -> broadcast), a
+    token-keyed df marginal (vocabulary-sized — joined without a
+    broadcast hint so AQE broadcasts only when it fits), a
     single-row N total, then a per-document top-k window over <=
     distinct-tokens-per-doc rows — the only corpus-sized shuffle is
     the (doc, token) aggregation, which map-side combines."""
@@ -1164,8 +1165,11 @@ def tfidf_terms(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
         tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    # no broadcast HINT on the df marginal: its cardinality is the
+    # vocabulary, which grows with the corpus (Heaps' law) — let
+    # AQE pick broadcast when it actually fits
     return (
-        tf.join(F.broadcast(df_marg), "token")
+        tf.join(df_marg, "token")
         .crossJoin(F.broadcast(n))  # single-row totals frame
         .select(
             "doc_id",

@@ -762,3 +762,32 @@ def test_neighbor_jaccard_random_vs_python(spark):
         for r in neighbor_jaccard(_edges(spark, pairs), hub_cap=12, min_pct=10).collect()
     }
     assert got == _nj_python(pairs, hub_cap=12, min_pct=10)
+
+
+def test_k_core_fixed_rounds_reach_fixpoint(spark):
+    """The unrolled oracle replicates whatever round count the engine
+    uses, so a too-shallow peel could never be caught cross-engine —
+    guard convergence directly: at the fixpoint every surviving
+    degree is >= k AND two extra rounds change nothing.  The fixture
+    is the entry harness's derived-entity-graph shape (constant
+    expected degree ~40, like every sf tier; convergence at the real
+    tiers was additionally probed via DuckDB: sf0.01 converges by
+    round 5, sf1 by round 5, bound 6)."""
+    from corhist_spark.graph import KCORE_K, KCORE_ROUNDS, k_core
+
+    k_nodes = 40
+    pairs = [
+        (f"n{i % k_nodes}",
+         f"n{int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % k_nodes}")
+        for i in range(800)
+    ]
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(_edges(spark, pairs)).collect()
+    }
+    assert got and all(d >= KCORE_K for d in got.values())
+    more = {
+        r["node"]: r["core_degree"]
+        for r in k_core(_edges(spark, pairs), n_rounds=KCORE_ROUNDS + 2).collect()
+    }
+    assert got == more

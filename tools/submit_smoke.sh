@@ -48,8 +48,13 @@ spark-submit --master "local[${SPARK_GRAFT_SMOKE_CPUS:-8}]" \
   --revisions "$WORK/revisions" \
   --sameas "$WORK/sameas_edges" \
   --constraints "$WORK/constraints.jsonl" \
-  --run-id smoke 2>"$WORK/stderr.log" | tee "$WORK/stdout.log"
+  --run-id smoke >"$WORK/stdout.log" 2>"$WORK/stderr.log" || {
+  echo "FAIL: spark-submit exited non-zero"; tail -40 "$WORK/stderr.log"; exit 1; }
+cat "$WORK/stdout.log"
 
-grep -q "corrections: " "$WORK/stdout.log" || {
+# the final count loop prints all seven stages; require the LAST one
+# so a mid-loop failure cannot sneak past (plain sh has no pipefail —
+# spark-submit's own status is checked above, unpiped)
+grep -q "canonical_triples: " "$WORK/stdout.log" || {
   echo "FAIL: pipeline output missing"; tail -40 "$WORK/stderr.log"; exit 1; }
 echo "submit smoke OK"
