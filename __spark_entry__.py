@@ -2157,6 +2157,32 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-filter semi-join end-to-end: lineitem filtered by a
+    2^20-bit / 4-hash Bloom filter over the BUILDING-segment
+    customers' order keys, compared against the exact semi-join on
+    the same key set -> one row (n_bitmap_words, n_bloom_rows,
+    n_exact_rows, n_false_positive_rows).  The bitmap is a 16k-row
+    broadcast built by ONE groupBy(word).bit_or — the 100-TB
+    shuffle-avoidance pattern for key sets too large to broadcast
+    exactly; md5-derived positions make the false positives
+    deterministic and the whole operator DuckDB-transcribable."""
+    from corhist_spark.bloom import bloom_semi_join_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    keys = orders.join(
+        cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+            F.col("c_custkey").alias("o_custkey")
+        ),
+        "o_custkey",
+        "left_semi",
+    )
+    return bloom_semi_join_stats(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", keys, "o_orderkey"
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted sampling without replacement: the
     100 documents with the largest ln(u)/n_tokens priority (u = the
@@ -2584,6 +2610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structural entity similarity (neighbor-set jaccard with
         # stop-node removal) — ER candidates by link structure
         "neighbor_jaccard": q_neighbor_jaccard,
+        # Bloom-filter semi-join vs exact (deterministic md5 positions)
+        "bloom_semi_join": q_bloom_semi_join,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3871,6 +3899,47 @@ _HITS_SQL = f"""{_KG_EDGE_CTES}, e AS MATERIALIZED (
            round(a.auth * (SELECT n FROM nn), 6) AS auth_norm,
            round(h.hub * (SELECT n FROM nn), 6) AS hub_norm
     FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h USING (node)
+"""
+
+from corhist_spark.bloom import BLOOM_BITS as _BLOOM_BITS
+from corhist_spark.bloom import BLOOM_K as _BLOOM_K
+from corhist_spark.bloom import WORD_BITS as _BLOOM_WORD_BITS
+
+
+def _bloom_pos(key_sql: str) -> str:
+    """DuckDB transcription of bloom._positions' hash: the position of
+    hash i (column ``i``) for the stringified key expression."""
+    hashed = hexval_sql("'bf' || CAST(i AS VARCHAR) || ':' || " + key_sql)
+    return f"({hashed}) % {_BLOOM_BITS}"
+
+
+_BLOOM_SQL = f"""
+    WITH keys AS (
+      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS kk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+    ), kpos AS (
+      SELECT {_bloom_pos("kk")} AS pos
+      FROM (SELECT kk, unnest(generate_series(0, {_BLOOM_K - 1})) AS i FROM keys)
+    ), bitmap AS MATERIALIZED (
+      SELECT pos // {_BLOOM_WORD_BITS} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BLOOM_WORD_BITS} AS INT)) AS bits
+      FROM kpos GROUP BY 1
+    ), probe AS (
+      SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS kk FROM lineitem
+    ), ppos AS (
+      SELECT kk, {_bloom_pos("kk")} AS pos
+      FROM (SELECT kk, unnest(generate_series(0, {_BLOOM_K - 1})) AS i FROM probe)
+    ), members AS MATERIALIZED (
+      SELECT kk FROM ppos p JOIN bitmap b ON b.word = p.pos // {_BLOOM_WORD_BITS}
+      WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_WORD_BITS} AS INT))) <> 0
+      GROUP BY kk HAVING COUNT(*) = {_BLOOM_K}
+    ), fact AS (SELECT CAST(l_orderkey AS VARCHAR) AS kk FROM lineitem)
+    SELECT (SELECT COUNT(*) FROM bitmap) AS n_bitmap_words,
+           (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM members)) AS n_bloom_rows,
+           (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM keys)) AS n_exact_rows,
+           (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM members))
+           - (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM keys)) AS n_false_positive_rows
 """
 
 from corhist_spark.textops import TFIDF_TOP_K as _TFIDF_TOP_K
@@ -5650,6 +5719,7 @@ def oracle_sql() -> dict[str, str]:
         "hits": _HITS_SQL,
         "token_quantiles": _QUANT_SQL,
         "neighbor_jaccard": _NJ_SQL,
+        "bloom_semi_join": _BLOOM_SQL,
         # batch transcription of the four-micro-batch replay: one
         # emission per distinct hash per batch it survives in (batch 0
         # = all docs, batches 1-2 = the advancer sentinels, batch 3 =

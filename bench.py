@@ -139,6 +139,8 @@ HEADLINE = [
     # structural entity similarity (neighbor-set jaccard, stop-node
     # removal first — explicit hub-skew control)
     "neighbor_jaccard",
+    # Bloom-filter semi-join vs exact (16k-word broadcast bitmap)
+    "bloom_semi_join",
 ]
 
 

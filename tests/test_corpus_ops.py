@@ -674,3 +674,38 @@ def test_cross_source_dups_planted(spark):
         ("s_a", "s_c"): 1,
         ("s_b", "s_c"): 1,
     }
+
+
+def test_bloom_semi_join_no_false_negatives_and_python_exact(spark):
+    """Bloom guarantee: every true key passes (no false negatives);
+    with a deliberately TINY filter (256 bits) false positives occur
+    and must match a pure-Python replay bit for bit."""
+    import hashlib as _hl
+
+    from corhist_spark.bloom import bloom_bitmap, bloom_member_keys
+
+    keys = [f"k{i}" for i in range(0, 60, 2)]            # 30 member keys
+    probe = keys + [f"p{i}" for i in range(200)]         # + 200 non-members
+    n_bits, k = 128, 4  # saturated on purpose: ~39 FPs, python-verified
+
+    def pos(key, i):
+        return int(_hl.md5(f"bf{i}:{key}".encode()).hexdigest()[:13], 16) % n_bits
+
+    words: dict[int, int] = {}
+    for kk in keys:
+        for i in range(k):
+            p = pos(kk, i)
+            words[p // 63] = words.get(p // 63, 0) | (1 << (p % 63))
+    want = {
+        kk for kk in probe
+        if all(words.get(pos(kk, i) // 63, 0) >> (pos(kk, i) % 63) & 1 for i in range(k))
+    }
+    kdf = spark.createDataFrame([(s,) for s in keys], "kk string")
+    pdf = spark.createDataFrame([(s,) for s in probe], "bf_key string")
+    bitmap = bloom_bitmap(kdf, "kk", n_bits, k)
+    got_words = {r["word"]: r["bits"] for r in bitmap.collect()}
+    assert got_words == words  # bit-identical bitmap
+    got = {r["bf_key"] for r in bloom_member_keys(pdf, bitmap, n_bits, k).collect()}
+    assert got == want
+    assert set(keys) <= got            # no false negatives, ever
+    assert got - set(keys)             # the saturated filter DOES misfire
