@@ -3914,7 +3914,7 @@ def _bloom_pos(key_sql: str) -> str:
 
 
 _BLOOM_SQL = f"""
-    WITH keys AS (
+    WITH keys AS MATERIALIZED (
       SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS kk
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
@@ -3934,12 +3934,17 @@ _BLOOM_SQL = f"""
       SELECT kk FROM ppos p JOIN bitmap b ON b.word = p.pos // {_BLOOM_WORD_BITS}
       WHERE (b.bits & (CAST(1 AS BIGINT) << CAST(p.pos % {_BLOOM_WORD_BITS} AS INT))) <> 0
       GROUP BY kk HAVING COUNT(*) = {_BLOOM_K}
-    ), fact AS (SELECT CAST(l_orderkey AS VARCHAR) AS kk FROM lineitem)
-    SELECT (SELECT COUNT(*) FROM bitmap) AS n_bitmap_words,
-           (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM members)) AS n_bloom_rows,
-           (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM keys)) AS n_exact_rows,
-           (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM members))
-           - (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM keys)) AS n_false_positive_rows
+    ), fact AS MATERIALIZED (
+      SELECT CAST(l_orderkey AS VARCHAR) AS kk FROM lineitem
+    ), counts AS (
+      SELECT
+        (SELECT COUNT(*) FROM bitmap) AS n_bitmap_words,
+        (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM members)) AS n_bloom_rows,
+        (SELECT COUNT(*) FROM fact WHERE kk IN (SELECT kk FROM keys)) AS n_exact_rows
+    )
+    SELECT n_bitmap_words, n_bloom_rows, n_exact_rows,
+           n_bloom_rows - n_exact_rows AS n_false_positive_rows
+    FROM counts
 """
 
 from corhist_spark.textops import TFIDF_TOP_K as _TFIDF_TOP_K

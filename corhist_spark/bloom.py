@@ -32,19 +32,16 @@ WORD_BITS = 63  # bits 0..62 only: the sign bit stays untouched
 
 def _positions(df: DataFrame, key_expr: str, n_bits: int, k: int) -> DataFrame:
     """(key, i, pos): the k md5-derived bit positions of each key —
-    pos_i = hex13(md5('bf' || i || ':' || key)) % n_bits."""
+    pos_i = hex13(md5('bf' || i || ':' || key)) % n_bits (the shared
+    repo-wide 13-hex decode from sketches._hex13)."""
+    from corhist_spark.sketches import _hex13
+
     return df.select(
         F.expr(key_expr).cast("string").alias("bf_key"),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
     ).select(
         "bf_key",
-        (
-            F.expr(
-                "CAST(conv(substr(md5(concat('bf', CAST(i AS STRING), ':', bf_key)),"
-                " 1, 13), 16, 10) AS BIGINT)"
-            )
-            % n_bits
-        ).alias("pos"),
+        (_hex13("concat('bf', CAST(i AS STRING), ':', bf_key)") % n_bits).alias("pos"),
     )
 
 

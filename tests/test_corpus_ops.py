@@ -678,8 +678,9 @@ def test_cross_source_dups_planted(spark):
 
 def test_bloom_semi_join_no_false_negatives_and_python_exact(spark):
     """Bloom guarantee: every true key passes (no false negatives);
-    with a deliberately TINY filter (256 bits) false positives occur
-    and must match a pure-Python replay bit for bit."""
+    with a deliberately saturated filter (128 bits, 30 keys * 4
+    hashes) false positives occur and must match a pure-Python replay
+    bit for bit."""
     import hashlib as _hl
 
     from corhist_spark.bloom import bloom_bitmap, bloom_member_keys
@@ -713,8 +714,8 @@ def test_bloom_semi_join_no_false_negatives_and_python_exact(spark):
 
 def test_new_op_invariants(spark):
     """Cheap structural invariants across the batch-3/4 operators:
-    ES top-k nesting, quantile monotonicity, BFS triangle inequality
-    versus k-hop reachability, TF-IDF non-negativity."""
+    ES top-k nesting, quantile monotonicity across percentiles,
+    TF-IDF non-negativity."""
     from corhist_spark.sketches import binned_quantiles
     from corhist_spark.textops import tfidf_terms, weighted_sample
 
