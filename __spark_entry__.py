@@ -2157,6 +2157,29 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_snapshot_delta(spark, sf_dir):
+    """CDC-style snapshot diff: the current documents table vs a
+    deterministically derived 'previous crawl' (doc_id%10==3 rows
+    absent from prev = 'added'; doc_id%7==0 rows carry a ' v0' text
+    suffix in prev = 'changed'; prev-only ghost rows at doc_id+10^9 =
+    'removed').  One full-outer join on the key; the output is
+    churn-sized, not corpus-sized — downstream stages reprocess only
+    the delta."""
+    from corhist_spark.storage import snapshot_delta
+
+    cur = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = cur.filter(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" v0")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ghosts = cur.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    return snapshot_delta(cur, base.unionByName(ghosts))
+
+
 def q_bloom_semi_join(spark, sf_dir):
     """Bloom-filter semi-join end-to-end: lineitem filtered by a
     2^20-bit / 4-hash Bloom filter over the BUILDING-segment
@@ -2612,6 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         # Bloom-filter semi-join vs exact (deterministic md5 positions)
         "bloom_semi_join": q_bloom_semi_join,
+        # CDC-style snapshot diff (added/removed/changed, churn-sized)
+        "snapshot_delta": q_snapshot_delta,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5725,6 +5750,27 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _QUANT_SQL,
         "neighbor_jaccard": _NJ_SQL,
         "bloom_semi_join": _BLOOM_SQL,
+        "snapshot_delta": """
+            WITH cur AS (SELECT doc_id, text FROM documents),
+            prev AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' v0'
+                          ELSE text END AS text
+              FROM cur WHERE doc_id % 10 <> 3
+              UNION ALL
+              SELECT doc_id + 1000000000 AS doc_id, text
+              FROM cur WHERE doc_id % 13 = 0
+            ), c AS (SELECT doc_id AS k, md5(text) AS fc FROM cur),
+            p AS (SELECT doc_id AS k, md5(text) AS fp FROM prev),
+            d AS (
+              SELECT COALESCE(c.k, p.k) AS doc_id,
+                     CASE WHEN p.k IS NULL THEN 'added'
+                          WHEN c.k IS NULL THEN 'removed'
+                          WHEN fc <> fp THEN 'changed' END AS change
+              FROM c FULL OUTER JOIN p ON c.k = p.k
+            )
+            SELECT doc_id, change FROM d WHERE change IS NOT NULL
+        """,
         # batch transcription of the four-micro-batch replay: one
         # emission per distinct hash per batch it survives in (batch 0
         # = all docs, batches 1-2 = the advancer sentinels, batch 3 =

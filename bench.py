@@ -141,6 +141,8 @@ HEADLINE = [
     "neighbor_jaccard",
     # Bloom-filter semi-join vs exact (16k-word broadcast bitmap)
     "bloom_semi_join",
+    # CDC-style snapshot diff (churn-sized output)
+    "snapshot_delta",
 ]
 
 

@@ -137,3 +137,34 @@ def run_resumable(
         else:
             out[name] = wh.log_stage(run_id, name, fn(out))
     return out
+
+
+def snapshot_delta(
+    cur: DataFrame, prev: DataFrame, key: str = "doc_id", fp_col: str = "text"
+) -> DataFrame:
+    """CDC-style diff between two corpus snapshots -> (key, change)
+    with change in {'added', 'removed', 'changed'} — the incremental-
+    ingest primitive of a periodically re-crawled corpus: downstream
+    stages (dedup, quality, indexing) reprocess ONLY the delta instead
+    of the whole snapshot.
+
+    Change detection is by md5 fingerprint of ``fp_col``; unchanged
+    rows are ABSENT from the output, so the result is churn-sized, not
+    corpus-sized.  One full-outer join on the key is the entire plan —
+    at warehouse scale both snapshots are bucketed on the key and the
+    join is co-located with zero shuffle; with Iceberg this is the
+    snapshot-diff read the format provides natively (SURVEY §1.3), and
+    this operator is its engine-side equivalent for plain tables."""
+    c = cur.select(F.col(key).alias("k"), F.md5(fp_col).alias("fp_cur"))
+    p = prev.select(F.col(key).alias("k"), F.md5(fp_col).alias("fp_prev"))
+    return (
+        c.join(p, "k", "full_outer")
+        .select(
+            F.col("k").alias(key),
+            F.when(F.col("fp_prev").isNull(), F.lit("added"))
+            .when(F.col("fp_cur").isNull(), F.lit("removed"))
+            .when(F.col("fp_cur") != F.col("fp_prev"), F.lit("changed"))
+            .alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

@@ -79,3 +79,20 @@ def test_audit_has_per_partition_lineage(spark, warehouse_runs):
     for r in rows:
         assert r.run_id and r.seconds >= 0 and r.rows >= 0
         assert r.partition_id is not None
+
+
+def test_snapshot_delta_hand_checked(spark):
+    """CDC diff: added/removed/changed classified exactly, unchanged
+    rows absent (churn-sized output)."""
+    from corhist_spark.storage import snapshot_delta
+
+    cur = spark.createDataFrame(
+        [(1, "same"), (2, "new text"), (3, "fresh doc")],
+        "doc_id long, text string",
+    )
+    prev = spark.createDataFrame(
+        [(1, "same"), (2, "old text"), (9, "gone doc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["change"] for r in snapshot_delta(cur, prev).collect()}
+    assert got == {2: "changed", 3: "added", 9: "removed"}  # 1 absent
