@@ -2157,6 +2157,16 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document originality: fraction of the doc's distinct word
+    8-grams occurring in no other document — boilerplate scores ~0,
+    novel prose ~1 (the scoring complement of the dedup family).
+    Integer counts until one final rounded division."""
+    from corhist_spark.textops import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
 def q_snapshot_delta(spark, sf_dir):
     """CDC-style snapshot diff: the current documents table vs a
     deterministically derived 'previous crawl' (doc_id%10==3 rows
@@ -2637,6 +2647,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         # CDC-style snapshot diff (added/removed/changed, churn-sized)
         "snapshot_delta": q_snapshot_delta,
+        # per-doc n-gram originality score (novelty vs the corpus)
+        "ngram_novelty": q_ngram_novelty,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5750,6 +5762,22 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _QUANT_SQL,
         "neighbor_jaccard": _NJ_SQL,
         "bloom_semi_join": _BLOOM_SQL,
+        "ngram_novelty": """
+            WITH t AS (
+              SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            g AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_slice(toks, i, i+7), ' ') AS ng
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks)-7, 0))) AS i
+                    FROM t)),
+            dp AS (SELECT ng, COUNT(*) AS nd FROM g GROUP BY ng)
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   round(CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS novel_frac
+            FROM g JOIN dp USING (ng) GROUP BY doc_id
+        """,
         "snapshot_delta": """
             WITH cur AS (SELECT doc_id, text FROM documents),
             prev AS (

@@ -143,6 +143,8 @@ HEADLINE = [
     "bloom_semi_join",
     # CDC-style snapshot diff (churn-sized output)
     "snapshot_delta",
+    # per-doc n-gram originality score
+    "ngram_novelty",
 ]
 
 

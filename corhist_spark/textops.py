@@ -1210,3 +1210,36 @@ def cross_source_dups(docs: DataFrame) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
+    """Per-document originality signal -> (doc_id, n_grams,
+    novel_frac): the fraction of the document's DISTINCT word n-grams
+    that occur in NO other document corpus-wide.  Boilerplate-heavy
+    and template-generated pages score near 0, genuinely novel prose
+    near 1 — the curation complement of the dedup family (near-dup
+    finds the copies; novelty scores everything by how much of it is
+    copied).  Documents shorter than n tokens have no n-grams and are
+    absent.
+
+    All-integer until the final rounded division of two exact counts,
+    so both engines emit the identical double.  Scale shape: one
+    distinct over (doc, ngram), one ngram-keyed count + join (keys
+    uniform by construction — n-grams, not raw tokens), one per-doc
+    aggregate; everything map-side combines and nothing is broadcast
+    or collected."""
+    g = word_ngrams(docs, n).localCheckpoint()
+    docs_per = g.groupBy("ng").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        g.join(docs_per, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") == 1, 1).otherwise(0)).alias("novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("novel") / F.col("n_grams"), 6).alias("novel_frac"),
+        )
+    )

@@ -741,3 +741,31 @@ def test_new_op_invariants(spark):
     # df <= N) and tf >= 1
     for r in tfidf_terms(docs).collect():
         assert r["tfidf"] >= 0.0 and r["tf"] >= 1
+
+
+def test_ngram_novelty_planted(spark):
+    """Planted originality: a doc repeated verbatim scores 0 novelty,
+    a fully unique doc scores 1, a half-copied doc in between; docs
+    shorter than n tokens are absent."""
+    from corhist_spark.textops import ngram_novelty
+
+    shared = " ".join(f"s{i}" for i in range(8))        # one shared 8-gram
+    uniq = " ".join(f"u{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, shared),                 # duplicated below -> novelty 0
+            (2, shared),
+            (3, uniq),                   # unique -> novelty 1
+            (4, shared + " " + uniq),    # mixes both + bridge grams
+            (5, "too short"),            # < 8 tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["novel_frac"]) for r in ngram_novelty(docs).collect()}
+    assert 5 not in got
+    assert got[1] == (1, 0.0) and got[2] == (1, 0.0)
+    # doc 3's single 8-gram also appears inside doc 4 -> shared, 0.0;
+    # doc 4 has 9 grams: 'shared' (in 1,2,4), 'uniq' (in 3,4), and 7
+    # unique bridge grams -> 7/9
+    assert got[3] == (1, 0.0)
+    assert got[4] == (9, round(7 / 9, 6))
