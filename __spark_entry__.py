@@ -2157,6 +2157,34 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_prefix_jaccard_join(spark, sf_dir):
+    """EXACT token-set-jaccard self-join (>= 0.6) via prefix filtering
+    (SSJoin/PPJoin): no false negatives, candidates only from the
+    RAREST tokens of each document (skew-proof by construction —
+    contrast LSH banding's explicit hot-bucket cap), exact
+    verification with pure-integer keep decisions.
+
+    Run over the deterministic doc_id%10==0 sample and published as
+    the per-document profile (doc_id, n_partners, max_jaccard): this
+    corpus is template-generated and duplicate-heavy, so the RAW pair
+    list is quadratic in cluster size (7.1M pairs from 5000 docs at
+    sf0.1 — the workload, not the plan; a deduped real corpus has no
+    such clusters).  The pair-level operator is the library function,
+    pinned against brute force in tests/test_corpus_ops.py."""
+    from corhist_spark.textops import prefix_jaccard_join
+
+    pairs = prefix_jaccard_join(
+        _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    )
+    sides = pairs.select(
+        F.col("doc_a").alias("doc_id"), "jaccard"
+    ).unionAll(pairs.select(F.col("doc_b").alias("doc_id"), "jaccard"))
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_partners"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-document originality: fraction of the doc's distinct word
     8-grams occurring in no other document — boilerplate scores ~0,
@@ -2649,6 +2677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": q_snapshot_delta,
         # per-doc n-gram originality score (novelty vs the corpus)
         "ngram_novelty": q_ngram_novelty,
+        # exact set-similarity join via prefix filtering (PPJoin-style)
+        "prefix_jaccard_join": q_prefix_jaccard_join,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3984,6 +4014,7 @@ _BLOOM_SQL = f"""
     FROM counts
 """
 
+from corhist_spark.textops import PPJ_T1000 as _PPJ_T1000
 from corhist_spark.textops import TFIDF_TOP_K as _TFIDF_TOP_K
 from corhist_spark.textops import WSAMPLE_K as _WSAMPLE_K
 from corhist_spark.graph import NJ_HUB_CAP as _NJ_HUB_CAP
@@ -5762,6 +5793,48 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _QUANT_SQL,
         "neighbor_jaccard": _NJ_SQL,
         "bloom_semi_join": _BLOOM_SQL,
+        # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
+        # prefix = first sz - ceil(t*sz) + 1 tokens under (global
+        # frequency asc, token) order — the PPJoin guarantee
+        "prefix_jaccard_join": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents WHERE doc_id % 10 = 0
+            ), sz AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+            prefix AS MATERIALIZED (
+              SELECT tok, doc_id, sz FROM (
+                SELECT t.tok, t.doc_id, s.sz,
+                       row_number() OVER (PARTITION BY t.doc_id
+                                          ORDER BY f.tf, t.tok) AS pos
+                FROM toks t JOIN freq f USING (tok) JOIN sz s USING (doc_id)
+              ) WHERE pos <= sz - ({_PPJ_T1000} * sz + 999) // 1000 + 1
+            ), cand AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.sz AS sz_a, b.sz AS sz_b
+              FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              WHERE least(a.sz, b.sz) * 1000 >= {_PPJ_T1000} * greatest(a.sz, b.sz)
+            ), inter AS (
+              SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, COUNT(*) AS inter
+              FROM cand c
+              JOIN toks ta ON ta.doc_id = c.doc_a
+              JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+              GROUP BY 1, 2, 3, 4
+            )
+            , pairs AS (
+              SELECT doc_a, doc_b,
+                     round(inter / CAST(sz_a + sz_b - inter AS DOUBLE), 6) AS jaccard
+              FROM inter
+              WHERE inter * 1000 >= {_PPJ_T1000} * (sz_a + sz_b - inter)
+            ), sides AS (
+              SELECT doc_a AS doc_id, jaccard FROM pairs
+              UNION ALL
+              SELECT doc_b AS doc_id, jaccard FROM pairs
+            )
+            SELECT doc_id, COUNT(*) AS n_partners, MAX(jaccard) AS max_jaccard
+            FROM sides GROUP BY doc_id
+        """,
         "ngram_novelty": """
             WITH t AS (
               SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -145,6 +145,8 @@ HEADLINE = [
     "snapshot_delta",
     # per-doc n-gram originality score
     "ngram_novelty",
+    # exact set-similarity join via prefix filtering (PPJoin-style)
+    "prefix_jaccard_join",
 ]
 
 

@@ -1243,3 +1243,81 @@ def ngram_novelty(docs: DataFrame, n: int = DECON_NGRAM) -> DataFrame:
             F.round(F.col("novel") / F.col("n_grams"), 6).alias("novel_frac"),
         )
     )
+
+
+PPJ_T1000 = 600  # jaccard threshold 0.6 as an integer per-mille
+
+
+def prefix_jaccard_join(docs: DataFrame, t1000: int = PPJ_T1000) -> DataFrame:
+    """EXACT set-similarity self-join over per-document token sets:
+    all pairs with token-set jaccard >= t1000/1000 -> (doc_a, doc_b,
+    inter, jaccard) — the prefix-filtering family (SSJoin/PPJoin,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08, public), the
+    exactness-guaranteed alternative to MinHash-LSH: NO false
+    negatives (every qualifying pair is found), and false candidates
+    are removed by exact verification.
+
+    Prefix filter: order each doc's distinct tokens by GLOBAL
+    frequency ascending (rarest first, ties by token); two sets with
+    jaccard >= t MUST share a token inside their first
+    sz - ceil(t * sz) + 1 tokens under any shared total order, so
+    candidate pairs come from a self-join on PREFIX tokens only.
+    The integer form ceil(t*sz) = (t1000*sz + 999) div 1000 keeps
+    both engines on the same grid; a size filter
+    (min_sz * 1000 >= t1000 * max_sz) prunes length-incompatible
+    pairs before verification, and the final keep decision is the
+    pure-integer inter * 1000 >= t1000 * union.
+
+    Scale shape: the candidate join is keyed on prefix tokens, which
+    are the RAREST tokens by construction — prefix filtering is
+    skew-proof by design (a boilerplate token shared by 10^9
+    documents is never in anyone's prefix; contrast LSH banding,
+    which needs an explicit hot-bucket cap).  Verification joins the
+    distinct (doc, token) table once per candidate side, keyed on
+    doc — volume proportional to candidates, not the corpus."""
+    toks = docs.select("doc_id", F.explode(_token_array()).alias("tok")).distinct()
+    toks = toks.localCheckpoint()  # reused: freq, prefix, 2x verify
+    sz = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("tf", "tok")
+    prefix = (
+        toks.join(freq, "tok")
+        .join(sz, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.expr(f"({t1000} * sz + 999) div 1000") + 1
+        )
+        .select("tok", "doc_id", "sz")
+    )
+    a = prefix.select("tok", F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    b = prefix.select("tok", F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("sz_a", "sz_b") * 1000 >= t1000 * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.filter(F.col("inter") * 1000 >= t1000 * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(F.col("inter") / union.cast("double"), 6).alias("jaccard"),
+        )
+    )

@@ -769,3 +769,38 @@ def test_ngram_novelty_planted(spark):
     # unique bridge grams -> 7/9
     assert got[3] == (1, 0.0)
     assert got[4] == (9, round(7 / 9, 6))
+
+
+def test_prefix_jaccard_join_vs_brute_force(spark):
+    """Prefix filtering's no-false-negative guarantee: the PPJoin-style
+    pair list must equal the brute-force all-pairs jaccard >= 0.6
+    exactly (set AND scores) on a mixed corpus — near-dup pairs,
+    disjoint docs, a shared boilerplate token (which must never enter
+    anyone's prefix: it is the most frequent token)."""
+    from corhist_spark.textops import prefix_jaccard_join
+
+    texts = {
+        1: "the quick brown fox jumps over lazy dog",
+        2: "the quick brown fox jumps over lazy cat",    # ~0.8 vs 1
+        3: "the quick brown fox jumps over lazy dog",    # dup of 1
+        4: "the completely different tokens here now ok",
+        5: "the quick brown fox jumps over happy dog",   # ~0.8 vs 1/3
+        6: "the on its own",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["jaccard"])
+        for r in prefix_jaccard_join(docs).collect()
+    }
+    sets = {d: set(t.split()) for d, t in texts.items()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 1000 >= 600 * union:
+                want[(a, b)] = (inter, round(inter / union, 6))
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)][1] == 1.0   # exact dup found
+    assert not any(4 in p or 6 in p for p in got)     # dissimilar absent
