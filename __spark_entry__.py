@@ -1842,6 +1842,86 @@ def q_neighbor_jaccard(spark, sf_dir):
     return neighbor_jaccard(_kg_edges(spark, sf_dir))
 
 
+def q_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the derived entity graph:
+    non-adjacent pairs with >= 3 common neighbors after hub removal,
+    scored sum(1/ln(deg)) — the missing-link candidate generator that
+    complements neighbor_jaccard's merge candidates.  Membership is
+    integer/anti-join; only the published score is float (round 6,
+    the pagerank contract)."""
+    from corhist_spark.graph import adamic_adar
+
+    return adamic_adar(_kg_edges(spark, sf_dir))
+
+
+def q_predicate_functionality(spark, sf_dir):
+    """Per-predicate functionality / inverse-functionality profile
+    over the derived current state — the schema statistic that
+    bootstraps single-value / unique-value constraint CANDIDATES
+    before any constraint table exists (the discovery side of the
+    reference's hand-curated constraint fetch).  Candidate flags are
+    pure-integer compares; ratios rounded to 6 decimals."""
+    from corhist_spark.fusion import predicate_functionality
+
+    return predicate_functionality(_hist_current(spark, sf_dir))
+
+
+def q_fact_stability(spark, sf_dir):
+    """Contested-fact profile over the reconstructed validity
+    intervals: facts removed and re-added (>= 2 episodes), with
+    episode counts, closed-episode dwell time and currency — the
+    edit-war statements a correction miner must treat as contested
+    rather than corrective.  Integer-only."""
+    from corhist_spark.fusion import fact_stability
+    from corhist_spark.schemas import MAX_REV
+
+    _, _, state = _hist(spark, sf_dir)
+    return fact_stability(state, MAX_REV)
+
+
+def q_truth_discovery(spark, sf_dir):
+    """Multi-source truth discovery (Sums fixpoint, 6 rounds) over
+    claims derived from ALL add-edits with source = 'S' || rev_id % 17
+    — conflicting (subj, pred) values asserted by different synthetic
+    bots, resolved to the highest-belief value per statement key.
+    The knowledge-fusion stage a multi-extractor KG pipeline runs
+    between extraction and materialization."""
+    from corhist_spark.fusion import truth_discovery
+
+    edits, _, _ = _hist(spark, sf_dir)
+    claims = edits.filter(F.col("op") == "add").select(
+        F.concat(F.lit("S"), (F.col("rev_id") % _TD_SOURCE_MOD).cast("string")).alias(
+            "source"
+        ),
+        "subj",
+        "pred",
+        "obj",
+    )
+    return truth_discovery(claims)
+
+
+def q_kge_negatives(spark, sf_dir):
+    """Filtered TransE-style negative sampling over the derived
+    current state: one head and one tail corruption per true triple,
+    drawn deterministically from ~64-occupancy hash buckets of the
+    entity/value vocabularies (no global index, no vocabulary
+    broadcast), corruptions colliding with true triples dropped — the
+    KG-embedding training corpus generator."""
+    from corhist_spark.fusion import kge_negatives
+
+    return kge_negatives(_hist_current(spark, sf_dir))
+
+
+def q_kmv_shingles(spark, sf_dir):
+    """K-minimum-values distinct-count sketch (k = 256) of the 16-char
+    shingle universe — the integer-exact, mergeable cardinality
+    estimate beside the HLL sibling; estimate = (k-1) * 2^52 div h_k,
+    exact BIGINT arithmetic on both engines."""
+    from corhist_spark.sketches import kmv_distinct_shingles
+
+    return kmv_distinct_shingles(_t(spark, sf_dir, "documents"))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2679,6 +2759,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         # exact set-similarity join via prefix filtering (PPJoin-style)
         "prefix_jaccard_join": q_prefix_jaccard_join,
+        # --- r5 batch 5 (same placement rule: outside the full window,
+        # pytest-oracled at sf0.01 every run, rotate to the r6 front):
+        # knowledge fusion + KG-quality profiling (multi-source truth
+        # discovery, predicate functionality, contested facts, filtered
+        # KGE negative sampling), Adamic-Adar link prediction, and the
+        # integer-exact KMV distinct sketch ---
+        "predicate_functionality": q_predicate_functionality,
+        "fact_stability": q_fact_stability,
+        "truth_discovery": q_truth_discovery,
+        "kge_negatives": q_kge_negatives,
+        "adamic_adar": q_adamic_adar,
+        "kmv_shingles": q_kmv_shingles,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3630,6 +3722,17 @@ _SEMDEDUP_TRAINED_SHARD_SQL = f"""
 # Constants are imported from the Python modules (never re-typed as
 # literals) so an engine-side change cannot silently desync the
 # oracles — the ADVICE r4 lesson.
+from corhist_spark.fusion import (
+    FUNC_CANDIDATE_PCT as _FUNC_PCT,
+    KGE_BUCKET as _KGE_BUCKET,
+    TD_ITERS as _TD_ITERS,
+    TD_SOURCE_MOD as _TD_SOURCE_MOD,
+)
+from corhist_spark.graph import (
+    AA_HUB_CAP as _AA_HUB_CAP,
+    AA_MIN_COMMON as _AA_MIN_COMMON,
+)
+from corhist_spark.sketches import KMV_K as _KMV_K
 from corhist_spark.graph import PR_DAMPING as _PR_DAMPING
 from corhist_spark.graph import PR_ITERS as _PR_ITERS
 from corhist_spark.sketches import (
@@ -4048,6 +4151,202 @@ _NJ_SQL = f"""{_KG_EDGE_CTES}, canon AS (
            round(w.common / CAST(dx.d + dy.d - w.common AS DOUBLE), 6) AS jaccard
     FROM wedge w JOIN fdeg dx ON dx.u = w.x JOIN fdeg dy ON dy.u = w.y
     WHERE w.common * 100 >= {_NJ_MIN_PCT} * (dx.d + dy.d - w.common)
+"""
+
+# Adamic-Adar: same hub-capped wedge enumeration as _NJ_SQL, but the
+# wedge CENTER's filtered degree feeds the 1/ln(d) weight (every
+# common neighbor touches both spokes, so its filtered degree >= 2 and
+# ln >= ln 2), and already-adjacent pairs are anti-joined away (canon
+# stores a < b, wedges emit x < y — one equi anti-join).
+_AA_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), und AS (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+    ), keep AS (
+      SELECT node FROM deg WHERE d <= {_AA_HUB_CAP}
+    ), fund AS MATERIALIZED (
+      SELECT u, v FROM und
+      WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep)
+    ), fdeg AS MATERIALIZED (
+      SELECT u, COUNT(*) AS d FROM fund GROUP BY u
+    ), wedge AS (
+      SELECT e1.v AS x, e2.v AS y, COUNT(*) AS common,
+             SUM(CAST(1.0 AS DOUBLE) / ln(CAST(fd.d AS DOUBLE))) AS aa_raw
+      FROM fund e1
+      JOIN fund e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN fdeg fd ON fd.u = e1.u
+      GROUP BY 1, 2
+    )
+    SELECT w.x AS node_a, w.y AS node_b, w.common,
+           round(w.aa_raw, 6) AS aa_score
+    FROM wedge w
+    WHERE w.common >= {_AA_MIN_COMMON}
+      AND NOT EXISTS (SELECT 1 FROM canon c WHERE c.a = w.x AND c.b = w.y)
+"""
+
+# Predicate functionality profile: one GROUP BY pred over the derived
+# current state; the candidate flags are the same pure-integer
+# compares the engine runs (n * 100 >= PCT * total).
+_FUNC_SQL = with_history_ctes(
+    f"""
+    SELECT pred,
+           COUNT(*) AS n_triples,
+           COUNT(DISTINCT subj) AS n_subjects,
+           COUNT(DISTINCT obj) AS n_objects,
+           round(CAST(COUNT(DISTINCT subj) AS DOUBLE) / COUNT(*), 6)
+             AS functionality,
+           round(CAST(COUNT(DISTINCT obj) AS DOUBLE) / COUNT(*), 6)
+             AS inverse_functionality,
+           COUNT(DISTINCT subj) * 100 >= {_FUNC_PCT} * COUNT(*)
+             AS single_value_candidate,
+           COUNT(DISTINCT obj) * 100 >= {_FUNC_PCT} * COUNT(*)
+             AS unique_value_candidate
+    FROM h_cur GROUP BY pred
+    """
+)
+
+# Contested facts over the reconstructed intervals: >= 2 validity
+# episodes; dwell time sums CLOSED episodes only (the open episode's
+# to_rev is the +infinity sentinel, not a duration).
+_STAB_SQL = with_history_ctes(
+    f"""
+    SELECT subj, pred, obj,
+           COUNT(*) AS n_episodes,
+           MIN(from_rev) AS first_from,
+           MAX(to_rev) AS last_to,
+           CAST(SUM(CASE WHEN to_rev < {MAX_REV} THEN to_rev - from_rev
+                         ELSE 0 END) AS BIGINT) AS covered_revs,
+           MAX(to_rev) = {MAX_REV} AS is_current
+    FROM h_state GROUP BY subj, pred, obj HAVING COUNT(*) >= 2
+    """
+)
+
+
+def _td_round(k: int) -> str:
+    """One Sums/HITS truth-discovery round (mirrors fusion.
+    truth_discovery): claim belief = L1-normalized sum of claimant
+    trusts, then source trust = L1-normalized sum of its claims'
+    beliefs."""
+    return f"""braw{k} AS MATERIALIZED (
+      SELECT subj, pred, obj, SUM(trust) AS s
+      FROM cl JOIN t{k - 1} USING (source) GROUP BY subj, pred, obj
+    ), btot{k} AS (SELECT SUM(s) AS t FROM braw{k}),
+    b{k} AS MATERIALIZED (
+      SELECT subj, pred, obj, s / (SELECT t FROM btot{k}) AS belief
+      FROM braw{k}
+    ), traw{k} AS MATERIALIZED (
+      SELECT source, SUM(belief) AS s
+      FROM cl JOIN b{k} USING (subj, pred, obj) GROUP BY source
+    ), ttot{k} AS (SELECT SUM(s) AS t FROM traw{k}),
+    t{k} AS MATERIALIZED (
+      SELECT source, s / (SELECT t FROM ttot{k}) AS trust FROM traw{k}
+    )"""
+
+
+_TD_SQL = with_history_ctes(
+    f"""
+    , cl AS MATERIALIZED (
+      SELECT DISTINCT 'S' || CAST(rev_id % {_TD_SOURCE_MOD} AS VARCHAR) AS source,
+             subj, pred, obj
+      FROM h_edits WHERE op = 'add'
+    ), sources AS (SELECT DISTINCT source FROM cl),
+    ns AS (SELECT COUNT(*) AS n FROM sources),
+    facts AS (SELECT DISTINCT subj, pred, obj FROM cl),
+    nf AS (SELECT COUNT(*) AS n FROM facts),
+    t0 AS MATERIALIZED (
+      SELECT source, CAST(1.0 AS DOUBLE) / (SELECT n FROM ns) AS trust
+      FROM sources
+    ), {", ".join(_td_round(k) for k in range(1, _TD_ITERS + 1))},
+    scored AS (
+      SELECT subj, pred, obj,
+             round(belief * (SELECT n FROM nf), 6) AS belief_norm
+      FROM b{_TD_ITERS}
+    ), ranked AS (
+      SELECT subj, pred, obj, belief_norm,
+             row_number() OVER (PARTITION BY subj, pred
+                                ORDER BY belief_norm DESC, obj ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY subj, pred) AS n_candidates
+      FROM scored
+    )
+    SELECT subj, pred, obj AS resolved_obj, belief_norm,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM ranked WHERE rn = 1
+    """
+)
+
+
+def _kge_draw_ctes(vocab_from: str, vocab_col: str, salt: str, tag: str) -> str:
+    """Bucketed-draw CTE chain for one corruption position (mirrors
+    fusion._bucketed_draw: vocab hashed into ~KGE_BUCKET-occupancy
+    buckets, per-triple bucket draw, in-bucket hash argmin)."""
+    key = "subj || '|' || pred || '|' || obj"
+    nbuck = f"greatest(1, (SELECT n FROM n{tag}) // {_KGE_BUCKET})"
+    return f"""v{tag} AS MATERIALIZED (
+      SELECT DISTINCT {vocab_col} AS cand FROM {vocab_from}
+    ), n{tag} AS MATERIALIZED (SELECT COUNT(*) AS n FROM v{tag}),
+    b{tag} AS MATERIALIZED (
+      SELECT cand, ({hexval_sql("'kgeb:' || cand")}) % {nbuck} AS bucket
+      FROM v{tag}
+    ), d{tag} AS (
+      SELECT subj, pred, obj,
+             ({hexval_sql(f"'{salt}:' || " + key)}) % {nbuck} AS bucket
+      FROM trip
+    ), p{tag} AS MATERIALIZED (
+      SELECT subj, pred, obj, cand,
+             row_number() OVER (
+               PARTITION BY subj, pred, obj
+               ORDER BY ({hexval_sql(f"'kgepick:{salt}:' || {key} || ':' || cand")}),
+                        cand) AS rn
+      FROM d{tag} JOIN b{tag} USING (bucket)
+    )"""
+
+
+_KGE_SQL = with_history_ctes(
+    f"""
+    , trip AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM h_cur),
+    {_kge_draw_ctes("trip", "subj", "negh", "e")},
+    {_kge_draw_ctes("trip", "obj", "negt", "v")},
+    heads AS (
+      SELECT h.subj, h.pred, h.obj, 'head' AS position, h.cand AS neg_value
+      FROM pe h
+      WHERE h.rn = 1 AND h.cand <> h.subj
+        AND NOT EXISTS (SELECT 1 FROM trip t
+                        WHERE t.subj = h.cand AND t.pred = h.pred
+                          AND t.obj = h.obj)
+    ), tails AS (
+      SELECT h.subj, h.pred, h.obj, 'tail' AS position, h.cand AS neg_value
+      FROM pv h
+      WHERE h.rn = 1 AND h.cand <> h.obj
+        AND NOT EXISTS (SELECT 1 FROM trip t
+                        WHERE t.subj = h.subj AND t.pred = h.pred
+                          AND t.obj = h.cand)
+    )
+    SELECT * FROM heads UNION ALL SELECT * FROM tails
+    """
+)
+
+# KMV sketch: identical shingle extraction to _HLL_SQL, distinct
+# 52-bit hashes, ORDER BY h LIMIT k, then the exact-integer estimate
+# ((k-1) * 2^52 // h_k; DuckDB `//` == Spark `div` on non-negatives).
+_KMV_SQL = f"""
+    WITH sh AS MATERIALIZED (
+      SELECT DISTINCT ({hexval_sql("substr(text, i, 16)")}) AS h
+      FROM (
+        SELECT text, unnest(generate_series(1, greatest(len(text) - 15, 1))) AS i
+        FROM documents
+      )
+    ), mins AS (SELECT h FROM sh ORDER BY h LIMIT {_KMV_K}),
+    agg AS (SELECT COUNT(*) AS k_used, MAX(h) AS kth_min FROM mins)
+    SELECT k_used, kth_min,
+           CAST(CASE WHEN k_used >= {_KMV_K} AND kth_min > 0
+                     THEN ((k_used - 1) * {1 << 52}) // kth_min
+                     ELSE k_used END AS BIGINT) AS est_distinct
+    FROM agg
 """
 
 from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
@@ -5793,6 +6092,12 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _QUANT_SQL,
         "neighbor_jaccard": _NJ_SQL,
         "bloom_semi_join": _BLOOM_SQL,
+        "predicate_functionality": _FUNC_SQL,
+        "fact_stability": _STAB_SQL,
+        "truth_discovery": _TD_SQL,
+        "kge_negatives": _KGE_SQL,
+        "adamic_adar": _AA_SQL,
+        "kmv_shingles": _KMV_SQL,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global
         # frequency asc, token) order — the PPJoin guarantee

@@ -147,6 +147,18 @@ HEADLINE = [
     "ngram_novelty",
     # exact set-similarity join via prefix filtering (PPJoin-style)
     "prefix_jaccard_join",
+    # r5 batch 5: knowledge fusion + KG-quality profiling (6-round
+    # Sums truth discovery over multi-source claims, per-predicate
+    # functionality, contested-fact stability, filtered KGE negative
+    # sampling via bucketed hash draws), Adamic-Adar link prediction
+    # (hub-capped wedges, non-adjacent pairs) and the integer-exact
+    # KMV distinct sketch
+    "truth_discovery",
+    "predicate_functionality",
+    "fact_stability",
+    "kge_negatives",
+    "adamic_adar",
+    "kmv_shingles",
 ]
 
 

@@ -642,3 +642,84 @@ def neighbor_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+AA_HUB_CAP = 64
+AA_MIN_COMMON = 3
+
+
+def adamic_adar(
+    edges: DataFrame, hub_cap: int = AA_HUB_CAP, min_common: int = AA_MIN_COMMON
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003; the standard
+    common-neighbor score, Liben-Nowell & Kleinberg 2007) over the
+    undirected graph of ``edges(src, dst)``: NON-adjacent node pairs
+    sharing >= min_common neighbors -> (node_a, node_b, common,
+    aa_score) with node_a < node_b and
+    aa_score = sum over common neighbors z of 1 / ln(degree(z)),
+    rounded to 6 decimals.
+
+    In a KG these are the missing-link candidates (two entities
+    citing the same neighborhood but not yet connected) — the
+    complement of neighbor_jaccard's merge candidates: jaccard finds
+    SAME-entity pairs, Adamic-Adar finds RELATED-entity pairs, with
+    rare shared neighbors weighted up (1/ln d) and hubs weighted
+    down.
+
+    Skew control mirrors neighbor_jaccard: degree > hub_cap nodes are
+    removed FIRST, bounding per-center wedge fan-out by hub_cap and
+    total wedge volume by m * hub_cap; every common neighbor then has
+    (filtered) degree >= 2, so ln(degree) >= ln 2 and the division is
+    always defined.  Membership (min_common, non-adjacency) is
+    decided in integers / anti-joins; only the published score is
+    float (sums of 1/ln(int) agree across engines to ~1e-15 relative,
+    far inside the 6-decimal grid — the pagerank contract).
+
+    Scale shape: one self-equi-join of the hub-filtered adjacency on
+    the wedge center + a pair-keyed aggregation + one anti-join
+    against the (canonical) edge set; degree tables are node-sized
+    side inputs."""
+    # checkpointed once: feeds the adjacency AND the final anti-join
+    # (otherwise the anti-join side re-runs the upstream edge scan)
+    canon = _undirected(edges).localCheckpoint()
+    und = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.filter(F.col("d") <= hub_cap).select(F.col("u").alias("node"))
+    fund = (
+        und.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+        .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+        .select("u", "v")
+        # reused 3x (degrees + both wedge sides); checkpoint before the
+        # self-join and rename the right side (Spark 4.1 AttributeMap
+        # guard, see canonicalize.py)
+        .localCheckpoint()
+    )
+    fdeg = fund.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    right = fund.select(F.col("u").alias("u2"), F.col("v").alias("y"))
+    wedges = fund.join(
+        right, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("y"))
+    ).select(F.col("v").alias("x"), "y", F.col("u").alias("z"))
+    scored = (
+        wedges.join(fdeg.select(F.col("u").alias("z"), "d"), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("aa_raw"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+    # drop pairs already connected: canonical edges are stored a < b and
+    # wedge pairs are emitted x < y, so one equi-anti-join suffices
+    existing = canon.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    return (
+        scored.join(existing, ["x", "y"], "left_anti")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            "common",
+            F.round("aa_raw", 6).alias("aa_score"),
+        )
+    )

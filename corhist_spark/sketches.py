@@ -259,3 +259,54 @@ def token_count_quantiles(docs: DataFrame, bin_width: int = QUANT_BIN_WIDTH, qs=
 
     counts = docs.select(F.size(_token_array()).alias("v"))
     return binned_quantiles(counts, "v", bin_width, qs)
+
+
+KMV_K = 256
+
+
+def kmv_distinct_shingles(docs: DataFrame, k: int = KMV_K, n: int = 16) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002;
+    the theta-sketch family's simplest member) of the corpus's n-char
+    shingle population -> one row (k_used, kth_min, est_distinct):
+    keep the k smallest DISTINCT 52-bit shingle hashes; the k-th
+    smallest value h_k estimates the cardinality as
+    (k - 1) * 2^52 / h_k.
+
+    The HLL sibling (hll_distinct_shingles) answers the same question
+    with constant 256-register space but float rho/harmonic math kept
+    deliberately integer-only; KMV's estimate here is EXACT integer
+    arithmetic end to end ((k-1) * 2^52 fits BIGINT for k = 256, and
+    the division truncates identically — Spark `div` == DuckDB `//`
+    on non-negative operands), and the sketch is mergeable by
+    union + re-truncation to k, so per-partition sketches combine
+    associatively at any cluster size.
+
+    Scale shape: one shingle explode + hash map pass, a distinct on
+    the hash (map-side combined), then a distributed top-k
+    (TakeOrdered — never a global sort) down to k rows on the
+    driver-side of a constant-size result."""
+    sh = _spread(docs).select(
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+        ).alias("i"),
+        "text",
+    ).select(F.expr(f"substr(text, i, {n})").alias("s"))
+    hashes = sh.select(
+        F.expr(f"CAST(conv(substr(md5(s), 1, 13), 16, 10) AS BIGINT)").alias("h")
+    ).distinct()
+    mins = hashes.orderBy("h").limit(k)
+    return mins.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "k_used",
+        "kth_min",
+        # fewer than k distinct values observed = the sketch HOLDS the
+        # whole universe -> answer exactly; only a full sketch estimates
+        F.when(
+            (F.col("k_used") >= k) & (F.col("kth_min") > 0),
+            F.expr(f"((k_used - 1) * {1 << 52}) div kth_min"),
+        )
+        .otherwise(F.col("k_used").cast("long"))
+        .alias("est_distinct"),
+    )

@@ -1,0 +1,267 @@
+"""Unit tests for the knowledge-fusion / KG-quality family
+(predicate functionality, fact stability, truth discovery, KGE
+negative sampling) plus Adamic-Adar link prediction and the KMV
+distinct sketch — algorithm pins on hand-checked fixtures and
+pure-Python reference implementations; the cross-engine DuckDB rows
+live in test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from corhist_spark.fusion import (
+    fact_stability,
+    kge_negatives,
+    predicate_functionality,
+    truth_discovery,
+)
+from corhist_spark.graph import adamic_adar
+from corhist_spark.sketches import kmv_distinct_shingles
+
+
+def _cur(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+# ---- predicate functionality ----
+
+
+def test_functionality_flags_single_value_predicates(spark):
+    # P1: every subject has exactly one value (functional);
+    # P2: one subject carries three values (functionality 1/3)
+    cur = _cur(
+        spark,
+        [("s1", "P1", "a"), ("s2", "P1", "b"), ("s3", "P1", "a")]
+        + [("s1", "P2", x) for x in ("x", "y", "z")],
+    )
+    rows = {r["pred"]: r for r in predicate_functionality(cur).collect()}
+    p1, p2 = rows["P1"], rows["P2"]
+    assert (p1["n_triples"], p1["n_subjects"], p1["n_objects"]) == (3, 3, 2)
+    assert p1["functionality"] == 1.0 and p1["single_value_candidate"]
+    # inverse functionality 2/3 < 0.95 -> not a unique-value candidate
+    assert not p1["unique_value_candidate"]
+    assert p2["functionality"] == round(1 / 3, 6)
+    assert not p2["single_value_candidate"]
+    # P2's three values are all distinct -> unique-value candidate
+    assert p2["unique_value_candidate"]
+
+
+# ---- fact stability ----
+
+
+def test_fact_stability_counts_closed_episodes_only(spark):
+    MAXR = 1 << 62
+    state = spark.createDataFrame(
+        [
+            # contested fact: two episodes, second still open
+            ("s", "P1", "v", 1, 5),
+            ("s", "P1", "v", 9, MAXR),
+            # single-episode fact: must be absent from the output
+            ("s", "P2", "w", 2, MAXR),
+            # closed twice, not current
+            ("t", "P1", "v", 3, 4),
+            ("t", "P1", "v", 6, 8),
+        ],
+        "subj string, pred string, obj string, from_rev long, to_rev long",
+    )
+    rows = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in fact_stability(state, MAXR).collect()
+    }
+    assert set(rows) == {("s", "P1", "v"), ("t", "P1", "v")}
+    a = rows[("s", "P1", "v")]
+    # open episode contributes 0 to covered_revs
+    assert (a["n_episodes"], a["covered_revs"], a["is_current"]) == (2, 4, True)
+    b = rows[("t", "P1", "v")]
+    assert (b["n_episodes"], b["covered_revs"], b["is_current"]) == (2, 3, False)
+
+
+# ---- truth discovery ----
+
+
+def _td_python(claims, n_iters=6):
+    """Pure-Python Sums fixpoint replica (same L1 normalization)."""
+    cl = sorted(set(claims))
+    sources = sorted({s for s, *_ in cl})
+    facts = sorted({tuple(f) for _, *f in cl})
+    trust = {s: 1.0 / len(sources) for s in sources}
+    belief = {}
+    for _ in range(n_iters):
+        belief = {f: 0.0 for f in facts}
+        for s, *f in cl:
+            belief[tuple(f)] += trust[s]
+        tot = sum(belief.values())
+        belief = {f: v / tot for f, v in belief.items()}
+        trust = {s: 0.0 for s in sources}
+        for s, *f in cl:
+            trust[s] += belief[tuple(f)]
+        tot = sum(trust.values())
+        trust = {s: v / tot for s, v in trust.items()}
+    return belief
+
+
+def test_truth_discovery_matches_python_fixpoint(spark):
+    # (s1, P1): sources A, B, C say v1; D says v2 -> v1 must win with
+    # higher belief; (s2, P1) is uncontested
+    claims = [
+        ("A", "s1", "P1", "v1"),
+        ("B", "s1", "P1", "v1"),
+        ("C", "s1", "P1", "v1"),
+        ("D", "s1", "P1", "v2"),
+        ("A", "s2", "P1", "u"),
+    ]
+    df = spark.createDataFrame(
+        claims, "source string, subj string, pred string, obj string"
+    )
+    out = {(r["subj"], r["pred"]): r for r in truth_discovery(df).collect()}
+    assert out[("s1", "P1")]["resolved_obj"] == "v1"
+    assert out[("s1", "P1")]["n_candidates"] == 2
+    assert out[("s2", "P1")]["n_candidates"] == 1
+    want = _td_python(claims)
+    n_facts = len(want)
+    for (subj, pred), r in out.items():
+        key = (subj, pred, r["resolved_obj"])
+        assert r["belief_norm"] == pytest.approx(want[key] * n_facts, abs=2e-6)
+
+
+def test_truth_discovery_tie_breaks_to_smallest_value(spark):
+    # perfectly symmetric conflict: equal beliefs, winner = min(obj)
+    df = spark.createDataFrame(
+        [("A", "s", "P", "vb"), ("B", "s", "P", "va")],
+        "source string, subj string, pred string, obj string",
+    )
+    row = truth_discovery(df).collect()[0]
+    assert row["resolved_obj"] == "va" and row["n_candidates"] == 2
+
+
+# ---- KGE negative sampling ----
+
+
+def test_kge_negatives_filtered_protocol_and_determinism(spark):
+    rows = [
+        (f"e{i}", f"P{i % 3}", f"x{(i * 7) % 11}") for i in range(60)
+    ]
+    cur = _cur(spark, rows)
+    out = kge_negatives(cur).collect()
+    true_set = set(rows)
+    ents = {s for s, _, _ in rows}
+    vals = {o for _, _, o in rows}
+    assert out, "some negatives must survive the filter"
+    seen = set()
+    for r in out:
+        key = (r["subj"], r["pred"], r["obj"], r["position"])
+        assert key not in seen, "at most one negative per triple+position"
+        seen.add(key)
+        if r["position"] == "head":
+            assert r["neg_value"] in ents and r["neg_value"] != r["subj"]
+            assert (r["neg_value"], r["pred"], r["obj"]) not in true_set
+        else:
+            assert r["position"] == "tail"
+            assert r["neg_value"] in vals and r["neg_value"] != r["obj"]
+            assert (r["subj"], r["pred"], r["neg_value"]) not in true_set
+    # deterministic across runs/partitionings
+    again = {
+        (r["subj"], r["pred"], r["obj"], r["position"], r["neg_value"])
+        for r in kge_negatives(cur.repartition(7)).collect()
+    }
+    now = {
+        (r["subj"], r["pred"], r["obj"], r["position"], r["neg_value"])
+        for r in out
+    }
+    assert again == now
+
+
+# ---- Adamic-Adar ----
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_adamic_adar_hand_graph(spark):
+    import math
+
+    # a and b share neighbors c and d (deg 2 each) and are NOT
+    # adjacent -> score = 2 / ln 2; the a-c edge itself must never be
+    # emitted as a prediction
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")])
+    rows = {
+        (r["node_a"], r["node_b"]): r
+        for r in adamic_adar(e, min_common=1).collect()
+    }
+    assert set(rows) == {("a", "b"), ("c", "d")}
+    assert rows[("a", "b")]["common"] == 2
+    assert rows[("a", "b")]["aa_score"] == round(2 / math.log(2), 6)
+
+
+def test_adamic_adar_excludes_existing_edges_and_hubs(spark):
+    # triangle a-b-c: every pair is adjacent -> no predictions at all
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert adamic_adar(e, min_common=1).count() == 0
+    # a hub wired to everything is removed FIRST: with hub_cap 2 the
+    # 4-leaf star yields nothing (leaves' only neighbor is the hub)
+    star = _edges(spark, [("h", f"l{i}") for i in range(4)])
+    assert adamic_adar(star, hub_cap=2, min_common=1).count() == 0
+
+
+# ---- KMV distinct sketch ----
+
+
+def test_kmv_exact_below_k_and_estimate_above_k(spark):
+    # 30 distinct 16-char shingles < k: k_used = n_distinct and the
+    # sketch answers EXACTLY
+    docs = spark.createDataFrame(
+        [(i, f"shingle-{i:07d}-pad") for i in range(30)],
+        "doc_id long, text string",
+    )
+    row = kmv_distinct_shingles(docs, k=256).collect()[0]
+    n_shingles = len(
+        {t[i : i + 16] for _, t in docs.collect() for i in range(max(len(t) - 15, 1))}
+    )
+    assert row["k_used"] == n_shingles
+    assert row["est_distinct"] == n_shingles
+    # ~4000 distinct shingles >> k=256: estimate within the sketch's
+    # ~3-sigma band (stderr ~ 1/sqrt(k) ~ 6%)
+    big = spark.createDataFrame(
+        [(i, f"u{i:05d}" + "q" * 12) for i in range(4000)],
+        "doc_id long, text string",
+    )
+    row = kmv_distinct_shingles(big, k=256).collect()[0]
+    truth = len(
+        {t[i : i + 16] for _, t in big.collect() for i in range(max(len(t) - 15, 1))}
+    )
+    assert row["k_used"] == 256
+    assert abs(row["est_distinct"] - truth) <= 0.25 * truth
+
+
+# ---- plan guards (the 100-TB shape) ----
+
+
+def test_fusion_plans_stay_jvm_side(spark):
+    cur = _cur(
+        spark, [(f"s{i}", f"P{i % 2}", f"v{i % 5}") for i in range(40)]
+    )
+    state = spark.createDataFrame(
+        [("s", "P1", "v", 1, 5), ("s", "P1", "v", 9, 1 << 62)],
+        "subj string, pred string, obj string, from_rev long, to_rev long",
+    )
+    claims = spark.createDataFrame(
+        [("A", "s", "P", "v"), ("B", "s", "P", "w")],
+        "source string, subj string, pred string, obj string",
+    )
+    e = _edges(spark, [("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")])
+    docs = spark.createDataFrame([(1, "abcdefghijklmnopqr")], "doc_id long, text string")
+    for df in (
+        predicate_functionality(cur),
+        fact_stability(state, 1 << 62),
+        truth_discovery(claims, n_iters=2),
+        kge_negatives(cur),
+        adamic_adar(e, min_common=1),
+        kmv_distinct_shingles(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "CartesianProduct" not in plan
