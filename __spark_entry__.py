@@ -1922,6 +1922,48 @@ def q_kmv_shingles(spark, sf_dir):
     return kmv_distinct_shingles(_t(spark, sf_dir, "documents"))
 
 
+def q_entity_summaries(spark, sf_dir):
+    """Informativeness-ranked per-entity fact selection (RELIN-style:
+    rarest predicate first) over the derived current state — the fact
+    picker feeding entity descriptions; ranking decided on integer
+    (n_pred, pred, obj) compares, the -ln frequency weight is
+    display-only on the rounded-6 grid."""
+    from corhist_spark.fusion import entity_summaries
+
+    return entity_summaries(_hist_current(spark, sf_dir))
+
+
+def q_kg_linearize(spark, sf_dir):
+    """KELM-style KG-to-text linearization: one canonical-order
+    training sentence per entity ('Q7: P0 V3; P1 V9; ...') with fact
+    and token counts — the KG -> LLM-pretraining-corpus bridge;
+    byte-identical texts on both engines."""
+    from corhist_spark.fusion import kg_linearize
+
+    return kg_linearize(_hist_current(spark, sf_dir))
+
+
+def q_linkpred_eval(spark, sf_dir):
+    """Link-prediction evaluation harness over the derived entity
+    graph: hash-holdout 1/8 of edges, Adamic-Adar on the rest, report
+    candidate-set recall of the holdout — the evaluate.py-style
+    metric row for the graph family (membership by joins, no global
+    ranking sort)."""
+    from corhist_spark.graph import linkpred_eval
+
+    return linkpred_eval(_kg_edges(spark, sf_dir))
+
+
+def q_graph_profile(spark, sf_dir):
+    """One-row KG shape profile (nodes, edges, max/avg degree,
+    Newman's degree assortativity) — the summary that sizes hub caps
+    and salting; assortativity from four exact BIGINT sums with one
+    final double division."""
+    from corhist_spark.graph import graph_profile
+
+    return graph_profile(_kg_edges(spark, sf_dir))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2771,6 +2813,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kge_negatives": q_kge_negatives,
         "adamic_adar": q_adamic_adar,
         "kmv_shingles": q_kmv_shingles,
+        # batch 6: KG -> training-data bridges + evaluation (entity
+        # summarization, KELM-style linearization, link-prediction
+        # recall harness, one-row graph shape profile)
+        "entity_summaries": q_entity_summaries,
+        "kg_linearize": q_kg_linearize,
+        "linkpred_eval": q_linkpred_eval,
+        "graph_profile": q_graph_profile,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4347,6 +4396,131 @@ _KMV_SQL = f"""
                      THEN ((k_used - 1) * {1 << 52}) // kth_min
                      ELSE k_used END AS BIGINT) AS est_distinct
     FROM agg
+"""
+
+from corhist_spark.fusion import SUMMARY_TOP_K as _SUMMARY_TOP_K
+from corhist_spark.graph import LP_HOLDOUT_MOD as _LP_HOLDOUT_MOD
+
+# Entity summaries: ranking is decided on (n_pred, pred, obj) —
+# integer/string only; the -ln(freq) informativeness is display-only.
+_ESUM_SQL = with_history_ctes(
+    f"""
+    , marg AS MATERIALIZED (
+      SELECT pred, COUNT(*) AS n_pred FROM h_cur GROUP BY pred
+    ), tot AS (SELECT COUNT(*) AS n_total FROM h_cur),
+    ranked AS (
+      SELECT c.subj, c.pred, c.obj, m.n_pred,
+             row_number() OVER (PARTITION BY c.subj
+                                ORDER BY m.n_pred ASC, c.pred ASC, c.obj ASC)
+               AS rank
+      FROM h_cur c JOIN marg m USING (pred)
+    )
+    SELECT subj, pred, obj, rank,
+           round(-ln(CAST(n_pred AS DOUBLE) / (SELECT n_total FROM tot)), 6)
+             AS info
+    FROM ranked WHERE rank <= {_SUMMARY_TOP_K}
+    """
+)
+
+# KG linearization: the clause order is the canonical (pred, obj)
+# sort — string_agg ORDER BY here, array_sort on the struct in Spark;
+# token count = the repo-wide whitespace split with empties dropped.
+_KGLIN_SQL = with_history_ctes(
+    """
+    , lin AS (
+      SELECT subj,
+             subj || ': ' ||
+               string_agg(pred || ' ' || obj, '; ' ORDER BY pred, obj) AS text,
+             COUNT(*) AS n_facts
+      FROM h_cur GROUP BY subj
+    )
+    SELECT subj, text, n_facts,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+    FROM lin
+    """
+)
+
+# Link-prediction eval: the holdout split, the Adamic-Adar chain over
+# the TRAIN edges (same CTE shapes as _AA_SQL), and join-only metrics.
+_LP_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), held AS MATERIALIZED (
+      SELECT a, b FROM canon
+      WHERE ({hexval_sql("'lp:' || a || '|' || b")}) % {_LP_HOLDOUT_MOD} = 0
+    ), train AS MATERIALIZED (
+      SELECT a, b FROM canon
+      WHERE ({hexval_sql("'lp:' || a || '|' || b")}) % {_LP_HOLDOUT_MOD} <> 0
+    ), und AS (
+      SELECT a AS u, b AS v FROM train
+      UNION ALL
+      SELECT b AS u, a AS v FROM train
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+    ), keep AS (
+      SELECT node FROM deg WHERE d <= {_AA_HUB_CAP}
+    ), fund AS MATERIALIZED (
+      SELECT u, v FROM und
+      WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep)
+    ), fdeg AS MATERIALIZED (
+      SELECT u, COUNT(*) AS d FROM fund GROUP BY u
+    ), wedge AS (
+      SELECT e1.v AS x, e2.v AS y, COUNT(*) AS common,
+             SUM(CAST(1.0 AS DOUBLE) / ln(CAST(fd.d AS DOUBLE))) AS aa_raw
+      FROM fund e1
+      JOIN fund e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN fdeg fd ON fd.u = e1.u
+      GROUP BY 1, 2
+    ), preds AS MATERIALIZED (
+      SELECT w.x, w.y, round(w.aa_raw, 6) AS aa_score
+      FROM wedge w
+      WHERE w.common >= 1
+        AND NOT EXISTS (SELECT 1 FROM train t WHERE t.a = w.x AND t.b = w.y)
+    ), rec AS MATERIALIZED (
+      SELECT p.aa_score FROM held h JOIN preds p ON p.x = h.a AND p.y = h.b
+    )
+    SELECT (SELECT COUNT(*) FROM held) AS n_holdout,
+           (SELECT COUNT(*) FROM preds) AS n_predicted,
+           (SELECT COUNT(*) FROM rec) AS n_recovered,
+           CASE WHEN (SELECT COUNT(*) FROM held) > 0
+                THEN round((SELECT COUNT(*) FROM rec)
+                           / CAST((SELECT COUNT(*) FROM held) AS DOUBLE), 6)
+                ELSE 0.0 END AS recall,
+           COALESCE((SELECT round(AVG(aa_score), 6) FROM rec), 0.0)
+             AS mean_recovered_score
+"""
+
+# Graph profile: assortativity from four exact BIGINT sums (n, s1,
+# s2, s3) with one final double division — both engines feed the
+# division identical doubles.
+_GPROF_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon
+      ) GROUP BY node
+    ), nn AS (
+      SELECT COUNT(*) AS n_nodes, MAX(d) AS max_degree FROM deg
+    ), ne AS (SELECT COUNT(*) AS n_edges FROM canon),
+    orient AS (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(da.d) AS BIGINT) AS s1,
+             CAST(SUM(da.d * db.d) AS BIGINT) AS s2,
+             CAST(SUM(da.d * da.d) AS BIGINT) AS s3
+      FROM orient JOIN deg da ON da.node = u JOIN deg db ON db.node = v
+    )
+    SELECT n_nodes, n_edges, max_degree,
+           round(CAST(2 * n_edges AS DOUBLE) / n_nodes, 6) AS avg_degree,
+           CASE WHEN n * s3 - s1 * s1 <> 0
+                THEN round(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                           / CAST(n * s3 - s1 * s1 AS DOUBLE), 6)
+                ELSE 0.0 END AS assortativity
+    FROM nn, ne, sums
 """
 
 from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
@@ -6098,6 +6272,10 @@ def oracle_sql() -> dict[str, str]:
         "kge_negatives": _KGE_SQL,
         "adamic_adar": _AA_SQL,
         "kmv_shingles": _KMV_SQL,
+        "entity_summaries": _ESUM_SQL,
+        "kg_linearize": _KGLIN_SQL,
+        "linkpred_eval": _LP_SQL,
+        "graph_profile": _GPROF_SQL,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global
         # frequency asc, token) order — the PPJoin guarantee

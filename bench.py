@@ -159,6 +159,14 @@ HEADLINE = [
     "kge_negatives",
     "adamic_adar",
     "kmv_shingles",
+    # r5 batch 6: KG -> training-data bridges + evaluation (entity
+    # summarization, KELM-style linearization, link-prediction recall
+    # harness over a hash holdout, one-row graph shape profile with
+    # exact-integer assortativity)
+    "entity_summaries",
+    "kg_linearize",
+    "linkpred_eval",
+    "graph_profile",
 ]
 
 

@@ -329,3 +329,91 @@ def kge_negatives(cur: DataFrame) -> DataFrame:
     return heads.unionByName(tails).select(
         "subj", "pred", "obj", "position", "neg_value"
     )
+
+
+SUMMARY_TOP_K = 3
+
+
+def entity_summaries(cur: DataFrame, top_k: int = SUMMARY_TOP_K) -> DataFrame:
+    """Per-entity fact selection for summarization / description
+    generation (the RELIN/FACES family of RDF entity summarizers,
+    public; informativeness = -ln of the predicate's corpus
+    frequency, the standard self-information weight): the top_k facts
+    of every subject ranked by rarest-predicate-first -> (subj, pred,
+    obj, rank, info) with info = -ln(n_pred / n_total) rounded to 6
+    decimals.
+
+    Ranking is decided on (n_pred ASC, pred ASC, obj ASC) — pure
+    integer/string compares, so both engines pick identical rows; the
+    float info is display-only.  The log ratio is ONE double division
+    of two exact BIGINTs (the predicate_pmi contract).
+
+    Scale shape: predicate marginals are vocabulary-sized (broadcast-
+    able, left to AQE); the rank window partitions by subject over
+    <= that subject's fact count.  Output is top_k * n_entities."""
+    marg = cur.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pred"))
+    tot = cur.agg(F.count(F.lit(1)).alias("n_total"))
+    w = Window.partitionBy("subj").orderBy(
+        F.asc("n_pred"), F.asc("pred"), F.asc("obj")
+    )
+    return (
+        cur.join(marg, "pred")
+        .crossJoin(F.broadcast(tot))  # single-row totals frame
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "rank",
+            F.round(
+                -F.log(F.col("n_pred").cast("double") / F.col("n_total").cast("double")),
+                6,
+            ).alias("info"),
+        )
+    )
+
+
+def kg_linearize(cur: DataFrame) -> DataFrame:
+    """KG-to-text linearization (the KELM recipe, Agarwal et al.
+    NAACL 2021, public: verbalize each entity's triples into one
+    training sentence): per subject, facts sorted by (pred, obj) and
+    joined as 'subj: pred obj; pred obj; ...' -> (subj, text,
+    n_facts, n_tokens).  The bridge from the materialized KG back
+    into LLM pre-training data — corpus docs whose token counts feed
+    the same curation operators as crawled text.
+
+    Determinism: the clause order is the canonical (pred, obj) sort
+    inside an array_sort on the struct (Spark) / string_agg ORDER BY
+    (DuckDB) — byte-identical texts on both engines; n_tokens uses
+    the repo-wide whitespace token definition.
+
+    Scale shape: ONE groupBy(subj) with a collect_list bounded by the
+    per-entity fact count (a KG entity has tens-to-thousands of
+    facts, never corpus-sized rows); no window, no global sort."""
+    clauses = (
+        cur.groupBy("subj")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pred", "obj"))
+            ).alias("facts")
+        )
+        .select(
+            "subj",
+            F.concat(
+                F.col("subj"),
+                F.lit(": "),
+                F.array_join(
+                    F.transform(
+                        "facts", lambda x: F.concat(x["pred"], F.lit(" "), x["obj"])
+                    ),
+                    "; ",
+                ),
+            ).alias("text"),
+            F.size("facts").alias("n_facts"),
+        )
+    )
+    return clauses.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))),
+    )

@@ -723,3 +723,162 @@ def adamic_adar(
             F.round("aa_raw", 6).alias("aa_score"),
         )
     )
+
+
+LP_HOLDOUT_MOD = 8
+
+
+def linkpred_eval(
+    edges: DataFrame,
+    holdout_mod: int = LP_HOLDOUT_MOD,
+    hub_cap: int = AA_HUB_CAP,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link-prediction evaluation harness (the standard protocol of
+    Liben-Nowell & Kleinberg 2007): deterministically hold out
+    ~1/holdout_mod of the canonical edges (md5 'lp:'-salted hash —
+    the repo's hash-in-place-of-RNG train/test split, same convention
+    as evaluate.py's entity-keyed splits), score Adamic-Adar on the
+    REMAINING graph, and report how much of the holdout the candidate
+    set recovers -> one row (n_holdout, n_predicted, n_recovered,
+    recall, mean_recovered_score).
+
+    recall = recovered/holdout is the candidate-coverage metric; a
+    ranking metric (hits@k) would need a global sort of the
+    predictions, which this harness deliberately avoids — membership
+    is anti-join/semi-join only, floats appear only in the two
+    published rounded ratios (ONE division of exact BIGINTs each,
+    plus the mean of already-rounded scores).
+
+    Scale shape: the split is a map-side filter; scoring inherits
+    adamic_adar's m * hub_cap wedge bound; the final metrics are one
+    semi-join + single-row aggregates."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    is_held = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('lp:', a, '|', b)), 1, 13), 16, 10) AS BIGINT)"
+        )
+        % holdout_mod
+        == 0
+    )
+    train = canon.filter(~is_held)
+    holdout = canon.filter(is_held).localCheckpoint()
+    preds = adamic_adar(
+        train.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        hub_cap=hub_cap,
+        min_common=min_common,
+    ).localCheckpoint()
+    recovered = holdout.join(
+        preds.select(F.col("node_a").alias("a"), F.col("node_b").alias("b"), "aa_score"),
+        ["a", "b"],
+    )
+    n_h = holdout.agg(F.count(F.lit(1)).alias("n_holdout"))
+    n_p = preds.agg(F.count(F.lit(1)).alias("n_predicted"))
+    n_r = recovered.agg(
+        F.count(F.lit(1)).alias("n_recovered"),
+        F.coalesce(F.round(F.avg("aa_score"), 6), F.lit(0.0)).alias(
+            "mean_recovered_score"
+        ),
+    )
+    return (
+        n_h.crossJoin(F.broadcast(n_p))  # single-row totals frames
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "n_holdout",
+            "n_predicted",
+            "n_recovered",
+            F.when(
+                F.col("n_holdout") > 0,
+                F.round(
+                    F.col("n_recovered") / F.col("n_holdout").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            "mean_recovered_score",
+        )
+    )
+
+
+def graph_profile(edges: DataFrame) -> DataFrame:
+    """One-row shape profile of the undirected graph of
+    ``edges(src, dst)``: (n_nodes, n_edges, max_degree, avg_degree,
+    assortativity) — the summary a KG curator reads before deciding
+    hub caps, salt counts and partition strategies.
+
+    Degree assortativity is Newman's 2002 coefficient, computed as
+    the Pearson correlation of endpoint degrees over the BOTH-
+    orientation edge list: with exact BIGINT aggregates n = 2|E|,
+    s1 = sum(da), s2 = sum(da*db), s3 = sum(da^2), it is
+    (n*s2 - s1^2) / (n*s3 - s1^2) — by symmetry sum(da) = sum(db)
+    and sum(da^2) = sum(db^2), so the four integer sums determine it
+    exactly and both engines feed the final division identical
+    doubles (the predicate_pmi contract; products bounded by
+    2|E| * max_deg^2, BIGINT-safe far past the sf1 tier — the
+    division itself is done in DOUBLE).  avg_degree = 2|E|/|V|
+    rounded to 6.  Degenerate regular graphs (zero degree variance)
+    publish assortativity 0.0 on both engines via the integer
+    denominator-zero guard.
+
+    Scale shape: one degree aggregation + one node-keyed join of the
+    edge list against the degree table (twice, once per endpoint) +
+    single-row aggregates; nothing corpus-sized is broadcast or
+    sorted."""
+    canon = _undirected(edges).localCheckpoint()
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.max("d").alias("max_degree"),
+    )
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    both = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    paired = both.join(
+        deg.select(F.col("node").alias("u"), F.col("d").alias("da")), "u"
+    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("db")), "v")
+    sums = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("da").alias("s1"),
+        F.sum(F.col("da") * F.col("db")).alias("s2"),
+        F.sum(F.col("da") * F.col("da")).alias("s3"),
+    )
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))  # single-row totals frames
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            F.round(2.0 * F.col("n_edges") / F.col("n_nodes").cast("double"), 6).alias(
+                "avg_degree"
+            ),
+            F.when(
+                F.col("n") * F.col("s3") - F.col("s1") * F.col("s1") != 0,
+                F.round(
+                    (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                        "double"
+                    )
+                    / (F.col("n") * F.col("s3") - F.col("s1") * F.col("s1")).cast(
+                        "double"
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("assortativity"),
+        )
+    )
