@@ -1964,6 +1964,48 @@ def q_graph_profile(spark, sf_dir):
     return graph_profile(_kg_edges(spark, sf_dir))
 
 
+def q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram (center, context) training pairs from the
+    deterministic walk corpus — the second half of the DeepWalk
+    recipe and the direct input of a word2vec-style embedding
+    trainer; one walk-keyed self-join bounded by steps * 2*window per
+    walk."""
+    from corhist_spark.graph import random_walks, skipgram_pairs
+
+    return skipgram_pairs(random_walks(_kg_edges(spark, sf_dir)))
+
+
+def q_characteristic_sets(spark, sf_dir):
+    """Characteristic-set statistics (Neumann-Moerkotte) over the
+    AS-OF snapshot at 1/10 of the revision stream — the star-join
+    cardinality profile a SPARQL planner reads, and the entity-shape
+    inventory a curator reads; pure integer/string.  The early cut is
+    where shapes genuinely vary (the fixture's CURRENT state
+    converges to one uniform shape — a single-row check would pin
+    nothing)."""
+    from corhist_spark.fusion import characteristic_sets
+
+    edits, _, state = _hist(spark, sf_dir)
+    r = edits.agg(F.expr("max(rev_id) div 10").alias("r"))
+    snap = (
+        state.crossJoin(F.broadcast(r))  # single-row totals frame
+        .filter((F.col("from_rev") <= F.col("r")) & (F.col("to_rev") > F.col("r")))
+        .select("subj", "pred", "obj")
+    )
+    return characteristic_sets(snap)
+
+
+def q_edit_activity(spark, sf_dir):
+    """Per-(predicate, revision-bucket) add/delete churn over the
+    derived edit stream — the time-series profile of the revision
+    feed the correction miner consumes; one map-side-combined
+    groupBy, integer-only."""
+    from corhist_spark.fusion import edit_activity
+
+    edits, _, _ = _hist(spark, sf_dir)
+    return edit_activity(edits)
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2820,6 +2862,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linearize": q_kg_linearize,
         "linkpred_eval": q_linkpred_eval,
         "graph_profile": q_graph_profile,
+        # batch 7: DeepWalk skip-gram pair generation, Neumann-
+        # Moerkotte characteristic sets, edit-stream churn profile
+        "skipgram_pairs": q_skipgram_pairs,
+        "characteristic_sets": q_characteristic_sets,
+        "edit_activity": q_edit_activity,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4003,6 +4050,31 @@ _WALKS_SQL = f"""{_KG_EDGE_CTES}, canon AS (
     {" ".join(f"UNION ALL SELECT walk, {t} AS step, node FROM w{t}" for t in range(1, _WALK_STEPS + 1))}
 """
 
+# Skip-gram pairs: same unrolled walk chain as _WALKS_SQL, with the
+# union collected into a corpus CTE and one walk-keyed pair self-join.
+from corhist_spark.graph import SKIPGRAM_WINDOW as _SKIPGRAM_WINDOW
+
+_SKIPGRAM_SQL = f"""{_KG_EDGE_CTES}, canon AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), w0 AS MATERIALIZED (
+      SELECT DISTINCT u AS walk, u AS node FROM und
+    ), {", ".join(_walk_step(t) for t in range(1, _WALK_STEPS + 1))},
+    corpus AS MATERIALIZED (
+      SELECT walk, 0 AS step, node FROM w0
+      {" ".join(f"UNION ALL SELECT walk, {t} AS step, node FROM w{t}" for t in range(1, _WALK_STEPS + 1))}
+    )
+    SELECT c1.node AS center, c2.node AS context, COUNT(*) AS n_pairs
+    FROM corpus c1 JOIN corpus c2
+      ON c1.walk = c2.walk
+     AND abs(c1.step - c2.step) BETWEEN 1 AND {_SKIPGRAM_WINDOW}
+    GROUP BY 1, 2
+"""
+
 _LPA_SQL = f"""{_KG_EDGE_CTES}, canon AS (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM edges WHERE src <> dst
@@ -4522,6 +4594,43 @@ _GPROF_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
                 ELSE 0.0 END AS assortativity
     FROM nn, ne, sums
 """
+
+from corhist_spark.fusion import EDIT_ACTIVITY_BUCKET as _EDIT_BUCKET
+
+# Characteristic sets over the as-of snapshot at max_rev div 10 (the
+# early cut where the fixture's entity shapes vary; the snapshot is a
+# distinct triple set, so per-subject counts read straight off it).
+_CSETS_SQL = with_history_ctes(
+    """
+    , rr AS (SELECT MAX(rev_id) // 10 AS r FROM h_edits),
+    snap AS MATERIALIZED (
+      SELECT subj, pred, obj FROM h_state
+      WHERE from_rev <= (SELECT r FROM rr) AND to_rev > (SELECT r FROM rr)
+    ), ps AS MATERIALIZED (
+      SELECT subj, string_agg(pred, ',' ORDER BY pred) AS char_set,
+             COUNT(*) AS n_preds
+      FROM (SELECT DISTINCT subj, pred FROM snap) GROUP BY subj
+    ), st AS (
+      SELECT subj, COUNT(*) AS nt FROM snap GROUP BY subj
+    )
+    SELECT ps.char_set, ps.n_preds, COUNT(*) AS n_subjects,
+           CAST(SUM(st.nt) AS BIGINT) AS n_triples
+    FROM ps JOIN st USING (subj)
+    GROUP BY ps.char_set, ps.n_preds
+    """
+)
+
+_EDITACT_SQL = with_history_ctes(
+    f"""
+    SELECT pred, rev_id // {_EDIT_BUCKET} AS rev_bucket,
+           CAST(SUM(CASE WHEN op = 'add' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_adds,
+           CAST(SUM(CASE WHEN op = 'del' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dels,
+           COUNT(DISTINCT subj) AS n_entities
+    FROM h_edits GROUP BY pred, rev_bucket
+    """
+)
 
 from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
 from corhist_spark.sketches import QUANT_QS as _QQS
@@ -6276,6 +6385,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_linearize": _KGLIN_SQL,
         "linkpred_eval": _LP_SQL,
         "graph_profile": _GPROF_SQL,
+        "skipgram_pairs": _SKIPGRAM_SQL,
+        "characteristic_sets": _CSETS_SQL,
+        "edit_activity": _EDITACT_SQL,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global
         # frequency asc, token) order — the PPJoin guarantee

@@ -167,6 +167,12 @@ HEADLINE = [
     "kg_linearize",
     "linkpred_eval",
     "graph_profile",
+    # r5 batch 7: DeepWalk skip-gram pair generation, Neumann-
+    # Moerkotte characteristic sets (as-of snapshot), edit-stream
+    # churn profile
+    "skipgram_pairs",
+    "characteristic_sets",
+    "edit_activity",
 ]
 
 

@@ -417,3 +417,67 @@ def kg_linearize(cur: DataFrame) -> DataFrame:
         "n_tokens",
         F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))),
     )
+
+
+def characteristic_sets(cur: DataFrame) -> DataFrame:
+    """Characteristic-set statistics (Neumann & Moerkotte, ICDE 2011 —
+    the standard join-cardinality estimator for RDF/SPARQL engines):
+    group subjects by their exact predicate SET -> (char_set, n_preds,
+    n_subjects, n_triples), char_set = the sorted comma-joined
+    predicate list.
+
+    This is the planner-facing profile of the materialized KG: a
+    query optimizer estimates star-join cardinalities from exactly
+    these counts, and a curator reads entity 'shapes' (which
+    predicate combinations exist, how many entities carry each) off
+    the same table.  Pure integer/string — the DuckDB transcription
+    is exact.
+
+    Scale shape: one distinct over (subj, pred), one groupBy(subj)
+    with a collect_set bounded by the predicate vocabulary, one
+    groupBy(char_set) whose output is the number of DISTINCT entity
+    shapes (<= 2^|vocab| in theory, a few thousand in practice —
+    Neumann-Moerkotte's published observation), plus one subject-
+    keyed count join for the triple totals."""
+    per_subj = (
+        cur.groupBy("subj")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("pred")), ",").alias("char_set"),
+            F.count(F.lit(1)).alias("n_triples_subj"),
+            F.size(F.collect_set("pred")).alias("n_preds"),
+        )
+    )
+    return per_subj.groupBy("char_set", "n_preds").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("n_triples_subj").cast("long").alias("n_triples"),
+    ).select("char_set", "n_preds", "n_subjects", "n_triples")
+
+
+EDIT_ACTIVITY_BUCKET = 1000
+
+
+def edit_activity(edits: DataFrame, bucket: int = EDIT_ACTIVITY_BUCKET) -> DataFrame:
+    """Edit-stream churn profile: adds/deletes per (predicate,
+    revision bucket) -> (pred, rev_bucket, n_adds, n_dels,
+    n_entities) — the time-series view of the revision feed the
+    correction miner consumes (which properties are being edited,
+    when, and how delete-heavy the traffic is); rev_bucket =
+    rev_id div bucket.
+
+    Integer-only; one map-side-combined groupBy over the edit stream
+    (conditional sums, distinct-entity count co-partitioned on the
+    group key)."""
+    return (
+        edits.select(
+            "pred",
+            F.expr(f"rev_id div {bucket}").alias("rev_bucket"),
+            "op",
+            "subj",
+        )
+        .groupBy("pred", "rev_bucket")
+        .agg(
+            F.sum(F.when(F.col("op") == "add", 1).otherwise(0)).cast("long").alias("n_adds"),
+            F.sum(F.when(F.col("op") == "del", 1).otherwise(0)).cast("long").alias("n_dels"),
+            F.countDistinct("subj").alias("n_entities"),
+        )
+    )

@@ -882,3 +882,36 @@ def graph_profile(edges: DataFrame) -> DataFrame:
             .alias("assortativity"),
         )
     )
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def skipgram_pairs(walks: DataFrame, window: int = SKIPGRAM_WINDOW) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (the second half of
+    the DeepWalk recipe, Perozzi et al. 2014: walks -> (center,
+    context) pairs within a window -> embedding trainer):
+    ``walks(walk, step, node)`` -> (center, context, n_pairs), where a
+    pair is two positions of the SAME walk with 1 <= |step delta| <=
+    window (both directions, so the matrix is symmetric in total
+    count).
+
+    Scale shape: one walk-keyed self-equi-join (per-walk output
+    bounded by steps * 2*window — a small constant per walk) + one
+    pair-keyed partial-aggregated count.  Rename-before-self-join per
+    the repo's Spark 4.1 AttributeMap guard."""
+    w = walks.select("walk", "step", "node").localCheckpoint()
+    right = w.select(
+        F.col("walk").alias("walk2"),
+        F.col("step").alias("step2"),
+        F.col("node").alias("context"),
+    )
+    return (
+        w.join(right, F.col("walk") == F.col("walk2"))
+        .filter(
+            (F.abs(F.col("step") - F.col("step2")) >= 1)
+            & (F.abs(F.col("step") - F.col("step2")) <= window)
+        )
+        .groupBy(F.col("node").alias("center"), "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -378,3 +378,100 @@ def test_batch6_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+# ---- skip-gram pairs ----
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from corhist_spark.graph import skipgram_pairs
+
+    # one walk a->b->c->d (steps 0..3): window 2 pairs are the 3
+    # adjacent + 2 distance-2 pairs, each in both directions
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c"), ("w", 3, "d")],
+        "walk string, step int, node string",
+    )
+    rows = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert rows[("a", "b")] == 1 and rows[("b", "a")] == 1
+    assert rows[("a", "c")] == 1 and ("a", "d") not in rows
+    assert sum(rows.values()) == 2 * (3 + 2)
+    # revisiting a node accumulates counts: walk x->y->x gives (x,y) 2
+    loop = spark.createDataFrame(
+        [("v", 0, "x"), ("v", 1, "y"), ("v", 2, "x")],
+        "walk string, step int, node string",
+    )
+    lrows = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in skipgram_pairs(loop, window=1).collect()
+    }
+    assert lrows[("x", "y")] == 2 and lrows[("y", "x")] == 2
+
+
+# ---- characteristic sets ----
+
+
+def test_characteristic_sets_groups_entity_shapes(spark):
+    from corhist_spark.fusion import characteristic_sets
+
+    cur = _cur(
+        spark,
+        [("s1", "P1", "a"), ("s1", "P2", "b"), ("s1", "P1", "c")]
+        + [("s2", "P1", "x"), ("s2", "P2", "y")]
+        + [("s3", "P3", "z")],
+    )
+    rows = {r["char_set"]: r for r in characteristic_sets(cur).collect()}
+    assert set(rows) == {"P1,P2", "P3"}
+    both = rows["P1,P2"]
+    # s1 (3 triples) and s2 (2 triples) share the shape
+    assert (both["n_preds"], both["n_subjects"], both["n_triples"]) == (2, 2, 5)
+    assert rows["P3"]["n_subjects"] == 1
+
+
+# ---- edit activity ----
+
+
+def test_edit_activity_buckets_and_conditional_sums(spark):
+    from corhist_spark.fusion import edit_activity
+
+    edits = spark.createDataFrame(
+        [
+            (1, "add", "s1", "P1", "v"),
+            (2, "del", "s2", "P1", "v"),
+            (3, "add", "s1", "P1", "w"),
+            (1001, "add", "s9", "P1", "v"),
+        ],
+        "rev_id long, op string, subj string, pred string, obj string",
+    )
+    rows = {
+        (r["pred"], r["rev_bucket"]): r for r in edit_activity(edits).collect()
+    }
+    b0 = rows[("P1", 0)]
+    assert (b0["n_adds"], b0["n_dels"], b0["n_entities"]) == (2, 1, 2)
+    assert rows[("P1", 1)]["n_adds"] == 1
+
+
+def test_batch7_plans_stay_jvm_side(spark):
+    from corhist_spark.fusion import characteristic_sets, edit_activity
+    from corhist_spark.graph import skipgram_pairs
+
+    cur = _cur(spark, [(f"s{i}", f"P{i % 2}", f"v{i % 5}") for i in range(40)])
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c")],
+        "walk string, step int, node string",
+    )
+    edits = spark.createDataFrame(
+        [(1, "add", "s1", "P1", "v")],
+        "rev_id long, op string, subj string, pred string, obj string",
+    )
+    for df in (
+        skipgram_pairs(walks),
+        characteristic_sets(cur),
+        edit_activity(edits),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
