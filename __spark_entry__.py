@@ -2006,6 +2006,47 @@ def q_edit_activity(spark, sf_dir):
     return edit_activity(edits)
 
 
+def q_incremental_violations(spark, sf_dir):
+    """Incremental constraint maintenance — the 'never recompute the
+    world' shape at 10^12 documents: re-check the single-value kernel
+    ONLY for entities touched in the last 10% of the revision stream
+    (the CDC delta), with the entity scope pushed BEFORE the kernel
+    join.  The oracle computes the FULL kernel and filters post-hoc,
+    so the cross-engine equality PROVES the scoping commutes for this
+    entity-local constraint (the pushdown claim itself, not just the
+    arithmetic)."""
+    edits, _, _ = _hist(spark, sf_dir)
+    cut = edits.agg(F.expr("(max(rev_id) div 10) * 9").alias("cut"))
+    touched = (
+        edits.crossJoin(F.broadcast(cut))  # single-row totals frame
+        .filter(F.col("rev_id") > F.col("cut"))
+        .select("subj")
+        .distinct()
+    )
+    cur = (
+        _hist_current(spark, sf_dir)
+        .filter(F.col("pred") == "P1")
+        .join(touched, "subj", "left_semi")
+    )
+    other = cur.select(F.col("subj").alias("s2"), F.col("obj").alias("o2"))
+    return (
+        cur.join(other, (cur.subj == other.s2) & (cur.obj != other.o2))
+        .select(F.col("subj").alias("target_subj"), F.col("obj").alias("target_obj"))
+        .distinct()
+    )
+
+
+def q_containment_scores(spark, sf_dir):
+    """Per-document maximum shingle CONTAINMENT over LSH candidate
+    partners — the asymmetric near-dup signal (quotes / embedded
+    subsets) that symmetric jaccard structurally misses; same capped
+    candidate stage as ngram_jaccard."""
+    from corhist_spark.textops import containment_scores, lsh_candidates
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return containment_scores(d, lsh_candidates(_signatures(spark, sf_dir)))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2867,6 +2908,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "characteristic_sets": q_characteristic_sets,
         "edit_activity": q_edit_activity,
+        # batch 8: incremental (delta-scoped) constraint maintenance
+        # with a full-recompute oracle, and asymmetric containment dedup
+        "incremental_violations": q_incremental_violations,
+        "containment_scores": q_containment_scores,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4632,6 +4677,26 @@ _EDITACT_SQL = with_history_ctes(
     """
 )
 
+# Incremental maintenance check: the oracle recomputes the FULL
+# kernel and filters to touched entities POST-HOC; the Spark side
+# scoped the state PRE-kernel — equality proves the pushdown commutes
+# for this entity-local constraint.
+_INCR_SQL = with_history_ctes(
+    """
+    , cut AS (SELECT (MAX(rev_id) // 10) * 9 AS c FROM h_edits),
+    touched AS MATERIALIZED (
+      SELECT DISTINCT subj FROM h_edits WHERE rev_id > (SELECT c FROM cut)
+    ), full_viol AS (
+      SELECT DISTINCT a.subj AS target_subj, a.obj AS target_obj
+      FROM h_cur a JOIN h_cur b
+        ON a.subj = b.subj AND a.pred = b.pred AND a.obj <> b.obj
+      WHERE a.pred = 'P1'
+    )
+    SELECT f.target_subj, f.target_obj
+    FROM full_viol f JOIN touched t ON t.subj = f.target_subj
+    """
+)
+
 from corhist_spark.sketches import QUANT_BIN_WIDTH as _QBW
 from corhist_spark.sketches import QUANT_QS as _QQS
 
@@ -6388,6 +6453,39 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_pairs": _SKIPGRAM_SQL,
         "characteristic_sets": _CSETS_SQL,
         "edit_activity": _EDITACT_SQL,
+        "incremental_violations": _INCR_SQL,
+        # every multiply-referenced CTE is MATERIALIZED: DuckDB 1.0
+        # inlines per reference, and `scored` feeding the two-way
+        # UNION would otherwise double the whole shingle subtree
+        # (>300s at sf0.1; 2s materialized)
+        "containment_scores": _SIG_CTES + """
+            , cand AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigf a JOIN sigf b
+                ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+            ), dsh AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM shingles),
+            sizes AS MATERIALIZED (
+              SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id
+            ), inter AS (
+              SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+              FROM cand c
+              JOIN dsh x ON x.doc_id = c.doc_a
+              JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+              GROUP BY c.doc_a, c.doc_b
+            ), scored AS MATERIALIZED (
+              SELECT i.doc_a, i.doc_b, i.n_inter, sa.n_sh AS na, sb.n_sh AS nb
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.doc_a
+              JOIN sizes sb ON sb.doc_id = i.doc_b
+            ), directed AS (
+              SELECT doc_a AS doc_id, n_inter / CAST(na AS DOUBLE) AS c FROM scored
+              UNION ALL
+              SELECT doc_b AS doc_id, n_inter / CAST(nb AS DOUBLE) AS c FROM scored
+            )
+            SELECT doc_id, ROUND(MAX(c), 6) AS max_containment,
+                   COUNT(*) AS n_partners
+            FROM directed GROUP BY doc_id
+        """,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global
         # frequency asc, token) order — the PPJoin guarantee

@@ -173,6 +173,10 @@ HEADLINE = [
     "skipgram_pairs",
     "characteristic_sets",
     "edit_activity",
+    # r5 batch 8: incremental (delta-scoped) single-value maintenance
+    # vs a full-recompute oracle; asymmetric shingle-containment dedup
+    "incremental_violations",
+    "containment_scores",
 ]
 
 

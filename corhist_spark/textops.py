@@ -1321,3 +1321,72 @@ def prefix_jaccard_join(docs: DataFrame, t1000: int = PPJ_T1000) -> DataFrame:
             F.round(F.col("inter") / union.cast("double"), 6).alias("jaccard"),
         )
     )
+
+
+def containment_scores(docs: DataFrame, pairs: DataFrame, n: int = SHINGLE) -> DataFrame:
+    """ASYMMETRIC near-dup detection: per-document maximum shingle
+    CONTAINMENT over its LSH candidate partners -> (doc_id,
+    max_containment, n_partners).  Containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| (Broder 1997's second
+    resemblance measure): a short document quoted wholesale inside a
+    long one scores ~1.0 here while its symmetric Jaccard stays low —
+    the duplicate class (quotes, embedded boilerplate, subset pages)
+    the jaccard verifier structurally misses.
+
+    Pairs come from the SAME capped LSH candidate stage as
+    ngram_jaccard (never all-pairs); each pair contributes its
+    containment in BOTH directions, then a per-doc max.  The score is
+    ONE double division of two exact BIGINTs, so both engines feed
+    max() identical doubles (rounded to 6 on publish).
+
+    Scale shape: identical to ngram_jaccard (semi-join shingling of
+    candidate docs only, one shingle-keyed intersect join, pair-keyed
+    counts) plus one doc-keyed max aggregation."""
+    pairs = pairs.localCheckpoint()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substr(text, i, {n})").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+    )
+    directed = scored.select(
+        F.col("doc_a").alias("doc_id"),
+        (F.col("n_inter") / F.col("na").cast("double")).alias("c"),
+    ).unionAll(
+        scored.select(
+            F.col("doc_b").alias("doc_id"),
+            (F.col("n_inter") / F.col("nb").cast("double")).alias("c"),
+        )
+    )
+    return directed.groupBy("doc_id").agg(
+        F.round(F.max("c"), 6).alias("max_containment"),
+        F.count(F.lit(1)).alias("n_partners"),
+    )

@@ -475,3 +475,43 @@ def test_batch7_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+# ---- containment scores ----
+
+
+def test_containment_detects_subset_quote(spark):
+    from corhist_spark.textops import containment_scores
+
+    # short doc 2 is a verbatim substring of long doc 1 -> containment
+    # of 2 in 1 is 1.0 while jaccard would be low; doc 3 is unrelated
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(1, long), (2, short), (3, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in containment_scores(docs, pairs).collect()}
+    assert rows[2]["max_containment"] == 1.0
+    assert rows[1]["max_containment"] < 0.5
+    assert 3 not in rows  # not in any candidate pair
+    assert rows[1]["n_partners"] == 1
+
+
+def test_batch8_plans_stay_jvm_side(spark):
+    from corhist_spark.textops import containment_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common words here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    plan = (
+        containment_scores(docs, pairs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
