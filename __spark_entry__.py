@@ -2047,6 +2047,35 @@ def q_containment_scores(spark, sf_dir):
     return containment_scores(d, lsh_candidates(_signatures(spark, sf_dir)))
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Span-level corpus SELF-dedup (the within-corpus form of Lee et
+    al. 2021's ExactSubstr): windows whose 50-char text occurs >= 2
+    times anywhere in the corpus, merged into maximal per-doc
+    character intervals — the boilerplate-banner signal that doc-level
+    dedup structurally keeps."""
+    from corhist_spark.textops import repeated_spans
+
+    return repeated_spans(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_corpus_cube(spark, sf_dir):
+    """CUBE(source, lang) composition profile with GROUPING flags —
+    all four rollup levels of the curation dashboard in one Expand +
+    one aggregate pass over the corpus."""
+    from corhist_spark.textops import corpus_cube
+
+    return corpus_cube(_t(spark, sf_dir, "documents"))
+
+
+def q_bitext_margin(spark, sf_dir):
+    """Margin-based parallel-pair mining (Artetxe & Schwenk ratio
+    margin): even/odd embedding halves, top-1 cosine match scored by
+    the two-sided neighborhood ratio that cancels hub vectors."""
+    from corhist_spark.similarity import bitext_margin
+
+    return bitext_margin(_t(spark, sf_dir, "embeddings"))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2912,6 +2941,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with a full-recompute oracle, and asymmetric containment dedup
         "incremental_violations": q_incremental_violations,
         "containment_scores": q_containment_scores,
+        # batch 9: span-level corpus self-dedup (ExactSubstr), CUBE
+        # composition profile, margin-based bitext pair mining
+        "repeated_spans": q_repeated_spans,
+        "corpus_cube": q_corpus_cube,
+        "bitext_margin": q_bitext_margin,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4285,6 +4319,11 @@ _BLOOM_SQL = f"""
 
 from corhist_spark.textops import PPJ_T1000 as _PPJ_T1000
 from corhist_spark.textops import TFIDF_TOP_K as _TFIDF_TOP_K
+from corhist_spark.textops import SUBSTR_STRIDE as _RSP_S
+from corhist_spark.textops import SUBSTR_WINDOW as _RSP_W
+from corhist_spark.similarity import BITEXT_ACCEPT_MARGIN as _BTX_M
+from corhist_spark.similarity import BITEXT_K as _BTX_K
+from corhist_spark.similarity import BITEXT_QUERIES as _BTX_Q
 from corhist_spark.textops import WSAMPLE_K as _WSAMPLE_K
 from corhist_spark.graph import NJ_HUB_CAP as _NJ_HUB_CAP
 from corhist_spark.graph import NJ_MIN_PCT as _NJ_MIN_PCT
@@ -6485,6 +6524,112 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(MAX(c), 6) AS max_containment,
                    COUNT(*) AS n_partners
             FROM directed GROUP BY doc_id
+        """,
+        # window/stride interpolated from textops.SUBSTR_WINDOW/STRIDE;
+        # the interval merge is the running-max-end window (layered
+        # CTEs: DuckDB evaluates WHERE before window functions)
+        "repeated_spans": f"""
+            WITH d AS (
+              SELECT doc_id, COALESCE(text, '') AS t FROM documents
+            ), wins AS MATERIALIZED (
+              SELECT doc_id, CAST(i AS INT) AS s,
+                     md5(substr(t, CAST(i AS INT), {_RSP_W})) AS k
+              FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {_RSP_W - 1}, {_RSP_S})) AS i
+                FROM d WHERE len(t) >= {_RSP_W}
+              )
+            ), rep AS MATERIALIZED (
+              SELECT k FROM wins GROUP BY k HAVING COUNT(*) >= 2
+            ), flagged AS (
+              SELECT w.doc_id, w.s, w.s + {_RSP_W - 1} AS e
+              FROM wins w JOIN rep USING (k)
+            ), ordd AS (
+              SELECT doc_id, s, e,
+                     MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+              FROM flagged
+            ), grp AS (
+              SELECT doc_id, s, e,
+                     SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s) AS g
+              FROM ordd
+            ), spans AS (
+              SELECT doc_id, g, MAX(e) - MIN(s) + 1 AS span_len
+              FROM grp GROUP BY doc_id, g
+            ), per_doc AS (
+              SELECT doc_id, COUNT(*) AS n_spans,
+                     CAST(SUM(span_len) AS BIGINT) AS repeated_chars
+              FROM spans GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_spans, p.repeated_chars,
+                   ROUND(p.repeated_chars / CAST(len(d.t) AS DOUBLE), 6) AS frac_repeated
+            FROM per_doc p JOIN d USING (doc_id)
+        """,
+        "corpus_cube": """
+            SELECT COALESCE(source, '<all>') AS source,
+                   COALESCE(lang, '<all>') AS lang,
+                   CAST(GROUPING(source) AS BIGINT) AS gs,
+                   CAST(GROUPING(lang) AS BIGINT) AS gl,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(len(COALESCE(text, ''))) AS BIGINT) AS total_chars
+            FROM documents GROUP BY CUBE(source, lang)
+        """,
+        # query cap / neighborhood size / accept threshold interpolated
+        # from similarity.BITEXT_QUERIES / BITEXT_K / BITEXT_ACCEPT_MARGIN;
+        # sims quantized to round(cos*1000) BIGINT so both neighborhood
+        # sums are exact integers (the repo's one-double-division contract)
+        "bitext_margin": f"""
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), n AS MATERIALIZED (
+              SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+              WHERE vec_id % 2 = 0 AND vec_id < {2 * _BTX_Q}
+            ), t AS MATERIALIZED (
+              SELECT vec_id AS match_id, v AS dv, nrm AS dn FROM n WHERE vec_id % 2 = 1
+            ), s AS MATERIALIZED (
+              SELECT vec_id AS src_id, v, nrm FROM n WHERE vec_id % 2 = 0
+            ), fwd AS (
+              SELECT query_id, match_id,
+                     CAST(ROUND(list_inner_product(qv, dv) / (qn * dn) * 1000, 0) AS BIGINT) AS sim_m3
+              FROM q CROSS JOIN t
+            ), fwd_k AS MATERIALIZED (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY sim_m3 DESC, match_id) AS rn
+                FROM fwd
+              ) WHERE rn <= {_BTX_K}
+            ), top1 AS MATERIALIZED (
+              SELECT query_id, match_id, sim_m3 FROM fwd_k WHERE rn = 1
+            ), fwd_sum AS (
+              SELECT query_id, SUM(sim_m3) AS fwd_sum FROM fwd_k GROUP BY query_id
+            ), mt AS (
+              SELECT DISTINCT match_id FROM top1
+            ), bwd AS (
+              SELECT t.match_id, s.src_id,
+                     CAST(ROUND(list_inner_product(t.dv, s.v) / (t.dn * s.nrm) * 1000, 0) AS BIGINT) AS sim_m3
+              FROM mt JOIN t USING (match_id) CROSS JOIN s
+            ), bwd_sum AS (
+              SELECT match_id, SUM(sim_m3) AS bwd_sum FROM (
+                SELECT *, row_number() OVER (PARTITION BY match_id
+                                             ORDER BY sim_m3 DESC, src_id) AS rn
+                FROM bwd
+              ) WHERE rn <= {_BTX_K} GROUP BY match_id
+            ), scored AS (
+              SELECT t1.query_id, t1.match_id, t1.sim_m3,
+                     ROUND({2 * _BTX_K} * t1.sim_m3
+                           / CAST(fs.fwd_sum + bs.bwd_sum AS DOUBLE), 6) AS margin
+              FROM top1 t1
+              JOIN fwd_sum fs USING (query_id)
+              JOIN bwd_sum bs USING (match_id)
+              WHERE fs.fwd_sum + bs.bwd_sum > 0
+            )
+            SELECT query_id, match_id, sim_m3, margin,
+                   CASE WHEN margin > {_BTX_M} THEN 1 ELSE 0 END AS accepted
+            FROM scored
         """,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global

@@ -177,6 +177,10 @@ HEADLINE = [
     # vs a full-recompute oracle; asymmetric shingle-containment dedup
     "incremental_violations",
     "containment_scores",
+    # r5 batch 9: span-level self-dedup, CUBE profile, bitext margin
+    "repeated_spans",
+    "corpus_cube",
+    "bitext_margin",
 ]
 
 

@@ -813,3 +813,124 @@ def knn_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+BITEXT_K = 4  # neighborhood size for the margin denominator
+BITEXT_ACCEPT_MARGIN = 1.0  # top-1 must beat its two-sided neighborhood
+BITEXT_QUERIES = 128  # default exact-pass query cap (oracle interpolates it)
+
+
+def bitext_margin(
+    embeddings: DataFrame,
+    n_queries: int = BITEXT_QUERIES,
+    k: int = BITEXT_K,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (the ratio-margin criterion of
+    Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings" — the CCMatrix/LASER recipe):
+    split the corpus into two halves (even vec_id = source side, odd =
+    target side), find each capped source query's best target by
+    cosine, and score the pair by its RATIO MARGIN —
+    cos(x,y) / ((avg cos(x, NN_k(x)) + avg cos(y, NN_k(y))) / 2) —
+    instead of the raw cosine.  Raw-cosine thresholds are broken by
+    HUB vectors (a generic target is everyone's nearest neighbor); the
+    two-sided neighborhood denominator cancels hubness, which is why
+    production bitext pipelines mine on margin, not similarity.
+    Output: (query_id, match_id, sim_m3, margin, accepted).
+
+    Cross-engine float contract: cosines are quantized once to
+    round(cos*1000) BIGINT (DuckDB round() is half-away-from-zero like
+    Spark HALF_UP); both neighborhood sums are exact integer sums of k
+    such values, so the margin is ONE double division of two exact
+    BIGINTs, rounded to 6 — the repo's established contract.  Pairs
+    whose denominator is <= 0 (pathological all-negative
+    neighborhoods) are dropped, documented.
+
+    Scale shape: the forward pass is (n_queries x target half) — the
+    knn_bruteforce correctness shape, hard-capped at
+    MAX_BRUTEFORCE_QUERIES; the backward pass scores only the <=
+    n_queries DISTINCT matched targets against the source half (same
+    cap).  The 100-TB path swaps the two capped cross-joins for the
+    IVF/LSH candidate generators already in this module (knn_ivf /
+    knn_lsh) and keeps the margin arithmetic unchanged."""
+    if n_queries > MAX_BRUTEFORCE_QUERIES:
+        raise ValueError(
+            f"bitext_margin's exact passes are capped at "
+            f"{MAX_BRUTEFORCE_QUERIES} queries; route candidates through "
+            f"knn_ivf/knn_lsh for corpus-scale mining"
+        )
+    e = with_norm(embeddings)
+    src = e.filter(F.col("vec_id") % 2 == 0)
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    q = src.filter(F.col("vec_id") < 2 * n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+
+    def _sims(left, right, lid, rid):
+        return left.crossJoin(right).select(
+            lid,
+            rid,
+            F.round(
+                _dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")) * 1000,
+                0,
+            )
+            .cast("long")
+            .alias("sim_m3"),
+        )
+
+    d = tgt.select(
+        F.col("vec_id").alias("match_id"),
+        F.col("v").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    fwd = _sims(q, d, F.col("query_id"), F.col("match_id"))
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("sim_m3"), F.asc("match_id"))
+    fwd_k = fwd.withColumn("rn", F.row_number().over(w_f)).filter(F.col("rn") <= k)
+    top1 = fwd_k.filter(F.col("rn") == 1).select("query_id", "match_id", "sim_m3")
+    fwd_sum = fwd_k.groupBy("query_id").agg(F.sum("sim_m3").alias("fwd_sum"))
+
+    # backward neighborhoods: only the matched targets, vs the FULL
+    # source half (not just the query set) — hubness must be measured
+    # against everything the target could have matched
+    mt = top1.select("match_id").distinct()
+    bq = mt.join(
+        tgt.select(
+            F.col("vec_id").alias("match_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        ),
+        "match_id",
+    )
+    bs = src.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    bwd = _sims(bq, bs, F.col("match_id"), F.col("src_id"))
+    w_b = Window.partitionBy("match_id").orderBy(F.desc("sim_m3"), F.asc("src_id"))
+    bwd_sum = (
+        bwd.withColumn("rn", F.row_number().over(w_b))
+        .filter(F.col("rn") <= k)
+        .groupBy("match_id")
+        .agg(F.sum("sim_m3").alias("bwd_sum"))
+    )
+
+    denom = F.col("fwd_sum") + F.col("bwd_sum")
+    return (
+        top1.join(fwd_sum, "query_id")
+        .join(bwd_sum, "match_id")
+        .filter(denom > 0)
+        .select(
+            "query_id",
+            "match_id",
+            "sim_m3",
+            F.round(2 * k * F.col("sim_m3") / denom.cast("double"), 6).alias(
+                "margin"
+            ),
+        )
+        .withColumn(
+            "accepted", (F.col("margin") > F.lit(BITEXT_ACCEPT_MARGIN)).cast("int")
+        )
+    )

@@ -1390,3 +1390,121 @@ def containment_scores(docs: DataFrame, pairs: DataFrame, n: int = SHINGLE) -> D
         F.round(F.max("c"), 6).alias("max_containment"),
         F.count(F.lit(1)).alias("n_partners"),
     )
+
+
+def repeated_spans(
+    docs: DataFrame, window: int = SUBSTR_WINDOW, stride: int = SUBSTR_STRIDE
+) -> DataFrame:
+    """Corpus SELF-dedup at the span level (the within-corpus form of
+    the suffix-array dedup in Lee et al. 2021 — substring_decontaminate
+    is the same machinery pointed at an eval set): flag every
+    ``window``-char training window whose text occurs at >= 2 positions
+    anywhere in the corpus (cross-doc OR within-doc), merge the flagged
+    windows into maximal character intervals per document, and emit
+    (doc_id, n_spans, repeated_chars, frac_repeated).  This is the
+    signal ExactSubstr-style pipelines CUT on: symmetric doc-level
+    dedup keeps one copy of a near-dup pair, but a boilerplate banner
+    pasted into a million otherwise-unique pages survives doc-level
+    dedup entirely and only a span-level profile sees it.
+
+    Windows are keyed by md5(window_text) so the repeat-count shuffle
+    carries 32-char keys, not raw text; a collision would need two
+    distinct 50-char strings sharing an md5, which is negligible and
+    identical in both engines.  Interval merge is the classic
+    running-max-end window: a new span starts exactly when a window's
+    start exceeds the running max end of everything before it, so each
+    merged span is contiguous and its length is max(end)-min(start)+1.
+
+    Scale shape: one map-side window pass (len/stride rows per doc —
+    the same stream substring_decontaminate already carries), one
+    md5-keyed count shuffle, one semi-join back, and one per-doc
+    window.  No self-join, no explode over matched positions; output
+    is at most one row per document that contains any repeat."""
+    from pyspark.sql import Window
+
+    text = F.coalesce(F.col("text"), F.lit(""))
+    wins = (
+        docs.select("doc_id", text.alias("t"))
+        .filter(F.length("t") >= window)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("t") - (window - 1), F.lit(stride)
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.md5(F.expr(f"substr(t, s, {window})")).alias("k"),
+        )
+    )
+    rep = (
+        wins.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("k")
+    )
+    flagged = wins.join(rep, "k", "left_semi").select(
+        "doc_id", "s", (F.col("s") + (window - 1)).alias("e")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("s")
+    pmax = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    grp = flagged.select(
+        "doc_id",
+        "s",
+        "e",
+        F.sum(
+            F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0)
+        ).over(w_ord).alias("g"),
+    )
+    spans = grp.groupBy("doc_id", "g").agg(
+        (F.max("e") - F.min("s") + 1).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("repeated_chars"),
+    )
+    lens = docs.select("doc_id", F.length(text).alias("n"))
+    return per_doc.join(lens, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "repeated_chars",
+        F.round(F.col("repeated_chars") / F.col("n").cast("double"), 6).alias(
+            "frac_repeated"
+        ),
+    )
+
+
+def corpus_cube(docs: DataFrame) -> DataFrame:
+    """Multi-level corpus composition profile in ONE aggregation pass:
+    CUBE(source, lang) with per-column GROUPING flags — every
+    (source, lang), per-source, per-lang and grand-total cell of the
+    doc-count / char-volume matrix that curation dashboards slice on,
+    without re-scanning the corpus once per level (Spark plans CUBE as
+    a single Expand + one hash aggregate, so the corpus is read once).
+
+    GROUPING flags (gs, gl) disambiguate a genuine NULL group value
+    from a rollup level, which is why the '<all>' placeholder is safe.
+    Output is (|sources|+1) x (|langs|+1) rows — constant-sized."""
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping("source").cast("long").alias("gs"),
+            F.grouping("lang").cast("long").alias("gl"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias(
+                "total_chars"
+            ),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "gs",
+            "gl",
+            "n_docs",
+            "total_chars",
+        )
+    )

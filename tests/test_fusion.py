@@ -515,3 +515,146 @@ def test_batch8_plans_stay_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- batch 9: repeated spans / corpus cube / bitext margin ----
+
+
+def test_repeated_spans_merge_and_within_doc(spark):
+    from corhist_spark.textops import repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),   # exact dup of 2 -> one merged full span
+            (2, "abcdefgh"),
+            (3, "abcdabcd"),   # within-doc repeat -> two disjoint spans
+            (4, "qqqq"),       # windows unique -> no row  (w=4: "qqqq"?)
+            (5, "zzzzzzzz"),   # all windows identical within doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repeated_spans(docs, window=4, stride=2).collect()
+    }
+    # docs 1/2: windows abcd,cdef,efgh all repeated across the pair ->
+    # single merged span covering the whole 8 chars
+    for d in (1, 2):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["repeated_chars"] == 8
+        assert rows[d]["frac_repeated"] == 1.0
+    # doc 3: "abcd" occurs at positions 1 and 5 (within-doc repetition
+    # counts); position 3's "cdab" is unique -> spans [1,4] and [5,8]
+    # merge into... s=5 > prev end 4 -> two spans? No: window [1,4] and
+    # [5,8] are adjacent, not overlapping -> 2 spans of 4 chars
+    assert rows[3]["n_spans"] == 2
+    assert rows[3]["repeated_chars"] == 8
+    # doc 4: only window is "qqqq" at pos 1 -- occurs once corpus-wide
+    assert 4 not in rows
+    # doc 5: zzzz at 1,3,5 all identical -> merged single span 1..8
+    assert rows[5]["n_spans"] == 1
+    assert rows[5]["repeated_chars"] == 8
+
+
+def test_corpus_cube_levels(spark):
+    from corhist_spark.textops import corpus_cube
+
+    docs = spark.createDataFrame(
+        [(1, "aa", "en", "s1"), (2, "bbb", "en", "s2"), (3, "c", "fr", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {(r["source"], r["lang"]): r for r in corpus_cube(docs).collect()}
+    assert rows[("<all>", "<all>")]["n_docs"] == 3
+    assert rows[("<all>", "<all>")]["total_chars"] == 6
+    assert rows[("<all>", "<all>")]["gs"] == 1 and rows[("<all>", "<all>")]["gl"] == 1
+    assert rows[("s1", "<all>")]["n_docs"] == 2
+    assert rows[("<all>", "en")]["total_chars"] == 5
+    assert rows[("s1", "fr")]["n_docs"] == 1
+    assert rows[("s1", "fr")]["gs"] == 0 and rows[("s1", "fr")]["gl"] == 0
+    assert len(rows) == (2 + 1) * (2 + 1) - 1  # (s2,fr) cell is empty
+
+
+def _bitext_expected(vecs, n_queries, k):
+    """Independent numpy reimplementation of the bitext-margin SPEC
+    (quantize cos to round-half-up(cos*1000) ints; k-neighborhood sums;
+    margin = 2k*sim/(fwd+bwd))."""
+    import math
+
+    def q(c):
+        return int(math.floor(c * 1000 + 0.5)) if c >= 0 else -int(
+            math.floor(-c * 1000 + 0.5)
+        )
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    src = {i: v for i, v in vecs.items() if i % 2 == 0}
+    tgt = {i: v for i, v in vecs.items() if i % 2 == 1}
+    out = {}
+    for qi in sorted(src):
+        if qi >= 2 * n_queries:
+            continue
+        sims = sorted(
+            ((q(cos(src[qi], tv)), ti) for ti, tv in tgt.items()),
+            key=lambda p: (-p[0], p[1]),
+        )
+        top = sims[:k]
+        m_sim, m_id = top[0]
+        fwd = sum(s for s, _ in top)
+        bsims = sorted(
+            ((q(cos(tgt[m_id], sv)), si) for si, sv in src.items()),
+            key=lambda p: (-p[0], p[1]),
+        )
+        bwd = sum(s for s, _ in bsims[:k])
+        if fwd + bwd <= 0:
+            continue
+        margin = round(2 * k * m_sim / float(fwd + bwd), 6)
+        out[qi] = (m_id, m_sim, margin, 1 if margin > 1.0 else 0)
+    return out
+
+
+def test_bitext_margin_matches_spec(spark):
+    from corhist_spark.similarity import bitext_margin
+
+    # deterministic 3-d vectors: a hub-ish target (id 1) plus spread
+    vecs = {
+        i: [
+            1.0 + ((i * 7 + 0 * 13) % 23) / 7.0,
+            ((i * 11 + 1 * 5) % 19) / 9.0 - 1.0,
+            ((i * 3 + 2 * 17) % 13) / 6.0,
+        ]
+        for i in range(12)
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["query_id"]: (r["match_id"], r["sim_m3"], r["margin"], r["accepted"])
+        for r in bitext_margin(df, n_queries=4, k=2).collect()
+    }
+    # spec oracle must see the FLOAT-truncated vectors spark read
+    import struct
+
+    f32 = {
+        i: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        for i, v in vecs.items()
+    }
+    assert got == _bitext_expected(f32, n_queries=4, k=2)
+    assert len(got) == 4
+
+
+def test_batch9_plans_stay_jvm_side(spark):
+    from corhist_spark.textops import corpus_cube, repeated_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"text body number {i} with shared words", "en", f"s{i%2}") for i in range(8)],
+        "doc_id long, text string, lang string, source string",
+    )
+    for df in (repeated_spans(docs, window=6, stride=3), corpus_cube(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
