@@ -2076,6 +2076,43 @@ def q_bitext_margin(spark, sf_dir):
     return bitext_margin(_t(spark, sf_dir, "embeddings"))
 
 
+def q_gopher_filter(spark, sf_dir):
+    """The Gopher rule-based quality filter (Rae et al. 2021, App. A):
+    all seven published rules as exact-integer flags + the composite
+    verdict, one map-side pass."""
+    from corhist_spark.textops import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin/FastCDC family): hash-anchored
+    boundaries make chunk-level dedup shift-invariant — a prefix edit
+    re-keys one chunk, not every downstream chunk like fixed-width
+    chunking does."""
+    from corhist_spark.textops import cdc_chunks
+
+    return cdc_chunks(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup candidate maintenance: the last 10% of
+    doc_ids (the arriving delta) probe the full (band, minhash)
+    signature index instead of re-running the all-pairs bucket
+    self-join; the oracle recomputes the FULL candidate set and
+    filters post-hoc, proving the index-probe commutes."""
+    from corhist_spark.textops import lsh_candidates_delta
+
+    d = _t(spark, sf_dir, "documents")
+    cut = d.agg(F.expr("(max(doc_id) div 10) * 9").alias("cut"))
+    new_ids = (
+        d.crossJoin(F.broadcast(cut))  # single-row totals frame
+        .filter(F.col("doc_id") > F.col("cut"))
+        .select("doc_id")
+    )
+    return lsh_candidates_delta(_signatures(spark, sf_dir), new_ids)
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2946,6 +2983,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "corpus_cube": q_corpus_cube,
         "bitext_margin": q_bitext_margin,
+        # batch 10: Gopher rule filter, content-defined chunking,
+        # incremental (index-probe) dedup candidate maintenance
+        "gopher_filter": q_gopher_filter,
+        "cdc_chunks": q_cdc_chunks,
+        "incremental_dedup": q_incremental_dedup,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4321,6 +4363,16 @@ from corhist_spark.textops import PPJ_T1000 as _PPJ_T1000
 from corhist_spark.textops import TFIDF_TOP_K as _TFIDF_TOP_K
 from corhist_spark.textops import SUBSTR_STRIDE as _RSP_S
 from corhist_spark.textops import SUBSTR_WINDOW as _RSP_W
+from corhist_spark.textops import (
+    CDC_MOD as _CDC_MOD,
+    CDC_WINDOW as _CDC_W,
+    GOPHER_MAX_MWL as _GF_MAXM,
+    GOPHER_MAX_WORDS as _GF_MAXW,
+    GOPHER_MIN_MWL as _GF_MINM,
+    GOPHER_MIN_STOPWORDS as _GF_MINS,
+    GOPHER_MIN_WORDS as _GF_MINW,
+    GOPHER_STOPWORDS as _GF_STOPS,
+)
 from corhist_spark.similarity import BITEXT_ACCEPT_MARGIN as _BTX_M
 from corhist_spark.similarity import BITEXT_K as _BTX_K
 from corhist_spark.similarity import BITEXT_QUERIES as _BTX_Q
@@ -6630,6 +6682,106 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, match_id, sim_m3, margin,
                    CASE WHEN margin > {_BTX_M} THEN 1 ELSE 0 END AS accepted
             FROM scored
+        """,
+        # all flags in exact integer form (mirroring textops.gopher_filter);
+        # thresholds interpolated from the GOPHER_* constants
+        "gopher_filter": f"""
+            WITH d AS (
+              SELECT doc_id, COALESCE(text, '') AS text FROM documents
+            ), base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                     string_split(text, chr(10)) AS lines
+              FROM d
+            ), m AS MATERIALIZED (
+              SELECT doc_id,
+                     len(toks) AS n_words,
+                     CAST(COALESCE(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS sum_len,
+                     len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha_cnt,
+                     len(list_intersect(list_distinct(toks),
+                         [{", ".join("'" + s + "'" for s in _GF_STOPS)}])) AS n_stop,
+                     (len(text) - len(replace(text, '#', '')))
+                       + (len(text) - len(replace(text, '...', ''))) // 3 AS sym_cnt,
+                     len(lines) AS n_lines,
+                     len(list_filter(lines, l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS bullet_cnt,
+                     len(list_filter(lines, l -> right(l, 3) = '...')) AS ell_cnt
+              FROM base
+            )
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0
+                        THEN ROUND(sum_len / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_words > 0
+                        THEN ROUND(alpha_cnt / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS frac_alpha,
+                   n_stop,
+                   CASE WHEN n_words > 0
+                        THEN ROUND(sym_cnt / CAST(n_words AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,
+                   CASE WHEN n_lines > 0
+                        THEN ROUND(bullet_cnt / CAST(n_lines AS DOUBLE), 6) ELSE 0.0 END AS frac_bullet_lines,
+                   CASE WHEN n_lines > 0
+                        THEN ROUND(ell_cnt / CAST(n_lines AS DOUBLE), 6) ELSE 0.0 END AS frac_ellipsis_lines,
+                   CASE WHEN n_words >= {_GF_MINW} AND n_words <= {_GF_MAXW}
+                         AND sum_len >= {_GF_MINM} * n_words
+                         AND sum_len <= {_GF_MAXM} * n_words
+                         AND 5 * alpha_cnt >= 4 * n_words
+                         AND n_stop >= {_GF_MINS}
+                         AND 10 * sym_cnt <= n_words
+                         AND 10 * bullet_cnt <= n_lines
+                         AND 10 * ell_cnt <= 3 * n_lines
+                        THEN 1 ELSE 0 END AS passes
+            FROM m
+        """,
+        # window/mod interpolated from textops.CDC_WINDOW/CDC_MOD;
+        # boundary hash = the repo's 13-hex-digit md5 decode
+        "cdc_chunks": f"""
+            WITH d AS (
+              SELECT doc_id, COALESCE(text, '') AS t FROM documents
+              WHERE len(COALESCE(text, '')) >= 1
+            ), cuts AS (
+              SELECT doc_id, CAST(i AS INT) AS s
+              FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(2, len(t) - {_CDC_W - 1})) AS i
+                FROM d WHERE len(t) >= {_CDC_W + 1}
+              )
+              WHERE ({hexval_sql(f"substr(t, CAST(i AS INT), {_CDC_W})")}) % {_CDC_MOD} = 0
+            ), starts AS (
+              SELECT doc_id, 1 AS s FROM d
+              UNION ALL
+              SELECT doc_id, s FROM cuts
+            ), bounded AS (
+              SELECT st.doc_id, st.s, d.t,
+                     COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s) - 1,
+                              len(d.t)) AS e
+              FROM starts st JOIN d USING (doc_id)
+            ), chunks AS MATERIALIZED (
+              SELECT doc_id, md5(substr(t, s, e - s + 1)) AS ch FROM bounded
+            ), shared AS MATERIALIZED (
+              SELECT ch FROM chunks GROUP BY ch HAVING COUNT(*) >= 2
+            ), flagged AS (
+              SELECT c.doc_id, COUNT(*) AS n_shared
+              FROM chunks c JOIN shared USING (ch) GROUP BY c.doc_id
+            ), per_doc AS (
+              SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_chunks,
+                   COALESCE(f.n_shared, 0) AS n_shared_chunks,
+                   ROUND(COALESCE(f.n_shared, 0) / CAST(p.n_chunks AS DOUBLE), 6) AS frac_shared
+            FROM per_doc p LEFT JOIN flagged f USING (doc_id)
+        """,
+        # full-recompute oracle for the index-probe delta path: ALL
+        # capped candidate pairs, filtered post-hoc to new-doc pairs
+        "incremental_dedup": _SIG_CTES + """
+            , cut AS (SELECT (MAX(doc_id) // 10) * 9 AS c FROM documents),
+            newdocs AS MATERIALIZED (
+              SELECT doc_id FROM documents WHERE doc_id > (SELECT c FROM cut)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigf a JOIN sigf b
+                ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+            )
+            SELECT c.doc_a, c.doc_b FROM cand c
+            WHERE c.doc_a IN (SELECT doc_id FROM newdocs)
+               OR c.doc_b IN (SELECT doc_id FROM newdocs)
         """,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global

@@ -181,6 +181,13 @@ HEADLINE = [
     "repeated_spans",
     "corpus_cube",
     "bitext_margin",
+    # r5 batch 10: Gopher rule-based quality filter (one map-side
+    # pass), content-defined chunking (shift-invariant chunk dedup),
+    # incremental LSH candidate maintenance (delta probes the stored
+    # signature index instead of re-running the all-pairs bucket join)
+    "gopher_filter",
+    "cdc_chunks",
+    "incremental_dedup",
 ]
 
 

@@ -1508,3 +1508,188 @@ def corpus_cube(docs: DataFrame) -> DataFrame:
             "total_chars",
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A —
+# public).  Flags are evaluated in EXACT INTEGER form (e.g. the 80%
+# alpha-word rule is 5*alpha_cnt >= 4*n_words) so the pass verdict
+# never depends on float rounding; the published ratio columns are
+# one double division of exact BIGINTs each, rounded to 6.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3  # mean word length bounds (chars)
+GOPHER_MAX_MWL = 10
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """The Gopher rule-based quality filter, composed: word-count
+    bounds, mean-word-length bounds, >= 80% words containing an
+    alphabetic char, >= 2 of the 8 required stop words, symbol-to-word
+    ratio ('#' or '...') <= 0.1, <= 10% bullet-started lines, <= 30%
+    ellipsis-ended lines.  Emits every per-rule signal plus the
+    composite verdict — curation pipelines tune on the per-rule
+    columns, cut on `passes`.  One map-side pass, zero shuffles: every
+    rule is array/string algebra on the row."""
+    toks = _token_array()
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), "\n")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    d = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        toks.alias("toks"),
+        lines.alias("lines"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").alias("sum_len"),
+        F.expr("size(filter(toks, x -> x rlike '[a-zA-Z]'))").alias("alpha_cnt"),
+        F.size(F.array_intersect(F.array_distinct("toks"), stop_arr)).alias("n_stop"),
+        (
+            (F.length("text") - F.length(F.regexp_replace("text", "#", "")))
+            + (F.length("text") - F.length(F.expr("replace(text, '...', '')")))
+            / F.lit(3)
+        ).cast("long").alias("sym_cnt"),
+        F.size("lines").alias("n_lines"),
+        F.expr(
+            "size(filter(lines, l -> substr(l, 1, 1) IN ('-', '*', '•')))"
+        ).alias("bullet_cnt"),
+        F.expr("size(filter(lines, l -> right(l, 3) = '...'))").alias("ell_cnt"),
+    )
+    n = F.col("n_words")
+    nl = F.col("n_lines")
+    passes = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (F.col("sum_len") >= GOPHER_MIN_MWL * n)
+        & (F.col("sum_len") <= GOPHER_MAX_MWL * n)
+        & (5 * F.col("alpha_cnt") >= 4 * n)
+        & (F.col("n_stop") >= GOPHER_MIN_STOPWORDS)
+        & (10 * F.col("sym_cnt") <= n)
+        & (10 * F.col("bullet_cnt") <= nl)
+        & (10 * F.col("ell_cnt") <= 3 * nl)
+    )
+    ratio = lambda a, b: F.round(a / b.cast("double"), 6)  # noqa: E731
+    zero = F.lit(0.0)
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.when(n > 0, ratio(F.col("sum_len"), n)).otherwise(zero).alias("mean_word_len"),
+        F.when(n > 0, ratio(F.col("alpha_cnt"), n)).otherwise(zero).alias("frac_alpha"),
+        F.col("n_stop"),
+        F.when(n > 0, ratio(F.col("sym_cnt"), n)).otherwise(zero).alias("symbol_ratio"),
+        F.when(nl > 0, ratio(F.col("bullet_cnt"), nl)).otherwise(zero).alias("frac_bullet_lines"),
+        F.when(nl > 0, ratio(F.col("ell_cnt"), nl)).otherwise(zero).alias("frac_ellipsis_lines"),
+        passes.cast("int").alias("passes"),
+    )
+
+
+CDC_WINDOW = 8  # rolling-window width for the boundary test
+CDC_MOD = 64  # boundary when window-hash % CDC_MOD == 0 (~64-char chunks)
+
+
+def cdc_chunks(docs: DataFrame, window: int = CDC_WINDOW, mod: int = CDC_MOD) -> DataFrame:
+    """CONTENT-DEFINED chunking (the Rabin/FastCDC family used by
+    storage dedup, applied to corpus text): a chunk boundary falls
+    BEFORE position i whenever the hash of the ``window`` chars at i
+    is 0 mod ``mod``, so boundaries are anchored to CONTENT — insert
+    one char at the front of a doc and fixed-width chunking
+    (chunk_dedup) re-keys every downstream chunk, while CDC re-keys
+    only the chunk containing the edit.  That shift-invariance is the
+    whole point: it is what lets chunk-level dedup survive prefix
+    edits.  Emits per doc (doc_id, n_chunks, n_shared_chunks,
+    frac_shared) where shared = the chunk's exact text occurs >= 2
+    times corpus-wide.
+
+    Scale shape: the boundary scan is the stride-1 substring stream
+    the MinHash shingle build already carries (len rows/doc, map-only
+    filter keeping ~len/mod); chunk texts are cut by one per-doc lead
+    window and deduped by one md5-keyed count shuffle."""
+    text = F.coalesce(F.col("text"), F.lit(""))
+    d = docs.select("doc_id", text.alias("t")).filter(F.length("t") >= 1)
+    cuts = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN length(t) >= {window + 1} THEN "
+                    f"sequence(2, length(t) - {window - 1}) "
+                    "ELSE CAST(array() AS array<int>) END"
+                )
+            ).alias("i"),
+        )
+        .filter(
+            F.expr(
+                f"CAST(conv(substr(md5(substr(t, i, {window})), 1, 13), 16, 10) AS BIGINT) % {mod} = 0"
+            )
+        )
+        .select("doc_id", F.col("i").alias("s"))
+    )
+    starts = d.select("doc_id", F.lit(1).alias("s")).unionByName(cuts)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("s")
+    chunks = (
+        starts.join(d, "doc_id")
+        .withColumn("e", F.coalesce(F.lead("s").over(w) - 1, F.length("t")))
+        .select("doc_id", F.md5(F.expr("substr(t, s, e - s + 1)")).alias("ch"))
+    )
+    shared = (
+        chunks.groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("ch")
+    )
+    flagged = chunks.join(shared, "ch", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_chunks")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        per_doc.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_shared_chunks", F.lit(0)).alias("n_shared_chunks"),
+            F.round(
+                F.coalesce("n_shared_chunks", F.lit(0))
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("frac_shared"),
+        )
+    )
+
+
+def lsh_candidates_delta(
+    signatures: DataFrame, new_ids: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """INCREMENTAL near-dup candidate maintenance: when a delta of new
+    documents arrives, probe only the NEW docs' signatures against the
+    full (band, minhash) signature index instead of re-running the
+    all-pairs bucket self-join — the probe cost tracks the delta size,
+    not the corpus.  Bucket-occupancy hygiene (2..max_bucket) is
+    computed on the FULL index, exactly as the stored index would
+    maintain it, so the capped-bucket semantics are unchanged.
+    Returns the same (doc_a < doc_b) pair set the full recompute would
+    emit restricted to pairs touching a new doc — the cross-engine
+    oracle recomputes the FULL candidate set and filters post-hoc,
+    proving the index-probe commutes."""
+    sizes = signatures.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bc"))
+    ok = sizes.filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket)).select(
+        "band", "minhash"
+    )
+    sigs = signatures.join(ok, ["band", "minhash"], "left_semi")
+    probe = sigs.join(new_ids, "doc_id", "left_semi").select(
+        "band", "minhash", F.col("doc_id").alias("p")
+    )
+    index = sigs.select("band", "minhash", F.col("doc_id").alias("q"))
+    return (
+        probe.join(index, ["band", "minhash"])
+        .filter(F.col("p") != F.col("q"))
+        .select(
+            F.least("p", "q").alias("doc_a"), F.greatest("p", "q").alias("doc_b")
+        )
+        .distinct()
+    )

@@ -658,3 +658,97 @@ def test_batch9_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+# ---- batch 10: Gopher rule filter / CDC chunking / delta LSH ----
+
+
+def test_gopher_filter_rules(spark):
+    from corhist_spark.textops import gopher_filter
+
+    good = " ".join(
+        ["the", "be", "to"] + [f"word{i % 7}" for i in range(60)]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                   # passes everything
+            (2, "the be " + " ".join(["ok"] * 10)),      # too few words
+            (3, " ".join(["1234"] * 60) + " the be"),    # <80% alpha words
+            (4, good + " " + "#" * 40),                  # symbol ratio
+            (5, "\n".join(["- " + good] * 10)),          # all bullet lines
+            (6, " ".join(["supercalifragilistic"] * 60) + " the be"),  # mwl
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert rows[1]["passes"] == 1
+    assert rows[2]["passes"] == 0 and rows[2]["n_words"] < 50
+    assert rows[3]["passes"] == 0 and rows[3]["frac_alpha"] < 0.8
+    assert rows[4]["passes"] == 0 and rows[4]["symbol_ratio"] > 0.1
+    assert rows[5]["passes"] == 0 and rows[5]["frac_bullet_lines"] > 0.1
+    assert rows[6]["passes"] == 0 and rows[6]["mean_word_len"] > 10
+    assert rows[1]["n_stop"] >= 2
+
+
+def test_cdc_chunks_shift_invariant(spark):
+    """The defining CDC property: a prefix edit re-keys only the chunk
+    containing the edit — every later chunk hash is content-anchored
+    and survives, so the two variants share almost all chunks."""
+    from corhist_spark.textops import cdc_chunks
+
+    # aperiodic deterministic content (a periodic lattice has too few
+    # distinct windows to ever hit a boundary hash)
+    base = "".join(
+        chr(97 + b % 26)
+        for k in range(80)
+        for b in hashlib.md5(f"cdc{k}".encode()).digest()
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, "XYZQ" + base)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in cdc_chunks(docs).collect()}
+    for d in (1, 2):
+        assert rows[d]["n_chunks"] > 5
+        # all chunks after the first boundary align exactly
+        assert rows[d]["n_shared_chunks"] >= rows[d]["n_chunks"] - 2
+        assert rows[d]["frac_shared"] > 0.5
+
+
+def test_lsh_delta_matches_full_recompute(spark):
+    """Index-probe candidate maintenance commutes with full recompute:
+    delta pairs == all pairs restricted to pairs touching a new doc."""
+    from corhist_spark.textops import (
+        lsh_candidates,
+        lsh_candidates_delta,
+        minhash_signatures,
+    )
+
+    texts = []
+    for i in range(12):
+        body = "shared near duplicate body text " * 4
+        texts.append((i, body + (f"tail{i}" if i % 3 == 0 else "")))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    sigs = minhash_signatures(docs).localCheckpoint()
+    new_ids = docs.filter(F.col("doc_id") >= 9).select("doc_id")
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_candidates_delta(sigs, new_ids).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidates(sigs).collect()
+        if r["doc_a"] >= 9 or r["doc_b"] >= 9
+    }
+    assert got == full and got
+
+
+def test_batch10_plans_stay_jvm_side(spark):
+    from corhist_spark.textops import cdc_chunks, gopher_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"some body text number {i} with the be to of and words") for i in range(8)],
+        "doc_id long, text string",
+    )
+    for df in (gopher_filter(docs), cdc_chunks(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
