@@ -2113,6 +2113,28 @@ def q_incremental_dedup(spark, sf_dir):
     return lsh_candidates_delta(_signatures(spark, sf_dir), new_ids)
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 span-corruption pretraining pairs (Raffel et al. 2020): a
+    deterministic md5 mask corrupts ~1/SC_MOD of fixed-width token
+    groups; corrupted spans become <extra_id_k> sentinels in the input
+    and are re-emitted after their sentinel in the target.  One
+    map-side projection, zero shuffles — linear at any corpus size."""
+    from corhist_spark.textops import span_corruption
+
+    return span_corruption(_t(spark, sf_dir, "documents"))
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2019): per-language
+    head/middle/tail tertiles of the per-document unigram NLL, with
+    tertile thresholds read off a fixed-width histogram sketch (two
+    aggregates + one broadcast join) instead of a per-language global
+    sort."""
+    from corhist_spark.textops import ccnet_buckets
+
+    return ccnet_buckets(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -2988,6 +3010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "cdc_chunks": q_cdc_chunks,
         "incremental_dedup": q_incremental_dedup,
+        # batch 11: T5 span-corruption pair synthesis, CCNet
+        # perplexity-tertile bucketing (histogram-sketch thresholds)
+        "span_corruption": q_span_corruption,
+        "ccnet_buckets": q_ccnet_buckets,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3043,10 +3069,13 @@ from corhist_spark.kernels import SAMPLING_THRESHOLD as _SAMPLING_THRESHOLD
 from corhist_spark.similarity import MAX_EMB_BUCKET as _SIM_MAX_BUCKET
 from corhist_spark.similarity import MAX_IVF_CENTROIDS as _MAX_IVF_CENTROIDS
 from corhist_spark.textops import (
+    CCNET_BIN as _CCNET_BIN,
     EMAIL_RE as _EMAIL_RE,
     HEXVAL_SQL,
     MAX_BUCKET,
     PHONE_RE as _PHONE_RE,
+    SC_GROUP as _SC_GROUP,
+    SC_MOD as _SC_MOD,
     WINNOW_K as _WINNOW_K,
     WINNOW_W as _WINNOW_W,
     hexval_sql,
@@ -6782,6 +6811,92 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.doc_a, c.doc_b FROM cand c
             WHERE c.doc_a IN (SELECT doc_id FROM newdocs)
                OR c.doc_b IN (SELECT doc_id FROM newdocs)
+        """,
+        # group width / corruption modulus interpolated from
+        # textops.SC_GROUP / SC_MOD; the mask hash is the repo-standard
+        # 13-hex md5 decode of 'sc:<doc_id>:<group>'
+        "span_corruption": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(
+                       0, CAST(ceil(len(toks) / {float(_SC_GROUP)}) AS INT) - 1)) AS g
+              FROM t WHERE len(toks) > 0),
+            m AS MATERIALIZED (
+              SELECT doc_id, toks, g,
+                     ({hexval_sql(
+                         "'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)"
+                     )}) % {_SC_MOD} = 0 AS corr
+              FROM g),
+            r AS (
+              SELECT doc_id, toks, g, corr,
+                     COALESCE(sum(CASE WHEN corr THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k
+              FROM m),
+            pieces AS (
+              SELECT doc_id, g, corr,
+                     CASE WHEN corr THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                          ELSE array_to_string(
+                            list_slice(toks, g*{_SC_GROUP}+1, g*{_SC_GROUP}+{_SC_GROUP}),
+                            ' ') END AS ip,
+                     CASE WHEN corr THEN
+                       '<extra_id_' || CAST(k AS VARCHAR) || '> ' ||
+                       array_to_string(
+                         list_slice(toks, g*{_SC_GROUP}+1, g*{_SC_GROUP}+{_SC_GROUP}),
+                         ' ') END AS tp
+              FROM r),
+            agg AS (
+              SELECT doc_id,
+                     CAST(count(*) FILTER (WHERE corr) AS INT) AS n_spans,
+                     string_agg(ip, ' ' ORDER BY g) AS input_text,
+                     COALESCE(string_agg(tp, ' ' ORDER BY g), '') AS target_text
+              FROM pieces GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(len(t.toks) AS INT) AS n_tokens,
+                   COALESCE(a.n_spans, 0) AS n_spans,
+                   COALESCE(a.input_text, '') AS input_text,
+                   COALESCE(a.target_text, '') AS target_text
+            FROM t LEFT JOIN agg a USING (doc_id)
+        """,
+        # bin width interpolated from textops.CCNET_BIN; tertile
+        # threshold = smallest bin whose cumulative count reaches 1/3
+        # (2/3) of the language's docs — exact integer compare
+        "ccnet_buckets": f"""
+            WITH tk AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+              FROM documents),
+            freq AS MATERIALIZED (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+            tot AS (SELECT sum(tf) AS total FROM freq),
+            nll AS MATERIALIZED (
+              SELECT doc_id, count(*) AS n_tokens,
+                     round(avg(-ln(tf / total)), 6) AS mean_nll
+              FROM tk JOIN freq USING (tok) CROSS JOIN tot
+              GROUP BY doc_id),
+            b AS MATERIALIZED (
+              SELECT n.doc_id, d.lang, n.n_tokens, n.mean_nll,
+                     CAST(floor(n.mean_nll * {_CCNET_BIN}) AS INT) AS bin
+              FROM nll n JOIN documents d USING (doc_id)),
+            hist AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY lang, bin),
+            cum AS (
+              SELECT lang, bin,
+                     sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+                     sum(c) OVER (PARTITION BY lang) AS total
+              FROM hist),
+            thr AS (
+              SELECT lang,
+                     min(CASE WHEN 3*cum >= total THEN bin END) AS t1,
+                     min(CASE WHEN 3*cum >= 2*total THEN bin END) AS t2
+              FROM cum GROUP BY lang)
+            SELECT b.doc_id, b.lang, b.n_tokens, b.mean_nll,
+                   CASE WHEN b.bin <= t.t1 THEN 'head'
+                        WHEN b.bin <= t.t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM b JOIN thr t USING (lang)
         """,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global

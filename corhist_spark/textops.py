@@ -1693,3 +1693,105 @@ def lsh_candidates_delta(
         )
         .distinct()
     )
+
+
+# T5 span-corruption (Raffel et al. 2020, public): tokens are grouped
+# into fixed-width runs and each run is corrupted independently with
+# probability 1/SC_MOD, decided by the repo-standard 13-hex-digit md5
+# hash so both engines draw the same mask.  GROUP=3, MOD=5 gives the
+# paper's regime (~20% of tokens corrupted, mean span 3).
+SC_GROUP = 3
+SC_MOD = 5
+
+
+def span_corruption(docs: DataFrame, group: int = SC_GROUP, mod: int = SC_MOD) -> DataFrame:
+    """T5-style span-corruption training pairs: deterministic span mask
+    over the token stream, corrupted spans replaced by ``<extra_id_k>``
+    sentinels in the input and emitted after their sentinel in the
+    target — (doc_id, n_tokens, n_spans, input_text, target_text).
+
+    Everything is per-row array algebra (one map-side pass, zero
+    shuffles): the group sequence, the hash mask, the sentinel
+    numbering (rank of the group among corrupted groups) and both
+    reassembled strings are computed inside one projection, so the
+    operator is trivially linear and partition-agnostic at any scale."""
+    n_grp = f"CAST(ceil(size(toks) / CAST({group} AS DOUBLE)) AS INT)"
+    corrupted = (
+        f"CAST(conv(substr(md5(concat('sc:', CAST(doc_id AS STRING), ':', "
+        f"CAST(g AS STRING))), 1, 13), 16, 10) AS BIGINT) % {mod} = 0"
+    )
+    d = docs.select(
+        "doc_id", _token_array().alias("toks")
+    ).withColumn(
+        "gseq",
+        F.expr(f"CASE WHEN size(toks) > 0 THEN sequence(0, {n_grp} - 1) "
+               "ELSE CAST(array() AS array<int>) END"),
+    ).withColumn(
+        "corr", F.expr(f"filter(gseq, g -> {corrupted})")
+    )
+    sentinel = (
+        "concat('<extra_id_', CAST(size(filter(corr, c -> c < g)) AS STRING), '>')"
+    )
+    input_parts = (
+        f"flatten(transform(gseq, g -> CASE WHEN {corrupted} "
+        f"THEN array({sentinel}) "
+        f"ELSE slice(toks, g * {group} + 1, {group}) END))"
+    )
+    target_parts = (
+        f"flatten(transform(corr, (c, k) -> concat("
+        f"array(concat('<extra_id_', CAST(k AS STRING), '>')), "
+        f"slice(toks, c * {group} + 1, {group}))))"
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size("corr").alias("n_spans"),
+        F.expr(f"concat_ws(' ', {input_parts})").alias("input_text"),
+        F.expr(f"concat_ws(' ', {target_parts})").alias("target_text"),
+    )
+
+
+# CCNet-style perplexity bucketing (Wenzek et al. 2019, public): per
+# language, split documents into head/middle/tail thirds by LM score.
+# The tertile THRESHOLDS are read off a fixed-width histogram of the
+# per-doc mean NLL (bin width 0.01) instead of a per-language global
+# sort — the same mergeable-sketch quantile trick as token_quantiles,
+# so the plan is two aggregates plus one broadcast join at any scale.
+CCNET_BIN = 100  # bins per NLL unit (width 0.01)
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, mean_nll, bucket): head = lowest-NLL
+    (most fluent) tertile per language, tail = highest.  Threshold
+    bins are the smallest bins whose cumulative count reaches 1/3 and
+    2/3 of the language's documents; a document in the threshold bin
+    goes to the lower bucket (deterministic at bin granularity, exact
+    integer arithmetic — no percentile interpolation)."""
+    nll = unigram_nll(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    binned = nll.withColumn(
+        "bin", F.floor(F.col("mean_nll") * CCNET_BIN).cast("int")
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("bin")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    thresholds = cum.groupBy("lang").agg(
+        F.min(F.when(3 * F.col("cum") >= F.col("total"), F.col("bin"))).alias("t1"),
+        F.min(F.when(3 * F.col("cum") >= 2 * F.col("total"), F.col("bin"))).alias("t2"),
+    )
+    return (
+        binned.join(F.broadcast(thresholds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "mean_nll",
+            F.when(F.col("bin") <= F.col("t1"), F.lit("head"))
+            .when(F.col("bin") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )

@@ -804,3 +804,85 @@ def test_prefix_jaccard_join_vs_brute_force(spark):
     assert got == want
     assert (1, 3) in got and got[(1, 3)][1] == 1.0   # exact dup found
     assert not any(4 in p or 6 in p for p in got)     # dissimilar absent
+
+
+def test_span_corruption_reconstruction_and_determinism(spark):
+    """Span corruption must be lossless: substituting each target span
+    back over its sentinel in the input reproduces the original token
+    stream exactly, sentinels number 0..n_spans-1 in order, and the
+    mask equals the published md5('sc:<doc>:<g>') % SC_MOD rule.  Also
+    pins the zero-shuffle claim (map-only plan, no Exchange)."""
+    from corhist_spark.textops import SC_GROUP, SC_MOD, span_corruption
+
+    texts = {
+        1: " ".join(f"w{i}" for i in range(30)),   # exact group multiple
+        2: " ".join(f"x{i}" for i in range(7)),    # ragged tail group
+        3: "solo",                                  # single 1-token group
+        4: "",                                      # empty: no groups
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    out = {r.doc_id: r for r in span_corruption(docs).collect()}
+
+    for doc_id, text in texts.items():
+        toks = text.split()
+        r = out[doc_id]
+        n_grp = -(-len(toks) // SC_GROUP)
+        mask = [
+            int(hashlib.md5(f"sc:{doc_id}:{g}".encode()).hexdigest()[:13], 16)
+            % SC_MOD == 0
+            for g in range(n_grp)
+        ]
+        assert r.n_spans == sum(mask)
+        # rebuild: walk the input, splice each sentinel's target span in
+        spans = {}
+        tgt = r.target_text.split()
+        i = 0
+        while i < len(tgt):
+            assert tgt[i].startswith("<extra_id_")
+            k = tgt[i]
+            i += 1
+            body = []
+            while i < len(tgt) and not tgt[i].startswith("<extra_id_"):
+                body.append(tgt[i])
+                i += 1
+            spans[k] = body
+        rebuilt = []
+        for tok in r.input_text.split():
+            rebuilt.extend(spans[tok] if tok.startswith("<extra_id_") else [tok])
+        assert rebuilt == toks, f"doc {doc_id} not reconstructable"
+        # sentinel numbering is 0..n-1 in input order
+        sent = [t for t in r.input_text.split() if t.startswith("<extra_id_")]
+        assert sent == [f"<extra_id_{k}>" for k in range(r.n_spans)]
+
+    plan = span_corruption(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "span_corruption must stay map-only"
+
+
+def test_ccnet_buckets_tertile_invariants(spark):
+    """Per language: bucket is monotone in mean_nll, and the histogram
+    thresholds give head >= ceil(n/3) and head+middle >= ceil(2n/3)
+    docs (the threshold bin joins the LOWER bucket by construction)."""
+    import math as _math
+
+    from corhist_spark.textops import ccnet_buckets
+
+    rows = []
+    # lang 'aa': 9 docs with distinct rarity profiles; lang 'bb': 5
+    for i in range(9):
+        rows.append((i, "common " * 20 + f"rare{i} " * (i + 1), "aa"))
+    for i in range(5):
+        rows.append((100 + i, "shared " * 10 + f"odd{i} " * (2 * i + 1), "bb"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = ccnet_buckets(docs).collect()
+    rank = {"head": 0, "middle": 1, "tail": 2}
+    for lang in ("aa", "bb"):
+        sub = sorted((r for r in got if r.lang == lang), key=lambda r: r.mean_nll)
+        n = len(sub)
+        assert n == (9 if lang == "aa" else 5)
+        # monotone: bucket rank never decreases as mean_nll grows
+        ranks = [rank[r.bucket] for r in sub]
+        assert ranks == sorted(ranks), f"{lang}: buckets not monotone in NLL"
+        n_head = sum(1 for r in sub if r.bucket == "head")
+        n_mid = sum(1 for r in sub if r.bucket == "middle")
+        assert n_head >= _math.ceil(n / 3)
+        assert n_head + n_mid >= _math.ceil(2 * n / 3)
