@@ -188,6 +188,11 @@ HEADLINE = [
     "gopher_filter",
     "cdc_chunks",
     "incremental_dedup",
+    # batch 11: T5 span-corruption pair synthesis (map-only, zero
+    # shuffles) + CCNet perplexity-tertile bucketing (histogram-sketch
+    # thresholds, no per-language global sort)
+    "span_corruption",
+    "ccnet_buckets",
 ]
 
 
