@@ -2135,6 +2135,54 @@ def q_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_normalized_dedup(spark, sf_dir):
+    """RefinedWeb-style fuzzy-exact dedup: hash NORMALIZED text
+    (lowercase, punctuation -> space, whitespace collapse) so case and
+    punctuation variants collapse where raw exact_dedup keeps them
+    apart.  The fixture corpus is already clean, so the query PLANTS
+    the variants both engines can derive: every document gets a
+    perturbed twin (doc_id + 10M, uppercased, comma-separated, bang-
+    terminated) whose raw hash differs but whose normalized class is
+    the original's — n_raw_variants = 2 on every non-empty class."""
+    from corhist_spark.textops import normalized_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(
+            F.upper(F.regexp_replace(F.col("text"), " ", ", ")), F.lit("!")
+        ).alias("text"),
+    )
+    return normalized_dedup(d.unionByName(pert))
+
+
+def q_quality_classifier(spark, sf_dir):
+    """fastText-shaped quality-filter INFERENCE (Joulin et al. 2016;
+    the DCLM/CCNet filtering pattern): hashed word uni+bigram features
+    -> broadcast bucket-weight table -> per-doc mean weight -> logistic.
+    Weights are a deterministic md5-derived stand-in (no trained
+    artifact ships in this container); the plan is the real shape a
+    learned table would run."""
+    from corhist_spark.textops import quality_classifier, quality_classifier_weights
+
+    return quality_classifier(
+        _spread(spark, _t(spark, sf_dir, "documents")),
+        quality_classifier_weights(spark),
+    )
+
+
+def q_kmv_source_overlap(spark, sf_dir):
+    """Pairwise cross-source content overlap from per-source KMV
+    sketches (theta-sketch set ops): after one linear sketch-build
+    pass, the overlap matrix costs O(|sources|^2 * k) — constant in
+    corpus size.  The per-source top-k is two-level (64 salt shards,
+    then re-truncate) so no task ever sorts a whole source's
+    distinct-hash stream."""
+    from corhist_spark.sketches import kmv_source_overlap
+
+    return kmv_source_overlap(_t(spark, sf_dir, "documents"))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3014,6 +3062,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # perplexity-tertile bucketing (histogram-sketch thresholds)
         "span_corruption": q_span_corruption,
         "ccnet_buckets": q_ccnet_buckets,
+        # batch 12: fuzzy-exact dedup over normalized text, fastText-
+        # shaped hashed-ngram classifier inference, KMV cross-source
+        # overlap matrix (theta-sketch set ops)
+        "normalized_dedup": q_normalized_dedup,
+        "quality_classifier": q_quality_classifier,
+        "kmv_source_overlap": q_kmv_source_overlap,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -3979,6 +4033,7 @@ from corhist_spark.graph import (
     AA_MIN_COMMON as _AA_MIN_COMMON,
 )
 from corhist_spark.sketches import KMV_K as _KMV_K
+from corhist_spark.textops import QC_BUCKETS as _QC_BUCKETS
 from corhist_spark.graph import PR_DAMPING as _PR_DAMPING
 from corhist_spark.graph import PR_ITERS as _PR_ITERS
 from corhist_spark.sketches import (
@@ -6897,6 +6952,117 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b.bin <= t.t2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM b JOIN thr t USING (lang)
+        """,
+        # fuzzy-exact dedup: the planted perturbed twin (uppercased,
+        # comma-separated, bang-terminated) must normalize back to the
+        # original's class; chain = lower -> [^a-z0-9 ]->space ->
+        # collapse -> trim, identical to textops.normalize_text
+        "normalized_dedup": """
+            WITH allr AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     upper(replace(text, ' ', ', ')) || '!'
+              FROM documents),
+            n AS (
+              SELECT doc_id, text,
+                     md5(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                       AS norm_hash
+              FROM allr)
+            SELECT norm_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups,
+                   count(DISTINCT text) AS n_raw_variants
+            FROM n GROUP BY norm_hash
+        """,
+        # bucket count interpolated from textops.QC_BUCKETS; the weight
+        # table is md5('qw:<b>')-derived on BOTH engines (deterministic
+        # stand-in for a trained artifact — plumbing is the real shape)
+        "quality_classifier": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents
+            ), f AS (
+              SELECT doc_id, unnest(toks) AS feat FROM t WHERE len(toks) > 0
+              UNION ALL
+              SELECT doc_id,
+                     toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS feat
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 2)
+            ), fb AS (
+              SELECT doc_id, ({hexval_sql("feat")}) % {_QC_BUCKETS} AS b FROM f
+            ), wt AS (
+              SELECT b,
+                     (({hexval_sql("'qw:' || CAST(b AS VARCHAR)")}) % 2001 - 1000)
+                       / 1000.0 AS w
+              FROM (SELECT unnest(generate_series(0, {_QC_BUCKETS - 1})) AS b)
+            ), sc AS (
+              SELECT fb.doc_id, count(*) AS n_feats, avg(wt.w) AS mw
+              FROM fb JOIN wt USING (b) GROUP BY fb.doc_id)
+            SELECT doc_id, n_feats,
+                   round(1.0 / (1.0 + exp(-mw)), 6) AS score,
+                   round(1.0 / (1.0 + exp(-mw)), 6) >= 0.5 AS keep
+            FROM sc
+        """,
+        # per-source KMV sketches (k smallest distinct 52-bit shingle
+        # hashes), then the theta-sketch union/intersection estimates;
+        # k interpolated from sketches.KMV_K, same shingle stream and
+        # under-full exact branch as _KMV_SQL
+        "kmv_source_overlap": f"""
+            WITH sh AS MATERIALIZED (
+              SELECT DISTINCT source,
+                     ({hexval_sql("substr(text, i, 16)")}) AS h
+              FROM (
+                SELECT source, text,
+                       unnest(generate_series(1, greatest(len(text) - 15, 1))) AS i
+                FROM documents
+              )
+            ), r AS (
+              SELECT source, h,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM sh
+            ), sk AS MATERIALIZED (
+              SELECT source, h FROM r WHERE rn <= {_KMV_K}
+            ), srcs AS (SELECT DISTINCT source FROM sk),
+            pairs AS (
+              SELECT a.source AS source_a, b.source AS source_b
+              FROM srcs a JOIN srcs b ON a.source < b.source
+            ), u AS (
+              SELECT source_a, source_b, h,
+                     max(in_a) AS in_a, max(in_b) AS in_b
+              FROM (
+                SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+                FROM pairs p JOIN sk s ON s.source = p.source_a
+                UNION ALL
+                SELECT p.source_a, p.source_b, s.h, 0, 1
+                FROM pairs p JOIN sk s ON s.source = p.source_b
+              ) GROUP BY source_a, source_b, h
+            ), tu AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY source_a, source_b
+                                        ORDER BY h) AS rn
+              FROM u
+            ), a AS (
+              SELECT source_a, source_b,
+                     CAST(count(*) AS BIGINT) AS k_used,
+                     max(h) AS kth_min,
+                     CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+              FROM tu WHERE rn <= {_KMV_K}
+              GROUP BY source_a, source_b
+            ), e AS (
+              SELECT source_a, source_b, k_used, n_common,
+                     CAST(CASE WHEN k_used >= {_KMV_K} AND kth_min > 0
+                               THEN ((k_used - 1) * {1 << 52}) // kth_min
+                               ELSE k_used END AS BIGINT) AS est_union
+              FROM a)
+            SELECT source_a, source_b, k_used, n_common,
+                   round(n_common / k_used, 6) AS est_jaccard,
+                   est_union,
+                   (n_common * est_union) // k_used AS est_intersection
+            FROM e
         """,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global

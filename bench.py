@@ -193,6 +193,11 @@ HEADLINE = [
     # thresholds, no per-language global sort)
     "span_corruption",
     "ccnet_buckets",
+    # batch 12: normalized (fuzzy-exact) dedup, fastText-shaped
+    # classifier inference, KMV cross-source overlap matrix
+    "normalized_dedup",
+    "quality_classifier",
+    "kmv_source_overlap",
 ]
 
 

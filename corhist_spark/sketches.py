@@ -310,3 +310,121 @@ def kmv_distinct_shingles(docs: DataFrame, k: int = KMV_K, n: int = 16) -> DataF
         .otherwise(F.col("k_used").cast("long"))
         .alias("est_distinct"),
     )
+
+
+def kmv_source_sketches(docs: DataFrame, k: int = KMV_K, n: int = 16) -> DataFrame:
+    """(source, h): per-source KMV sketch — the k smallest distinct
+    52-bit shingle hashes of each source's documents.
+
+    Scale shape: the top-k is TWO-LEVEL — level 1 keeps k smallest per
+    (source, h % 64) salt shard, so no single task ever sorts a whole
+    source's distinct-hash stream (sources are few and huge: the
+    naive per-source window IS the skewed-partition anti-pattern);
+    level 2 re-truncates the <= 64k survivors per source.  Both
+    levels are plain window row_number over integer keys — exact and
+    deterministic (distinct hashes, no ties)."""
+    from pyspark.sql import Window
+
+    sh = _spread(docs).select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+        ).alias("i"),
+        "text",
+    ).select("source", F.expr(f"substr(text, i, {n})").alias("s"))
+    hashes = sh.select(
+        "source", _hex13("s").alias("h")
+    ).distinct()
+    lvl1 = (
+        hashes.withColumn("shard", F.col("h") % 64)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source", "shard").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("shard", "rn")
+    )
+    return (
+        lvl1.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("source").orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def kmv_source_overlap(docs: DataFrame, k: int = KMV_K, n: int = 16) -> DataFrame:
+    """Pairwise cross-source content overlap from per-source KMV
+    sketches (the theta-sketch set-operation pattern, Beyer et al.
+    2007): for each source pair, the k smallest hashes of the UNION of
+    the two sketches estimate the union cardinality, and the fraction
+    of those present in BOTH sketches estimates Jaccard —
+    (source_a, source_b, k_used, n_common, est_jaccard, est_union,
+    est_intersection).
+
+    The whole pair stage runs on sketches (<= k rows per source), so
+    after the one linear sketch-build pass the overlap matrix costs
+    O(|sources|^2 * k) — constant in corpus size.  All arithmetic is
+    integer except the final round(n_common/k_used, 6); the
+    under-full branch (union sketch holds the whole universe) answers
+    exactly, mirroring kmv_distinct_shingles."""
+    from pyspark.sql import Window
+
+    sk = kmv_source_sketches(docs, k=k, n=n)
+    srcs = sk.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    ska = sk.select(F.col("source").alias("source_a"), "h")
+    skb = sk.select(F.col("source").alias("source_b"), "h")
+    u = (
+        pairs.join(ska, "source_a").withColumn("in_a", F.lit(1)).withColumn("in_b", F.lit(0))
+        .unionByName(
+            pairs.join(skb, "source_b")
+            .withColumn("in_a", F.lit(0))
+            .withColumn("in_b", F.lit(1))
+            .select("source_a", "source_b", "h", "in_a", "in_b")
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    topu = (
+        u.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("source_a", "source_b").orderBy("h")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+    )
+    agg = topu.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("kth_min"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_common"),
+    )
+    est_union = (
+        F.when(
+            (F.col("k_used") >= k) & (F.col("kth_min") > 0),
+            F.expr(f"((k_used - 1) * {1 << 52}) div kth_min"),
+        )
+        .otherwise(F.col("k_used").cast("long"))
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "k_used",
+        "n_common",
+        F.round(F.col("n_common") / F.col("k_used"), 6).alias("est_jaccard"),
+        est_union.alias("est_union"),
+        F.expr(
+            f"(n_common * (CASE WHEN k_used >= {k} AND kth_min > 0"
+            f" THEN ((k_used - 1) * {1 << 52}) div kth_min"
+            " ELSE CAST(k_used AS BIGINT) END)) div k_used"
+        ).alias("est_intersection"),
+    )

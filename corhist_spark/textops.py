@@ -1795,3 +1795,119 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+# RefinedWeb/Dolma-style "fuzzy-exact" dedup: normalize (lowercase,
+# punctuation -> space, whitespace collapse) BEFORE hashing, so case
+# and punctuation variants of the same document collapse into one
+# class that raw exact_dedup would keep apart.
+def normalize_text(col="text"):
+    """The normalization chain as a column expression (reusable by any
+    op that needs canonical text): lower -> non-[a-z0-9 ] to space ->
+    collapse runs of spaces -> trim.  Patterns go through the Python
+    API, never F.expr, so backslashes survive (repo lesson)."""
+    x = F.lower(F.col(col) if isinstance(col, str) else col)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    x = F.regexp_replace(x, " +", " ")
+    return F.trim(x)
+
+
+def normalized_dedup(docs: DataFrame) -> DataFrame:
+    """(norm_hash, keep_doc_id, n_dups, n_raw_variants): exact dedup
+    over NORMALIZED text — the standard first dedup pass of web-corpus
+    pipelines (RefinedWeb's exact dedup runs on normalized content).
+    n_raw_variants counts distinct RAW texts inside the class: > 1
+    means the normalization did work raw hashing could not.
+
+    Scale shape: identical to exact_dedup — one map-side projection
+    (the normalization chain is whole-stage-codegen string ops) and
+    one hash aggregate on the digest; linear, no self-join."""
+    return (
+        docs.select("doc_id", "text", F.md5(normalize_text()).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.countDistinct("text").alias("n_raw_variants"),
+        )
+    )
+
+
+# fastText-shaped quality classifier inference (Joulin et al. 2016;
+# the DCLM / CCNet filtering pattern): hashed bag-of-ngram features,
+# a bucket->weight table, per-doc mean weight through a logistic.
+# The WEIGHTS here are a deterministic md5-derived stand-in — no
+# trained model artifact ships in this container (same honesty rule
+# as the multimodal decode stub); a real deployment loads learned
+# weights into the same broadcast table and the plan is unchanged.
+QC_BUCKETS = DSIR_BUCKETS
+
+
+def quality_classifier_weights(spark, n_buckets: int = QC_BUCKETS) -> DataFrame:
+    """(b, w): the weight table, one row per hash bucket, w in
+    [-1, 1] with 3-decimal quantization — derived from md5('qw:<b>')
+    so both engines materialize the identical table."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        (
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(concat('qw:', CAST(id AS STRING))), 1, 13),"
+                    " 16, 10) AS BIGINT) % 2001"
+                )
+                - F.lit(1000)
+            )
+            / F.lit(1000.0)
+        ).alias("w"),
+    )
+
+
+def quality_classifier(
+    docs: DataFrame, weights: DataFrame, n_buckets: int = QC_BUCKETS
+) -> DataFrame:
+    """(doc_id, n_feats, score, keep): linear-classifier inference over
+    hashed word uni+bigram features — score = sigmoid(mean bucket
+    weight), keep = score >= 0.5.  This is the fastText/DCLM quality-
+    filter INFERENCE shape: the model is a broadcast-sized weight
+    table (buckets, not vocabulary), the feature stream is the same
+    hashed-ngram explode DSIR selection uses, and the per-doc reduce
+    is one aggregate — linear in corpus tokens at any scale, no
+    Python anywhere.  score rounds to 6 decimals (repo float
+    contract)."""
+    toks = docs.select("doc_id", _token_array().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    feats = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.when(
+                    F.size("toks") >= 2,
+                    F.expr(
+                        "transform(sequence(1, size(toks)-1),"
+                        " i -> concat(toks[i-1], ' ', toks[i]))"
+                    ),
+                ).otherwise(F.expr("CAST(array() AS array<string>)")),
+            )
+        ).alias("feat"),
+    )
+    fb = feats.select(
+        "doc_id",
+        F.expr(
+            f"CAST(conv(substr(md5(feat), 1, 13), 16, 10) AS BIGINT) % {n_buckets}"
+        ).alias("b"),
+    )
+    scored = fb.join(F.broadcast(weights), "b")
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.avg("w").alias("mw"))
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("mw"))), 6).alias("score"),
+            (F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("mw"))), 6) >= 0.5).alias(
+                "keep"
+            ),
+        )
+    )

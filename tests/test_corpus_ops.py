@@ -886,3 +886,89 @@ def test_ccnet_buckets_tertile_invariants(spark):
         n_mid = sum(1 for r in sub if r.bucket == "middle")
         assert n_head >= _math.ceil(n / 3)
         assert n_head + n_mid >= _math.ceil(2 * n / 3)
+
+
+def test_normalized_dedup_collapses_variants(spark):
+    """Case/punctuation variants of the same content must share a
+    normalized class (raw exact dedup keeps them apart), and distinct
+    contents must not collapse."""
+    from corhist_spark.textops import normalized_dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "The quick, brown FOX!"),
+            (3, "the  quick   brown fox"),     # whitespace runs
+            (4, "a different document"),
+            (5, None),                          # NULL-safe
+        ],
+        "doc_id long, text string",
+    )
+    rows = normalized_dedup(d).collect()
+    by_keep = {r.keep_doc_id: r for r in rows}
+    assert by_keep[1].n_dups == 3 and by_keep[1].n_raw_variants == 3
+    assert by_keep[4].n_dups == 1 and by_keep[4].n_raw_variants == 1
+    assert 5 in by_keep  # NULL text is its own (null-hash) class
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """Inference must equal the pure-Python model: same hashed
+    features, same md5 weight table, same mean->sigmoid."""
+    import math as _math
+
+    from corhist_spark.textops import (
+        QC_BUCKETS,
+        quality_classifier,
+        quality_classifier_weights,
+    )
+
+    texts = {1: "alpha beta gamma", 2: "delta", 3: "alpha alpha beta", 4: ""}
+    d = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_feats, r.score, r.keep)
+        for r in quality_classifier(d, quality_classifier_weights(spark)).collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+    want = {}
+    for doc_id, text in texts.items():
+        toks = text.split()
+        if not toks:
+            continue  # zero-token docs drop out
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        ws = [(h(f"qw:{h(f) % QC_BUCKETS}") % 2001 - 1000) / 1000.0 for f in feats]
+        score = round(1.0 / (1.0 + _math.exp(-sum(ws) / len(ws))), 6)
+        want[doc_id] = (len(feats), score, score >= 0.5)
+    assert got == want
+
+
+def test_kmv_source_overlap_exact_on_small_universe(spark):
+    """With fewer distinct shingles than k the sketches hold the whole
+    universe, so every estimate must be EXACT set arithmetic; the
+    two-level top-k must equal the direct per-source top-k."""
+    from corhist_spark.sketches import kmv_source_overlap
+
+    # 16-char shingles: use 16+-char tokens so shingle sets are easy
+    a = "aaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb"
+    b = "bbbbbbbbbbbbbbbb cccccccccccccccc"
+    d = spark.createDataFrame(
+        [(1, a, "s1"), (2, b, "s2"), (3, a, "s3")],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r for r in kmv_source_overlap(d).collect()}
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+
+    def shingles(t):
+        return {t[i : i + 16] for i in range(max(len(t) - 15, 1))}
+
+    sets = {"s1": shingles(a), "s2": shingles(b), "s3": shingles(a)}
+    for (sa, sb), r in rows.items():
+        inter = len(sets[sa] & sets[sb])
+        union = len(sets[sa] | sets[sb])
+        assert r.k_used == union          # under-full: whole universe kept
+        assert r.n_common == inter
+        assert r.est_union == union       # exact branch
+        assert r.est_intersection == (inter * union) // union == inter
+        assert abs(r.est_jaccard - round(inter / union, 6)) < 1e-9
