@@ -2183,6 +2183,42 @@ def q_kmv_source_overlap(spark, sf_dir):
     return kmv_source_overlap(_t(spark, sf_dir, "documents"))
 
 
+def q_blocking_quality(spark, sf_dir):
+    """ER blocking scorecard (Christen 2012): pairs completeness /
+    pairs quality / reduction ratio of the LSH blocker vs EXACT
+    shingle-Jaccard ground truth on the 1/10 doc sample — the
+    documented hard-capped exact stage, enumerated via a shared-
+    shingle equi-join, never a cartesian."""
+    from corhist_spark.textops import blocking_quality, lsh_candidates
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return blocking_quality(d, lsh_candidates(_signatures(spark, sf_dir)))
+
+
+def q_predicate_domain_range(spark, sf_dir):
+    """SDType-flavored ontology induction over the derived current
+    state: induced domain/range = the majority subject/object type
+    per predicate.  The type table is the fixture's deterministic
+    C(id % 30) convention — the same scheme the type-constraint
+    kernels plant (a real KG feeds P31 triples here)."""
+    from corhist_spark.fusion import predicate_domain_range
+
+    cur = _hist_current(spark, sf_dir)
+    ents = (
+        cur.select(F.col("subj").alias("entity"))
+        .union(cur.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    types = ents.select(
+        "entity",
+        F.concat(
+            F.lit("C"),
+            (F.expr("CAST(substring(entity, 2) AS BIGINT)") % 30).cast("string"),
+        ).alias("cls"),
+    )
+    return predicate_domain_range(cur, types)
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3068,6 +3104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_dedup": q_normalized_dedup,
         "quality_classifier": q_quality_classifier,
         "kmv_source_overlap": q_kmv_source_overlap,
+        # batch 13: ER blocking evaluation (pairs completeness/quality
+        # vs exact sampled ground truth), SDType ontology induction
+        "blocking_quality": q_blocking_quality,
+        "predicate_domain_range": q_predicate_domain_range,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4033,7 +4073,12 @@ from corhist_spark.graph import (
     AA_MIN_COMMON as _AA_MIN_COMMON,
 )
 from corhist_spark.sketches import KMV_K as _KMV_K
-from corhist_spark.textops import QC_BUCKETS as _QC_BUCKETS
+from corhist_spark.textops import (
+    BQ_SAMPLE_MOD as _BQ_SAMPLE_MOD,
+    BQ_SAMPLE_TARGET as _BQ_SAMPLE_TARGET,
+    BQ_T1000 as _BQ_T1000,
+    QC_BUCKETS as _QC_BUCKETS,
+)
 from corhist_spark.graph import PR_DAMPING as _PR_DAMPING
 from corhist_spark.graph import PR_ITERS as _PR_ITERS
 from corhist_spark.sketches import (
@@ -7064,6 +7109,118 @@ def oracle_sql() -> dict[str, str]:
                    (n_common * est_union) // k_used AS est_intersection
             FROM e
         """,
+        # blocker candidates = the shared sigf CTE chain; ground truth
+        # = exact shingle jaccard on the FIXED-SIZE audit sample
+        # (modulus scales with the corpus: max(_BQ_SAMPLE_MOD,
+        # n_docs // _BQ_SAMPLE_TARGET), derived in-plan on both
+        # engines) via integer cross-multiplication (1000*inter >=
+        # t1000*union); empty truth/candidate sets score 1.0
+        "blocking_quality": _SIG_CTES + f"""
+            , cand AS MATERIALIZED (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigf a JOIN sigf b
+                ON a.band = b.band AND a.minhash = b.minhash
+               AND a.doc_id < b.doc_id
+            ), mq AS (
+              SELECT greatest(CAST({_BQ_SAMPLE_MOD} AS BIGINT),
+                              COUNT(*) // {_BQ_SAMPLE_TARGET}) AS m
+              FROM documents
+            ), samp AS MATERIALIZED (
+              SELECT doc_id, text FROM documents CROSS JOIN mq
+              WHERE doc_id % m = 0
+            ), ssh AS MATERIALIZED (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, greatest(len(text)-4, 1))) AS i
+                    FROM samp)
+            ), szs AS MATERIALIZED (
+              SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id
+            ), it AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+              FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), truth AS MATERIALIZED (
+              SELECT it.doc_a, it.doc_b
+              FROM it
+              JOIN szs sa ON sa.doc_id = it.doc_a
+              JOIN szs sb ON sb.doc_id = it.doc_b
+              WHERE 1000 * it.n_inter
+                    >= {_BQ_T1000} * (sa.n_sh + sb.n_sh - it.n_inter)
+            ), cs AS MATERIALIZED (
+              SELECT doc_a, doc_b FROM cand CROSS JOIN mq
+              WHERE doc_a % m = 0 AND doc_b % m = 0
+            ), nd AS (SELECT COUNT(*) AS n_docs FROM samp),
+            nt AS (SELECT COUNT(*) AS n_true FROM truth),
+            nc AS (SELECT COUNT(*) AS n_cand FROM cs),
+            nh AS (SELECT COUNT(*) AS n_hit
+                   FROM truth JOIN cs USING (doc_a, doc_b))
+            SELECT n_docs, n_true, n_cand, n_hit,
+                   CASE WHEN n_true = 0 THEN 1.0
+                        ELSE round(CAST(n_hit AS DOUBLE) / n_true, 6) END
+                     AS pairs_completeness,
+                   CASE WHEN n_cand = 0 THEN 1.0
+                        ELSE round(CAST(n_hit AS DOUBLE) / n_cand, 6) END
+                     AS pairs_quality,
+                   CASE WHEN n_docs < 2 THEN 1.0
+                        ELSE round(1.0 - n_cand
+                               / (n_docs * (n_docs - 1) / 2.0), 6) END
+                     AS reduction_ratio
+            FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh
+        """,
+        # majority subject/object type per predicate over the derived
+        # current state; type table = the fixture C(id % 30) convention
+        # built identically on both engines; ties -> smallest class
+        "predicate_domain_range": with_history_ctes(
+            """
+            , ents AS (
+              SELECT DISTINCT entity FROM (
+                SELECT subj AS entity FROM h_cur
+                UNION
+                SELECT obj FROM h_cur)
+            ), ty AS MATERIALIZED (
+              SELECT entity,
+                     'C' || CAST(CAST(substr(entity, 2) AS BIGINT) % 30 AS VARCHAR)
+                       AS cls
+              FROM ents
+            ), dcnt AS (
+              SELECT h.pred, t.cls, COUNT(*) AS n
+              FROM h_cur h JOIN ty t ON t.entity = h.subj
+              GROUP BY h.pred, t.cls
+            ), dtot AS (SELECT pred, SUM(n) AS n_typed FROM dcnt GROUP BY pred),
+            dtop AS (
+              SELECT pred, cls, n FROM (
+                SELECT pred, cls, n,
+                       row_number() OVER (PARTITION BY pred
+                                          ORDER BY n DESC, cls) AS rn
+                FROM dcnt) WHERE rn = 1
+            ), dom AS (
+              SELECT d.pred, d.cls AS domain_cls,
+                     round(CAST(d.n AS DOUBLE) / t.n_typed, 6) AS domain_share
+              FROM dtop d JOIN dtot t USING (pred)
+            ), rcnt AS (
+              SELECT h.pred, t.cls, COUNT(*) AS n
+              FROM h_cur h JOIN ty t ON t.entity = h.obj
+              GROUP BY h.pred, t.cls
+            ), rtot AS (SELECT pred, SUM(n) AS n_typed FROM rcnt GROUP BY pred),
+            rtop AS (
+              SELECT pred, cls, n FROM (
+                SELECT pred, cls, n,
+                       row_number() OVER (PARTITION BY pred
+                                          ORDER BY n DESC, cls) AS rn
+                FROM rcnt) WHERE rn = 1
+            ), rng AS (
+              SELECT r.pred, r.cls AS range_cls,
+                     round(CAST(r.n AS DOUBLE) / t.n_typed, 6) AS range_share
+              FROM rtop r JOIN rtot t USING (pred)
+            ), nt AS (SELECT pred, COUNT(*) AS n_triples FROM h_cur GROUP BY pred)
+            SELECT nt.pred, nt.n_triples,
+                   dom.domain_cls, dom.domain_share,
+                   rng.range_cls, rng.range_share
+            FROM nt
+            LEFT JOIN dom USING (pred)
+            LEFT JOIN rng USING (pred)
+            """
+        ),
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global
         # frequency asc, token) order — the PPJoin guarantee

@@ -198,6 +198,10 @@ HEADLINE = [
     "normalized_dedup",
     "quality_classifier",
     "kmv_source_overlap",
+    # batch 13: ER blocking scorecard (LSH blocker vs exact sampled
+    # ground truth), SDType domain/range ontology induction
+    "blocking_quality",
+    "predicate_domain_range",
 ]
 
 

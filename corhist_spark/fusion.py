@@ -481,3 +481,66 @@ def edit_activity(edits: DataFrame, bucket: int = EDIT_ACTIVITY_BUCKET) -> DataF
             F.countDistinct("subj").alias("n_entities"),
         )
     )
+
+
+def predicate_domain_range(triples: DataFrame, types: DataFrame) -> DataFrame:
+    """SDType-flavored ontology induction (Paulheim & Bizer 2013,
+    "Type Inference on Noisy RDF Data" — the statistical
+    domain/range pattern): the induced DOMAIN of a predicate is the
+    subject type carrying the largest share of its triples, the
+    induced RANGE likewise over objects — (pred, n_triples,
+    domain_cls, domain_share, range_cls, range_share).  Ties break to
+    the lexicographically smallest class; shares are relative to the
+    TYPED triples on that side and round to 6 decimals.
+
+    ``types(entity, cls)`` is the type assignment table — in a real
+    KG the P31/instance-of triples (or the canonicalized CC output);
+    the entry harness derives the fixture's deterministic typing
+    convention (the same C(u % 30) scheme the type-constraint kernels
+    plant).
+
+    Scale shape: the triple set joins the type table twice (entity
+    types are vocabulary-sized next to triples — broadcastable in
+    practice, plain shuffle-joinable otherwise), then two
+    (pred, cls) map-side-combined aggregates and a
+    predicate-partitioned argmax window over class-count rows (output
+    and window input are both predicate x class sized, never
+    corpus-sized)."""
+    from pyspark.sql import Window
+
+    t = triples.select("subj", "pred", "obj")
+
+    def side(key: str):
+        j = t.join(
+            types.select(F.col("entity").alias(key), "cls"), key
+        )
+        counts = j.groupBy("pred", "cls").agg(F.count(F.lit(1)).alias("n"))
+        tot = counts.groupBy("pred").agg(F.sum("n").alias("n_typed"))
+        w = Window.partitionBy("pred").orderBy(F.col("n").desc(), F.col("cls"))
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .join(tot, "pred")
+            .select(
+                "pred",
+                F.col("cls"),
+                F.round(F.col("n") / F.col("n_typed"), 6).alias("share"),
+            )
+        )
+        return top
+
+    dom = side("subj").select(
+        "pred", F.col("cls").alias("domain_cls"), F.col("share").alias("domain_share")
+    )
+    rng = side("obj").select(
+        "pred", F.col("cls").alias("range_cls"), F.col("share").alias("range_share")
+    )
+    n = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples"))
+    return (
+        n.join(dom, "pred", "left")
+        .join(rng, "pred", "left")
+        .select(
+            "pred", "n_triples", "domain_cls", "domain_share",
+            "range_cls", "range_share",
+        )
+    )

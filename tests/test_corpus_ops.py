@@ -972,3 +972,42 @@ def test_kmv_source_overlap_exact_on_small_universe(spark):
         assert r.est_union == union       # exact branch
         assert r.est_intersection == (inter * union) // union == inter
         assert abs(r.est_jaccard - round(inter / union, 6)) < 1e-9
+
+
+def test_blocking_quality_planted(spark):
+    """Scorecard must equal hand-computed metrics on a planted sample:
+    truth from exact shingle jaccard >= 0.5, candidates a given list
+    with one hit, one miss and one false positive."""
+    from corhist_spark.textops import blocking_quality
+
+    texts = {
+        10: "abcdefghij",
+        20: "abcdefghij",          # exact dup of 10 (true pair, jacc 1)
+        30: "zzzzzyyyyyxxxxx",     # unrelated
+        40: "abcdeXXXXX",          # small overlap with 10/20 (below 0.5)
+    }
+    d = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def sh(t):
+        return {t[i:i + 5] for i in range(max(len(t) - 4, 1))}
+
+    ids = sorted(texts)
+    true_pairs = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if 1000 * len(sh(texts[a]) & sh(texts[b]))
+        >= 500 * len(sh(texts[a]) | sh(texts[b]))
+    }
+    assert true_pairs == {(10, 20)}  # the planted geometry
+    # candidates: the true pair, plus a false positive
+    cand = spark.createDataFrame([(10, 20), (10, 30)], "doc_a long, doc_b long")
+    r = blocking_quality(d, cand, sample_mod=10).collect()[0]
+    assert (r.n_docs, r.n_true, r.n_cand, r.n_hit) == (4, 1, 2, 1)
+    assert r.pairs_completeness == 1.0
+    assert r.pairs_quality == 0.5
+    assert r.reduction_ratio == round(1 - 2 / 6, 6)
+    # empty candidate set: quality scores 1.0 by the P=1 convention
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    r0 = blocking_quality(d, empty, sample_mod=10).collect()[0]
+    assert r0.n_cand == 0 and r0.pairs_quality == 1.0 and r0.pairs_completeness == 0.0

@@ -752,3 +752,74 @@ def test_batch10_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_predicate_domain_range_argmax_and_ties(spark):
+    """Induced domain/range must be the majority class with
+    lexicographic tie-break, shares over TYPED triples only."""
+    from pyspark.sql import functions as F
+
+    from corhist_spark.fusion import predicate_domain_range
+
+    triples = spark.createDataFrame(
+        [
+            ("e1", "p1", "x1"),
+            ("e2", "p1", "x1"),
+            ("e3", "p1", "x2"),   # domain: Ca 2/3 vs Cb 1/3
+            ("e1", "p2", "x1"),
+            ("e3", "p2", "x2"),   # domain tie Ca/Cb 1-1 -> Ca (lex)
+            ("e9", "p3", "x9"),   # untyped on both sides
+        ],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [
+            ("e1", "Ca"), ("e2", "Ca"), ("e3", "Cb"),
+            ("x1", "Cx"), ("x2", "Cy"),
+        ],
+        "entity string, cls string",
+    )
+    got = {r.pred: r for r in predicate_domain_range(triples, types).collect()}
+    assert got["p1"].domain_cls == "Ca" and got["p1"].domain_share == round(2 / 3, 6)
+    assert got["p1"].range_cls == "Cx" and got["p1"].range_share == round(2 / 3, 6)
+    assert got["p2"].domain_cls == "Ca" and got["p2"].domain_share == 0.5
+    assert got["p3"].n_triples == 1 and got["p3"].domain_cls is None
+
+
+def test_batch13_plans_stay_jvm_side(spark):
+    """predicate_domain_range and blocking_quality must stay JVM-side;
+    the only nested-loop joins allowed in blocking_quality are the
+    single-row broadcast scalar frames (the repo's totals pattern)."""
+    from corhist_spark.fusion import predicate_domain_range
+    from corhist_spark.textops import blocking_quality
+
+    triples = spark.createDataFrame(
+        [(f"e{i % 4}", f"p{i % 2}", f"x{i % 3}") for i in range(12)],
+        "subj string, pred string, obj string",
+    )
+    types = spark.createDataFrame(
+        [(f"e{i}", f"C{i % 2}") for i in range(4)]
+        + [(f"x{i}", f"C{i % 2}") for i in range(3)],
+        "entity string, cls string",
+    )
+    plan = (
+        predicate_domain_range(triples, types)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    docs = spark.createDataFrame(
+        [(i * 10, f"document body number {i} repeated words {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(0, 10)], "doc_a long, doc_b long")
+    plan = (
+        blocking_quality(docs, cand, sample_mod=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # truth enumeration must be the shared-shingle equi-join, and the
+    # scalar combiners the 1-row broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in plan
