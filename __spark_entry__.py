@@ -2219,6 +2219,62 @@ def q_predicate_domain_range(spark, sf_dir):
     return predicate_domain_range(cur, types)
 
 
+def q_meta_blocking(spark, sf_dir):
+    """Meta-blocking over the LSH blocking graph (Papadakis TKDE
+    2013): CBS edge weights (number of shared (band, minhash)
+    blocks per doc pair) + weighted-edge pruning at the global mean
+    weight.  Same capped-bucket self-join shape as lsh_candidates;
+    the only extra cost is one pair-keyed count and a single-row
+    mean broadcast."""
+    from corhist_spark.textops import meta_blocking
+
+    return meta_blocking(_signatures(spark, sf_dir))
+
+
+def q_shape_induction(spark, sf_dir):
+    """SHACL-lite shape mining over the derived current state:
+    per (class, predicate) usage share, cardinality profile and
+    sh:maxCount-1 vote for typed subjects.  Type table = the fixture
+    C(id % 30) convention (a real KG feeds P31 triples here)."""
+    from corhist_spark.fusion import shape_induction
+
+    cur = _hist_current(spark, sf_dir)
+    types = (
+        cur.select(F.col("subj").alias("entity"))
+        .distinct()
+        .select(
+            "entity",
+            F.concat(
+                F.lit("C"),
+                (F.expr("CAST(substring(entity, 2) AS BIGINT)") % 30).cast("string"),
+            ).alias("cls"),
+        )
+    )
+    return shape_induction(cur, types)
+
+
+def q_truthy_state(spark, sf_dir):
+    """Wikidata BestRank / truthy (wdt:) filtering over the derived
+    current state — preferred beats normal per (subj, pred),
+    deprecated never surfaces (the rank semantics behind the wdt:
+    triples the reference's WDQS queries consume).  Ranks are planted
+    deterministically from the repo-standard 13-hex md5 decode of the
+    triple (~10% deprecated / ~10% preferred), identically on both
+    engines."""
+    from corhist_spark.fusion import truthy_filter
+
+    st = _hist_current(spark, sf_dir).withColumn(
+        "stmt_rank",
+        F.expr(
+            "CASE CAST(conv(substr(md5(concat(subj, '|', pred, '|', obj)), 1, 13),"
+            " 16, 10) AS BIGINT) % 10"
+            " WHEN 0 THEN 'deprecated' WHEN 1 THEN 'preferred'"
+            " ELSE 'normal' END"
+        ),
+    )
+    return truthy_filter(st)
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3108,6 +3164,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vs exact sampled ground truth), SDType ontology induction
         "blocking_quality": q_blocking_quality,
         "predicate_domain_range": q_predicate_domain_range,
+        # batch 14: ER meta-blocking (CBS + WEP pruning), SHACL-lite
+        # shape mining, Wikidata BestRank truthy filtering
+        "meta_blocking": q_meta_blocking,
+        "shape_induction": q_shape_induction,
+        "truthy_state": q_truthy_state,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -7219,6 +7280,81 @@ def oracle_sql() -> dict[str, str]:
             FROM nt
             LEFT JOIN dom USING (pred)
             LEFT JOIN rng USING (pred)
+            """
+        ),
+        # CBS weights = per-pair block co-occurrence counts over the
+        # same capped sigf buckets the LSH oracle uses; WEP keeps
+        # edges at or above the global mean weight
+        "meta_blocking": _SIG_CTES + """
+            , cw AS MATERIALIZED (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS n_blocks
+              FROM sigf a JOIN sigf b
+                ON a.band = b.band AND a.minhash = b.minhash
+               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), mw AS (SELECT AVG(n_blocks) AS m FROM cw)
+            SELECT doc_a, doc_b, n_blocks
+            FROM cw CROSS JOIN mw
+            WHERE n_blocks >= m
+        """,
+        # per-(class, predicate) usage share / cardinality profile /
+        # maxCount-1 vote over typed subjects of the current state;
+        # type table = the fixture C(id % 30) convention on subjects
+        "shape_induction": with_history_ctes(
+            """
+            , ty AS MATERIALIZED (
+              SELECT entity,
+                     'C' || CAST(CAST(substr(entity, 2) AS BIGINT) % 30 AS VARCHAR)
+                       AS cls
+              FROM (SELECT DISTINCT subj AS entity FROM h_cur)
+            ), card AS (
+              SELECT subj, pred, COUNT(*) AS card
+              FROM h_cur GROUP BY subj, pred
+            ), pc AS (
+              SELECT t.cls, c.pred, COUNT(*) AS n_insts,
+                     round(AVG(card), 6) AS avg_card,
+                     MAX(card) AS max_card,
+                     round(AVG(CASE WHEN card = 1 THEN 1.0 ELSE 0.0 END), 6)
+                       AS funct_ratio
+              FROM card c JOIN ty t ON t.entity = c.subj
+              GROUP BY t.cls, c.pred
+            ), ct AS (
+              SELECT t.cls, COUNT(*) AS n_cls
+              FROM (SELECT DISTINCT subj FROM h_cur) s
+              JOIN ty t ON t.entity = s.subj
+              GROUP BY t.cls
+            )
+            SELECT pc.cls, pc.pred, pc.n_insts,
+                   round(CAST(pc.n_insts AS DOUBLE) / ct.n_cls, 6)
+                     AS usage_share,
+                   pc.avg_card, pc.max_card, pc.funct_ratio
+            FROM pc JOIN ct ON pc.cls = ct.cls
+            """
+        ),
+        # BestRank: preferred beats normal per (subj, pred), deprecated
+        # never surfaces; ranks planted from the repo-standard 13-hex
+        # md5 decode of the triple, identically on both engines
+        "truthy_state": with_history_ctes(
+            f"""
+            , st AS MATERIALIZED (
+              SELECT subj, pred, obj,
+                     CASE ({hexval_sql("subj || '|' || pred || '|' || obj")}) % 10
+                       WHEN 0 THEN 'deprecated'
+                       WHEN 1 THEN 'preferred'
+                       ELSE 'normal' END AS stmt_rank
+              FROM h_cur
+            ), nd AS (SELECT * FROM st WHERE stmt_rank <> 'deprecated'),
+            hp AS (
+              SELECT subj, pred,
+                     MAX(CASE WHEN stmt_rank = 'preferred' THEN 1 ELSE 0 END)
+                       AS hp
+              FROM nd GROUP BY subj, pred
+            )
+            SELECT nd.subj, nd.pred, nd.obj, nd.stmt_rank
+            FROM nd JOIN hp USING (subj, pred)
+            WHERE (hp = 1 AND stmt_rank = 'preferred')
+               OR (hp = 0 AND stmt_rank = 'normal')
             """
         ),
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;

@@ -202,6 +202,11 @@ HEADLINE = [
     # ground truth), SDType domain/range ontology induction
     "blocking_quality",
     "predicate_domain_range",
+    # batch 14: ER meta-blocking (CBS + WEP), SHACL-lite shape
+    # mining, Wikidata BestRank truthy filtering
+    "meta_blocking",
+    "shape_induction",
+    "truthy_state",
 ]
 
 

@@ -544,3 +544,92 @@ def predicate_domain_range(triples: DataFrame, types: DataFrame) -> DataFrame:
             "range_cls", "range_share",
         )
     )
+
+
+SHAPE_ROUND = 6
+
+
+def shape_induction(cur: DataFrame, types: DataFrame) -> DataFrame:
+    """SHACL-lite shape mining (the statistical half of sheXer /
+    Fernandez-Alvarez et al. 2022: induce per-class property shapes
+    from instance data): for every (cls, pred) observed on typed
+    subjects of the current state, publish the evidence a shape
+    extractor thresholds on — (cls, pred, n_insts, usage_share,
+    avg_card, max_card, funct_ratio) where usage_share is the
+    fraction of the class's subject instances carrying the predicate
+    at all, avg_card/max_card profile the per-instance value
+    cardinality, and funct_ratio is the fraction of carrying
+    instances with exactly one value (the sh:maxCount 1 vote).
+    Shares round to 6 decimals; complements ``predicate_domain_range``
+    (majority type PER PREDICATE) with the per-CLASS property view.
+
+    ``types(entity, cls)`` is the type-assignment table as in
+    ``predicate_domain_range``.
+
+    Scale shape: one (subj, pred) count over the current state
+    (map-side combinable), one entity-keyed join against the
+    vocabulary-sized type table, then a (cls, pred) aggregate and a
+    cls-keyed join against the per-class instance totals — all
+    equi-joins on bounded-cardinality keys; the output is
+    class x predicate sized, never corpus-sized."""
+    typed = types.select(F.col("entity").alias("subj"), "cls")
+    card = cur.groupBy("subj", "pred").agg(F.count(F.lit(1)).alias("card"))
+    per_cls = (
+        card.join(typed, "subj")
+        .groupBy("cls", "pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_insts"),
+            F.round(F.avg("card"), SHAPE_ROUND).alias("avg_card"),
+            F.max("card").alias("max_card"),
+            F.round(
+                F.avg((F.col("card") == 1).cast("double")), SHAPE_ROUND
+            ).alias("funct_ratio"),
+        )
+    )
+    cls_totals = (
+        cur.select("subj")
+        .distinct()
+        .join(typed, "subj")
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).alias("n_cls"))
+    )
+    return per_cls.join(cls_totals, "cls").select(
+        "cls",
+        "pred",
+        "n_insts",
+        F.round(F.col("n_insts") / F.col("n_cls"), SHAPE_ROUND).alias("usage_share"),
+        "avg_card",
+        "max_card",
+        "funct_ratio",
+    )
+
+
+def truthy_filter(statements: DataFrame) -> DataFrame:
+    """Wikidata BestRank / truthy (wdt:) statement filtering — the
+    rank semantics every Wikidata consumer (including the reference's
+    WDQS queries, which read wdt: truthy triples) depends on:
+    statements carry a stmt_rank in {preferred, normal, deprecated};
+    the truthy view of a (subj, pred) group is its PREFERRED
+    statements when any exist, else its NORMAL statements, and
+    deprecated statements never surface.
+
+    Input: ``statements(subj, pred, obj, stmt_rank)``.  Output: the
+    surviving (subj, pred, obj, stmt_rank) rows.
+
+    Scale shape: one (subj, pred) map-side-combinable aggregate (does
+    the group hold a preferred statement?) joined back on the same
+    key — the join reuses the aggregate's hash partitioning, so the
+    whole filter is one shuffle; no windows, nothing corpus-sized
+    broadcast."""
+    nondep = statements.filter(F.col("stmt_rank") != "deprecated")
+    has_pref = nondep.groupBy("subj", "pred").agg(
+        F.max((F.col("stmt_rank") == "preferred").cast("int")).alias("_hp")
+    )
+    return (
+        nondep.join(has_pref, ["subj", "pred"])
+        .filter(
+            (F.col("_hp") == 1) & (F.col("stmt_rank") == "preferred")
+            | (F.col("_hp") == 0) & (F.col("stmt_rank") == "normal")
+        )
+        .select("subj", "pred", "obj", "stmt_rank")
+    )

@@ -2020,3 +2020,43 @@ def blocking_quality(
             .alias("reduction_ratio"),
         )
     )
+
+
+def meta_blocking(signatures: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Meta-blocking with CBS weighting + weighted-edge pruning
+    (Papadakis et al., "Meta-Blocking: Taking Entity Resolution to
+    the Next Level", TKDE 2013): materialize the blocking graph whose
+    nodes are documents and whose edge weight is the number of blocks
+    two documents co-occur in (Common Blocks Scheme), then keep only
+    edges at or above the global mean weight (WEP).  Input is the
+    minhash signature table; blocks are the (band, minhash) LSH
+    buckets after the repo's standard occupancy hygiene (singletons
+    contribute no pairs; buckets above ``max_bucket`` are boilerplate
+    collisions, not near-duplication).  Output: (doc_a, doc_b,
+    n_blocks) — the pruned candidate set a matcher would score.
+
+    Scale shape: identical to ``lsh_candidates`` (the self-join is
+    keyed on the capped bucket, never a cartesian) with one extra
+    map-side-combinable (doc_a, doc_b) count on top, a single-row
+    mean aggregate joined back by broadcast, and a weight filter.
+    Nothing corpus-sized is collected, broadcast, or sorted; the
+    pruning threshold is one scalar."""
+    sizes = signatures.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bc"))
+    ok = sizes.filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket)).select(
+        "band", "minhash"
+    )
+    sigs = signatures.join(ok, ["band", "minhash"], "left_semi")
+    a = sigs.select("band", "minhash", F.col("doc_id").alias("doc_a"))
+    b = sigs.select("band", "minhash", F.col("doc_id").alias("doc_b"))
+    weighted = (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+    )
+    mean_w = weighted.agg(F.avg("n_blocks").alias("_mw"))
+    return (
+        weighted.crossJoin(F.broadcast(mean_w))  # single-row totals frame
+        .filter(F.col("n_blocks") >= F.col("_mw"))
+        .select("doc_a", "doc_b", "n_blocks")
+    )

@@ -823,3 +823,103 @@ def test_batch13_plans_stay_jvm_side(spark):
     # truth enumeration must be the shared-shingle equi-join, and the
     # scalar combiners the 1-row broadcast nested loop
     assert "BroadcastNestedLoopJoin" in plan
+
+
+# ---- batch 14: shape induction / truthy filtering / meta-blocking ----
+
+
+def test_shape_induction_profiles_class_property_usage(spark):
+    from corhist_spark.fusion import shape_induction
+
+    # class CA: two instances; s1 carries P1 twice + P2 once, s2 only
+    # P1 once -> P1 usage 1.0 (avg card 1.5, maxCount-1 vote 0.5),
+    # P2 usage 0.5 (functional on its carrier)
+    cur = _cur(
+        spark,
+        [("s1", "P1", "a"), ("s1", "P1", "b"), ("s1", "P2", "c"),
+         ("s2", "P1", "d")],
+    )
+    types = spark.createDataFrame(
+        [("s1", "CA"), ("s2", "CA")], "entity string, cls string"
+    )
+    rows = {(r["cls"], r["pred"]): r for r in shape_induction(cur, types).collect()}
+    p1 = rows[("CA", "P1")]
+    assert (p1["n_insts"], p1["usage_share"]) == (2, 1.0)
+    assert (p1["avg_card"], p1["max_card"], p1["funct_ratio"]) == (1.5, 2, 0.5)
+    p2 = rows[("CA", "P2")]
+    assert (p2["n_insts"], p2["usage_share"]) == (1, 0.5)
+    assert (p2["avg_card"], p2["max_card"], p2["funct_ratio"]) == (1.0, 1, 1.0)
+    # untyped subjects contribute nothing
+    assert set(rows) == {("CA", "P1"), ("CA", "P2")}
+
+
+def test_truthy_filter_best_rank_semantics(spark):
+    from corhist_spark.fusion import truthy_filter
+
+    st = spark.createDataFrame(
+        [
+            # group with a preferred statement: normal rows hidden
+            ("s1", "P1", "pref", "preferred"),
+            ("s1", "P1", "norm", "normal"),
+            ("s1", "P1", "depr", "deprecated"),
+            # group without preferred: normal rows surface
+            ("s2", "P1", "n1", "normal"),
+            ("s2", "P1", "n2", "normal"),
+            # all-deprecated group: nothing surfaces
+            ("s3", "P1", "d1", "deprecated"),
+        ],
+        "subj string, pred string, obj string, stmt_rank string",
+    )
+    got = {(r["subj"], r["obj"]) for r in truthy_filter(st).collect()}
+    assert got == {("s1", "pref"), ("s2", "n1"), ("s2", "n2")}
+
+
+def test_meta_blocking_prunes_below_mean_weight(spark):
+    from corhist_spark.textops import meta_blocking
+
+    # blocks: (1,2) co-occur in 3 buckets, (1,3) in 1 -> mean 2,
+    # WEP keeps only the heavy edge
+    sigs = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 10), (1, 1, 11), (2, 1, 11),
+         (1, 2, 12), (2, 2, 12), (1, 3, 13), (3, 3, 13)],
+        "doc_id long, band int, minhash long",
+    )
+    got = [(r["doc_a"], r["doc_b"], r["n_blocks"])
+           for r in meta_blocking(sigs).collect()]
+    assert got == [(1, 2, 3)]
+
+
+def test_meta_blocking_drops_degenerate_buckets(spark):
+    from corhist_spark.textops import meta_blocking
+
+    # a bucket above the occupancy cap contributes no edges at all
+    hot = [(d, 0, 99) for d in range(70)]
+    cold = [(1, 1, 5), (2, 1, 5), (1, 2, 6), (2, 2, 6)]
+    sigs = spark.createDataFrame(hot + cold, "doc_id long, band int, minhash long")
+    got = [(r["doc_a"], r["doc_b"], r["n_blocks"])
+           for r in meta_blocking(sigs).collect()]
+    assert got == [(1, 2, 2)]
+
+
+def test_batch14_plans_stay_jvm_side(spark):
+    from corhist_spark.fusion import shape_induction, truthy_filter
+    from corhist_spark.textops import meta_blocking
+
+    cur = _cur(spark, [("s1", "P1", "a"), ("s2", "P1", "b")])
+    types = spark.createDataFrame(
+        [("s1", "CA"), ("s2", "CB")], "entity string, cls string"
+    )
+    st = cur.withColumn("stmt_rank", F.lit("normal"))
+    sigs = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 10)], "doc_id long, band int, minhash long"
+    )
+    for df in (
+        shape_induction(cur, types),
+        truthy_filter(st),
+        meta_blocking(sigs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "CartesianProduct" not in plan
+        # the only nested-loop join is meta-blocking's single-row
+        # mean-weight totals frame (the repo's totals pattern)
