@@ -2275,6 +2275,34 @@ def q_truthy_state(spark, sf_dir):
     return truthy_filter(st)
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the unigram frequency head: least-squares
+    slope + r² of ln(freq) vs ln(rank) over the top-256 tokens —
+    distributed top-k (TakeOrderedAndProject), regression sums over
+    the 256-row head only."""
+    from corhist_spark.textops import zipf_fit
+
+    return zipf_fit(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_collocations(spark, sf_dir):
+    """Adjacent-token collocation PMI (Church & Hanks 1990) for
+    bigrams seen >= 5 times — in-array pairing, two map-side counts,
+    vocabulary-keyed joins, single-row totals broadcasts."""
+    from corhist_spark.textops import collocations
+
+    return collocations(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_mention_coref(spark, sf_dir):
+    """String-match coref chains (the exact-match sieve): per-doc
+    chain-density profile over the Arrow pandas-UDF mention stream —
+    two doc-keyed aggregates riding one partitioning."""
+    from corhist_spark.textops import mention_coref
+
+    return mention_coref(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3169,6 +3197,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking": q_meta_blocking,
         "shape_induction": q_shape_induction,
         "truthy_state": q_truthy_state,
+        # batch 15: Zipf head fit, collocation PMI, string-match
+        # coref chains
+        "zipf_fit": q_zipf_fit,
+        "collocations": q_collocations,
+        "mention_coref": q_mention_coref,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4138,7 +4171,9 @@ from corhist_spark.textops import (
     BQ_SAMPLE_MOD as _BQ_SAMPLE_MOD,
     BQ_SAMPLE_TARGET as _BQ_SAMPLE_TARGET,
     BQ_T1000 as _BQ_T1000,
+    MIN_COLLOC as _MIN_COLLOC,
     QC_BUCKETS as _QC_BUCKETS,
+    ZIPF_TOP_K as _ZIPF_TOP_K,
 )
 from corhist_spark.graph import PR_DAMPING as _PR_DAMPING
 from corhist_spark.graph import PR_ITERS as _PR_ITERS
@@ -7357,6 +7392,94 @@ def oracle_sql() -> dict[str, str]:
                OR (hp = 0 AND stmt_rank = 'normal')
             """
         ),
+        # ln() inputs are exact integers on both engines; regression
+        # sums run over the ZIPF_TOP_K-row head only (rank order =
+        # frequency desc, token asc on both engines)
+        "zipf_fit": f"""
+            WITH toks AS (
+              SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS tok
+              FROM documents
+            ), counts AS MATERIALIZED (
+              SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ), tot AS (
+              SELECT COUNT(*) AS n_vocab, CAST(SUM(n) AS BIGINT) AS n_tokens
+              FROM counts
+            ), head AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+              FROM counts ORDER BY n DESC, tok LIMIT {_ZIPF_TOP_K}
+            ), xy AS (
+              SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+              FROM head
+            ), s AS (
+              SELECT COUNT(*) AS k_used, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+              FROM xy
+            )
+            SELECT n_vocab, n_tokens, k_used,
+                   CASE WHEN k_used*sxx - sx*sx <> 0
+                        THEN round((k_used*sxy - sx*sy)
+                                   / (k_used*sxx - sx*sx), 6)
+                        ELSE 0.0 END AS zipf_slope,
+                   CASE WHEN k_used*sxx - sx*sx <> 0
+                         AND k_used*syy - sy*sy <> 0
+                        THEN round((k_used*sxy - sx*sy) * (k_used*sxy - sx*sy)
+                                   / ((k_used*sxx - sx*sx)
+                                      * (k_used*syy - sy*sy)), 6)
+                        ELSE 0.0 END AS zipf_r2
+            FROM tot CROSS JOIN s
+        """,
+        # pmi's ln() input is the fixed left-to-right double chain
+        # (c_xy/B) * (T/c_x) * (T/c_y) — identical IEEE ops on both
+        # engines, no integer product that could overflow at scale
+        "collocations": f"""
+            WITH tf AS (
+              SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tf
+              FROM documents
+            ), d AS (SELECT tf FROM tf WHERE len(tf) >= 2),
+            p AS (
+              SELECT tf[CAST(i AS INT)] AS tok_a,
+                     tf[CAST(i AS INT) + 1] AS tok_b
+              FROM (SELECT tf, unnest(generate_series(1, len(tf) - 1)) AS i
+                    FROM d)
+            ), bi AS MATERIALIZED (
+              SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM p GROUP BY 1, 2
+            ), uc AS MATERIALIZED (
+              SELECT tok, COUNT(*) AS c FROM (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents) GROUP BY tok
+            ), tb AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS b_total FROM bi),
+            tt AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM uc)
+            SELECT b.tok_a, b.tok_b, b.n_pair,
+                   round(ln((CAST(b.n_pair AS DOUBLE) / b_total)
+                            * (CAST(t_total AS DOUBLE) / ua.c)
+                            * (CAST(t_total AS DOUBLE) / ub.c)), 6) AS pmi
+            FROM bi b
+            JOIN uc ua ON ua.tok = b.tok_a
+            JOIN uc ub ON ub.tok = b.tok_b
+            CROSS JOIN tb CROSS JOIN tt
+            WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # chains = repeated mention surfaces within a doc (the
+        # exact-match coref sieve); mention regex shared with the
+        # mention_extraction oracle
+        "mention_coref": """
+            SELECT doc_id,
+                   CAST(SUM(n) AS BIGINT) AS n_mentions,
+                   CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_chains,
+                   MAX(n) AS max_chain,
+                   round(AVG(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 6)
+                     AS singleton_ratio
+            FROM (
+              SELECT doc_id, mention, COUNT(*) AS n FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[a-z]{6,}')) AS mention
+                FROM documents
+              ) GROUP BY doc_id, mention
+            ) GROUP BY doc_id
+        """,
         # t1000/prefix arithmetic interpolated from textops.PPJ_T1000;
         # prefix = first sz - ceil(t*sz) + 1 tokens under (global
         # frequency asc, token) order — the PPJoin guarantee

@@ -207,6 +207,10 @@ HEADLINE = [
     "meta_blocking",
     "shape_induction",
     "truthy_state",
+    # batch 15: Zipf head fit, collocation PMI, coref chains
+    "zipf_fit",
+    "collocations",
+    "mention_coref",
 ]
 
 

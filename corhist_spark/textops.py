@@ -2060,3 +2060,169 @@ def meta_blocking(signatures: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFr
         .filter(F.col("n_blocks") >= F.col("_mw"))
         .select("doc_a", "doc_b", "n_blocks")
     )
+
+
+ZIPF_TOP_K = 256
+
+
+def zipf_fit(docs: DataFrame, top_k: int = ZIPF_TOP_K) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram frequency head: least-
+    squares slope and r² of ln(freq) against ln(rank) over the
+    ``top_k`` most frequent tokens (frequency desc, token asc
+    tie-break) — the standard corpus-health diagnostic (natural
+    language sits near slope -1; boilerplate-heavy or synthetic
+    corpora drift off it).  One row: (n_vocab, n_tokens, k_used,
+    zipf_slope, zipf_r2), slope/r² rounded to 6.
+
+    Scale shape: one token explode + one map-side-combinable count
+    per token; the head is taken with a distributed top-k
+    (TakeOrderedAndProject — no global sort), and the regression
+    sums run over ``top_k`` rows on the driver-adjacent tiny frame.
+    The vocabulary itself is never windowed or collected.
+
+    Float contract: ln() inputs are exact integers (identical on
+    both engines); the regression sums are over ``top_k`` doubles,
+    so cross-engine summation-order error is ~1e-13 — far inside
+    the 1e-6 rounding."""
+    toks = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_vocab"), F.sum("n").alias("n_tokens")
+    )
+    head = counts.orderBy(F.col("n").desc(), "tok").limit(top_k)
+    from pyspark.sql import Window
+
+    ranked = head.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy(F.col("n").desc(), "tok")
+        ),
+    ).select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("k_used") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("k_used") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("k_used") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        totals.crossJoin(F.broadcast(sums))  # single-row totals frames
+        .select(
+            "n_vocab",
+            "n_tokens",
+            "k_used",
+            F.when(denx != 0, F.round(num / denx, 6))
+            .otherwise(F.lit(0.0))
+            .alias("zipf_slope"),
+            F.when(
+                (denx != 0) & (deny != 0), F.round(num * num / (denx * deny), 6)
+            )
+            .otherwise(F.lit(0.0))
+            .alias("zipf_r2"),
+        )
+    )
+
+
+MIN_COLLOC = 5
+
+
+def collocations(docs: DataFrame, min_pair: int = MIN_COLLOC) -> DataFrame:
+    """Adjacent-token collocation mining by pointwise mutual
+    information (Church & Hanks 1990): for every ordered adjacent
+    token bigram seen at least ``min_pair`` times, pmi =
+    ln( p(x,y) / (p(x) p(y)) ) with p(x,y) = c_xy / B over bigram
+    positions and p(x) = c_x / T over token positions.  Output
+    (tok_a, tok_b, n_pair, pmi) with pmi rounded to 6 — the classic
+    phrase-detection signal (word2vec-style phrase merging
+    thresholds on exactly this statistic).
+
+    Scale shape: one in-array zip_with pairing (no posexplode
+    self-join), two map-side-combinable counts (bigrams, unigrams),
+    two vocabulary-keyed equi-joins of the thresholded bigram table
+    against the unigram table, and two single-row totals broadcasts.
+    The ln() input is built from BIGINT-exact counts as a fixed
+    left-to-right chain of three DOUBLE ratios ((c_xy/B) * (T/c_x) *
+    (T/c_y)) — never an integer product that could overflow at
+    corpus scale (T² passes 2^63 around 3e9 tokens) — so both
+    engines feed ln the identical double."""
+    tf = F.filter(F.split("text", " "), lambda x: x != "")
+    d = docs.select(tf.alias("tf")).filter(F.size("tf") >= 2)
+    pairs = F.zip_with(
+        F.slice("tf", 1, F.greatest(F.size("tf") - 1, F.lit(0))),
+        F.slice("tf", 2, F.greatest(F.size("tf") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+    )
+    bi = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    uni = (
+        docs.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot_b = bi.agg(F.sum("n_pair").alias("b_total"))
+    tot_t = uni.agg(F.sum("c").alias("t_total"))
+    return (
+        bi.filter(F.col("n_pair") >= min_pair)
+        .join(uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("ca")), "tok_a")
+        .join(uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("cb")), "tok_b")
+        .crossJoin(F.broadcast(tot_b))  # single-row totals frames
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") / F.col("b_total"))
+                    * (F.col("t_total").cast("double") / F.col("ca"))
+                    * (F.col("t_total").cast("double") / F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def mention_coref(docs: DataFrame) -> DataFrame:
+    """String-match coreference chains — the exact-match sieve of the
+    classic rule-based coref stack (Lee et al. 2013's first and
+    highest-precision pass): within a document, every repetition of
+    the same mention surface joins one chain.  Per document:
+    (doc_id, n_mentions, n_chains, max_chain, singleton_ratio) where
+    n_chains counts surfaces mentioned at least twice, max_chain is
+    the largest chain length, and singleton_ratio is the share of
+    distinct surfaces that never corefer (rounded 6) — the coref
+    density profile an entity-linking stage reads before deciding
+    span-merge strategy.
+
+    Mentions come from the Arrow pandas-UDF detector shared with
+    ``mention_counts`` (no row-at-a-time Python).
+
+    Scale shape: one doc-keyed mention count (map-side combinable)
+    then one doc-keyed aggregate — both ride the same doc_id
+    partitioning; nothing crosses documents."""
+    per_surface = (
+        docs.select("doc_id", F.explode(_find_mentions("text")).alias("mention"))
+        .groupBy("doc_id", "mention")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_surface.groupBy("doc_id").agg(
+        F.sum("n").alias("n_mentions"),
+        F.sum((F.col("n") >= 2).cast("bigint")).alias("n_chains"),
+        F.max("n").alias("max_chain"),
+        F.round(
+            F.avg((F.col("n") == 1).cast("double")), 6
+        ).alias("singleton_ratio"),
+    )

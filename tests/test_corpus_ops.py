@@ -1011,3 +1011,71 @@ def test_blocking_quality_planted(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     r0 = blocking_quality(d, empty, sample_mod=10).collect()[0]
     assert r0.n_cand == 0 and r0.pairs_quality == 1.0 and r0.pairs_completeness == 0.0
+
+
+# ---- batch 15: zipf fit / collocation pmi / coref chains ----
+
+
+def test_zipf_fit_matches_python_regression(spark):
+    import math
+
+    from corhist_spark.textops import zipf_fit
+
+    # frequencies 8/4/2/1 for tokens a/b/c/d
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    row = zipf_fit(_docs(spark, [(1, text)])).collect()[0]
+    assert (row["n_vocab"], row["n_tokens"], row["k_used"]) == (4, 15, 4)
+    xs = [math.log(r) for r in (1, 2, 3, 4)]
+    ys = [math.log(n) for n in (8, 4, 2, 1)]
+    k = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx, syy = sum(x * x for x in xs), sum(y * y for y in ys)
+    num, denx, deny = k * sxy - sx * sy, k * sxx - sx * sx, k * syy - sy * sy
+    assert row["zipf_slope"] == round(num / denx, 6)
+    assert row["zipf_r2"] == round(num * num / (denx * deny), 6)
+
+
+def test_zipf_fit_uses_distributed_top_k(spark):
+    from corhist_spark.textops import zipf_fit
+
+    df = zipf_fit(_docs(spark, [(1, "a b a")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collocations_matches_hand_pmi(spark):
+    import math
+
+    from corhist_spark.textops import collocations
+
+    # 5 docs of "x y" -> bigram (x,y) 5 times, T=10 tokens, B=5 bigrams
+    rows = collocations(_docs(spark, [(i, "x y") for i in range(5)])).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["tok_a"], r["tok_b"], r["n_pair"]) == ("x", "y", 5)
+    # pmi = ln((5/5) * (10/5) * (10/5)) = ln 4
+    assert r["pmi"] == round(math.log((5 / 5) * (10 / 5) * (10 / 5)), 6)
+
+
+def test_collocations_threshold_prunes_rare_pairs(spark):
+    from corhist_spark.textops import collocations
+
+    rows = collocations(
+        _docs(spark, [(1, "x y"), (2, "x y"), (3, "p q")]), min_pair=2
+    ).collect()
+    assert [(r["tok_a"], r["tok_b"]) for r in rows] == [("x", "y")]
+
+
+def test_mention_coref_chain_profile(spark):
+    from corhist_spark.textops import mention_coref
+
+    # abcdef corefers (2 mentions), ghijkl is a singleton; short
+    # tokens are not mentions at all
+    row = mention_coref(
+        _docs(spark, [(1, "abcdef tiny abcdef ghijkl")])
+    ).collect()[0]
+    assert (row["n_mentions"], row["n_chains"], row["max_chain"]) == (3, 1, 2)
+    assert row["singleton_ratio"] == 0.5
