@@ -2303,6 +2303,40 @@ def q_mention_coref(spark, sf_dir):
     return mention_coref(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_dup_cluster_profile(spark, sf_dir):
+    """Duplicate-cluster size histogram over the end-to-end dedup
+    pipeline's connected components (LSH -> exact verify -> CC):
+    (cluster_size, n_clusters), singletons included — the shape
+    report a curation run reads to decide whether near-dup pressure
+    is template-driven (few huge clusters) or organic (many pairs).
+    Two constant-output aggregates on top of dedup_survivors."""
+    surv = q_dedup_survivors(spark, sf_dir)
+    return (
+        surv.groupBy("survivor")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility profile (chars/token,
+    tokens/doc) bucketed by the repo's lang_id heuristic — all
+    in-array per doc, one language-keyed aggregate."""
+    from corhist_spark.textops import tokenizer_fertility
+
+    return tokenizer_fertility(_t(spark, sf_dir, "documents"))
+
+
+def q_reciprocity(spark, sf_dir):
+    """Per-node directed reciprocity of the KG multigraph — the
+    symmetric-relation density a constraint miner reads before
+    proposing symmetric/inverse constraints."""
+    from corhist_spark.graph import reciprocity
+
+    return reciprocity(_kg_edges(spark, sf_dir))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3202,6 +3236,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "collocations": q_collocations,
         "mention_coref": q_mention_coref,
+        # batch 16: dup-cluster shape report, tokenizer fertility,
+        # directed reciprocity
+        "dup_cluster_profile": q_dup_cluster_profile,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "reciprocity": q_reciprocity,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -7460,6 +7499,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # histogram of dedup CC cluster sizes (singletons included);
+        # the component chain is the dedup_survivors transcription
+        "dup_cluster_profile": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _DEDUP_COMP_CTES + """
+            , surv AS (
+              SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS survivor
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            ), cs AS (
+              SELECT survivor, COUNT(*) AS cluster_size
+              FROM surv GROUP BY survivor
+            )
+            SELECT cluster_size, COUNT(*) AS n_clusters
+            FROM cs GROUP BY cluster_size
+        """,
+        # in-array token/char sums (BIGINT-exact) bucketed by the
+        # lang_id stopword heuristic; empty-list sum coalesced to 0
+        # to match Spark's aggregate() zero initializer
+        "tokenizer_fertility": """
+            WITH d AS (
+              SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+                                 x -> x = 'the' OR x = 'a' OR x = 'and')) * 10
+                          >= len(list_filter(string_split(text, ' '),
+                                 x -> x <> ''))
+                          THEN 'en' ELSE 'und' END AS lang_pred,
+                     CAST(len(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tok,
+                     CAST(COALESCE(list_sum(list_transform(
+                              list_filter(string_split(text, ' '),
+                                          x -> x <> ''),
+                              x -> len(x))), 0) AS BIGINT) AS n_chars
+              FROM documents
+            )
+            SELECT lang_pred, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CASE WHEN SUM(n_tok) > 0
+                        THEN round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok), 6)
+                        ELSE 0.0 END AS chars_per_token,
+                   round(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6)
+                     AS tokens_per_doc
+            FROM d GROUP BY lang_pred
+        """,
+        # distinct directed edges; reciprocal = reverse edge exists;
+        # one node-keyed aggregate per side
+        "reciprocity": _KG_EDGE_CTES + """
+            , e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+            ), r AS (
+              SELECT e.src, e.dst
+              FROM e JOIN e e2 ON e2.src = e.dst AND e2.dst = e.src
+            ), od AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+            nr AS (SELECT src, COUNT(*) AS n_recip FROM r GROUP BY src)
+            SELECT od.src AS node, od.out_deg,
+                   COALESCE(nr.n_recip, 0) AS n_recip,
+                   round(COALESCE(nr.n_recip, 0)
+                         / CAST(od.out_deg AS DOUBLE), 6) AS recip_ratio
+            FROM od LEFT JOIN nr ON nr.src = od.src
         """,
         # chains = repeated mention surfaces within a doc (the
         # exact-match coref sieve); mention regex shared with the

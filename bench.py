@@ -211,6 +211,11 @@ HEADLINE = [
     "zipf_fit",
     "collocations",
     "mention_coref",
+    # batch 16: dup-cluster shape report, tokenizer fertility,
+    # directed reciprocity
+    "dup_cluster_profile",
+    "tokenizer_fertility",
+    "reciprocity",
 ]
 
 

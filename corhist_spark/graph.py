@@ -915,3 +915,45 @@ def skipgram_pairs(walks: DataFrame, window: int = SKIPGRAM_WINDOW) -> DataFrame
         .groupBy(F.col("node").alias("center"), "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-node directed reciprocity — the share of a node's distinct
+    out-edges whose reverse edge also exists (Newman's link
+    reciprocity, node-resolved): (node, out_deg, n_recip,
+    recip_ratio).  In a KG this is the symmetric-relation density
+    a constraint miner reads before proposing symmetric/inverse
+    constraints (the corhist kernels' territory).
+
+    Scale shape: one distinct over the edge list, one self equi-join
+    on the reversed key pair (hash-partitioned both sides, no
+    broadcast of anything corpus-sized), one node-keyed map-side-
+    combined aggregate."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    flagged = e.join(rev, ["src", "dst"], "left_semi").select(
+        "src", F.lit(1).alias("is_recip")
+    )
+    per_node = (
+        e.select("src")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .join(
+            flagged.groupBy("src").agg(F.sum("is_recip").alias("n_recip")),
+            "src",
+            "left",
+        )
+    )
+    return per_node.select(
+        F.col("src").alias("node"),
+        "out_deg",
+        F.coalesce("n_recip", F.lit(0)).cast("bigint").alias("n_recip"),
+        F.round(
+            F.coalesce("n_recip", F.lit(0)) / F.col("out_deg").cast("double"), 6
+        ).alias("recip_ratio"),
+    )

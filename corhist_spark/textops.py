@@ -2226,3 +2226,49 @@ def mention_coref(docs: DataFrame) -> DataFrame:
             F.avg((F.col("n") == 1).cast("double")), 6
         ).alias("singleton_ratio"),
     )
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer-fertility profile — the curation
+    diagnostic behind per-language token budgets (chars-per-token is
+    the standard fertility proxy; languages whose fertility drifts
+    high are under-served by the tokenizer and over-billed in token
+    budgets).  Buckets documents with the repo's lang_id heuristic
+    (stopword-hit ratio) and publishes per bucket: (lang_pred,
+    n_docs, n_tokens, n_chars, chars_per_token, tokens_per_doc),
+    ratios rounded to 6 (0.0 for empty buckets' zero denominators).
+
+    Scale shape: everything is computed in-array per document (no
+    token explode at all), then ONE language-keyed map-side-combined
+    aggregate over integer sums — BIGINT-exact, so both engines feed
+    the final divisions identical values."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    hits = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda x: (x == "the") | (x == "a") | (x == "and"),
+        )
+    )
+    d = docs.select(
+        F.when(hits * 10 >= F.size(toks), F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("n_chars"),
+    )
+    return d.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.when(
+            F.sum("n_tok") > 0,
+            F.round(F.sum("n_chars") / F.sum("n_tok").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+        F.round(F.sum("n_tok") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "tokens_per_doc"
+        ),
+    )

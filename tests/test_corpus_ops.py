@@ -1079,3 +1079,25 @@ def test_mention_coref_chain_profile(spark):
     ).collect()[0]
     assert (row["n_mentions"], row["n_chains"], row["max_chain"]) == (3, 1, 2)
     assert row["singleton_ratio"] == 0.5
+
+
+def test_tokenizer_fertility_buckets_and_ratios(spark):
+    from corhist_spark.textops import tokenizer_fertility
+
+    # doc 1: 3/4 stopword tokens -> en; 11 chars over 4 tokens
+    # doc 2: no stopwords -> und; 4 chars over 2 tokens
+    rows = {
+        r["lang_pred"]: r
+        for r in tokenizer_fertility(
+            _docs(spark, [(1, "the a and abcd"), (2, "zz yy")])
+        ).collect()
+    }
+    en, und = rows["en"], rows["und"]
+    assert (en["n_docs"], en["n_tokens"], en["n_chars"]) == (1, 4, 11)
+    assert en["chars_per_token"] == 2.75 and en["tokens_per_doc"] == 4.0
+    assert (und["n_docs"], und["n_tokens"], und["n_chars"]) == (1, 2, 4)
+    assert und["chars_per_token"] == 2.0
+
+    plan = tokenizer_fertility(_docs(spark, [(1, "x")]))._jdf.queryExecution()
+    s = plan.executedPlan().toString()
+    assert "BatchEvalPython" not in s and "CartesianProduct" not in s

@@ -791,3 +791,22 @@ def test_k_core_fixed_rounds_reach_fixpoint(spark):
         for r in k_core(_edges(spark, pairs), n_rounds=KCORE_ROUNDS + 2).collect()
     }
     assert got == more
+
+
+def test_reciprocity_counts_reverse_edges(spark):
+    from corhist_spark.graph import reciprocity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "b"),  # dup edge
+         ("d", "d")],  # self-loop dropped
+        "src string, dst string",
+    )
+    rows = {r["node"]: r for r in reciprocity(e).collect()}
+    assert (rows["a"]["out_deg"], rows["a"]["n_recip"]) == (2, 1)
+    assert rows["a"]["recip_ratio"] == 0.5
+    assert (rows["b"]["out_deg"], rows["b"]["n_recip"]) == (1, 1)
+    assert rows["b"]["recip_ratio"] == 1.0
+    assert "c" not in rows and "d" not in rows  # no out-edges survive
+
+    plan = reciprocity(e)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
