@@ -2337,6 +2337,35 @@ def q_reciprocity(spark, sf_dir):
     return reciprocity(_kg_edges(spark, sf_dir))
 
 
+def q_join_cardinality_stats(spark, sf_dir):
+    """Predicate-pair join-cardinality statistics (RDF-3X-style
+    characteristic pairs) over the derived current state — exact
+    length-2 composed-path counts WITHOUT path enumeration: per-
+    intermediate count products, hub-safe by construction."""
+    from corhist_spark.fusion import join_cardinality_stats
+
+    return join_cardinality_stats(_hist_current(spark, sf_dir))
+
+
+def q_constraint_suggestions(spark, sf_dir):
+    """Constraint-candidate mining over instance data — proposes
+    single-value and symmetric constraints from functionality and
+    reciprocal-pair shares (integer-compare votes), the bootstrap
+    complement of the reference's human-curated constraint list."""
+    from corhist_spark.fusion import constraint_suggestions
+
+    return constraint_suggestions(_hist_current(spark, sf_dir))
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church & Gale burstiness (CF/DF) for the top-256 collection-
+    frequency tokens — two aggregates off one explode plus a
+    distributed top-k."""
+    from corhist_spark.textops import term_burstiness
+
+    return term_burstiness(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3241,6 +3270,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_profile": q_dup_cluster_profile,
         "tokenizer_fertility": q_tokenizer_fertility,
         "reciprocity": q_reciprocity,
+        # batch 17: join-cardinality statistics, constraint-candidate
+        # mining, term burstiness
+        "join_cardinality_stats": q_join_cardinality_stats,
+        "constraint_suggestions": q_constraint_suggestions,
+        "term_burstiness": q_term_burstiness,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4198,9 +4232,11 @@ _SEMDEDUP_TRAINED_SHARD_SQL = f"""
 from corhist_spark.fusion import (
     FUNC_CANDIDATE_PCT as _FUNC_PCT,
     KGE_BUCKET as _KGE_BUCKET,
+    SYM_SUGGEST_PCT as _SYM_SUGGEST_PCT,
     TD_ITERS as _TD_ITERS,
     TD_SOURCE_MOD as _TD_SOURCE_MOD,
 )
+from corhist_spark.textops import BURST_TOP_K as _BURST_TOP_K
 from corhist_spark.graph import (
     AA_HUB_CAP as _AA_HUB_CAP,
     AA_MIN_COMMON as _AA_MIN_COMMON,
@@ -7499,6 +7535,73 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # exact length-2 path counts via per-intermediate count
+        # products (never enumerated); predicate-pair sized output
+        "join_cardinality_stats": with_history_ctes(
+            """
+            , inc AS (
+              SELECT obj AS x, pred AS pred_a, COUNT(*) AS n_in
+              FROM h_cur GROUP BY obj, pred
+            ), outt AS (
+              SELECT subj AS x, pred AS pred_b, COUNT(*) AS n_out
+              FROM h_cur GROUP BY subj, pred
+            )
+            SELECT pred_a, pred_b,
+                   CAST(SUM(n_in * n_out) AS BIGINT) AS n_paths,
+                   COUNT(DISTINCT x) AS n_mid
+            FROM inc JOIN outt USING (x)
+            GROUP BY pred_a, pred_b
+            """
+        ),
+        # functionality + same-predicate reciprocal-pair share with
+        # integer-compare votes; thresholds interpolated from the
+        # fusion constants
+        "constraint_suggestions": with_history_ctes(
+            f"""
+            , pairs AS MATERIALIZED (
+              SELECT DISTINCT pred, subj, obj FROM h_cur
+            ), recip AS (
+              SELECT p.pred, p.subj, p.obj
+              FROM pairs p JOIN pairs r
+                ON r.pred = p.pred AND r.subj = p.obj AND r.obj = p.subj
+            ), pp AS (
+              SELECT pred, COUNT(*) AS n_triples,
+                     COUNT(DISTINCT subj) AS n_subjects
+              FROM h_cur GROUP BY pred
+            ), np AS (SELECT pred, COUNT(*) AS n_pairs FROM pairs GROUP BY pred),
+            nr AS (SELECT pred, COUNT(*) AS n_recip FROM recip GROUP BY pred)
+            SELECT pp.pred, pp.n_triples, np.n_pairs,
+                   COALESCE(nr.n_recip, 0) AS n_recip,
+                   round(CAST(pp.n_subjects AS DOUBLE) / pp.n_triples, 6)
+                     AS functionality,
+                   round(CAST(COALESCE(nr.n_recip, 0) AS DOUBLE) / np.n_pairs, 6)
+                     AS symmetric_share,
+                   pp.n_subjects * 100 >= {_FUNC_PCT} * pp.n_triples
+                     AS suggest_single_value,
+                   COALESCE(nr.n_recip, 0) * 100
+                     >= {_SYM_SUGGEST_PCT} * np.n_pairs AS suggest_symmetric
+            FROM pp
+            JOIN np USING (pred)
+            LEFT JOIN nr ON nr.pred = pp.pred
+            """
+        ),
+        # cf/df over the token explode; head order (cf desc, tok asc)
+        "term_burstiness": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS tok
+              FROM documents
+            ), cf AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
+            dfx AS (
+              SELECT tok, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok
+            )
+            SELECT cf.tok, cf.cf, dfx.df,
+                   round(CAST(cf.cf AS DOUBLE) / dfx.df, 6) AS burstiness
+            FROM cf JOIN dfx USING (tok)
+            ORDER BY cf.cf DESC, cf.tok LIMIT {_BURST_TOP_K}
         """,
         # histogram of dedup CC cluster sizes (singletons included);
         # the component chain is the dedup_survivors transcription

@@ -216,6 +216,11 @@ HEADLINE = [
     "dup_cluster_profile",
     "tokenizer_fertility",
     "reciprocity",
+    # batch 17: join-cardinality statistics, constraint-candidate
+    # mining, term burstiness
+    "join_cardinality_stats",
+    "constraint_suggestions",
+    "term_burstiness",
 ]
 
 

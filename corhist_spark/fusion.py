@@ -633,3 +633,95 @@ def truthy_filter(statements: DataFrame) -> DataFrame:
         )
         .select("subj", "pred", "obj", "stmt_rank")
     )
+
+
+def join_cardinality_stats(cur: DataFrame) -> DataFrame:
+    """Predicate-pair join-cardinality statistics — the composed-path
+    counts (?s p1 ?x . ?x p2 ?o) a SPARQL cost model keeps per
+    predicate pair (the characteristic-pairs complement of
+    ``characteristic_sets``; Neumann & Moerkotte's RDF-3X statistics
+    carry exactly this).  For every ordered (pred_a, pred_b):
+    n_paths = the exact number of length-2 composed bindings,
+    n_mid = distinct intermediate entities contributing.
+
+    Scale shape: the path count is NEVER enumerated — per
+    intermediate entity x, n_paths contributes
+    in_count(x, p1) * out_count(x, p2), so the job is two entity-
+    keyed counts, one entity-keyed equi-join (per-entity row volume
+    is bounded by the entity's DISTINCT predicate counts, not its
+    degree — hub-safe by construction), and one predicate-pair
+    aggregate over BIGINT-exact products.  Output is
+    predicate-vocabulary² sized."""
+    inc = cur.groupBy(F.col("obj").alias("x"), F.col("pred").alias("pred_a")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    out = cur.groupBy(F.col("subj").alias("x"), F.col("pred").alias("pred_b")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    return (
+        inc.join(out, "x")
+        .groupBy("pred_a", "pred_b")
+        .agg(
+            F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"),
+            F.countDistinct("x").alias("n_mid"),
+        )
+    )
+
+
+SYM_SUGGEST_PCT = 50
+
+
+def constraint_suggestions(cur: DataFrame) -> DataFrame:
+    """Constraint-candidate mining over instance data — the
+    bootstrap complement of corhist's correction mining (the
+    reference consumes HUMAN-curated property constraints from WDQS,
+    `.../ConstraintsListBuilder.java`; this op proposes NEW ones
+    from the data itself, the SDType/RDF2rules-style suggestion
+    loop): per predicate, the single-value vote (functionality >=
+    95%, integer compare) and the symmetric vote (share of distinct
+    (s,o) pairs whose reverse (o,s) also holds under the SAME
+    predicate >= SYM_SUGGEST_PCT%).
+
+    Output: (pred, n_triples, n_pairs, n_recip, functionality,
+    symmetric_share, suggest_single_value, suggest_symmetric).
+
+    Scale shape: one predicate-keyed profile aggregate, one distinct
+    over (s, p, o), one reversed-key self semi-join partitioned on
+    (pred, subj, obj), two predicate-keyed counts — every join is an
+    equi-join on corpus-partitioned keys, all votes compare in pure
+    integers so both engines decide identically."""
+    pairs = cur.select("pred", "subj", "obj").distinct().localCheckpoint()
+    rev = pairs.select(
+        "pred", F.col("obj").alias("subj"), F.col("subj").alias("obj")
+    )
+    recip = pairs.join(rev, ["pred", "subj", "obj"], "left_semi")
+    per_pred = cur.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+    )
+    n_pairs = pairs.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_recip = recip.groupBy("pred").agg(F.count(F.lit(1)).alias("n_recip"))
+    return (
+        per_pred.join(n_pairs, "pred")
+        .join(n_recip, "pred", "left")
+        .select(
+            "pred",
+            "n_triples",
+            "n_pairs",
+            F.coalesce("n_recip", F.lit(0)).cast("bigint").alias("n_recip"),
+            F.round(
+                F.col("n_subjects") / F.col("n_triples").cast("double"), 6
+            ).alias("functionality"),
+            F.round(
+                F.coalesce("n_recip", F.lit(0)) / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("symmetric_share"),
+            (
+                F.col("n_subjects") * 100 >= F.lit(FUNC_CANDIDATE_PCT) * F.col("n_triples")
+            ).alias("suggest_single_value"),
+            (
+                F.coalesce("n_recip", F.lit(0)) * 100
+                >= F.lit(SYM_SUGGEST_PCT) * F.col("n_pairs")
+            ).alias("suggest_symmetric"),
+        )
+    )

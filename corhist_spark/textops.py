@@ -2272,3 +2272,44 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
             "tokens_per_doc"
         ),
     )
+
+
+BURST_TOP_K = 256
+
+
+def term_burstiness(docs: DataFrame, top_k: int = BURST_TOP_K) -> DataFrame:
+    """Term burstiness (Church & Gale 1995: collection frequency /
+    document frequency) for the ``top_k`` highest-CF tokens —
+    tokens with burstiness near 1 spread evenly (function words);
+    high burstiness marks topical/template terms, the signal behind
+    df-capped stopword lists and boilerplate vocabularies.  Output:
+    (tok, cf, df, burstiness) with burstiness rounded to 6, head
+    order = (cf desc, tok asc).
+
+    Scale shape: one token explode feeding TWO map-side-combinable
+    aggregates from the same shuffle key (cf = count, df = distinct
+    docs via a pre-distinct), then a distributed top-k
+    (TakeOrderedAndProject) — the vocabulary is never sorted
+    globally or collected."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    df_ = (
+        toks.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        cf.join(df_, "tok")
+        .select(
+            "tok",
+            "cf",
+            "df",
+            F.round(F.col("cf") / F.col("df").cast("double"), 6).alias("burstiness"),
+        )
+        .orderBy(F.col("cf").desc(), "tok")
+        .limit(top_k)
+    )

@@ -1101,3 +1101,21 @@ def test_tokenizer_fertility_buckets_and_ratios(spark):
     plan = tokenizer_fertility(_docs(spark, [(1, "x")]))._jdf.queryExecution()
     s = plan.executedPlan().toString()
     assert "BatchEvalPython" not in s and "CartesianProduct" not in s
+
+
+def test_term_burstiness_cf_over_df(spark):
+    from corhist_spark.textops import term_burstiness
+
+    rows = {
+        r["tok"]: r
+        for r in term_burstiness(
+            _docs(spark, [(1, "x x y"), (2, "x")])
+        ).collect()
+    }
+    assert (rows["x"]["cf"], rows["x"]["df"], rows["x"]["burstiness"]) == (3, 2, 1.5)
+    assert (rows["y"]["cf"], rows["y"]["df"], rows["y"]["burstiness"]) == (1, 1, 1.0)
+
+    df = term_burstiness(_docs(spark, [(1, "x")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

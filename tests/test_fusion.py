@@ -923,3 +923,60 @@ def test_batch14_plans_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan
         # the only nested-loop join is meta-blocking's single-row
         # mean-weight totals frame (the repo's totals pattern)
+
+
+# ---- batch 17: join-cardinality stats / constraint suggestions ----
+
+
+def test_join_cardinality_matches_enumerated_paths(spark):
+    from itertools import product
+
+    from corhist_spark.fusion import join_cardinality_stats
+
+    triples = [
+        ("a", "P1", "x"), ("b", "P1", "x"), ("x", "P2", "c"),
+        ("x", "P2", "d"), ("c", "P1", "y"), ("y", "P3", "a"),
+    ]
+    # brute-force path enumeration as ground truth
+    want = {}
+    for (s1, p1, o1), (s2, p2, o2) in product(triples, triples):
+        if o1 == s2:
+            k = (p1, p2)
+            want[k] = want.get(k, 0) + 1
+    got = {
+        (r["pred_a"], r["pred_b"]): r["n_paths"]
+        for r in join_cardinality_stats(_cur(spark, triples)).collect()
+    }
+    assert got == want
+    # the (P1, P2) pair composes through x alone: 2 in-edges x 2 out
+    assert got[("P1", "P2")] == 4
+
+
+def test_constraint_suggestions_votes(spark):
+    from corhist_spark.fusion import constraint_suggestions
+
+    cur = _cur(
+        spark,
+        # P1: fully symmetric, one value per subject
+        [("a", "P1", "b"), ("b", "P1", "a"), ("c", "P1", "d"), ("d", "P1", "c")]
+        # P2: no reciprocation, one subject holds three values
+        + [("s", "P2", x) for x in ("u", "v", "w")],
+    )
+    rows = {r["pred"]: r for r in constraint_suggestions(cur).collect()}
+    p1 = rows["P1"]
+    assert (p1["n_pairs"], p1["n_recip"]) == (4, 4)
+    assert p1["symmetric_share"] == 1.0
+    assert p1["suggest_symmetric"] and p1["suggest_single_value"]
+    p2 = rows["P2"]
+    assert (p2["n_recip"], p2["symmetric_share"]) == (0, 0.0)
+    assert not p2["suggest_symmetric"] and not p2["suggest_single_value"]
+
+
+def test_batch17_plans_stay_jvm_side(spark):
+    from corhist_spark.fusion import constraint_suggestions, join_cardinality_stats
+
+    cur = _cur(spark, [("a", "P1", "b"), ("b", "P2", "c")])
+    for df in (join_cardinality_stats(cur), constraint_suggestions(cur)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
