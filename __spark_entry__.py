@@ -2366,6 +2366,45 @@ def q_term_burstiness(spark, sf_dir):
     return term_burstiness(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_asof_violations(spark, sf_dir):
+    """Point-in-time multi-value profile: the single-value check
+    evaluated AS OF the mid-history revision over the interval state
+    — any historical snapshot is one partition-prunable filter away,
+    no replay (the history-index payoff)."""
+    from corhist_spark.fusion import asof_multivalue
+    from corhist_spark.history import derived_edits
+
+    mid = (
+        derived_edits(spark, sf_dir).agg(F.max("rev_id")).collect()[0][0] // 2
+    )  # one scalar — driver-small by construction
+    return asof_multivalue(_hist_state(spark, sf_dir), mid)
+
+
+SKEW_PROFILE_TARGET = 1_000  # fixture-sized target_per_task (library
+# default is 100k; the harness passes a small target so the planted
+# constant-vocabulary skew yields multi-salt recommendations)
+
+
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew scorecard over the derived current state's
+    OBJECT key — the planted constant V0..V30 vocabulary is exactly
+    the hot-value shape the unique kernel salts against; the profile
+    is the report that decides those salt counts."""
+    from corhist_spark.skew import skew_profile
+
+    return skew_profile(
+        _hist_current(spark, sf_dir), "obj", target_per_task=SKEW_PROFILE_TARGET
+    )
+
+
+def q_topic_assignment(spark, sf_dir):
+    """Seed-keyword taxonomy labeling (WebOrganizer-style curated
+    domain mixing) — one map-side projection, zero shuffles."""
+    from corhist_spark.textops import topic_assignment
+
+    return topic_assignment(_t(spark, sf_dir, "documents"))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3275,6 +3314,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality_stats": q_join_cardinality_stats,
         "constraint_suggestions": q_constraint_suggestions,
         "term_burstiness": q_term_burstiness,
+        # batch 18: point-in-time violation check, join-key skew
+        # scorecard, seeded topic labeling
+        "asof_violations": q_asof_violations,
+        "skew_profile": q_skew_profile,
+        "topic_assignment": q_topic_assignment,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4237,6 +4281,7 @@ from corhist_spark.fusion import (
     TD_SOURCE_MOD as _TD_SOURCE_MOD,
 )
 from corhist_spark.textops import BURST_TOP_K as _BURST_TOP_K
+from corhist_spark.textops import TOPIC_SEEDS as _TOPIC_SEEDS
 from corhist_spark.graph import (
     AA_HUB_CAP as _AA_HUB_CAP,
     AA_MIN_COMMON as _AA_MIN_COMMON,
@@ -7535,6 +7580,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # interval filter at the mid-history revision + one distinct
+        # count — the as-of snapshot needs no replay
+        "asof_violations": with_history_ctes(
+            """
+            , mid AS (SELECT MAX(rev_id) // 2 AS r FROM h_edits),
+            act AS (
+              SELECT subj, pred, obj FROM h_state CROSS JOIN mid
+              WHERE from_rev <= r AND to_rev > r
+            )
+            SELECT subj, pred, COUNT(DISTINCT obj) AS n_objs
+            FROM act GROUP BY subj, pred
+            HAVING COUNT(DISTINCT obj) >= 2
+            """
+        ),
+        # hottest OBJECT keys of the current state (the planted
+        # constant vocabulary); integer-ceil salt recommendation,
+        # target interpolated from the harness constant
+        "skew_profile": with_history_ctes(
+            f"""
+            , counts AS MATERIALIZED (
+              SELECT obj AS key, COUNT(*) AS freq FROM h_cur GROUP BY obj
+            ), tot AS (
+              SELECT COUNT(*) AS n_keys, CAST(SUM(freq) AS BIGINT) AS n_rows
+              FROM counts
+            ), head AS (
+              SELECT key, freq FROM counts ORDER BY freq DESC, key LIMIT 8
+            )
+            SELECT key, freq,
+                   round(CAST(freq AS DOUBLE) / n_rows, 6) AS share,
+                   n_keys, n_rows,
+                   (freq + {SKEW_PROFILE_TARGET} - 1) // {SKEW_PROFILE_TARGET}
+                     AS recommended_salts
+            FROM head CROSS JOIN tot
+            """
+        ),
+        # seed predicates built from textops.TOPIC_SEEDS so an
+        # engine-side taxonomy change cannot desync the oracle;
+        # fixed >= CASE chain = ties to the first topic
+        "topic_assignment": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS n_toks,
+                     {", ".join(
+                         "len(list_filter(string_split(text, ' '), x -> "
+                         + " OR ".join(f"x = '{s}'" for s in seeds)
+                         + f")) AS h{i}"
+                         for i, (_, seeds) in enumerate(_TOPIC_SEEDS)
+                     )}
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h0, h1, h2) = 0 THEN 'other'
+                        WHEN h0 >= h1 AND h0 >= h2 THEN '{_TOPIC_SEEDS[0][0]}'
+                        WHEN h1 >= h2 THEN '{_TOPIC_SEEDS[1][0]}'
+                        ELSE '{_TOPIC_SEEDS[2][0]}' END AS topic,
+                   CAST(greatest(h0, h1, h2) AS BIGINT) AS n_hits,
+                   CASE WHEN n_toks > 0 AND greatest(h0, h1, h2) > 0
+                        THEN round(CAST(greatest(h0, h1, h2) AS DOUBLE)
+                                   / n_toks, 6)
+                        ELSE 0.0 END AS score
+            FROM d
         """,
         # exact length-2 path counts via per-intermediate count
         # products (never enumerated); predicate-pair sized output

@@ -221,6 +221,10 @@ HEADLINE = [
     "join_cardinality_stats",
     "constraint_suggestions",
     "term_burstiness",
+    # batch 18: point-in-time violations, skew scorecard, topic labels
+    "asof_violations",
+    "skew_profile",
+    "topic_assignment",
 ]
 
 

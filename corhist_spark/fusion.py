@@ -725,3 +725,28 @@ def constraint_suggestions(cur: DataFrame) -> DataFrame:
             ).alias("suggest_symmetric"),
         )
     )
+
+
+def asof_multivalue(state: DataFrame, rev: int) -> DataFrame:
+    """Point-in-time multi-value profile — the single-value
+    constraint check evaluated AS OF an arbitrary past revision
+    (`rev`), not just the current state: every (subj, pred) carrying
+    two or more distinct values in the validity intervals covering
+    ``rev`` (from_rev <= rev < to_rev).  This is the interval-state
+    payoff the reference's history index exists for
+    (`.../HistoryRepository.java` point lookups): any historical
+    snapshot is one filter away, no replay.
+
+    Output: (subj, pred, n_objs) for n_objs >= 2.
+
+    Scale shape: one interval filter (partition-prunable on a
+    from_rev-partitioned warehouse) + one (subj, pred)
+    map-side-combinable distinct count."""
+    active = state.filter(
+        (F.col("from_rev") <= F.lit(rev)) & (F.col("to_rev") > F.lit(rev))
+    )
+    return (
+        active.groupBy("subj", "pred")
+        .agg(F.countDistinct("obj").alias("n_objs"))
+        .filter(F.col("n_objs") >= 2)
+    )

@@ -40,3 +40,45 @@ def hot_keys(df: DataFrame, key: str, threshold_share: float = 0.01) -> DataFram
         .filter(F.col("n") > total * threshold_share)
         .orderBy(F.desc("n"))
     )
+
+
+SKEW_TOP_K = 8
+SKEW_TARGET_PER_TASK = 100_000
+
+
+def skew_profile(
+    df: DataFrame,
+    key: str,
+    top_k: int = SKEW_TOP_K,
+    target_per_task: int = SKEW_TARGET_PER_TASK,
+) -> DataFrame:
+    """Join-key skew scorecard — the report read before choosing a
+    salt count for ``salted_join`` / a two-stage aggregation: the
+    ``top_k`` hottest keys with their row share and the per-key salt
+    recommendation ceil(freq / target_per_task) (how many reducers a
+    single-key shuffle partition must be split over so no task
+    exceeds ``target_per_task`` rows).  Output: (key, freq, share,
+    n_keys, n_rows, recommended_salts), share rounded to 6.
+
+    Scale shape: one key-keyed map-side-combinable count, ONE
+    distributed top-k over it (TakeOrderedAndProject — the key
+    vocabulary is never globally sorted), one single-row totals
+    broadcast.  The integer ceil is (freq + target - 1) / target so
+    both engines round identically."""
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("freq")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("freq").alias("n_rows")
+    )
+    head = counts.orderBy(F.col("freq").desc(), "key").limit(top_k)
+    return head.crossJoin(F.broadcast(totals)).select(  # single-row totals
+        "key",
+        "freq",
+        F.round(F.col("freq") / F.col("n_rows").cast("double"), 6).alias("share"),
+        "n_keys",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"(freq + {target_per_task} - 1) DIV {target_per_task}"
+        ).alias("recommended_salts"),
+    )

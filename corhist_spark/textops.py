@@ -2313,3 +2313,62 @@ def term_burstiness(docs: DataFrame, top_k: int = BURST_TOP_K) -> DataFrame:
         .orderBy(F.col("cf").desc(), "tok")
         .limit(top_k)
     )
+
+
+# seeded taxonomy for topic_assignment: tiny, fixed, alphabetical —
+# the WebOrganizer-style domain taxonomy shrunk to the fixture
+# vocabulary; tie-breaks go to the first (alphabetically smallest)
+# topic via the fixed >= CASE chain, identically on both engines
+TOPIC_SEEDS = (
+    ("execution", ("scan", "hash", "merge", "sort")),
+    ("relational", ("join", "filter", "group", "agg")),
+    ("storage", ("table", "column", "row", "data")),
+)
+
+
+def topic_assignment(docs: DataFrame) -> DataFrame:
+    """Seed-keyword taxonomy labeling (the WebOrganizer /
+    curated-domain-mixing pattern: assign every document to a topic
+    from tiny curated seed lists, then rebalance the corpus per
+    topic): per document, count seed hits per topic in-array, assign
+    the argmax topic (ties to the alphabetically first; zero hits ->
+    'other').  Output: (doc_id, topic, n_hits, score) where score =
+    n_hits / n_tokens rounded to 6 (0.0 for empty docs).
+
+    Scale shape: ONE map-side projection — no shuffle at all; seed
+    lists are compile-time constants folded into the plan."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+
+    def hits(seeds):
+        def is_seed(x):
+            cond = x == seeds[0]
+            for s in seeds[1:]:
+                cond = cond | (x == s)
+            return cond
+
+        return F.size(F.filter(toks, is_seed))
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        *[hits(seeds).alias(f"_h{i}") for i, (_, seeds) in enumerate(TOPIC_SEEDS)],
+    )
+    h0, h1, h2 = F.col("_h0"), F.col("_h1"), F.col("_h2")
+    best_hits = F.greatest(h0, h1, h2)
+    topic = (
+        F.when(best_hits == 0, F.lit("other"))
+        .when((h0 >= h1) & (h0 >= h2), F.lit(TOPIC_SEEDS[0][0]))
+        .when(h1 >= h2, F.lit(TOPIC_SEEDS[1][0]))
+        .otherwise(F.lit(TOPIC_SEEDS[2][0]))
+    )
+    return d.select(
+        "doc_id",
+        topic.alias("topic"),
+        F.when(best_hits == 0, F.lit(0)).otherwise(best_hits).cast("bigint").alias("n_hits"),
+        F.when(
+            (F.col("n_toks") > 0) & (best_hits > 0),
+            F.round(best_hits / F.col("n_toks").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )

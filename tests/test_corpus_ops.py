@@ -1119,3 +1119,35 @@ def test_term_burstiness_cf_over_df(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_topic_assignment_argmax_and_ties(spark):
+    from corhist_spark.textops import topic_assignment
+
+    rows = {
+        r["doc_id"]: r
+        for r in topic_assignment(
+            _docs(
+                spark,
+                [
+                    (1, "scan hash merge join"),   # exec 3 vs rel 1
+                    (2, "join scan"),              # 1-1 tie -> execution
+                    (3, "verbs only here"),        # no seeds -> other
+                    (4, ""),                       # empty -> other, 0.0
+                    (5, "table column row join"),  # storage 3 beats rel 1
+                ],
+            )
+        ).collect()
+    }
+    assert (rows[1]["topic"], rows[1]["n_hits"]) == ("execution", 3)
+    assert rows[1]["score"] == 0.75
+    assert rows[2]["topic"] == "execution"  # tie -> alphabetically first
+    assert (rows[3]["topic"], rows[3]["n_hits"], rows[3]["score"]) == ("other", 0, 0.0)
+    assert rows[4]["topic"] == "other"
+    assert rows[5]["topic"] == "storage"
+
+    plan = (
+        topic_assignment(_docs(spark, [(1, "x")]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one map-side projection, zero shuffles

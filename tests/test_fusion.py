@@ -980,3 +980,30 @@ def test_batch17_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+# ---- batch 18: point-in-time multi-value check ----
+
+
+def test_asof_multivalue_sees_only_covering_intervals(spark):
+    from corhist_spark.fusion import asof_multivalue
+
+    state = spark.createDataFrame(
+        [
+            # two values active at rev 10 -> violation
+            ("s1", "P1", "a", 5, 20),
+            ("s1", "P1", "b", 8, 15),
+            # second value closed BEFORE rev 10 -> no violation at 10
+            ("s2", "P1", "x", 1, 9),
+            ("s2", "P1", "y", 2, 30),
+            # second value opens AFTER rev 10
+            ("s3", "P1", "u", 1, 30),
+            ("s3", "P1", "v", 11, 30),
+        ],
+        "subj string, pred string, obj string, from_rev long, to_rev long",
+    )
+    got = {(r["subj"], r["n_objs"]) for r in asof_multivalue(state, 10).collect()}
+    assert got == {("s1", 2)}
+    # at rev 12 s3's second value is active too
+    got12 = {(r["subj"], r["n_objs"]) for r in asof_multivalue(state, 12).collect()}
+    assert got12 == {("s1", 2), ("s3", 2)}

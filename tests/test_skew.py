@@ -82,3 +82,20 @@ def test_salted_join_equals_plain_join(spark, sdf):
         for r in salted_join(adds, dim, "obj", n_salts=4).collect()
     }
     assert salted == plain and plain
+
+
+def test_skew_profile_recommends_salts_for_hot_keys(spark):
+    from corhist_spark.skew import skew_profile
+
+    rows = [("hot",)] * 2500 + [("warm",)] * 500 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: r for r in skew_profile(df, "k", target_per_task=1000).collect()}
+    assert got["hot"]["freq"] == 2500 and got["hot"]["recommended_salts"] == 3
+    assert got["warm"]["recommended_salts"] == 1
+    assert got["hot"]["n_keys"] == 3 and got["hot"]["n_rows"] == 3010
+    assert got["hot"]["share"] == round(2500 / 3010, 6)
+
+    df2 = skew_profile(df, "k")
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
