@@ -2405,6 +2405,70 @@ def q_topic_assignment(spark, sf_dir):
     return topic_assignment(_t(spark, sf_dir, "documents"))
 
 
+def q_el_candidates(spark, sf_dir):
+    """EL candidate generation with a commonness prior (Milne &
+    Witten): distinct mention surfaces x 3 deterministic alias
+    candidates, inner-joined against current-state entity popularity,
+    ranked per mention.  id_space = max numeric subject id + 1 (one
+    driver-small scalar)."""
+    from corhist_spark.extract import el_candidates
+    from corhist_spark.textops import _find_mentions
+
+    cur = _hist_current(spark, sf_dir)
+    pop = cur.groupBy(F.col("subj").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    id_space = (
+        cur.agg(
+            F.max(F.expr("CAST(substring(subj, 2) AS BIGINT)"))
+        ).collect()[0][0]
+        + 1
+    )  # one scalar — driver-small by construction
+    mentions = (
+        _spread(spark, _t(spark, sf_dir, "documents"))
+        .select(F.explode(_find_mentions("text")).alias("mention"))
+        .distinct()
+    )
+    return el_candidates(mentions, pop, id_space)
+
+
+def q_retrieval_triplets(spark, sf_dir):
+    """Contrastive retrieval triplets from near-dup supervision:
+    LSH candidate pairs as (anchor, positive), deterministic
+    md5-drawn negatives over the doc-id space; one map-side
+    projection over the capped pair table."""
+    from corhist_spark.textops import lsh_candidates, retrieval_triplets
+
+    docs = _t(spark, sf_dir, "documents")
+    id_space = (
+        docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    )  # one scalar — driver-small by construction
+    return retrieval_triplets(lsh_candidates(_signatures(spark, sf_dir)), id_space)
+
+
+def q_class_connectivity(spark, sf_dir):
+    """Class-pair connectivity matrix over the derived current state
+    (the schema-graph view): triples + distinct predicates per
+    (subject class, object class); type table = the fixture
+    C(id % 30) convention."""
+    from corhist_spark.fusion import class_connectivity
+
+    cur = _hist_current(spark, sf_dir)
+    ents = (
+        cur.select(F.col("subj").alias("entity"))
+        .union(cur.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    types = ents.select(
+        "entity",
+        F.concat(
+            F.lit("C"),
+            (F.expr("CAST(substring(entity, 2) AS BIGINT)") % 30).cast("string"),
+        ).alias("cls"),
+    )
+    return class_connectivity(cur, types)
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3319,6 +3383,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_violations": q_asof_violations,
         "skew_profile": q_skew_profile,
         "topic_assignment": q_topic_assignment,
+        # batch 19: EL candidate generation, contrastive retrieval
+        # triplets, class-pair connectivity
+        "el_candidates": q_el_candidates,
+        "retrieval_triplets": q_retrieval_triplets,
+        "class_connectivity": q_class_connectivity,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -7581,6 +7650,84 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
         """,
+        # 3 deterministic alias candidates per distinct mention
+        # (md5 decode mod the subject id space), popularity-joined;
+        # per-mention windows over <= 3 rows
+        "el_candidates": with_history_ctes(
+            f"""
+            , pop AS MATERIALIZED (
+              SELECT subj AS candidate, COUNT(*) AS n_triples
+              FROM h_cur GROUP BY subj
+            ), ids AS (
+              SELECT MAX(CAST(substr(subj, 2) AS BIGINT)) + 1 AS ks FROM h_cur
+            ), men AS (
+              SELECT DISTINCT
+                     unnest(regexp_extract_all(text, '[a-z]{{6,}}')) AS mention
+              FROM documents
+            ), cand AS (
+              SELECT DISTINCT mention,
+                     'Q' || CAST(
+                       ({hexval_sql("mention || ':' || CAST(k AS VARCHAR)")})
+                       % (SELECT ks FROM ids) AS VARCHAR) AS candidate
+              FROM (SELECT mention, unnest(generate_series(0, 2)) AS k
+                    FROM men)
+            ), sc AS (
+              SELECT c.mention, c.candidate, p.n_triples
+              FROM cand c JOIN pop p USING (candidate)
+            )
+            SELECT mention, candidate, n_triples,
+                   round(CAST(n_triples AS DOUBLE)
+                         / SUM(n_triples) OVER (PARTITION BY mention), 6)
+                     AS commonness,
+                   row_number() OVER (PARTITION BY mention
+                                      ORDER BY n_triples DESC, candidate)
+                     AS cand_rank
+            FROM sc
+            """
+        ),
+        # anchor/positive from the capped sigf bucket join; negative =
+        # md5 decode of the pair mod the doc-id space; collisions with
+        # anchor/positive dropped, not re-drawn
+        "retrieval_triplets": _SIG_CTES + f"""
+            , ids AS (SELECT MAX(doc_id) + 1 AS ks FROM documents),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS anchor, b.doc_id AS positive
+              FROM sigf a JOIN sigf b
+                ON a.band = b.band AND a.minhash = b.minhash
+               AND a.doc_id < b.doc_id
+            )
+            SELECT anchor, positive, negative FROM (
+              SELECT anchor, positive,
+                     ({hexval_sql(
+                         "CAST(anchor AS VARCHAR) || ':' || CAST(positive AS VARCHAR)"
+                     )}) % (SELECT ks FROM ids) AS negative
+              FROM cand
+            ) WHERE negative <> anchor AND negative <> positive
+        """,
+        # class x class adjacency of the current state; type table =
+        # the fixture C(id % 30) convention on both entity sides
+        "class_connectivity": with_history_ctes(
+            """
+            , ents AS (
+              SELECT DISTINCT entity FROM (
+                SELECT subj AS entity FROM h_cur
+                UNION
+                SELECT obj FROM h_cur)
+            ), ty AS MATERIALIZED (
+              SELECT entity,
+                     'C' || CAST(CAST(substr(entity, 2) AS BIGINT) % 30 AS VARCHAR)
+                       AS cls
+              FROM ents
+            )
+            SELECT ta.cls AS cls_a, tb.cls AS cls_b,
+                   COUNT(*) AS n_triples,
+                   COUNT(DISTINCT h.pred) AS n_preds
+            FROM h_cur h
+            JOIN ty ta ON ta.entity = h.subj
+            JOIN ty tb ON tb.entity = h.obj
+            GROUP BY ta.cls, tb.cls
+            """
+        ),
         # interval filter at the mid-history revision + one distinct
         # count — the as-of snapshot needs no replay
         "asof_violations": with_history_ctes(

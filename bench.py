@@ -225,6 +225,11 @@ HEADLINE = [
     "asof_violations",
     "skew_profile",
     "topic_assignment",
+    # batch 19: EL candidate generation, retrieval triplets,
+    # class connectivity
+    "el_candidates",
+    "retrieval_triplets",
+    "class_connectivity",
 ]
 
 

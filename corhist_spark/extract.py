@@ -196,3 +196,67 @@ def media_context_links(docs: DataFrame, max_dist: int = 4) -> DataFrame:
         .filter(F.col("is_media") & F.col("context_mention").isNotNull())
         .select("doc_id", "span_idx", F.col("tok").alias("media_ref"), "context_mention")
     )
+
+
+EL_N_CANDS = 3
+
+
+def el_candidates(
+    mentions: DataFrame,
+    popularity: DataFrame,
+    id_space: int,
+    n_cands: int = EL_N_CANDS,
+) -> DataFrame:
+    """Entity-linking candidate generation with a commonness prior —
+    the stage between mention detection and canonicalization in every
+    EL stack (Milne & Witten 2008's commonness): for each distinct
+    mention surface, propose ``n_cands`` candidate entities from the
+    alias map and rank them by corpus popularity; commonness =
+    candidate popularity / total popularity of the mention's
+    surviving candidates.
+
+    The alias map here is the harness's deterministic stand-in (a
+    real system feeds a curated alias dictionary): candidate k of a
+    mention is Q(md5-hash(mention:k) mod id_space), inner-joined
+    against ``popularity(entity, n_triples)`` so only entities that
+    exist in the KG survive.  Output: (mention, candidate, n_triples,
+    commonness, cand_rank) with rank 1 = most popular (ties to the
+    smaller candidate id) and commonness rounded to 6.
+
+    Scale shape: mentions explode x n_cands (a constant), one
+    entity-keyed equi-join against the vocabulary-sized popularity
+    table, and per-mention windows over <= n_cands rows — nothing
+    corpus-sized is windowed, sorted or broadcast."""
+    from pyspark.sql import Window
+
+    cands = mentions.select(
+        "mention",
+        F.explode(F.sequence(F.lit(0), F.lit(n_cands - 1))).alias("k"),
+    ).select(
+        "mention",
+        F.concat(
+            F.lit("Q"),
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(concat(mention, ':', CAST(k AS STRING))),"
+                    " 1, 13), 16, 10) AS BIGINT)"
+                )
+                % id_space
+            ).cast("string"),
+        ).alias("candidate"),
+    ).distinct()
+    scored = cands.join(
+        popularity.select(F.col("entity").alias("candidate"), "n_triples"),
+        "candidate",
+    )
+    w = Window.partitionBy("mention")
+    wo = w.orderBy(F.col("n_triples").desc(), "candidate")
+    return scored.select(
+        "mention",
+        "candidate",
+        "n_triples",
+        F.round(
+            F.col("n_triples") / F.sum("n_triples").over(w).cast("double"), 6
+        ).alias("commonness"),
+        F.row_number().over(wo).alias("cand_rank"),
+    )

@@ -750,3 +750,27 @@ def asof_multivalue(state: DataFrame, rev: int) -> DataFrame:
         .agg(F.countDistinct("obj").alias("n_objs"))
         .filter(F.col("n_objs") >= 2)
     )
+
+
+def class_connectivity(cur: DataFrame, types: DataFrame) -> DataFrame:
+    """Class-pair connectivity profile — the class-level adjacency
+    summary of the instance graph (the schema-graph view ontology
+    tools draw): for every (subject class, object class) pair, the
+    number of current-state triples and distinct predicates linking
+    them.  Complements ``predicate_domain_range`` (per-predicate
+    majority types) with the full class x class matrix.
+
+    Scale shape: two entity-keyed joins against the
+    vocabulary-sized type table + one (cls_a, cls_b) map-side-
+    combined aggregate; output is class² sized, never corpus-sized."""
+    ta = types.select(F.col("entity").alias("subj"), F.col("cls").alias("cls_a"))
+    tb = types.select(F.col("entity").alias("obj"), F.col("cls").alias("cls_b"))
+    return (
+        cur.join(ta, "subj")
+        .join(tb, "obj")
+        .groupBy("cls_a", "cls_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("pred").alias("n_preds"),
+        )
+    )

@@ -2372,3 +2372,39 @@ def topic_assignment(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("score"),
     )
+
+
+def retrieval_triplets(pairs: DataFrame, id_space: int) -> DataFrame:
+    """Contrastive retrieval-training triplets from near-duplicate
+    supervision (the SimCSE/E5 weak-supervision pattern: near-dups
+    are positives, everything else is negative): each LSH candidate
+    pair (a, b) becomes (anchor=a, positive=b, negative=n) with the
+    negative drawn deterministically from the id space via the
+    repo-standard md5 decode; rows whose draw collides with the
+    anchor or positive are dropped (deterministically on both
+    engines) rather than re-drawn.
+
+    Output: (anchor, positive, negative).
+
+    Scale shape: ONE map-side projection over the (already
+    bucket-capped) candidate-pair table — no join, no shuffle; the
+    negative existing in the corpus is guaranteed by drawing modulo
+    the id space the caller derives from the corpus."""
+    neg = (
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_a AS STRING), ':',"
+            " CAST(doc_b AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        )
+        % id_space
+    )
+    return (
+        pairs.select(
+            F.col("doc_a").alias("anchor"),
+            F.col("doc_b").alias("positive"),
+            neg.alias("negative"),
+        )
+        .filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+    )

@@ -123,3 +123,48 @@ def test_frame_sampling_multibyte_payload(spark):
     assert set(rows) == {0, 2}
     assert rows[0] == hashlib.md5(b[0:4]).hexdigest()
     assert rows[2] == hashlib.md5(b[8:12]).hexdigest()
+
+
+def test_el_candidates_commonness_and_rank(spark):
+    import hashlib
+
+    from corhist_spark.extract import el_candidates
+
+    mentions = spark.createDataFrame([("abcdef",), ("zzzzzz",)], "mention string")
+    pop = spark.createDataFrame(
+        [(f"Q{i}", (i + 1) * 10) for i in range(7)], "entity string, n_triples long"
+    )
+    got = el_candidates(mentions, pop, id_space=7).collect()
+
+    def cand(m, k):
+        h = int(hashlib.md5(f"{m}:{k}".encode()).hexdigest()[:13], 16) % 7
+        return f"Q{h}"
+
+    for m in ("abcdef", "zzzzzz"):
+        expect = sorted({cand(m, k) for k in range(3)})
+        rows = sorted(
+            [r for r in got if r["mention"] == m], key=lambda r: r["cand_rank"]
+        )
+        assert sorted(r["candidate"] for r in rows) == expect
+        # rank order = popularity desc; commonness sums to ~1
+        pops = [r["n_triples"] for r in rows]
+        assert pops == sorted(pops, reverse=True)
+        assert abs(sum(r["commonness"] for r in rows) - 1.0) < 1e-5
+
+
+def test_retrieval_triplets_drops_collisions(spark):
+    import hashlib
+
+    from corhist_spark.textops import retrieval_triplets
+
+    pairs = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
+    got = {(r["anchor"], r["positive"]): r["negative"]
+           for r in retrieval_triplets(pairs, id_space=10).collect()}
+    for (a, b), n in got.items():
+        h = int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:13], 16) % 10
+        assert n == h and n not in (a, b)
+
+    plan = (
+        retrieval_triplets(pairs, 10)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one map-side projection, zero shuffles

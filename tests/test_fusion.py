@@ -1007,3 +1007,18 @@ def test_asof_multivalue_sees_only_covering_intervals(spark):
     # at rev 12 s3's second value is active too
     got12 = {(r["subj"], r["n_objs"]) for r in asof_multivalue(state, 12).collect()}
     assert got12 == {("s1", 2), ("s3", 2)}
+
+
+def test_class_connectivity_matrix(spark):
+    from corhist_spark.fusion import class_connectivity
+
+    cur = _cur(spark, [("a", "P1", "x"), ("b", "P2", "x"), ("a", "P1", "y")])
+    types = spark.createDataFrame(
+        [("a", "CA"), ("b", "CB"), ("x", "CX"), ("y", "CX")],
+        "entity string, cls string",
+    )
+    got = {
+        (r["cls_a"], r["cls_b"]): (r["n_triples"], r["n_preds"])
+        for r in class_connectivity(cur, types).collect()
+    }
+    assert got == {("CA", "CX"): (2, 1), ("CB", "CX"): (1, 1)}
