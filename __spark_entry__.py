@@ -1672,7 +1672,7 @@ def _ev_count(spark, sf_dir):
     return _EV_N_MEMO[key]
 
 
-def _kg_edges(spark, sf_dir):
+def _kg_edges(spark, sf_dir, max_event=None):
     """Deterministic entity-graph edge list derived from events:
     src = Q(event_id mod K), dst = Q(md5-hash(event_id) mod K) with
     K = max(64, n_events // 20) — a pseudo-random multigraph whose
@@ -1684,6 +1684,10 @@ def _kg_edges(spark, sf_dir):
     edge set would collapse to K functional edges."""
     ev = _t(spark, sf_dir, "events")
     k = max(64, _ev_count(spark, sf_dir) // 20)
+    if max_event is not None:
+        # temporal prefix of the SAME graph: K stays derived from the
+        # full corpus so node identities agree across snapshots
+        ev = ev.filter(F.col("event_id") <= max_event)
     return ev.select(
         F.concat(F.lit("Q"), (F.col("event_id") % k).cast("string")).alias("src"),
         F.concat(
@@ -2467,6 +2471,79 @@ def q_class_connectivity(spark, sf_dir):
         ).alias("cls"),
     )
     return class_connectivity(cur, types)
+
+
+def q_revert_detection(spark, sf_dir):
+    """Identity-revert events over the derived edit history (del
+    undone by re-adding the same triple within 20 revisions) — one
+    triple-keyed lead window, no self-join."""
+    from corhist_spark.fusion import revert_detection
+    from corhist_spark.history import derived_edits
+
+    return revert_detection(derived_edits(spark, sf_dir))
+
+
+def q_nll_spikes(spark, sf_dir):
+    """Sliding-window unigram-NLL spikes per document (the windowed
+    CCNet filter): token explode + vocabulary join + ONE doc-keyed
+    sliding window; full windows only, short docs score their single
+    full-doc window."""
+    from corhist_spark.textops import nll_spikes
+
+    return nll_spikes(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_oov_rates(spark, sf_dir):
+    """Per-doc OOV rate against the corpus's own top-1024 vocabulary
+    — distributed top-k vocab + broadcast membership join + doc-keyed
+    aggregate."""
+    from corhist_spark.textops import oov_rates
+
+    return oov_rates(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_typed_negatives(spark, sf_dir):
+    """Type-constrained filtered KGE negatives (Krompass 2015):
+    corruptions drawn only from same-class entities via the
+    class-keyed bucketed draw; type table = the fixture C(id % 30)
+    convention over all entities."""
+    from corhist_spark.fusion import typed_negatives
+
+    cur = _hist_current(spark, sf_dir)
+    ents = (
+        cur.select(F.col("subj").alias("entity"))
+        .union(cur.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    types = ents.select(
+        "entity",
+        F.concat(
+            F.lit("C"),
+            (F.expr("CAST(substring(entity, 2) AS BIGINT)") % 30).cast("string"),
+        ).alias("cls"),
+    )
+    return typed_negatives(cur, types)
+
+
+def q_temporal_linkpred(spark, sf_dir):
+    """Time-aware link prediction: train on the first half of the
+    event-derived graph, test on canonical edges that only exist in
+    the full graph — the honest protocol for an evolving KG."""
+    from corhist_spark.graph import temporal_linkpred
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2  # one scalar
+    return temporal_linkpred(
+        _kg_edges(spark, sf_dir, max_event=mid), _kg_edges(spark, sf_dir)
+    )
+
+
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character-entropy gibberish detector — one char-scan
+    explode + doc-keyed aggregates on one partitioning."""
+    from corhist_spark.textops import char_entropy
+
+    return char_entropy(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
 def q_token_quantiles(spark, sf_dir):
@@ -3388,6 +3465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_candidates": q_el_candidates,
         "retrieval_triplets": q_retrieval_triplets,
         "class_connectivity": q_class_connectivity,
+        # batch 20: revert detection, windowed-NLL spikes, OOV rates
+        "revert_detection": q_revert_detection,
+        "nll_spikes": q_nll_spikes,
+        "oov_rates": q_oov_rates,
+        # batch 21: type-constrained negatives, temporal link
+        # prediction, character entropy
+        "typed_negatives": q_typed_negatives,
+        "temporal_linkpred": q_temporal_linkpred,
+        "char_entropy": q_char_entropy,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4351,6 +4437,11 @@ from corhist_spark.fusion import (
 )
 from corhist_spark.textops import BURST_TOP_K as _BURST_TOP_K
 from corhist_spark.textops import TOPIC_SEEDS as _TOPIC_SEEDS
+from corhist_spark.textops import (
+    NLL_SPIKE_WINDOW as _NLL_SPIKE_WINDOW,
+    OOV_VOCAB_K as _OOV_VOCAB_K,
+)
+from corhist_spark.fusion import REVERT_WINDOW as _REVERT_WINDOW
 from corhist_spark.graph import (
     AA_HUB_CAP as _AA_HUB_CAP,
     AA_MIN_COMMON as _AA_MIN_COMMON,
@@ -4976,6 +5067,123 @@ def _kge_draw_ctes(vocab_from: str, vocab_col: str, salt: str, tag: str) -> str:
       FROM d{tag} JOIN b{tag} USING (bucket)
     )"""
 
+
+def _typed_draw_ctes(vocab_col: str, salt: str, tag: str) -> str:
+    """Class-constrained bucketed-draw CTE chain (mirrors
+    fusion.typed_negatives: the kge draw with the fixture C(id % 30)
+    class added to the bucket join key)."""
+    key = "subj || '|' || pred || '|' || obj"
+
+    def cls(x: str) -> str:
+        return f"'C' || CAST(CAST(substr({x}, 2) AS BIGINT) % 30 AS VARCHAR)"
+
+    nbuck = f"greatest(1, (SELECT n FROM tn{tag}) // {_KGE_BUCKET})"
+    return f"""tv{tag} AS MATERIALIZED (
+      SELECT DISTINCT {vocab_col} AS cand FROM trip
+    ), tn{tag} AS MATERIALIZED (SELECT COUNT(*) AS n FROM tv{tag}),
+    tb{tag} AS MATERIALIZED (
+      SELECT cand, {cls("cand")} AS cls,
+             ({hexval_sql("'kgeb:' || cand")}) % {nbuck} AS bucket
+      FROM tv{tag}
+    ), td{tag} AS (
+      SELECT subj, pred, obj, {cls(vocab_col)} AS cls,
+             ({hexval_sql(f"'{salt}:' || " + key)}) % {nbuck} AS bucket
+      FROM trip
+    ), tp{tag} AS MATERIALIZED (
+      SELECT subj, pred, obj, cand,
+             row_number() OVER (
+               PARTITION BY subj, pred, obj
+               ORDER BY ({hexval_sql(f"'kgepick:{salt}:' || {key} || ':' || cand")}),
+                        cand) AS rn
+      FROM td{tag} JOIN tb{tag} USING (cls, bucket)
+    )"""
+
+
+_TYPED_NEG_SQL = with_history_ctes(
+    f"""
+    , trip AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM h_cur),
+    {_typed_draw_ctes("subj", "tnegh", "e")},
+    {_typed_draw_ctes("obj", "tnegt", "v")},
+    heads AS (
+      SELECT h.subj, h.pred, h.obj, 'head' AS position, h.cand AS neg_value
+      FROM tpe h
+      WHERE h.rn = 1 AND h.cand <> h.subj
+        AND NOT EXISTS (SELECT 1 FROM trip t
+                        WHERE t.subj = h.cand AND t.pred = h.pred
+                          AND t.obj = h.obj)
+    ), tails AS (
+      SELECT h.subj, h.pred, h.obj, 'tail' AS position, h.cand AS neg_value
+      FROM tpv h
+      WHERE h.rn = 1 AND h.cand <> h.obj
+        AND NOT EXISTS (SELECT 1 FROM trip t
+                        WHERE t.subj = h.subj AND t.pred = h.pred
+                          AND t.obj = h.cand)
+    )
+    SELECT * FROM heads UNION ALL SELECT * FROM tails
+    """
+)
+
+# Temporal link prediction: the event-id prefix is the train graph
+# (K from the FULL corpus so node identities agree), new = canonical
+# full-graph edges absent from train, AA chain as in _LP_SQL.
+_TLP_SQL = f"""
+    WITH kk AS (SELECT greatest(64, COUNT(*) // 20) AS k FROM events),
+    mid AS (SELECT MAX(event_id) // 2 AS m FROM events),
+    edgesall AS (
+      SELECT event_id,
+             'Q' || CAST(event_id % (SELECT k FROM kk) AS VARCHAR) AS src,
+             'Q' || CAST(({hexval_sql("CAST(event_id AS VARCHAR)")})
+                         % (SELECT k FROM kk) AS VARCHAR) AS dst
+      FROM events
+    ), train AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edgesall CROSS JOIN mid
+      WHERE src <> dst AND event_id <= m
+    ), canon_f AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edgesall WHERE src <> dst
+    ), newe AS MATERIALIZED (
+      SELECT a, b FROM canon_f
+      WHERE NOT EXISTS (SELECT 1 FROM train t
+                        WHERE t.a = canon_f.a AND t.b = canon_f.b)
+    ), und AS (
+      SELECT a AS u, b AS v FROM train
+      UNION ALL
+      SELECT b AS u, a AS v FROM train
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM und GROUP BY u
+    ), keep AS (
+      SELECT node FROM deg WHERE d <= {_AA_HUB_CAP}
+    ), fund AS MATERIALIZED (
+      SELECT u, v FROM und
+      WHERE u IN (SELECT node FROM keep) AND v IN (SELECT node FROM keep)
+    ), fdeg AS MATERIALIZED (
+      SELECT u, COUNT(*) AS d FROM fund GROUP BY u
+    ), wedge AS (
+      SELECT e1.v AS x, e2.v AS y, COUNT(*) AS common,
+             SUM(CAST(1.0 AS DOUBLE) / ln(CAST(fd.d AS DOUBLE))) AS aa_raw
+      FROM fund e1
+      JOIN fund e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN fdeg fd ON fd.u = e1.u
+      GROUP BY 1, 2
+    ), preds AS MATERIALIZED (
+      SELECT w.x, w.y, round(w.aa_raw, 6) AS aa_score
+      FROM wedge w
+      WHERE w.common >= 1
+        AND NOT EXISTS (SELECT 1 FROM train t WHERE t.a = w.x AND t.b = w.y)
+    ), rec AS MATERIALIZED (
+      SELECT p.aa_score FROM newe h JOIN preds p ON p.x = h.a AND p.y = h.b
+    )
+    SELECT (SELECT COUNT(*) FROM newe) AS n_new,
+           (SELECT COUNT(*) FROM preds) AS n_predicted,
+           (SELECT COUNT(*) FROM rec) AS n_recovered,
+           CASE WHEN (SELECT COUNT(*) FROM newe) > 0
+                THEN round((SELECT COUNT(*) FROM rec)
+                           / CAST((SELECT COUNT(*) FROM newe) AS DOUBLE), 6)
+                ELSE 0.0 END AS recall,
+           COALESCE((SELECT round(AVG(aa_score), 6) FROM rec), 0.0)
+             AS mean_recovered_score
+"""
 
 _KGE_SQL = with_history_ctes(
     f"""
@@ -7649,6 +7857,116 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # class-constrained bucketed draws (the kge chain with the
+        # C(id % 30) class on the bucket join key), filtered protocol
+        "typed_negatives": _TYPED_NEG_SQL,
+        # event-id-prefix train graph, full-graph new edges, AA chain
+        "temporal_linkpred": _TLP_SQL,
+        # per-doc char distribution entropy; identical double terms
+        # (exact integer ratios through ln) on both engines
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, len(text))) AS i
+                    FROM documents WHERE len(text) >= 1)
+            ), counts AS MATERIALIZED (
+              SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c
+            ), tot AS (
+              SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nt
+              FROM counts GROUP BY doc_id
+            ), ent AS (
+              SELECT counts.doc_id,
+                     round(-SUM((CAST(n AS DOUBLE) / nt)
+                                * ln(CAST(n AS DOUBLE) / nt)), 6) AS entropy,
+                     MAX(nt) AS n_chars
+              FROM counts JOIN tot USING (doc_id)
+              GROUP BY counts.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(e.n_chars, 0) AS BIGINT) AS n_chars,
+                   COALESCE(e.entropy, 0.0) AS entropy
+            FROM documents d LEFT JOIN ent e USING (doc_id)
+        """,
+        # del followed by re-add of the SAME triple within the window
+        # (one triple-keyed lead); window interpolated from the
+        # fusion constant
+        "revert_detection": with_history_ctes(
+            f"""
+            , led AS (
+              SELECT subj, pred, obj, op, rev_id AS del_rev,
+                     lead(op) OVER (PARTITION BY subj, pred, obj
+                                    ORDER BY rev_id) AS nop,
+                     lead(rev_id) OVER (PARTITION BY subj, pred, obj
+                                        ORDER BY rev_id) AS readd_rev
+              FROM h_edits
+            )
+            SELECT subj, pred, obj, del_rev, readd_rev,
+                   readd_rev - del_rev AS gap
+            FROM led
+            WHERE op = 'del' AND nop = 'add'
+              AND readd_rev - del_rev <= {_REVERT_WINDOW}
+            """
+        ),
+        # sliding full windows (ROWS CURRENT..w-1 FOLLOWING) over the
+        # per-position unigram NLL; short docs keep their single
+        # pos-0 window; w interpolated from the textops constant
+        "nll_spikes": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS tf
+              FROM documents
+            ), toks AS MATERIALIZED (
+              SELECT doc_id, CAST(i AS INT) - 1 AS pos, tf[CAST(i AS INT)] AS tok
+              FROM (SELECT doc_id, tf, unnest(generate_series(1, len(tf))) AS i
+                    FROM t)
+            ), cf AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
+            tt AS (SELECT CAST(SUM(cf) AS BIGINT) AS t_total FROM cf),
+            sc AS (
+              SELECT doc_id, pos, -ln(CAST(cf AS DOUBLE) / t_total) AS nll
+              FROM toks JOIN cf USING (tok) CROSS JOIN tt
+            ), win AS (
+              SELECT doc_id, pos,
+                     AVG(nll) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND {_NLL_SPIKE_WINDOW - 1} FOLLOWING)
+                       AS wnll,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS n_toks
+              FROM sc
+            )
+            SELECT doc_id, COUNT(*) AS n_windows,
+                   round(MAX(wnll), 6) AS max_window_nll
+            FROM win
+            WHERE pos + {_NLL_SPIKE_WINDOW} <= n_toks OR pos = 0
+            GROUP BY doc_id
+        """,
+        # top-k vocabulary (cf desc, tok asc) + membership join;
+        # vocab size interpolated from the textops constant
+        "oov_rates": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS tok
+              FROM documents
+            ), vocab AS (
+              SELECT tok FROM (
+                SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+              ) ORDER BY cf DESC, tok LIMIT {_OOV_VOCAB_K}
+            ), per AS (
+              SELECT t.doc_id, COUNT(*) AS n_toks,
+                     SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_toks, 0) AS BIGINT) AS n_toks,
+                   CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+                   CASE WHEN COALESCE(p.n_toks, 0) > 0
+                        THEN round(CAST(COALESCE(p.n_oov, 0) AS DOUBLE)
+                                   / p.n_toks, 6)
+                        ELSE 0.0 END AS oov_rate
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         # 3 deterministic alias candidates per distinct mention
         # (md5 decode mod the subject id space), popularity-joined;

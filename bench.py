@@ -230,6 +230,15 @@ HEADLINE = [
     "el_candidates",
     "retrieval_triplets",
     "class_connectivity",
+    # batch 20: revert detection, windowed-NLL spikes, OOV rates
+    "revert_detection",
+    "nll_spikes",
+    "oov_rates",
+    # batch 21: type-constrained negatives, temporal link prediction,
+    # character entropy
+    "typed_negatives",
+    "temporal_linkpred",
+    "char_entropy",
 ]
 
 

@@ -774,3 +774,130 @@ def class_connectivity(cur: DataFrame, types: DataFrame) -> DataFrame:
             F.countDistinct("pred").alias("n_preds"),
         )
     )
+
+
+REVERT_WINDOW = 20
+
+
+def revert_detection(edits: DataFrame, window: int = REVERT_WINDOW) -> DataFrame:
+    """Identity-revert detection over the edit history — the wiki-
+    history maintenance signal (a deletion undone by re-adding the
+    SAME triple within ``window`` revisions is a revert, the
+    canonical instability marker feeding vandalism heuristics and
+    the reference's game queue): one row per revert event
+    (subj, pred, obj, del_rev, readd_rev, gap).
+
+    Scale shape: one window (lead) per (subj, pred, obj) ordered by
+    rev — the same triple-keyed partitioning the interval-state
+    builder already uses; no self-join, nothing corpus-sized
+    broadcast."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj", "pred", "obj").orderBy("rev_id")
+    flagged = edits.select(
+        "subj",
+        "pred",
+        "obj",
+        "op",
+        F.col("rev_id").alias("del_rev"),
+        F.lead("op").over(w).alias("_nop"),
+        F.lead("rev_id").over(w).alias("readd_rev"),
+    )
+    return (
+        flagged.filter(
+            (F.col("op") == "del")
+            & (F.col("_nop") == "add")
+            & (F.col("readd_rev") - F.col("del_rev") <= window)
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "del_rev",
+            "readd_rev",
+            (F.col("readd_rev") - F.col("del_rev")).alias("gap"),
+        )
+    )
+
+
+def typed_negatives(cur: DataFrame, types: DataFrame) -> DataFrame:
+    """Type-constrained filtered negative sampling (Krompass et al.
+    2015): like ``kge_negatives`` but corruptions are drawn ONLY from
+    entities of the SAME class as the element they replace — the
+    standard upgrade that stops an embedding model from learning mere
+    type separation instead of real semantics.  Output: (subj, pred,
+    obj, position, neg_value), filtered protocol (corruption must
+    differ from the true element and must not itself be a true
+    triple).  Triples whose (class, bucket) draw finds no candidate
+    drop out deterministically on both engines (rare classes).
+
+    Scale shape: inherits ``_bucketed_draw``'s bounds with the class
+    added to the bucket join key — candidate volume stays
+    |triples| * ~KGE_BUCKET, no vocabulary broadcast, no global
+    index; one extra vocabulary-sized type join per side."""
+    trip = cur.select("subj", "pred", "obj").distinct().localCheckpoint()
+    key = "concat(subj, '|', pred, '|', obj)"
+
+    def side(vocab_col: str, salt: str, position: str) -> DataFrame:
+        vocab = (
+            trip.select(vocab_col)
+            .distinct()
+            .join(
+                types.select(F.col("entity").alias(vocab_col), "cls"), vocab_col
+            )
+        )
+        n_tot = vocab.agg(F.count(F.lit(1)).alias("n_tot"))
+        nbuck = F.greatest(F.lit(1), F.expr(f"n_tot div {KGE_BUCKET}"))
+        buckets = vocab.crossJoin(F.broadcast(n_tot)).select(  # 1-row totals
+            F.col(vocab_col).alias("cand"),
+            "cls",
+            (F.expr(_hash52(f"concat('kgeb:', {vocab_col})")) % nbuck).alias(
+                "bucket"
+            ),
+        )
+        drawn = (
+            trip.join(
+                types.select(F.col("entity").alias(vocab_col), "cls"), vocab_col
+            )
+            .crossJoin(F.broadcast(n_tot))  # single-row totals frame
+            .select(
+                "subj",
+                "pred",
+                "obj",
+                "cls",
+                (F.expr(_hash52(f"concat('{salt}:', {key})")) % nbuck).alias(
+                    "bucket"
+                ),
+            )
+        )
+        w = Window.partitionBy("subj", "pred", "obj").orderBy("score", "cand")
+        picked = (
+            drawn.join(buckets, ["cls", "bucket"])
+            .withColumn(
+                "score",
+                F.expr(_hash52(f"concat('kgepick:{salt}:', {key}, ':', cand)")),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("subj", "pred", "obj", F.col("cand").alias("pick"))
+        )
+        anti_key = (
+            ["neg_value", "pred", "obj"]
+            if vocab_col == "subj"
+            else ["subj", "pred", "neg_value"]
+        )
+        renamed = trip.select(
+            F.col("subj").alias("neg_value" if vocab_col == "subj" else "subj"),
+            "pred",
+            F.col("obj").alias("obj" if vocab_col == "subj" else "neg_value"),
+        )
+        return (
+            picked.filter(F.col("pick") != F.col(vocab_col))
+            .select("subj", "pred", "obj", F.col("pick").alias("neg_value"))
+            .join(renamed, anti_key, "left_anti")
+            .withColumn("position", F.lit(position))
+        )
+
+    return side("subj", "tnegh", "head").unionByName(
+        side("obj", "tnegt", "tail")
+    ).select("subj", "pred", "obj", "position", "neg_value")

@@ -957,3 +957,71 @@ def reciprocity(edges: DataFrame) -> DataFrame:
             F.coalesce("n_recip", F.lit(0)) / F.col("out_deg").cast("double"), 6
         ).alias("recip_ratio"),
     )
+
+
+def temporal_linkpred(
+    train_edges: DataFrame,
+    future_edges: DataFrame,
+    hub_cap: int = AA_HUB_CAP,
+    min_common: int = 1,
+) -> DataFrame:
+    """Time-aware link-prediction evaluation — the honest protocol
+    for an EVOLVING graph (predict edges that actually formed later,
+    not a random holdout; Liben-Nowell & Kleinberg's original
+    formulation): train on the edges existing at time T, test on the
+    canonical edges present in ``future_edges`` but absent from the
+    train snapshot, score Adamic-Adar on train.  One row:
+    (n_new, n_predicted, n_recovered, recall, mean_recovered_score)
+    — same metric contract as ``linkpred_eval`` (join-only
+    membership, no global ranking sort).
+
+    Scale shape: two canonical distincts, one anti-join for the new-
+    edge set, and adamic_adar's m * hub_cap wedge bound on train."""
+    def canon(e):
+        return (
+            e.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    train = canon(train_edges).localCheckpoint()
+    new = (
+        canon(future_edges).join(train, ["a", "b"], "left_anti").localCheckpoint()
+    )
+    preds = adamic_adar(
+        train.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        hub_cap=hub_cap,
+        min_common=min_common,
+    ).localCheckpoint()
+    recovered = new.join(
+        preds.select(
+            F.col("node_a").alias("a"), F.col("node_b").alias("b"), "aa_score"
+        ),
+        ["a", "b"],
+    )
+    n_n = new.agg(F.count(F.lit(1)).alias("n_new"))
+    n_p = preds.agg(F.count(F.lit(1)).alias("n_predicted"))
+    n_r = recovered.agg(
+        F.count(F.lit(1)).alias("n_recovered"),
+        F.coalesce(F.round(F.avg("aa_score"), 6), F.lit(0.0)).alias(
+            "mean_recovered_score"
+        ),
+    )
+    return (
+        n_n.crossJoin(F.broadcast(n_p))  # single-row totals frames
+        .crossJoin(F.broadcast(n_r))
+        .select(
+            "n_new",
+            "n_predicted",
+            "n_recovered",
+            F.when(
+                F.col("n_new") > 0,
+                F.round(F.col("n_recovered") / F.col("n_new").cast("double"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("recall"),
+            "mean_recovered_score",
+        )
+    )

@@ -2408,3 +2408,159 @@ def retrieval_triplets(pairs: DataFrame, id_space: int) -> DataFrame:
             & (F.col("negative") != F.col("positive"))
         )
     )
+
+
+NLL_SPIKE_WINDOW = 16
+
+
+def nll_spikes(docs: DataFrame, window: int = NLL_SPIKE_WINDOW) -> DataFrame:
+    """Local-quality segmentation by sliding-window unigram NLL —
+    the windowed variant of the CCNet-style perplexity filter: a doc
+    whose MEAN NLL is fine can still hide a gibberish patch; the max
+    over sliding ``window``-token windows exposes it.  Per document:
+    (doc_id, n_windows, max_window_nll) where window NLL is the mean
+    of -ln(cf/T) over the window's tokens, rounded to 6.
+
+    Scale shape: one token explode + one vocabulary-keyed equi-join
+    against the unigram frequency table (the corpus never joins
+    itself), then ONE doc-keyed sliding window (ROWS BETWEEN 0 AND
+    window-1) and a doc-keyed max — both ride the same doc_id
+    partitioning.  Window sums are computed in position order on
+    both engines (identical IEEE add chains).  Documents shorter
+    than ``window`` tokens score their single full-doc window."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "tok"
+        ),
+    )
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("t_total"))
+    scored = (
+        toks.join(cf, "tok")
+        .crossJoin(F.broadcast(tot))  # single-row totals frame
+        .select(
+            "doc_id",
+            "pos",
+            (-F.log(F.col("cf").cast("double") / F.col("t_total"))).alias("nll"),
+        )
+    )
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    frame = dw.rowsBetween(0, window - 1)
+    n_toks = F.count(F.lit(1)).over(dw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    windows = scored.select(
+        "doc_id",
+        F.avg("nll").over(frame).alias("wnll"),
+        F.col("pos"),
+        n_toks.alias("n_toks"),
+    ).filter(
+        # full windows only — except the doc-length window of a short doc
+        (F.col("pos") + window <= F.col("n_toks")) | (F.col("pos") == 0)
+    )
+    return windows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.max("wnll"), 6).alias("max_window_nll"),
+    )
+
+
+OOV_VOCAB_K = 1024
+
+
+def oov_rates(docs: DataFrame, vocab_k: int = OOV_VOCAB_K) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` unigram vocabulary — the tokenizer-coverage
+    diagnostic (docs with high OOV against the corpus head are
+    foreign-script, encoding-damaged, or template noise).  Output:
+    (doc_id, n_toks, n_oov, oov_rate) with oov_rate rounded to 6
+    (0.0 for empty docs).
+
+    Scale shape: one token explode + one map-side-combinable count,
+    a distributed top-k for the vocabulary (TakeOrderedAndProject),
+    then a BROADCAST join of the constant-sized vocab against the
+    token stream and one doc-keyed aggregate."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.col("cf").desc(), "tok")
+        .limit(vocab_k)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    flagged = toks.join(F.broadcast(vocab), "tok", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    base = docs.select("doc_id")
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_toks", F.lit(0)).cast("bigint").alias("n_toks"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        F.when(
+            F.coalesce("n_toks", F.lit(0)) > 0,
+            F.round(
+                F.coalesce("n_oov", F.lit(0))
+                / F.coalesce("n_toks", F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish/encoding-damage detector (natural text sits in a
+    narrow entropy band; base64 blobs, mojibake and key-mash sit
+    above it, repeated-char padding below): (doc_id, n_chars,
+    entropy) with entropy = -sum p ln p over the doc's character
+    distribution, rounded to 6 (empty docs publish 0.0).
+
+    Scale shape: one character explode (the shingle-scan shape the
+    dedup family already runs) + one (doc, char) count, one doc-keyed
+    total, one doc-keyed equi-join and one doc-keyed sum — everything
+    rides the doc_id partitioning; nothing crosses documents.  The
+    per-char terms are identical doubles on both engines (exact
+    integer ratios through ln); the final sum is over alphabet-sized
+    term sets, so cross-engine summation-order error is ~1e-15 —
+    far inside the 1e-6 rounding."""
+    ch = (
+        docs.filter(F.length("text") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substr(text, i, 1)").alias("c"))
+    )
+    counts = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("doc_id").agg(F.sum("n").alias("nt"))
+    ent = (
+        counts.join(totals, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n") / F.col("nt").cast("double"))
+                    * F.log(F.col("n") / F.col("nt").cast("double"))
+                ),
+                6,
+            ).alias("entropy"),
+            F.max("nt").cast("bigint").alias("n_chars"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(ent, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0)).cast("bigint").alias("n_chars"),
+            F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
+        )
+    )

@@ -1151,3 +1151,61 @@ def test_topic_assignment_argmax_and_ties(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # one map-side projection, zero shuffles
+
+
+def test_nll_spikes_matches_python_windows(spark):
+    import math
+
+    from corhist_spark.textops import nll_spikes
+
+    # corpus: "a a b" -> cf(a)=2, cf(b)=1, T=3
+    row = nll_spikes(_docs(spark, [(1, "a a b")]), window=2).collect()[0]
+    nll_a, nll_b = -math.log(2 / 3), -math.log(1 / 3)
+    # full windows: (a,a) and (a,b); pos-2 partial window excluded
+    assert row["n_windows"] == 2
+    assert row["max_window_nll"] == round((nll_a + nll_b) / 2, 6)
+
+
+def test_nll_spikes_short_doc_keeps_single_window(spark):
+    import math
+
+    from corhist_spark.textops import nll_spikes
+
+    row = nll_spikes(_docs(spark, [(1, "a b")]), window=16).collect()[0]
+    assert row["n_windows"] == 1
+    assert row["max_window_nll"] == round(
+        (-math.log(1 / 2) - math.log(1 / 2)) / 2, 6
+    )
+
+
+def test_oov_rates_against_corpus_head(spark):
+    from corhist_spark.textops import oov_rates
+
+    rows = {
+        r["doc_id"]: r
+        for r in oov_rates(
+            _docs(spark, [(1, "x x y"), (2, "y z"), (3, "")]), vocab_k=1
+        ).collect()
+    }
+    # top-1 vocab = x (cf 2, tie vs y broken by token asc)
+    assert (rows[1]["n_toks"], rows[1]["n_oov"]) == (3, 1)
+    assert rows[1]["oov_rate"] == round(1 / 3, 6)
+    assert (rows[2]["n_oov"], rows[2]["oov_rate"]) == (2, 1.0)
+    assert (rows[3]["n_toks"], rows[3]["oov_rate"]) == (0, 0.0)
+
+
+def test_char_entropy_matches_python(spark):
+    import math
+
+    from corhist_spark.textops import char_entropy
+
+    rows = {
+        r["doc_id"]: r
+        for r in char_entropy(
+            _docs(spark, [(1, "aab"), (2, "aaaa"), (3, "")])
+        ).collect()
+    }
+    want = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert rows[1]["n_chars"] == 3 and rows[1]["entropy"] == round(want, 6)
+    assert rows[2]["entropy"] == 0.0  # single-char doc: -1*ln(1) = 0
+    assert (rows[3]["n_chars"], rows[3]["entropy"]) == (0, 0.0)

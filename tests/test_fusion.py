@@ -1022,3 +1022,54 @@ def test_class_connectivity_matrix(spark):
         for r in class_connectivity(cur, types).collect()
     }
     assert got == {("CA", "CX"): (2, 1), ("CB", "CX"): (1, 1)}
+
+
+def test_revert_detection_window_semantics(spark):
+    from corhist_spark.fusion import revert_detection
+
+    edits = spark.createDataFrame(
+        [
+            (1, "add", "s", "P", "o"),
+            (5, "del", "s", "P", "o"),
+            (10, "add", "s", "P", "o"),   # revert: gap 5
+            (50, "del", "s", "P", "o"),
+            (80, "add", "s", "P", "o"),   # gap 30 > 20: not a revert
+            (3, "del", "t", "P", "o"),    # del never re-added
+        ],
+        "rev_id long, op string, subj string, pred string, obj string",
+    )
+    got = [
+        (r["subj"], r["del_rev"], r["readd_rev"], r["gap"])
+        for r in revert_detection(edits).collect()
+    ]
+    assert got == [("s", 5, 10, 5)]
+
+
+def test_typed_negatives_stay_in_class(spark):
+    from corhist_spark.fusion import typed_negatives
+
+    # two classes; negatives must come from the corrupted element's
+    # own class and pass the filtered protocol
+    cur = _cur(
+        spark,
+        [("a1", "P1", "b1"), ("a2", "P1", "b2"), ("a3", "P1", "b1"),
+         ("a4", "P1", "b3")],
+    )
+    types = spark.createDataFrame(
+        [("a1", "CA"), ("a2", "CA"), ("a3", "CA"), ("a4", "CA"),
+         ("b1", "CB"), ("b2", "CB"), ("b3", "CB")],
+        "entity string, cls string",
+    )
+    cls = {r["entity"]: r["cls"] for r in types.collect()}
+    true_set = {(s, p, o) for s, p, o in
+                [("a1", "P1", "b1"), ("a2", "P1", "b2"),
+                 ("a3", "P1", "b1"), ("a4", "P1", "b3")]}
+    for r in typed_negatives(cur, types).collect():
+        if r["position"] == "head":
+            assert cls[r["neg_value"]] == cls[r["subj"]]
+            assert (r["neg_value"], r["pred"], r["obj"]) not in true_set
+            assert r["neg_value"] != r["subj"]
+        else:
+            assert cls[r["neg_value"]] == cls[r["obj"]]
+            assert (r["subj"], r["pred"], r["neg_value"]) not in true_set
+            assert r["neg_value"] != r["obj"]

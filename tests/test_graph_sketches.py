@@ -810,3 +810,21 @@ def test_reciprocity_counts_reverse_edges(spark):
 
     plan = reciprocity(e)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_temporal_linkpred_tests_only_new_edges(spark):
+    from corhist_spark.graph import temporal_linkpred
+
+    # train: a-b, b-c, a-c missing; future adds a-c (the wedge AA
+    # predicts) and d-e (unpredictable)
+    train = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    future = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("d", "e")],
+        "src string, dst string",
+    )
+    row = temporal_linkpred(train, future, min_common=1).collect()[0]
+    assert row["n_new"] == 2            # a-c and d-e
+    assert row["n_recovered"] == 1      # AA closes the a-b-c wedge
+    assert row["recall"] == 0.5
