@@ -2546,6 +2546,32 @@ def q_char_entropy(spark, sf_dir):
     return char_entropy(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_hyperball(spark, sf_dir):
+    """HyperBall/ANF 1-hop + 2-hop ball-size estimates per node over
+    the derived entity graph — mergeable 16-register HLLs, row volume
+    <= 2m * 16 by construction (no 2-hop pair enumeration)."""
+    from corhist_spark.graph import hyperball_2hop
+
+    return hyperball_2hop(_kg_edges(spark, sf_dir))
+
+
+def q_comention_graph(spark, sf_dir):
+    """Document-level entity co-mention graph with PMI weights —
+    per-doc pair volume capped at the first 16 distinct surfaces
+    (the hub-cap convention applied to documents)."""
+    from corhist_spark.textops import comention_graph
+
+    return comention_graph(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_degree_histogram(spark, sf_dir):
+    """Log2-binned degree histogram (bit_length - 1, pure integer) —
+    the power-law shape check next to graph_profile."""
+    from corhist_spark.graph import degree_histogram
+
+    return degree_histogram(_kg_edges(spark, sf_dir))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3474,6 +3500,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typed_negatives": q_typed_negatives,
         "temporal_linkpred": q_temporal_linkpred,
         "char_entropy": q_char_entropy,
+        # batch 22: HyperBall neighborhood sizes, co-mention graph,
+        # degree histogram
+        "hyperball": q_hyperball,
+        "comention_graph": q_comention_graph,
+        "degree_histogram": q_degree_histogram,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4438,6 +4469,8 @@ from corhist_spark.fusion import (
 from corhist_spark.textops import BURST_TOP_K as _BURST_TOP_K
 from corhist_spark.textops import TOPIC_SEEDS as _TOPIC_SEEDS
 from corhist_spark.textops import (
+    COMENTION_CAP as _COM_CAP,
+    COMENTION_MIN as _COM_MIN,
     NLL_SPIKE_WINDOW as _NLL_SPIKE_WINDOW,
     OOV_VOCAB_K as _OOV_VOCAB_K,
 )
@@ -5183,6 +5216,70 @@ _TLP_SQL = f"""
                 ELSE 0.0 END AS recall,
            COALESCE((SELECT round(AVG(aa_score), 6) FROM rec), 0.0)
              AS mean_recovered_score
+"""
+
+# HyperBall register tail: hex chars 2..14 of md5('hb:' || node)
+_HB_TAIL = "+".join(
+    f"(strpos('0123456789abcdef', substr(h, {2 + i}, 1))-1)*{16 ** (12 - i)}"
+    for i in range(13)
+)
+from corhist_spark.graph import HB_ALPHA16 as _HB_ALPHA16
+from corhist_spark.graph import HB_BUCKETS as _HB_M
+
+
+def _hb_estimate_cte(regs: str, name: str) -> str:
+    """Per-node HLL estimate CTE over a (u, bucket, reg) table
+    (mirrors graph.hyperball_2hop's estimate helper)."""
+    m = _HB_M
+    a2 = _HB_ALPHA16 * m * m
+    return f"""{name} AS (
+      SELECT u, CAST(round(
+               CASE WHEN CAST({a2!r} AS DOUBLE) / s <= CAST({2.5 * m!r} AS DOUBLE)
+                     AND zeros > 0
+                    THEN CAST({float(m)!r} AS DOUBLE)
+                         * ln(CAST({float(m)!r} AS DOUBLE) / zeros)
+                    ELSE CAST({a2!r} AS DOUBLE) / s END, 0) AS BIGINT) AS est
+      FROM (SELECT u, SUM(power(2.0, -reg)) + ({m} - COUNT(*)) AS s,
+                   CAST({m} - COUNT(*) AS INT) AS zeros
+            FROM {regs} GROUP BY u)
+    )"""
+
+
+_HYPERBALL_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ), und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM canon
+      UNION ALL
+      SELECT b AS u, a AS v FROM canon
+    ), nodes AS (SELECT DISTINCT u FROM und),
+    nh AS (SELECT u, md5('hb:' || u) AS h FROM nodes),
+    nv AS (
+      SELECT u, strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS bucket,
+             ({_HB_TAIL}) AS v
+      FROM nh
+    ), nregs AS MATERIALIZED (
+      SELECT u AS x, bucket,
+             CASE WHEN v = 0 THEN 53
+                  ELSE CAST(53 - length(bin(v)) AS INT) END AS rho
+      FROM nv
+    ), mem1 AS (
+      SELECT u, v FROM und UNION ALL SELECT u, u AS v FROM nodes
+    ), r1 AS MATERIALIZED (
+      SELECT m.u, r.bucket, MAX(r.rho) AS reg
+      FROM mem1 m JOIN nregs r ON r.x = m.v
+      GROUP BY m.u, r.bucket
+    ), r2 AS MATERIALIZED (
+      SELECT u, bucket, MAX(reg) AS reg FROM (
+        SELECT e.u, r.bucket, r.reg FROM und e JOIN r1 r ON r.u = e.v
+        UNION ALL
+        SELECT u, bucket, reg FROM r1
+      ) GROUP BY u, bucket
+    ),
+    {_hb_estimate_cte("r1", "e1")},
+    {_hb_estimate_cte("r2", "e2")}
+    SELECT e1.u AS node, e1.est AS ball1_est, e2.est AS ball2_est
+    FROM e1 JOIN e2 ON e1.u = e2.u
 """
 
 _KGE_SQL = with_history_ctes(
@@ -7857,6 +7954,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # 16-register per-node HLLs; 2-hop merge = edge x register
+        # join (<= 2m * 16 rows); dyadic 2^-reg sums exact in double
+        "hyperball": _HYPERBALL_SQL,
+        # per-doc first-16 distinct surfaces (lexicographic cap),
+        # in-list pair expansion, pmi = fixed double-ratio chain;
+        # cap/threshold interpolated from the textops constants
+        "comention_graph": f"""
+            WITH d0 AS MATERIALIZED (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       regexp_extract_all(text, '[a-z]{{6,}}')))[1:{_COM_CAP}]
+                       AS ms
+              FROM documents
+            ), d AS (SELECT ms FROM d0 WHERE len(ms) >= 2),
+            pi AS (
+              SELECT ms, CAST(i AS INT) AS i
+              FROM (SELECT ms, unnest(generate_series(1, len(ms) - 1)) AS i
+                    FROM d)
+            ), p AS (
+              SELECT ms[i] AS m_a, ms[CAST(j AS INT)] AS m_b
+              FROM (SELECT ms, i, unnest(generate_series(i + 1, len(ms))) AS j
+                    FROM pi)
+            ), co AS MATERIALIZED (
+              SELECT m_a, m_b, COUNT(*) AS n_docs_pair FROM p GROUP BY 1, 2
+            ), dfreq AS MATERIALIZED (
+              SELECT m, COUNT(*) AS df
+              FROM (SELECT unnest(ms) AS m FROM d0) GROUP BY m
+            ), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT c.m_a AS mention_a, c.m_b AS mention_b, c.n_docs_pair,
+                   round(ln((CAST(c.n_docs_pair AS DOUBLE) / da.df)
+                            * (CAST(n_docs AS DOUBLE) / db.df)), 6) AS pmi
+            FROM co c
+            JOIN dfreq da ON da.m = c.m_a
+            JOIN dfreq db ON db.m = c.m_b
+            CROSS JOIN nd
+            WHERE c.n_docs_pair >= {_COM_MIN}
+        """,
+        # integer log2 bin = bit_length - 1 (length(bin(d)) - 1, the
+        # proven Spark conv(d,10,2) twin); constant-sized output
+        "degree_histogram": _KG_EDGE_CTES + """
+            , canon AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edges WHERE src <> dst
+            ), deg AS (
+              SELECT node, COUNT(*) AS d FROM (
+                SELECT a AS node FROM canon
+                UNION ALL
+                SELECT b AS node FROM canon
+              ) GROUP BY node
+            )
+            SELECT CAST(length(bin(d)) - 1 AS INT) AS log2_bin,
+                   COUNT(*) AS n_nodes,
+                   MIN(d) AS min_degree, MAX(d) AS max_degree
+            FROM deg GROUP BY log2_bin
         """,
         # class-constrained bucketed draws (the kge chain with the
         # C(id % 30) class on the bucket join key), filtered protocol

@@ -239,6 +239,11 @@ HEADLINE = [
     "typed_negatives",
     "temporal_linkpred",
     "char_entropy",
+    # batch 22: HyperBall neighborhood sizes, co-mention graph,
+    # degree histogram
+    "hyperball",
+    "comention_graph",
+    "degree_histogram",
 ]
 
 

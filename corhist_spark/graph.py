@@ -1025,3 +1025,113 @@ def temporal_linkpred(
             "mean_recovered_score",
         )
     )
+
+
+HB_BUCKETS = 16
+HB_ALPHA16 = 0.673  # Flajolet's alpha for m = 16
+
+
+def hyperball_2hop(edges: DataFrame) -> DataFrame:
+    """HyperBall / ANF (Boldi, Rosa & Vigna 2011; Palmer et al.'s
+    approximate neighborhood function): per-node estimates of the
+    1-hop and 2-hop ball sizes via mergeable HLL registers — THE
+    large-graph way to ask "how big is each node's neighborhood"
+    without enumerating 2-hop pairs (which is sum-of-squared-degrees,
+    quadratic on hubs).  Output: (node, ball1_est, ball2_est) as
+    BIGINT estimates (16-register HLL, sigma ~26% — the coarse-but-
+    mergeable regime ANF runs at; Flajolet's linear-counting
+    correction applies below 2.5m).
+
+    Scale shape: the 1-hop register table is built from the edge
+    list itself (2m + n member rows, one (node, bucket) max-combine);
+    the 2-hop merge joins each edge against its endpoint's <= 16
+    register rows — row volume <= 2m * 16, LINEAR in edges by
+    construction, hubs included.  Register arithmetic is the repo's
+    exact-integer rho (53 - bit_length) and the 2^-reg sums are
+    dyadic rationals — exact in double on both engines."""
+    canon = _undirected(edges).localCheckpoint()
+    und = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = und.select("u").distinct()
+    # per-node register row of the node ITSELF (the ball-0 member)
+    nregs = nodes.select(
+        F.col("u").alias("x"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('hb:', u)), 1, 1), 16, 10) AS INT)"
+        ).alias("bucket"),
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat('hb:', u)), 2, 13), 16, 10) AS BIGINT) = 0"
+            " THEN 53 ELSE CAST(53 - length(conv("
+            "CAST(conv(substr(md5(concat('hb:', u)), 2, 13), 16, 10) AS BIGINT)"
+            ", 10, 2)) AS INT) END"
+        ).alias("rho"),
+    ).localCheckpoint()
+    mem1 = und.unionAll(nodes.select("u", F.col("u").alias("v")))
+    r1 = (
+        mem1.join(nregs, mem1["v"] == nregs["x"])
+        .groupBy("u", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .localCheckpoint()
+    )
+    r2 = (
+        und.join(
+            r1.select(F.col("u").alias("v"), "bucket", "reg"), "v"
+        )
+        .select("u", "bucket", "reg")
+        .unionAll(r1.select("u", "bucket", "reg"))
+        .groupBy("u", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+    def estimate(regs: DataFrame, out: str) -> DataFrame:
+        m = HB_BUCKETS
+        agg = regs.groupBy("u").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        s = F.col("s_present") + (F.lit(m) - F.col("n_present"))
+        zeros = (F.lit(m) - F.col("n_present")).cast("int")
+        raw = F.lit(HB_ALPHA16 * m * m) / s
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+        return agg.select("u", F.round(est, 0).cast("bigint").alias(out))
+
+    return (
+        estimate(r1, "ball1_est")
+        .join(estimate(r2, "ball2_est"), "u")
+        .select(F.col("u").alias("node"), "ball1_est", "ball2_est")
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-binned degree histogram of the undirected graph — the
+    power-law shape check a capacity planner reads next to
+    ``graph_profile`` (a heavy tail here is the trigger for the
+    repo's hub caps and salting): (log2_bin, n_nodes, min_degree,
+    max_degree) where log2_bin = floor(log2(degree)) computed as
+    bit_length - 1 — pure integer arithmetic, no float log.
+
+    Scale shape: one degree aggregate + one constant-sized (≤ 64
+    bins) aggregate."""
+    canon = _undirected(edges)
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        deg.select(
+            F.expr("CAST(length(conv(d, 10, 2)) - 1 AS INT)").alias("log2_bin"),
+            "d",
+        )
+        .groupBy("log2_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").alias("min_degree"),
+            F.max("d").alias("max_degree"),
+        )
+    )

@@ -2564,3 +2564,69 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             F.coalesce("entropy", F.lit(0.0)).alias("entropy"),
         )
     )
+
+
+COMENTION_CAP = 16
+COMENTION_MIN = 3
+
+
+def comention_graph(docs: DataFrame, cap: int = COMENTION_CAP, min_pair: int = COMENTION_MIN) -> DataFrame:
+    """Document-level entity co-mention graph with PMI weights — the
+    co-occurrence network KG-enrichment reads relation candidates
+    from (two surfaces that keep appearing in the same documents are
+    related even when no cue token links them; the complement of the
+    adjacency-based ``span_triples``): (mention_a, mention_b,
+    n_docs_pair, pmi) for unordered pairs co-mentioned in at least
+    ``min_pair`` documents.
+
+    Per-doc pair volume is bounded BY CONSTRUCTION: each document
+    contributes pairs only from its first ``cap`` distinct mention
+    surfaces (lexicographic — deterministic on both engines), so a
+    mention-stuffed document yields at most cap*(cap-1)/2 pairs
+    instead of a quadratic blowup (the hub-cap convention of the
+    graph family applied to documents).
+
+    Scale shape: one in-array distinct+sort+slice per doc, one
+    in-array pair expansion (<= cap² per doc), two map-side counts,
+    two vocabulary-keyed joins, one single-row totals broadcast; the
+    pmi ln() input is the fixed double-ratio chain (c/df_a)*(n/df_b)
+    — identical IEEE ops on both engines."""
+    ms = F.slice(
+        F.array_sort(F.array_distinct(_find_mentions("text"))), 1, cap
+    )
+    d = docs.select(ms.alias("ms")).filter(F.size("ms") >= 2)
+    pairs = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "y -> struct(x AS m_a, y AS m_b))))"
+    )
+    co = (
+        d.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.m_a").alias("m_a"), F.col("p.m_b").alias("m_b"))
+        .agg(F.count(F.lit(1)).alias("n_docs_pair"))
+        .filter(F.col("n_docs_pair") >= min_pair)
+    )
+    dfreq = (
+        docs.select(ms.alias("ms"))
+        .select(F.explode("ms").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        co.join(dfreq.select(F.col("m").alias("m_a"), F.col("df").alias("da")), "m_a")
+        .join(dfreq.select(F.col("m").alias("m_b"), F.col("df").alias("db")), "m_b")
+        .crossJoin(F.broadcast(n_docs))  # single-row totals frame
+        .select(
+            F.col("m_a").alias("mention_a"),
+            F.col("m_b").alias("mention_b"),
+            "n_docs_pair",
+            F.round(
+                F.log(
+                    (F.col("n_docs_pair").cast("double") / F.col("da"))
+                    * (F.col("n_docs").cast("double") / F.col("db"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

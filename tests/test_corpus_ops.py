@@ -1209,3 +1209,23 @@ def test_char_entropy_matches_python(spark):
     assert rows[1]["n_chars"] == 3 and rows[1]["entropy"] == round(want, 6)
     assert rows[2]["entropy"] == 0.0  # single-char doc: -1*ln(1) = 0
     assert (rows[3]["n_chars"], rows[3]["entropy"]) == (0, 0.0)
+
+
+def test_comention_graph_caps_and_pmi(spark):
+    import math
+
+    from corhist_spark.textops import comention_graph
+
+    # aabbbb+ccdddd co-mentioned in 3 docs; eeffff appears alone
+    docs = _docs(
+        spark,
+        [(i, "aabbbb x ccdddd") for i in range(3)] + [(9, "eeffff")],
+    )
+    rows = comention_graph(docs, min_pair=3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["mention_a"], r["mention_b"], r["n_docs_pair"]) == (
+        "aabbbb", "ccdddd", 3,
+    )
+    # pmi = ln((3/3) * (4/3))
+    assert r["pmi"] == round(math.log((3 / 3) * (4 / 3)), 6)

@@ -828,3 +828,65 @@ def test_temporal_linkpred_tests_only_new_edges(spark):
     assert row["n_new"] == 2            # a-c and d-e
     assert row["n_recovered"] == 1      # AA closes the a-b-c wedge
     assert row["recall"] == 0.5
+
+
+def test_hyperball_matches_python_hll_mirror(spark):
+    """The estimates are pinned EXACTLY against a pure-Python HLL
+    mirror (same md5 registers, same linear-counting correction) —
+    sketch variance on tiny graphs is irrelevant to the contract,
+    which is deterministic register arithmetic."""
+    import hashlib
+    import math
+
+    from corhist_spark.graph import HB_ALPHA16, HB_BUCKETS, hyperball_2hop
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def regs(members):
+        r = {}
+        for x in members:
+            h = hashlib.md5(f"hb:{x}".encode()).hexdigest()
+            bucket = int(h[0], 16)
+            v = int(h[1:14], 16)
+            rho = 53 if v == 0 else 53 - v.bit_length()
+            r[bucket] = max(r.get(bucket, 0), rho)
+        return r
+
+    def est(r):
+        m = HB_BUCKETS
+        s = sum(2.0 ** -reg for reg in r.values()) + (m - len(r))
+        zeros = m - len(r)
+        raw = HB_ALPHA16 * m * m / s
+        if raw <= 2.5 * m and zeros > 0:
+            return round(m * math.log(m / zeros))
+        return round(raw)
+
+    got = {r["node"]: r for r in hyperball_2hop(e).collect()}
+    for n in adj:
+        b1 = {n} | adj[n]
+        b2 = set(b1)
+        for x in adj[n]:
+            b2 |= adj[x]
+        assert got[n]["ball1_est"] == est(regs(b1)), n
+        assert got[n]["ball2_est"] == est(regs(b2)), n
+
+    plan = hyperball_2hop(e)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_degree_histogram_log2_bins(spark):
+    from corhist_spark.graph import degree_histogram
+
+    # star: hub degree 4 (bin 2), leaves degree 1 (bin 0)
+    e = spark.createDataFrame(
+        [("h", x) for x in ("a", "b", "c", "d")], "src string, dst string"
+    )
+    got = {r["log2_bin"]: r for r in degree_histogram(e).collect()}
+    assert got[2]["n_nodes"] == 1 and got[2]["max_degree"] == 4
+    assert got[0]["n_nodes"] == 4 and got[0]["min_degree"] == 1
