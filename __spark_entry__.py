@@ -2572,6 +2572,43 @@ def q_degree_histogram(spark, sf_dir):
     return degree_histogram(_kg_edges(spark, sf_dir))
 
 
+def q_datatype_induction(spark, sf_dir):
+    """Per-predicate object-datatype profile (the range-DATATYPE
+    complement of domain/range induction) — one map-side regex
+    classification + one predicate-keyed aggregate."""
+    from corhist_spark.fusion import datatype_induction
+
+    return datatype_induction(_hist_current(spark, sf_dir))
+
+
+def q_degree_drift(spark, sf_dir):
+    """Fastest-growing entities between the event-prefix snapshot and
+    the full graph — the hub-watch list (tomorrow's salting
+    problem); two degree aggregates + distributed top-k."""
+    from corhist_spark.graph import degree_drift
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2  # one scalar
+    return degree_drift(
+        _kg_edges(spark, sf_dir, max_event=mid), _kg_edges(spark, sf_dir)
+    )
+
+
+PA_FIXTURE_TARGET = 65_536  # fixture-sized target (library default is
+# 128 MiB; the harness passes 64 KiB so small corpora still exercise
+# the multi-partition arithmetic)
+
+
+def q_partition_advisor(spark, sf_dir):
+    """Shuffle/file partition-count advisor over the documents
+    payload — one map-side aggregate + single-row arithmetic."""
+    from corhist_spark.skew import partition_advisor
+
+    return partition_advisor(
+        _t(spark, sf_dir, "documents"), target_bytes=PA_FIXTURE_TARGET
+    )
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3505,6 +3542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball": q_hyperball,
         "comention_graph": q_comention_graph,
         "degree_histogram": q_degree_histogram,
+        # batch 23: datatype induction, degree drift, partition advisor
+        "datatype_induction": q_datatype_induction,
+        "degree_drift": q_degree_drift,
+        "partition_advisor": q_partition_advisor,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4475,6 +4516,8 @@ from corhist_spark.textops import (
     OOV_VOCAB_K as _OOV_VOCAB_K,
 )
 from corhist_spark.fusion import REVERT_WINDOW as _REVERT_WINDOW
+from corhist_spark.fusion import DATATYPE_CLASSES as _DATATYPE_CLASSES
+from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.graph import (
     AA_HUB_CAP as _AA_HUB_CAP,
     AA_MIN_COMMON as _AA_MIN_COMMON,
@@ -7954,6 +7997,86 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # regex ladder interpolated from fusion.DATATYPE_CLASSES;
+        # fixed >= CASE chain = ties to the first class
+        "datatype_induction": with_history_ctes(
+            f"""
+            , prof AS (
+              SELECT pred, COUNT(*) AS n_triples,
+                     {", ".join(
+                         "CAST(SUM(CASE WHEN regexp_matches(obj, '" + rx
+                         + "') THEN 1 ELSE 0 END) AS BIGINT) AS n_" + name
+                         for name, rx in _DATATYPE_CLASSES
+                     )}
+              FROM h_cur GROUP BY pred
+            )
+            SELECT pred, n_triples, n_qid, n_vid, n_int,
+                   n_triples - n_qid - n_vid - n_int AS n_str,
+                   CASE WHEN n_qid >= n_vid AND n_qid >= n_int
+                         AND n_qid >= n_triples - n_qid - n_vid - n_int
+                        THEN 'qid'
+                        WHEN n_vid >= n_int
+                         AND n_vid >= n_triples - n_qid - n_vid - n_int
+                        THEN 'vid'
+                        WHEN n_int >= n_triples - n_qid - n_vid - n_int
+                        THEN 'int' ELSE 'str' END AS majority_type,
+                   round(greatest(n_qid, n_vid, n_int,
+                                  n_triples - n_qid - n_vid - n_int)
+                         / CAST(n_triples AS DOUBLE), 6) AS majority_share
+            FROM prof
+        """
+        ),
+        # event-prefix snapshot degrees vs full-graph degrees; K from
+        # the FULL corpus so node identities agree across snapshots
+        "degree_drift": f"""
+            WITH kk AS (SELECT greatest(64, COUNT(*) // 20) AS k FROM events),
+            mid AS (SELECT MAX(event_id) // 2 AS m FROM events),
+            edgesall AS (
+              SELECT event_id,
+                     'Q' || CAST(event_id % (SELECT k FROM kk) AS VARCHAR) AS src,
+                     'Q' || CAST(({hexval_sql("CAST(event_id AS VARCHAR)")})
+                                 % (SELECT k FROM kk) AS VARCHAR) AS dst
+              FROM events
+            ), canon_o AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edgesall CROSS JOIN mid
+              WHERE src <> dst AND event_id <= m
+            ), canon_f AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM edgesall WHERE src <> dst
+            ), deg_o AS (
+              SELECT node, COUNT(*) AS d_old FROM (
+                SELECT a AS node FROM canon_o
+                UNION ALL SELECT b FROM canon_o) GROUP BY node
+            ), deg_f AS (
+              SELECT node, COUNT(*) AS d_new FROM (
+                SELECT a AS node FROM canon_f
+                UNION ALL SELECT b FROM canon_f) GROUP BY node
+            )
+            SELECT f.node,
+                   CAST(COALESCE(o.d_old, 0) AS BIGINT) AS d_old,
+                   CAST(f.d_new AS BIGINT) AS d_new,
+                   CAST(f.d_new - COALESCE(o.d_old, 0) AS BIGINT) AS growth
+            FROM deg_f f LEFT JOIN deg_o o USING (node)
+            ORDER BY growth DESC, f.node LIMIT {_DRIFT_TOP_K}
+        """,
+        # one aggregate + integer-ceil arithmetic; target interpolated
+        # from the harness constant
+        "partition_advisor": f"""
+            WITH agg AS (
+              SELECT COUNT(*) AS n_rows,
+                     CAST(COALESCE(SUM(len(text)), 0) AS BIGINT) AS n_bytes
+              FROM documents
+            )
+            SELECT n_rows, n_bytes,
+                   greatest(1, (n_bytes + {PA_FIXTURE_TARGET} - 1)
+                               // {PA_FIXTURE_TARGET})
+                     AS recommended_partitions,
+                   n_rows // greatest(1, (n_bytes + {PA_FIXTURE_TARGET} - 1)
+                                         // {PA_FIXTURE_TARGET})
+                     AS rows_per_partition
+            FROM agg
         """,
         # 16-register per-node HLLs; 2-hop merge = edge x register
         # join (<= 2m * 16 rows); dyadic 2^-reg sums exact in double

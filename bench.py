@@ -244,6 +244,10 @@ HEADLINE = [
     "hyperball",
     "comention_graph",
     "degree_histogram",
+    # batch 23: datatype induction, degree drift, partition advisor
+    "datatype_induction",
+    "degree_drift",
+    "partition_advisor",
 ]
 
 

@@ -901,3 +901,58 @@ def typed_negatives(cur: DataFrame, types: DataFrame) -> DataFrame:
     return side("subj", "tnegh", "head").unionByName(
         side("obj", "tnegt", "tail")
     ).select("subj", "pred", "obj", "position", "neg_value")
+
+
+DATATYPE_CLASSES = (
+    ("qid", "^Q[0-9]+$"),
+    ("vid", "^V[0-9]+$"),
+    ("int", "^-?[0-9]+$"),
+)
+
+
+def datatype_induction(cur: DataFrame) -> DataFrame:
+    """Per-predicate object-datatype induction — the range-DATATYPE
+    complement of ``predicate_domain_range`` (which induces range
+    CLASSES): classify every object value against the ordered regex
+    ladder (entity Q-id, value V-id, bare integer, else string) and
+    publish per predicate the share of each class plus the majority
+    datatype — what a property-constraint bootstrapper needs before
+    proposing value-type or format constraints.
+
+    Output: (pred, n_triples, n_qid, n_vid, n_int, n_str,
+    majority_type, majority_share) with share rounded to 6; ties
+    break to the first class in the ladder via the fixed >= CASE
+    chain, identically on both engines.
+
+    Scale shape: ONE map-side classification pass + one
+    predicate-keyed aggregate; output is predicate-vocabulary
+    sized."""
+    checks = [
+        F.sum(F.when(F.col("obj").rlike(rx), 1).otherwise(0)).alias(f"n_{name}")
+        for name, rx in DATATYPE_CLASSES
+    ]
+    prof = cur.groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples"), *checks)
+    n_str = (
+        F.col("n_triples") - F.col("n_qid") - F.col("n_vid") - F.col("n_int")
+    ).alias("n_str")
+    prof = prof.select("pred", "n_triples", "n_qid", "n_vid", "n_int", n_str)
+    q, v, i, s = (F.col(c) for c in ("n_qid", "n_vid", "n_int", "n_str"))
+    best = F.greatest(q, v, i, s)
+    majority = (
+        F.when((q >= v) & (q >= i) & (q >= s), F.lit("qid"))
+        .when((v >= i) & (v >= s), F.lit("vid"))
+        .when(i >= s, F.lit("int"))
+        .otherwise(F.lit("str"))
+    )
+    return prof.select(
+        "pred",
+        "n_triples",
+        "n_qid",
+        "n_vid",
+        "n_int",
+        "n_str",
+        majority.alias("majority_type"),
+        F.round(best / F.col("n_triples").cast("double"), 6).alias(
+            "majority_share"
+        ),
+    )

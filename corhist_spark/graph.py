@@ -1135,3 +1135,43 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
             F.max("d").alias("max_degree"),
         )
     )
+
+
+DRIFT_TOP_K = 16
+
+
+def degree_drift(
+    old_edges: DataFrame, new_edges: DataFrame, top_k: int = DRIFT_TOP_K
+) -> DataFrame:
+    """Temporal degree-drift report — the fastest-growing entities
+    between two graph snapshots (the hub-watch list: a node whose
+    degree is exploding is tomorrow's salting problem and today's
+    trending entity): top-``top_k`` nodes by degree growth
+    (growth desc, node asc), with old/new degree and growth.
+
+    Scale shape: two degree aggregates + one node-keyed outer join +
+    a distributed top-k (TakeOrderedAndProject)."""
+    def deg(e):
+        canon = _undirected(e)
+        return (
+            canon.select(F.col("a").alias("node"))
+            .unionAll(canon.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    old = deg(old_edges).select("node", F.col("d").alias("d_old"))
+    new = deg(new_edges).select("node", F.col("d").alias("d_new"))
+    return (
+        new.join(old, "node", "left")
+        .select(
+            "node",
+            F.coalesce("d_old", F.lit(0)).cast("bigint").alias("d_old"),
+            F.col("d_new").cast("bigint").alias("d_new"),
+            (F.col("d_new") - F.coalesce("d_old", F.lit(0)))
+            .cast("bigint")
+            .alias("growth"),
+        )
+        .orderBy(F.col("growth").desc(), "node")
+        .limit(top_k)
+    )

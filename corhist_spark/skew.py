@@ -82,3 +82,39 @@ def skew_profile(
             f"(freq + {target_per_task} - 1) DIV {target_per_task}"
         ).alias("recommended_salts"),
     )
+
+
+PART_TARGET_BYTES = 128 * 1024 * 1024  # the Spark default-ish 128 MiB
+
+
+def partition_advisor(
+    docs: DataFrame,
+    size_col: str = "text",
+    target_bytes: int = PART_TARGET_BYTES,
+) -> DataFrame:
+    """Shuffle/file partition-count advisor — the one-row report
+    behind choosing spark.sql.shuffle.partitions and output file
+    counts for a corpus: total rows, total payload bytes (length of
+    ``size_col``), recommended partitions = ceil(bytes / target)
+    (integer ceil — both engines round identically), and the
+    resulting rows-per-partition.
+
+    Scale shape: ONE map-side-combined aggregate; everything else is
+    arithmetic on the single-row frame."""
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum(F.length(size_col)), F.lit(0))
+        .cast("bigint")
+        .alias("n_bytes"),
+    )
+    rec = F.expr(f"greatest(1, (n_bytes + {target_bytes} - 1) DIV {target_bytes})")
+    return agg.select(
+        "n_rows",
+        "n_bytes",
+        rec.cast("bigint").alias("recommended_partitions"),
+        F.expr(
+            f"n_rows DIV greatest(1, (n_bytes + {target_bytes} - 1) DIV {target_bytes})"
+        )
+        .cast("bigint")
+        .alias("rows_per_partition"),
+    )

@@ -1073,3 +1073,20 @@ def test_typed_negatives_stay_in_class(spark):
             assert cls[r["neg_value"]] == cls[r["obj"]]
             assert (r["subj"], r["pred"], r["neg_value"]) not in true_set
             assert r["neg_value"] != r["obj"]
+
+
+def test_datatype_induction_ladder_and_majority(spark):
+    from corhist_spark.fusion import datatype_induction
+
+    cur = _cur(
+        spark,
+        [("s1", "P1", "Q5"), ("s2", "P1", "Q7"), ("s3", "P1", "hello"),
+         ("s1", "P2", "42"), ("s2", "P2", "-7"),
+         ("s1", "P3", "V3")],
+    )
+    rows = {r["pred"]: r for r in datatype_induction(cur).collect()}
+    p1 = rows["P1"]
+    assert (p1["n_qid"], p1["n_str"], p1["majority_type"]) == (2, 1, "qid")
+    assert p1["majority_share"] == round(2 / 3, 6)
+    assert rows["P2"]["majority_type"] == "int" and rows["P2"]["n_int"] == 2
+    assert rows["P3"]["majority_type"] == "vid"

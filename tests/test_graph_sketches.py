@@ -890,3 +890,19 @@ def test_degree_histogram_log2_bins(spark):
     got = {r["log2_bin"]: r for r in degree_histogram(e).collect()}
     assert got[2]["n_nodes"] == 1 and got[2]["max_degree"] == 4
     assert got[0]["n_nodes"] == 4 and got[0]["min_degree"] == 1
+
+
+def test_degree_drift_ranks_growth(spark):
+    from corhist_spark.graph import degree_drift
+
+    old = spark.createDataFrame([("a", "b")], "src string, dst string")
+    new = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("e", "f")],
+        "src string, dst string",
+    )
+    rows = degree_drift(old, new, top_k=3).collect()
+    assert [(r["node"], r["d_old"], r["d_new"], r["growth"]) for r in rows] == [
+        ("a", 1, 3, 2),
+        ("c", 0, 1, 1),
+        ("d", 0, 1, 1),
+    ]

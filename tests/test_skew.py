@@ -99,3 +99,16 @@ def test_skew_profile_recommends_salts_for_hot_keys(spark):
     plan = df2._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_partition_advisor_integer_ceil(spark):
+    from corhist_spark.skew import partition_advisor
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "y" * 100), (3, "z" * 50)],
+        "doc_id long, text string",
+    )
+    row = partition_advisor(docs, target_bytes=100).collect()[0]
+    assert (row["n_rows"], row["n_bytes"]) == (3, 250)
+    assert row["recommended_partitions"] == 3  # ceil(250/100)
+    assert row["rows_per_partition"] == 1
