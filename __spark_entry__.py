@@ -2609,6 +2609,35 @@ def q_partition_advisor(spark, sf_dir):
     )
 
 
+def q_violation_trend(spark, sf_dir):
+    """Multi-snapshot violation trend from ONE interval scan — the
+    history-index showcase (4 evenly spaced as-of counts, no replay,
+    no per-snapshot rescans)."""
+    from corhist_spark.fusion import violation_trend
+    from corhist_spark.history import derived_edits
+
+    max_rev = derived_edits(spark, sf_dir).agg(F.max("rev_id")).collect()[0][0]
+    return violation_trend(_hist_state(spark, sf_dir), max_rev)
+
+
+def q_ner_spans(spark, sf_dir):
+    """Offset-bearing span export for NER training (doc_id, start,
+    end, surface) — one Arrow pandas-UDF pass + explode, no shuffle;
+    the oracle re-derives the runs with per-char windows."""
+    from corhist_spark.extract import ner_spans
+
+    return ner_spans(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_weak_labels(spark, sf_dir):
+    """Snorkel-style labeling-function ensemble (language / length /
+    repetition votes, unanimous keep) — one map-side projection,
+    zero shuffles."""
+    from corhist_spark.textops import weak_labels
+
+    return weak_labels(_t(spark, sf_dir, "documents"))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3546,6 +3575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datatype_induction": q_datatype_induction,
         "degree_drift": q_degree_drift,
         "partition_advisor": q_partition_advisor,
+        # batch 24: violation trend, NER span export, weak labels
+        "violation_trend": q_violation_trend,
+        "ner_spans": q_ner_spans,
+        "weak_labels": q_weak_labels,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4517,7 +4550,12 @@ from corhist_spark.textops import (
 )
 from corhist_spark.fusion import REVERT_WINDOW as _REVERT_WINDOW
 from corhist_spark.fusion import DATATYPE_CLASSES as _DATATYPE_CLASSES
+from corhist_spark.fusion import VT_CHECKPOINTS as _VT_CHECKPOINTS
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
+from corhist_spark.textops import (
+    WL_MAX_TOP_SHARE_PCT as _WL_MAX_TOP_SHARE_PCT,
+    WL_MIN_TOKENS as _WL_MIN_TOKENS,
+)
 from corhist_spark.graph import (
     AA_HUB_CAP as _AA_HUB_CAP,
     AA_MIN_COMMON as _AA_MIN_COMMON,
@@ -7997,6 +8035,100 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # each interval emits the checkpoints it covers (one scan,
+        # no replay); checkpoint count interpolated from the fusion
+        # constant
+        "violation_trend": with_history_ctes(
+            f"""
+            , mx AS (SELECT MAX(rev_id) AS m FROM h_edits),
+            cps AS (
+              SELECT CAST(q AS INT) AS checkpoint,
+                     (SELECT m FROM mx) * q // {_VT_CHECKPOINTS + 1} AS rev
+              FROM (SELECT unnest(generate_series(1, {_VT_CHECKPOINTS})) AS q)
+            ), hits AS (
+              SELECT c.checkpoint, c.rev, s.subj, s.pred, s.obj
+              FROM h_state s JOIN cps c
+                ON s.from_rev <= c.rev AND s.to_rev > c.rev
+            ), pairs AS (
+              SELECT checkpoint, rev, subj, pred,
+                     COUNT(DISTINCT obj) AS n_objs
+              FROM hits GROUP BY checkpoint, rev, subj, pred
+            )
+            SELECT checkpoint, rev, COUNT(*) AS n_violating_pairs
+            FROM pairs WHERE n_objs >= 2 GROUP BY checkpoint, rev
+            """
+        ),
+        # maximal [a-z] runs of length >= 6 re-derived with per-char
+        # windows; offsets are 1-based substr coordinates so
+        # substr(text, start, end - start) = surface by construction
+        "ner_spans": """
+            WITH ch AS (
+              SELECT doc_id, CAST(i AS INT) AS i,
+                     substr(text, CAST(i AS INT), 1) BETWEEN 'a' AND 'z' AS al
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, len(text))) AS i
+                    FROM documents WHERE len(text) >= 1)
+            ), st AS (
+              SELECT doc_id, i, al,
+                     CASE WHEN al AND NOT COALESCE(
+                            lag(al) OVER (PARTITION BY doc_id ORDER BY i),
+                            FALSE)
+                          THEN 1 ELSE 0 END AS is_start
+              FROM ch
+            ), rid AS (
+              SELECT doc_id, i, al,
+                     SUM(is_start) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS rid
+              FROM st
+            ), spans AS (
+              SELECT doc_id, rid, MIN(i) AS s, MAX(i) + 1 AS e,
+                     COUNT(*) AS ln
+              FROM rid WHERE al GROUP BY doc_id, rid
+            )
+            SELECT sp.doc_id, CAST(sp.s AS INT) AS start,
+                   CAST(sp.e AS INT) AS "end",
+                   substr(d.text, CAST(sp.s AS INT),
+                          CAST(sp.e - sp.s AS INT)) AS surface
+            FROM spans sp JOIN documents d USING (doc_id)
+            WHERE sp.ln >= 6
+        """,
+        # three integer-compared votes; top-token share via the
+        # (doc, tok) max count (== the engine's sorted-run max);
+        # thresholds interpolated from the textops constants
+        "weak_labels": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS n,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+            ), top AS (
+              SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   b.hits * 10 >= b.n AS lang_ok,
+                   b.n >= {_WL_MIN_TOKENS} AS len_ok,
+                   b.n > 0 AND COALESCE(t.top_c, 0) * 100
+                               <= {_WL_MAX_TOP_SHARE_PCT} * b.n AS rep_ok,
+                   CAST((CASE WHEN b.hits * 10 >= b.n THEN 1 ELSE 0 END)
+                        + (CASE WHEN b.n >= {_WL_MIN_TOKENS} THEN 1 ELSE 0 END)
+                        + (CASE WHEN b.n > 0 AND COALESCE(t.top_c, 0) * 100
+                                 <= {_WL_MAX_TOP_SHARE_PCT} * b.n
+                                THEN 1 ELSE 0 END) AS INT) AS n_pass,
+                   (b.hits * 10 >= b.n)
+                   AND b.n >= {_WL_MIN_TOKENS}
+                   AND (b.n > 0 AND COALESCE(t.top_c, 0) * 100
+                        <= {_WL_MAX_TOP_SHARE_PCT} * b.n) AS keep
+            FROM base b LEFT JOIN top t USING (doc_id)
         """,
         # regex ladder interpolated from fusion.DATATYPE_CLASSES;
         # fixed >= CASE chain = ties to the first class

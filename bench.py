@@ -248,6 +248,10 @@ HEADLINE = [
     "datatype_induction",
     "degree_drift",
     "partition_advisor",
+    # batch 24: violation trend, NER span export, weak labels
+    "violation_trend",
+    "ner_spans",
+    "weak_labels",
 ]
 
 

@@ -956,3 +956,48 @@ def datatype_induction(cur: DataFrame) -> DataFrame:
             "majority_share"
         ),
     )
+
+
+VT_CHECKPOINTS = 4
+
+
+def violation_trend(
+    state: DataFrame, max_rev: int, n_checkpoints: int = VT_CHECKPOINTS
+) -> DataFrame:
+    """Multi-snapshot violation trend from ONE interval scan — the
+    history-index showcase: the multi-value (single-value-violation)
+    count at ``n_checkpoints`` evenly spaced revisions, computed
+    WITHOUT replaying history or scanning once per snapshot: each
+    validity interval emits the checkpoints it covers in-array, then
+    one (checkpoint, subj, pred) aggregate.  Output: (checkpoint,
+    rev, n_violating_pairs) — the curve a maintenance dashboard
+    plots.
+
+    Scale shape: row volume <= state x n_checkpoints (a constant),
+    one distinct count per (checkpoint, subj, pred), one
+    constant-sized final aggregate."""
+    cps = [(q, max_rev * q // (n_checkpoints + 1)) for q in range(1, n_checkpoints + 1)]
+    cp_arr = F.array(
+        *[
+            F.when(
+                (F.col("from_rev") <= F.lit(rev)) & (F.col("to_rev") > F.lit(rev)),
+                F.struct(F.lit(q).alias("checkpoint"), F.lit(rev).alias("rev")),
+            )
+            for q, rev in cps
+        ]
+    )
+    hits = (
+        state.select(
+            "subj", "pred", "obj",
+            F.explode(F.filter(cp_arr, lambda x: x.isNotNull())).alias("cp"),
+        )
+        .select("subj", "pred", "obj", F.col("cp.checkpoint").alias("checkpoint"), F.col("cp.rev").alias("rev"))
+    )
+    pairs = (
+        hits.groupBy("checkpoint", "rev", "subj", "pred")
+        .agg(F.countDistinct("obj").alias("n_objs"))
+        .filter(F.col("n_objs") >= 2)
+    )
+    return pairs.groupBy("checkpoint", "rev").agg(
+        F.count(F.lit(1)).alias("n_violating_pairs")
+    )

@@ -2630,3 +2630,60 @@ def comention_graph(docs: DataFrame, cap: int = COMENTION_CAP, min_pair: int = C
             ).alias("pmi"),
         )
     )
+
+
+WL_MIN_TOKENS = 10
+WL_MAX_TOP_SHARE_PCT = 20  # top token > 20% of doc -> repetitive vote fails
+
+
+def weak_labels(docs: DataFrame) -> DataFrame:
+    """Weak-supervision ensemble filter (the Snorkel-style labeling-
+    function vote, reduced to three deterministic corpus heuristics):
+    per document the three votes — language (the lang_id stopword
+    test), length (>= WL_MIN_TOKENS tokens), repetition (top token
+    <= WL_MAX_TOP_SHARE_PCT% of tokens, integer-compared) — plus
+    n_pass and the unanimous keep verdict.  Output: (doc_id,
+    lang_ok, len_ok, rep_ok, n_pass, keep).
+
+    Scale shape: ONE map-side projection, zero shuffles — all three
+    votes are in-array expressions; the ensemble is a CASE sum."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    hits = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda x: (x == "the") | (x == "a") | (x == "and"),
+        )
+    )
+    n = F.size(toks)
+    # top token share via in-array mode: sort, then longest run
+    top_run = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    lang_ok = hits * 10 >= n
+    len_ok = n >= WL_MIN_TOKENS
+    rep_ok = (n > 0) & (top_run * 100 <= WL_MAX_TOP_SHARE_PCT * n)
+    n_pass = (
+        lang_ok.cast("int") + len_ok.cast("int") + rep_ok.cast("int")
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        lang_ok.alias("lang_ok"),
+        len_ok.alias("len_ok"),
+        rep_ok.alias("rep_ok"),
+        n_pass.alias("n_pass"),
+        (n_pass == 3).alias("keep"),
+    )

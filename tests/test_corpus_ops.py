@@ -1229,3 +1229,28 @@ def test_comention_graph_caps_and_pmi(spark):
     )
     # pmi = ln((3/3) * (4/3))
     assert r["pmi"] == round(math.log((3 / 3) * (4 / 3)), 6)
+
+
+def test_weak_labels_votes(spark):
+    from corhist_spark.textops import weak_labels
+
+    # 15 tokens, 3 stopword hits (30 >= 15), all counts 1 (share 1/15)
+    good = " ".join(["the", "a", "and"] + [f"w{i}" for i in range(12)])
+    repetitive = " ".join(["the"] * 12)  # top share 100% -> rep vote fails
+    short = "the a and"
+    rows = {
+        r["doc_id"]: r
+        for r in weak_labels(
+            _docs(spark, [(1, good), (2, repetitive), (3, short), (4, "")])
+        ).collect()
+    }
+    assert rows[1]["keep"] and rows[1]["n_pass"] == 3
+    assert rows[2]["lang_ok"] and rows[2]["len_ok"] and not rows[2]["rep_ok"]
+    assert not rows[3]["len_ok"] and not rows[3]["keep"]
+    assert rows[4]["n_pass"] == 1 and not rows[4]["keep"]  # 0>=0 lang vote
+
+    plan = (
+        weak_labels(_docs(spark, [(1, "x")]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # one map-side projection, zero shuffles

@@ -168,3 +168,16 @@ def test_retrieval_triplets_drops_collisions(spark):
         retrieval_triplets(pairs, 10)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # one map-side projection, zero shuffles
+
+
+def test_ner_spans_offsets_reconstruct_surface(spark):
+    from corhist_spark.extract import ner_spans
+
+    text = "abcdef xy ghijklm"
+    rows = ner_spans(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()
+    got = [(r["start"], r["end"], r["surface"]) for r in rows]
+    assert sorted(got) == [(1, 7, "abcdef"), (11, 18, "ghijklm")]
+    for s, e, surf in got:
+        assert text[s - 1 : e - 1] == surf  # substr coordinates hold

@@ -1090,3 +1090,23 @@ def test_datatype_induction_ladder_and_majority(spark):
     assert p1["majority_share"] == round(2 / 3, 6)
     assert rows["P2"]["majority_type"] == "int" and rows["P2"]["n_int"] == 2
     assert rows["P3"]["majority_type"] == "vid"
+
+
+def test_violation_trend_counts_per_checkpoint(spark):
+    from corhist_spark.fusion import violation_trend
+
+    state = spark.createDataFrame(
+        [
+            # two values overlap only in [10, 20)
+            ("s", "P", "a", 5, 20),
+            ("s", "P", "b", 10, 40),
+            # always single-valued
+            ("t", "P", "x", 0, 100),
+        ],
+        "subj string, pred string, obj string, from_rev long, to_rev long",
+    )
+    # max_rev 50, 4 checkpoints -> revs 10, 20, 30, 40
+    got = {r["checkpoint"]: (r["rev"], r["n_violating_pairs"])
+           for r in violation_trend(state, 50).collect()}
+    # only rev 10 sees both values ([10,20) x [10,40) overlap at 10)
+    assert got == {1: (10, 1)}
