@@ -2638,6 +2638,34 @@ def q_weak_labels(spark, sf_dir):
     return weak_labels(_t(spark, sf_dir, "documents"))
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware train/test split: every member of a near-dup
+    cluster is assigned by its SURVIVOR's hash, so clusters never
+    straddle the split — one map pass over the dedup output."""
+    from corhist_spark.textops import leakage_safe_split
+
+    return leakage_safe_split(q_dedup_survivors(spark, sf_dir))
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Contamination metric for a NAIVE per-doc hash split: the share
+    of LSH near-dup pairs that straddle it — one map pass over the
+    capped pair table + one single-row aggregate."""
+    from corhist_spark.textops import lsh_candidates, split_leakage_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_leakage_audit(lsh_candidates(_signatures(spark, sf_dir)), docs)
+
+
+def q_hash_doc_vectors(spark, sf_dir):
+    """Feature-hashing doc vectors (signed 16-bucket token counts,
+    exact BIGINT) — the hashing-trick BoW representation; one
+    explode + doc-keyed conditional sums."""
+    from corhist_spark.textops import hash_doc_vectors
+
+    return hash_doc_vectors(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3579,6 +3607,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_trend": q_violation_trend,
         "ner_spans": q_ner_spans,
         "weak_labels": q_weak_labels,
+        # batch 25: leakage-safe split, split-leakage audit, hashed
+        # doc vectors
+        "leakage_safe_split": q_leakage_safe_split,
+        "split_leakage_audit": q_split_leakage_audit,
+        "hash_doc_vectors": q_hash_doc_vectors,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4553,6 +4586,8 @@ from corhist_spark.fusion import DATATYPE_CLASSES as _DATATYPE_CLASSES
 from corhist_spark.fusion import VT_CHECKPOINTS as _VT_CHECKPOINTS
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
+    HASH_VEC_DIMS as _HASH_VEC_DIMS,
+    SPLIT_TEST_MOD as _SPLIT_TEST_MOD,
     WL_MAX_TOP_SHARE_PCT as _WL_MAX_TOP_SHARE_PCT,
     WL_MIN_TOKENS as _WL_MIN_TOKENS,
 )
@@ -8035,6 +8070,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN uc ub ON ub.tok = b.tok_b
             CROSS JOIN tb CROSS JOIN tt
             WHERE b.n_pair >= {_MIN_COLLOC}
+        """,
+        # the dedup_survivors chain + the survivor-keyed hash split
+        # (mod interpolated from the textops constant)
+        "leakage_safe_split": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _DEDUP_COMP_CTES + f"""
+            , surv AS (
+              SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS survivor
+              FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            )
+            SELECT doc_id, survivor,
+                   CASE WHEN ({hexval_sql(
+                       "'split:' || CAST(survivor AS VARCHAR)"
+                   )}) % {_SPLIT_TEST_MOD} = 0
+                        THEN 'test' ELSE 'train' END AS split
+            FROM surv
+        """,
+        # capped LSH pairs + per-side naive hash split; crossing
+        # pairs = contamination
+        "split_leakage_audit": _SIG_CTES + f"""
+            , cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sigf a JOIN sigf b
+                ON a.band = b.band AND a.minhash = b.minhash
+               AND a.doc_id < b.doc_id
+            ), fl AS (
+              SELECT CASE WHEN (({hexval_sql(
+                  "'split:' || CAST(doc_a AS VARCHAR)"
+              )}) % {_SPLIT_TEST_MOD} = 0)
+                          <> (({hexval_sql(
+                  "'split:' || CAST(doc_b AS VARCHAR)"
+              )}) % {_SPLIT_TEST_MOD} = 0)
+                          THEN 1 ELSE 0 END AS crosses
+              FROM cand
+            )
+            SELECT COUNT(*) AS n_pairs,
+                   CAST(SUM(crosses) AS BIGINT) AS n_cross,
+                   CASE WHEN COUNT(*) > 0
+                        THEN round(CAST(SUM(crosses) AS DOUBLE) / COUNT(*), 6)
+                        ELSE 0.0 END AS leak_rate
+            FROM fl
+        """,
+        # signed 16-bucket token counts (exact BIGINT); bucket and
+        # sign from one md5 decode, dims interpolated from the
+        # textops constant
+        "hash_doc_vectors": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS tok
+              FROM documents
+            ), hv AS (
+              SELECT doc_id, ({hexval_sql("'fh:' || tok")}) AS h FROM toks
+            ), sg AS (
+              SELECT doc_id, CAST(h % {_HASH_VEC_DIMS} AS INT) AS b,
+                     CASE WHEN (h // {_HASH_VEC_DIMS}) % 2 = 0
+                          THEN 1 ELSE -1 END AS sgn
+              FROM hv
+            ), agg AS (
+              SELECT doc_id,
+                     {", ".join(
+                         f"CAST(COALESCE(SUM(CASE WHEN b = {i} THEN sgn END), 0)"
+                         f" AS BIGINT) AS f{i}"
+                         for i in range(_HASH_VEC_DIMS)
+                     )}
+              FROM sg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   {", ".join(
+                       f"CAST(COALESCE(a.f{i}, 0) AS BIGINT) AS f{i}"
+                       for i in range(_HASH_VEC_DIMS)
+                   )}
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         # each interval emits the checkpoints it covers (one scan,
         # no replay); checkpoint count interpolated from the fusion

@@ -252,6 +252,10 @@ HEADLINE = [
     "violation_trend",
     "ner_spans",
     "weak_labels",
+    # batch 25: leakage-safe split, leakage audit, hashed doc vectors
+    "leakage_safe_split",
+    "split_leakage_audit",
+    "hash_doc_vectors",
 ]
 
 

@@ -2687,3 +2687,117 @@ def weak_labels(docs: DataFrame) -> DataFrame:
         n_pass.alias("n_pass"),
         (n_pass == 3).alias("keep"),
     )
+
+
+SPLIT_TEST_MOD = 10  # ~10% test
+
+
+def leakage_safe_split(
+    survivors: DataFrame, test_mod: int = SPLIT_TEST_MOD
+) -> DataFrame:
+    """Dedup-aware train/test split — the leakage guard real corpus
+    pipelines need (Lee et al. 2022: near-duplicates straddling a
+    naive split leak test content into training): documents are
+    assigned to a split by hashing their dedup-cluster SURVIVOR, so
+    every member of a near-dup cluster lands on the same side.
+    Input is the ``dedup_survivors`` output (doc_id, survivor,
+    is_dup); output adds ``split`` ('test' when the md5 decode of
+    'split:' || survivor mod ``test_mod`` is 0, else 'train').
+
+    Scale shape: ONE map-side projection over the survivor table —
+    the cluster structure was already paid for by the dedup
+    pipeline."""
+    h = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('split:', CAST(survivor AS STRING))),"
+            " 1, 13), 16, 10) AS BIGINT)"
+        )
+        % test_mod
+    )
+    return survivors.select(
+        "doc_id",
+        "survivor",
+        F.when(h == 0, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def split_leakage_audit(
+    pairs: DataFrame, docs: DataFrame, test_mod: int = SPLIT_TEST_MOD
+) -> DataFrame:
+    """The motivation metric for ``leakage_safe_split``: how many
+    near-duplicate candidate pairs straddle a NAIVE per-document
+    hash split — every crossing pair is test-set contamination.
+    One row: (n_pairs, n_cross, leak_rate rounded 6).
+
+    Scale shape: the (already capped) LSH pair table gets one
+    map-side split assignment per side (no join against the corpus
+    at all — the split is a pure function of doc_id) and one
+    single-row aggregate."""
+    def side(col):
+        return (
+            F.expr(
+                f"CAST(conv(substr(md5(concat('split:', CAST({col} AS STRING))),"
+                " 1, 13), 16, 10) AS BIGINT)"
+            )
+            % test_mod
+            == 0
+        )
+
+    flagged = pairs.select(
+        (side("doc_a") != side("doc_b")).cast("int").alias("crosses")
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("crosses").cast("bigint").alias("n_cross"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.round(F.sum("crosses") / F.count(F.lit(1)).cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("leak_rate"),
+    )
+
+
+HASH_VEC_DIMS = 16
+
+
+def hash_doc_vectors(docs: DataFrame, dims: int = HASH_VEC_DIMS) -> DataFrame:
+    """Feature-hashing doc vectors (Weinberger et al. 2009's hashing
+    trick): each token hashes to one of ``dims`` buckets with a
+    +-1 sign from a second hash bit; the doc vector is the signed
+    bucket-count array — the memory-bounded bag-of-words
+    representation linear classifiers train on at corpus scale
+    (exact BIGINT counts, so the oracle compares exactly; no float
+    features).  Output: (doc_id, f0..f{dims-1}).
+
+    Scale shape: one token explode + one (doc, bucket) count + one
+    doc-keyed pivot via conditional sums — all riding the doc_id
+    partitioning."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    hv = toks.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substr(md5(concat('fh:', tok)), 1, 13), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).select(
+        "doc_id",
+        (F.col("h") % dims).cast("int").alias("b"),
+        F.when(F.expr(f"(h div {dims}) % 2") == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    agg = hv.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("b") == i, F.col("sgn")).otherwise(0))
+            .cast("bigint")
+            .alias(f"f{i}")
+            for i in range(dims)
+        ]
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        *[F.coalesce(f"f{i}", F.lit(0)).cast("bigint").alias(f"f{i}") for i in range(dims)],
+    )

@@ -1254,3 +1254,57 @@ def test_weak_labels_votes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # one map-side projection, zero shuffles
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    import hashlib
+
+    from corhist_spark.textops import leakage_safe_split
+
+    surv = spark.createDataFrame(
+        [(1, 1, False), (2, 1, True), (3, 3, False), (4, 4, False)],
+        "doc_id long, survivor long, is_dup boolean",
+    )
+    rows = {r["doc_id"]: r["split"] for r in leakage_safe_split(surv).collect()}
+    # cluster {1, 2} shares a survivor -> identical split
+    assert rows[1] == rows[2]
+    for doc, s in ((1, 1), (3, 3), (4, 4)):
+        h = int(hashlib.md5(f"split:{s}".encode()).hexdigest()[:13], 16) % 10
+        assert rows[doc] == ("test" if h == 0 else "train")
+
+
+def test_split_leakage_audit_counts_crossings(spark):
+    import hashlib
+
+    from corhist_spark.textops import split_leakage_audit
+
+    def side(d):
+        return int(hashlib.md5(f"split:{d}".encode()).hexdigest()[:13], 16) % 10 == 0
+
+    # find one crossing and one non-crossing pair deterministically
+    test_doc = next(d for d in range(1000) if side(d))
+    train_a, train_b = [d for d in range(1000) if not side(d)][:2]
+    pairs = spark.createDataFrame(
+        [(train_a, test_doc), (train_a, train_b)], "doc_a long, doc_b long"
+    )
+    row = split_leakage_audit(pairs, None).collect()[0]
+    assert (row["n_pairs"], row["n_cross"]) == (2, 1)
+    assert row["leak_rate"] == 0.5
+
+
+def test_hash_doc_vectors_match_python(spark):
+    import hashlib
+
+    from corhist_spark.textops import hash_doc_vectors
+
+    text = "alpha beta alpha gamma"
+    row = hash_doc_vectors(
+        _docs(spark, [(1, text), (2, "")])
+    ).collect()
+    rows = {r["doc_id"]: r for r in row}
+    want = [0] * 16
+    for tok in text.split():
+        h = int(hashlib.md5(f"fh:{tok}".encode()).hexdigest()[:13], 16)
+        want[h % 16] += 1 if (h // 16) % 2 == 0 else -1
+    assert [rows[1][f"f{i}"] for i in range(16)] == want
+    assert all(rows[2][f"f{i}"] == 0 for i in range(16))  # empty doc
