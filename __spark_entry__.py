@@ -967,6 +967,57 @@ def _rule_eval_inputs(spark, sf_dir):
     return corr.filter(ent != 0), corr.filter(ent == 0), revisions, state
 
 
+def q_rule_temporal_eval(spark, sf_dir):
+    """The flagship rule pipeline under a TEMPORAL holdout — mine on
+    the first half of correction history (corr_rev*2 <= max), apply
+    to corrections that happened later: the honest protocol for a
+    miner that will run on tomorrow's edits (the entity-keyed split
+    in rule_pipeline_eval measures generalization across entities;
+    this measures it across TIME).  Same metric contract and full
+    DuckDB transcription as rule_pipeline_eval."""
+    from corhist_spark.evaluate import apply_rules, evaluation_metrics
+    from corhist_spark.mining import mine_basic_rules
+
+    corr = _eval_corrections(spark, sf_dir)
+    _edits, revisions, state = _hist(spark, sf_dir)
+    max_rev = corr.agg(F.max("corr_rev")).collect()[0][0]  # one scalar
+    train = corr.filter(F.col("corr_rev") * 2 <= max_rev)
+    test = corr.filter(F.col("corr_rev") * 2 > max_rev)
+    rules, _ = mine_basic_rules(train, revisions)
+    applied = apply_rules(rules, test, revisions, state)
+    m = evaluation_metrics(applied)
+    return m.select(
+        "constraint_id",
+        "total",
+        "found",
+        "good",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_edit_bursts(spark, sf_dir):
+    """Burst windows in the revision stream (z > 2 above the mean
+    bucket rate, decided in pure integers) — the vandalism/bot-import
+    alarm upstream of the game queue."""
+    from corhist_spark.fusion import edit_bursts
+    from corhist_spark.history import derived_edits
+
+    return edit_bursts(derived_edits(spark, sf_dir))
+
+
+def q_labeler_agreement(spark, sf_dir):
+    """Cohen's kappa between the language and repetition labeling
+    functions of weak_labels — exact BIGINT cells, one aggregate."""
+    from corhist_spark.fusion import labeler_agreement
+    from corhist_spark.textops import weak_labels
+
+    return labeler_agreement(
+        weak_labels(_t(spark, sf_dir, "documents")), "lang_ok", "rep_ok"
+    )
+
+
 def q_refined_rules(spark, sf_dir):
     """Depth-1 context refinement over REAL mined rules
     (`Miner.java:123-144`): candidate atoms proposed from the outgoing
@@ -3612,6 +3663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "split_leakage_audit": q_split_leakage_audit,
         "hash_doc_vectors": q_hash_doc_vectors,
+        # batch 26: temporal rule holdout, edit-burst alarm, labeler
+        # agreement
+        "rule_temporal_eval": q_rule_temporal_eval,
+        "edit_bursts": q_edit_bursts,
+        "labeler_agreement": q_labeler_agreement,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4032,6 +4088,18 @@ _RULE_EVAL_FINAL = _MINE_CTES + f"""
                  END, 6) AS f1
     FROM agg
 """
+
+# Temporal-split variant of the rule-eval transcription: same mining/
+# ranking/eval chain, train = first half of correction history.
+_ENT_TRAIN_PRED = "CAST(substr(target_subj, 2) AS BIGINT) % 5 <> 0"
+_ENT_TEST_PRED = "CAST(substr(target_subj, 2) AS BIGINT) % 5 = 0"
+_T_TRAIN_PRED = "corr_rev * 2 <= (SELECT MAX(corr_rev) FROM corrf)"
+_T_TEST_PRED = "corr_rev * 2 > (SELECT MAX(corr_rev) FROM corrf)"
+assert _RULE_EVAL_FINAL.count("WHERE " + _ENT_TRAIN_PRED) == 1
+assert _RULE_EVAL_FINAL.count("WHERE " + _ENT_TEST_PRED) == 1
+_RULE_TEMPORAL_FINAL = _RULE_EVAL_FINAL.replace(
+    "WHERE " + _ENT_TRAIN_PRED, "WHERE " + _T_TRAIN_PRED
+).replace("WHERE " + _ENT_TEST_PRED, "WHERE " + _T_TEST_PRED)
 
 
 # Depth-1 refinement transcription (`Miner.java:123-144` /
@@ -5567,6 +5635,7 @@ _GPROF_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
 """
 
 from corhist_spark.fusion import EDIT_ACTIVITY_BUCKET as _EDIT_BUCKET
+from corhist_spark.fusion import BURST_Z_THRESHOLD
 
 # Characteristic sets over the as-of snapshot at max_rev div 10 (the
 # early cut where the fixture's entity shapes vary; the snapshot is a
@@ -6933,6 +7002,89 @@ def oracle_sql() -> dict[str, str]:
             _EVAL_KR
             + expansion_sql(keyed_by_constraint=True, final_select=_RULE_EVAL_FINAL)
         ),
+        # same transcription with the train/test CTEs re-split by
+        # corr_rev * 2 <=/> max(corr_rev) (temporal holdout)
+        "rule_temporal_eval": with_history_ctes(
+            _EVAL_KR
+            + expansion_sql(
+                keyed_by_constraint=True, final_select=_RULE_TEMPORAL_FINAL
+            )
+        ),
+        # bucket counts + integer burst decision ((n*k - s1)^2 >
+        # z^2 * (k*s2 - s1^2)); bucket width from the fusion constant
+        "edit_bursts": with_history_ctes(
+            f"""
+            , b AS MATERIALIZED (
+              SELECT rev_id // {_EDIT_BUCKET} AS bucket_id,
+                     COUNT(*) AS n_edits
+              FROM h_edits GROUP BY 1
+            ), tot AS (
+              SELECT COUNT(*) AS k, CAST(SUM(n_edits) AS BIGINT) AS s1,
+                     CAST(SUM(n_edits * n_edits) AS BIGINT) AS s2
+              FROM b
+            )
+            SELECT bucket_id, n_edits,
+                   CASE WHEN k * s2 - s1 * s1 > 0
+                        THEN round(CAST(n_edits * k - s1 AS DOUBLE)
+                                   / sqrt(CAST(k * s2 - s1 * s1 AS DOUBLE)), 6)
+                        ELSE 0.0 END AS zscore,
+                   n_edits * k - s1 > 0
+                   AND (n_edits * k - s1) * (n_edits * k - s1)
+                       > {BURST_Z_THRESHOLD * BURST_Z_THRESHOLD}
+                         * (k * s2 - s1 * s1) AS is_burst
+            FROM b CROSS JOIN tot
+            """
+        ),
+        # kappa from four exact BIGINT cells; po/pe written in the
+        # engine's exact operation order
+        "labeler_agreement": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x <> '')) AS n,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x = 'the' OR x = 'a' OR x = 'and')) AS hits
+              FROM documents
+            ), toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+            ), top AS (
+              SELECT doc_id, MAX(c) AS top_c FROM tc GROUP BY doc_id
+            ), lab AS (
+              SELECT b.hits * 10 >= b.n AS la,
+                     b.n > 0 AND COALESCE(t.top_c, 0) * 100
+                                 <= {_WL_MAX_TOP_SHARE_PCT} * b.n AS lb
+              FROM base b LEFT JOIN top t USING (doc_id)
+            ), agg AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN la AND lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_both,
+                     CAST(SUM(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_only_a,
+                     CAST(SUM(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_only_b,
+                     CAST(SUM(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_neither
+              FROM lab
+            ), sel AS (
+              SELECT *,
+                     (n_both + n_neither) / CAST(n AS DOUBLE) AS po,
+                     ((n_both + n_only_a) / CAST(n AS DOUBLE))
+                       * ((n_both + n_only_b) / CAST(n AS DOUBLE))
+                     + (1 - (n_both + n_only_a) / CAST(n AS DOUBLE))
+                       * (1 - (n_both + n_only_b) / CAST(n AS DOUBLE)) AS pe
+              FROM agg
+            )
+            SELECT n, n_both, n_only_a, n_only_b, n_neither,
+                   CASE WHEN pe <> 1.0
+                        THEN round((po - pe) / (1 - pe), 6)
+                        ELSE 0.0 END AS kappa
+            FROM sel
+        """,
         "rules_text": with_history_ctes(
             _EVAL_KR
             + expansion_sql(keyed_by_constraint=True, final_select=_RULES_TEXT_FINAL)

@@ -256,6 +256,10 @@ HEADLINE = [
     "leakage_safe_split",
     "split_leakage_audit",
     "hash_doc_vectors",
+    # batch 26: temporal rule holdout, edit bursts, labeler agreement
+    "rule_temporal_eval",
+    "edit_bursts",
+    "labeler_agreement",
 ]
 
 

@@ -1001,3 +1001,88 @@ def violation_trend(
     return pairs.groupBy("checkpoint", "rev").agg(
         F.count(F.lit(1)).alias("n_violating_pairs")
     )
+
+
+BURST_Z_THRESHOLD = 2
+
+
+def edit_bursts(edits: DataFrame, bucket: int = EDIT_ACTIVITY_BUCKET) -> DataFrame:
+    """Burst detection over the revision stream (the z-score half of
+    Kleinberg 2002's burst model, the form ops dashboards actually
+    run): bucket the stream into ``bucket``-revision windows and flag
+    windows whose edit count sits more than BURST_Z_THRESHOLD
+    standard deviations ABOVE the mean bucket rate — the vandalism /
+    bot-import alarm upstream of the game queue.  Output: (bucket_id,
+    n_edits, zscore, is_burst), zscore rounded to 6.
+
+    The burst decision is made in PURE INTEGERS:
+    (n*k - S1)^2 > z^2 * (k*S2 - S1^2) and n*k > S1 with k = number
+    of buckets, S1/S2 the BIGINT count sums — both engines decide
+    identically; the published zscore is one sqrt+division of the
+    same exact integers.
+
+    Scale shape: one bucket aggregate (map-side combinable), one
+    single-row totals broadcast, one map-side flag."""
+    b = edits.groupBy(
+        F.expr(f"rev_id div {bucket}").alias("bucket_id")
+    ).agg(F.count(F.lit(1)).alias("n_edits"))
+    tot = b.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_edits").alias("s1"),
+        F.sum(F.col("n_edits") * F.col("n_edits")).alias("s2"),
+    )
+    num = F.col("n_edits") * F.col("k") - F.col("s1")
+    den2 = F.col("k") * F.col("s2") - F.col("s1") * F.col("s1")
+    z2 = BURST_Z_THRESHOLD * BURST_Z_THRESHOLD
+    return (
+        b.crossJoin(F.broadcast(tot))  # single-row totals frame
+        .select(
+            "bucket_id",
+            "n_edits",
+            F.when(
+                den2 > 0,
+                # z = (n - S1/k) / (sqrt(den2)/k) = num / sqrt(den2)
+                F.round(num.cast("double") / F.sqrt(den2.cast("double")), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("zscore"),
+            ((num > 0) & (num * num > F.lit(z2) * den2)).alias("is_burst"),
+        )
+    )
+
+
+def labeler_agreement(labels: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa between two boolean labeling functions — the
+    agreement statistic a weak-supervision stack reports before
+    trusting an ensemble (two labelers that agree no better than
+    chance add no signal).  One row: (n, n_both, n_only_a, n_only_b,
+    n_neither, kappa) with kappa rounded to 6 (0.0 when pe = 1, the
+    degenerate all-same-label case).
+
+    All four cells are exact BIGINT counts; kappa is computed from
+    them in one double expression — identical on both engines.
+
+    Scale shape: ONE map-side-combined aggregate."""
+    a, bcol = F.col(col_a), F.col(col_b)
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a & bcol).cast("int")).cast("bigint").alias("n_both"),
+        F.sum((a & ~bcol).cast("int")).cast("bigint").alias("n_only_a"),
+        F.sum((~a & bcol).cast("int")).cast("bigint").alias("n_only_b"),
+        F.sum((~a & ~bcol).cast("int")).cast("bigint").alias("n_neither"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n_both") + F.col("n_neither")) / n
+    pa1 = (F.col("n_both") + F.col("n_only_a")) / n
+    pb1 = (F.col("n_both") + F.col("n_only_b")) / n
+    pe = pa1 * pb1 + (1 - pa1) * (1 - pb1)
+    return agg.select(
+        "n",
+        "n_both",
+        "n_only_a",
+        "n_only_b",
+        "n_neither",
+        F.when(pe != 1.0, F.round((po - pe) / (1 - pe), 6))
+        .otherwise(F.lit(0.0))
+        .alias("kappa"),
+    )

@@ -1110,3 +1110,43 @@ def test_violation_trend_counts_per_checkpoint(spark):
            for r in violation_trend(state, 50).collect()}
     # only rev 10 sees both values ([10,20) x [10,40) overlap at 10)
     assert got == {1: (10, 1)}
+
+
+def test_edit_bursts_z_and_flag(spark):
+    import math
+
+    from corhist_spark.fusion import edit_bursts
+
+    # nine 10-edit buckets + one 100-edit burst bucket (width 10)
+    revs = [(10 * b + r,) for b in range(9) for r in range(10)]
+    revs += [(90 + (r % 10),) for r in range(100)]  # bucket 9: 100
+    edits = spark.createDataFrame(revs, "rev_id long")
+    rows = {r["bucket_id"]: r for r in edit_bursts(edits, bucket=10).collect()}
+    k, s1, s2 = 10, 190, 10900
+    for b in range(10):
+        n = 100 if b == 9 else 10
+        z = (n * k - s1) / math.sqrt(k * s2 - s1 * s1)
+        assert rows[b]["zscore"] == round(z, 6)
+        assert rows[b]["is_burst"] == (z > 2)
+    assert rows[9]["is_burst"] and not rows[0]["is_burst"]
+
+
+def test_labeler_agreement_kappa(spark):
+    from corhist_spark.fusion import labeler_agreement
+
+    labels = spark.createDataFrame(
+        [(True, True)] * 40 + [(True, False)] * 10
+        + [(False, True)] * 5 + [(False, False)] * 45,
+        "a boolean, b boolean",
+    )
+    row = labeler_agreement(labels, "a", "b").collect()[0]
+    assert (row["n_both"], row["n_only_a"], row["n_only_b"], row["n_neither"]) == (
+        40, 10, 5, 45,
+    )
+    po = 85 / 100
+    pe = 0.5 * 0.45 + 0.5 * 0.55
+    assert row["kappa"] == round((po - pe) / (1 - pe), 6)
+
+    # degenerate all-same-label case publishes 0.0
+    same = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    assert labeler_agreement(same, "a", "b").collect()[0]["kappa"] == 0.0
