@@ -1018,6 +1018,39 @@ def q_labeler_agreement(spark, sf_dir):
     )
 
 
+def q_rule_predictions(spark, sf_dir):
+    """Per-prediction provenance export of the flagship pipeline:
+    every fired (test item, rule) with support/confidence and the
+    exact-set correctness verdict — the audit trail a human reviewer
+    (or the game queue) reads before trusting an automated edit."""
+    from corhist_spark.evaluate import apply_rules
+    from corhist_spark.mining import mine_basic_rules
+
+    train, test, revisions, state = _rule_eval_inputs(spark, sf_dir)
+    rules, _ = mine_basic_rules(train, revisions)
+    applied = apply_rules(rules, test, revisions, state, with_provenance=True)
+    return applied.filter(F.col("predicted").isNotNull()).select(
+        "constraint_id",
+        "corr_rev",
+        "target_subj",
+        "target_pred",
+        "target_obj",
+        "rule_id",
+        "support",
+        F.round("confidence", 6).alias("confidence"),
+        (F.col("predicted") == F.array_sort("correction")).alias("correct"),
+    )
+
+
+def q_source_drift(spark, sf_dir):
+    """Per-source L1 vocabulary drift vs the corpus head — the
+    domain-shift report behind source reweighting; corpus touched
+    twice, all arithmetic on (sources x 256)-sized frames."""
+    from corhist_spark.textops import source_drift
+
+    return source_drift(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_refined_rules(spark, sf_dir):
     """Depth-1 context refinement over REAL mined rules
     (`Miner.java:123-144`): candidate atoms proposed from the outgoing
@@ -3668,6 +3701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_temporal_eval": q_rule_temporal_eval,
         "edit_bursts": q_edit_bursts,
         "labeler_agreement": q_labeler_agreement,
+        # batch 27: per-prediction provenance export, source drift
+        "rule_predictions": q_rule_predictions,
+        "source_drift": q_source_drift,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4100,6 +4136,21 @@ assert _RULE_EVAL_FINAL.count("WHERE " + _ENT_TEST_PRED) == 1
 _RULE_TEMPORAL_FINAL = _RULE_EVAL_FINAL.replace(
     "WHERE " + _ENT_TRAIN_PRED, "WHERE " + _T_TRAIN_PRED
 ).replace("WHERE " + _ENT_TEST_PRED, "WHERE " + _T_TEST_PRED)
+
+# Per-prediction provenance export: the same transcription cut after
+# the predx CTE (assert-guarded), with a row-per-fired-rule final
+# select instead of the metric aggregation.
+assert _RULE_EVAL_FINAL.count("), scored AS (") == 1
+_RULE_PRED_FINAL = (
+    _RULE_EVAL_FINAL[: _RULE_EVAL_FINAL.index("), scored AS (")]
+    + """)
+    SELECT p.constraint_id, p.corr_rev, p.target_subj, p.target_pred,
+           p.target_obj, p.rule_id, p.support,
+           round(p.confidence, 6) AS confidence,
+           p.pred_str = p.actual_str AS correct
+    FROM predx p
+"""
+)
 
 
 # Depth-1 refinement transcription (`Miner.java:123-144` /
@@ -4654,6 +4705,7 @@ from corhist_spark.fusion import DATATYPE_CLASSES as _DATATYPE_CLASSES
 from corhist_spark.fusion import VT_CHECKPOINTS as _VT_CHECKPOINTS
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
+    DRIFT_HEAD_K as _DRIFT_HEAD_K,
     HASH_VEC_DIMS as _HASH_VEC_DIMS,
     SPLIT_TEST_MOD as _SPLIT_TEST_MOD,
     WL_MAX_TOP_SHARE_PCT as _WL_MAX_TOP_SHARE_PCT,
@@ -7002,6 +7054,53 @@ def oracle_sql() -> dict[str, str]:
             _EVAL_KR
             + expansion_sql(keyed_by_constraint=True, final_select=_RULE_EVAL_FINAL)
         ),
+        # the rule_pipeline transcription cut after predx; one row per
+        # fired rule with provenance + exact-set verdict
+        "rule_predictions": with_history_ctes(
+            _EVAL_KR
+            + expansion_sql(keyed_by_constraint=True, final_select=_RULE_PRED_FINAL)
+        ),
+        # per-source L1 distance over the corpus top-256 head + OTHER
+        # bucket; every ratio is one exact BIGINT pair
+        "source_drift": f"""
+            WITH toks AS MATERIALIZED (
+              SELECT source,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS tok
+              FROM documents
+            ), cf AS MATERIALIZED (
+              SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok
+            ), head AS MATERIALIZED (
+              SELECT tok, cf FROM cf ORDER BY cf DESC, tok LIMIT {_DRIFT_HEAD_K}
+            ), nt AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM cf),
+            st AS MATERIALIZED (
+              SELECT t.source, t.tok, COUNT(*) AS c_st
+              FROM toks t JOIN head h ON h.tok = t.tok
+              GROUP BY t.source, t.tok
+            ), ns AS (
+              SELECT source, COUNT(*) AS n_s FROM toks GROUP BY source
+            ), grid AS (
+              SELECT ns.source, ns.n_s, h.tok, h.cf FROM ns CROSS JOIN head h
+            ), terms AS (
+              SELECT g.source, g.n_s, COALESCE(s.c_st, 0) AS c_st, g.cf,
+                     abs(COALESCE(s.c_st, 0) / CAST(g.n_s AS DOUBLE)
+                         - g.cf / CAST(n_total AS DOUBLE)) AS term
+              FROM grid g
+              LEFT JOIN st s ON s.source = g.source AND s.tok = g.tok
+              CROSS JOIN nt
+            ), per AS (
+              SELECT source, MAX(n_s) AS n_tokens, SUM(term) AS head_l1,
+                     CAST(SUM(c_st) AS BIGINT) AS head_c,
+                     CAST(SUM(cf) AS BIGINT) AS head_cf
+              FROM terms GROUP BY source
+            )
+            SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(head_l1
+                         + abs((n_tokens - head_c) / CAST(n_tokens AS DOUBLE)
+                               - (n_total - head_cf)
+                                 / CAST(n_total AS DOUBLE)), 6) AS l1_drift
+            FROM per CROSS JOIN nt
+        """,
         # same transcription with the train/test CTEs re-split by
         # corr_rev * 2 <=/> max(corr_rev) (temporal holdout)
         "rule_temporal_eval": with_history_ctes(

@@ -260,6 +260,9 @@ HEADLINE = [
     "rule_temporal_eval",
     "edit_bursts",
     "labeler_agreement",
+    # batch 27: prediction provenance export, source drift
+    "rule_predictions",
+    "source_drift",
 ]
 
 

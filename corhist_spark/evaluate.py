@@ -45,10 +45,18 @@ def _with_test_id(test: DataFrame) -> DataFrame:
 
 
 def apply_rules(
-    rules: DataFrame, test: DataFrame, revisions: DataFrame, state: DataFrame
+    rules: DataFrame,
+    test: DataFrame,
+    revisions: DataFrame,
+    state: DataFrame,
+    with_provenance: bool = False,
 ) -> DataFrame:
     """-> (test_id, constraint_id, correction, predicted) with one row
-    per test correction; predicted is NULL when no rule fired."""
+    per test correction; predicted is NULL when no rule fired.  With
+    ``with_provenance`` the row additionally carries the fired rule's
+    identity (corr_rev, target_*, rule_id, support, confidence) — the
+    per-prediction audit trail a reviewer reads before trusting an
+    automated edit (same plan, two extra carried columns)."""
     t = _with_test_id(corrections_with_g(test, revisions)).cache()
 
     r = F.broadcast(rules.select("rule_id", "constraint_id", "violation_obj", "head", "context", "support", "confidence"))
@@ -120,6 +128,26 @@ def apply_rules(
             )
         ),
     )
+    if with_provenance:
+        return t.join(
+            first.select(
+                "test_id", "predicted", "rule_id", "support", "confidence"
+            ),
+            "test_id",
+            "left",
+        ).select(
+            "test_id",
+            "constraint_id",
+            "corr_rev",
+            "target_subj",
+            "target_pred",
+            "target_obj",
+            "correction",
+            "predicted",
+            "rule_id",
+            "support",
+            "confidence",
+        )
     return t.join(first.select("test_id", "predicted"), "test_id", "left").select(
         "test_id", "constraint_id", "correction", "predicted"
     )

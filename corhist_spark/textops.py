@@ -2801,3 +2801,69 @@ def hash_doc_vectors(docs: DataFrame, dims: int = HASH_VEC_DIMS) -> DataFrame:
         "doc_id",
         *[F.coalesce(f"f{i}", F.lit(0)).cast("bigint").alias(f"f{i}") for i in range(dims)],
     )
+
+
+DRIFT_HEAD_K = 256
+
+
+def source_drift(docs: DataFrame, head_k: int = DRIFT_HEAD_K) -> DataFrame:
+    """Per-source vocabulary drift against the corpus: the L1
+    (total-variation x2) distance between each source's unigram
+    distribution and the whole-corpus distribution, measured over
+    the corpus's top-``head_k`` tokens plus one OTHER bucket — the
+    domain-shift report a mixing planner reads before reweighting
+    sources (a drifted source needs its own budget, not the global
+    one).  Output: (source, n_tokens, l1_drift) rounded to 6.
+
+    Scale shape: one token explode + two map-side counts, a
+    distributed top-k head, then all arithmetic happens on
+    (sources x head_k)-sized frames — the corpus is touched exactly
+    twice and never joined against itself; every ratio is an exact
+    BIGINT pair fed to one division."""
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok"),
+    )
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    head = (
+        cf.orderBy(F.col("cf").desc(), "tok").limit(head_k).localCheckpoint()
+    )
+    n_tot = cf.agg(F.sum("cf").alias("n_total"))
+    st = (
+        toks.join(F.broadcast(head.select("tok")), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    n_s = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    grid = n_s.select("source", "n_s").crossJoin(F.broadcast(head))  # sources x head
+    terms = (
+        grid.join(st, ["source", "tok"], "left")
+        .crossJoin(F.broadcast(n_tot))  # single-row totals frame
+        .select(
+            "source",
+            "n_s",
+            "n_total",
+            F.coalesce("c_st", F.lit(0)).alias("c_st"),
+            "cf",
+            F.abs(
+                F.coalesce("c_st", F.lit(0)) / F.col("n_s").cast("double")
+                - F.col("cf") / F.col("n_total").cast("double")
+            ).alias("term"),
+        )
+    )
+    per_source = terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.sum("term").alias("head_l1"),
+        F.sum("c_st").alias("head_c"),
+        F.max("n_total").alias("n_total"),
+        F.sum("cf").alias("head_cf"),
+    )
+    other = F.abs(
+        (F.col("n_tokens") - F.col("head_c")) / F.col("n_tokens").cast("double")
+        - (F.col("n_total") - F.col("head_cf")) / F.col("n_total").cast("double")
+    )
+    return per_source.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(F.col("head_l1") + other, 6).alias("l1_drift"),
+    )

@@ -1308,3 +1308,21 @@ def test_hash_doc_vectors_match_python(spark):
         want[h % 16] += 1 if (h // 16) % 2 == 0 else -1
     assert [rows[1][f"f{i}"] for i in range(16)] == want
     assert all(rows[2][f"f{i}"] == 0 for i in range(16))  # empty doc
+
+
+def test_source_drift_identical_source_has_zero_drift(spark):
+    from corhist_spark.textops import source_drift
+
+    # source A == corpus half 1, source B disjoint vocabulary
+    d = spark.createDataFrame(
+        [(1, "A", "x y x z"), (2, "B", "p q p r")],
+        "doc_id long, source string, text string",
+    )
+    rows = {r["source"]: r for r in source_drift(d).collect()}
+    # both sources diverge equally from the pooled corpus here
+    assert rows["A"]["l1_drift"] == rows["B"]["l1_drift"] > 0
+    # one-source corpus: drift exactly 0
+    one = spark.createDataFrame(
+        [(1, "A", "x y"), (2, "A", "x z")], "doc_id long, source string, text string"
+    )
+    assert source_drift(one).collect()[0]["l1_drift"] == 0.0
