@@ -1051,6 +1051,42 @@ def q_source_drift(spark, sf_dir):
     return source_drift(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def q_rule_subsumption(spark, sf_dir):
+    """Mined-rule subsumption flags (the reference's driver-small
+    pairwise isMorePrecise check): a rule is subsumed when a strictly
+    more general twin exists (same canonical head + constraint, its
+    bound violation value generalized away) — the pruning pass before
+    rules ship live.  Cross-engine check: the oracle decides the same
+    flag relationally over the transcribed rule table."""
+    from corhist_spark.mining import mine_basic_rules
+    from corhist_spark.rule_ops import rules_with_subsumption
+
+    train, _test, revisions, _state = _rule_eval_inputs(spark, sf_dir)
+    rules, _ = mine_basic_rules(train, revisions)
+    out = rules_with_subsumption(rules)
+    return out.select(
+        "rule_id", "constraint_id", "violation_obj", "support", "is_subsumed"
+    )
+
+
+def q_ambiguous_mentions(spark, sf_dir):
+    """EL ambiguity profile per mention surface: candidate count,
+    top commonness, and the integer-compared ambiguity flag (top
+    candidate holds at most half the mass) — the signal that routes
+    a mention to context-aware disambiguation instead of the prior."""
+    cands = q_el_candidates(spark, sf_dir)
+    return cands.groupBy("mention").agg(
+        F.count(F.lit(1)).alias("n_cands"),
+        F.max(F.when(F.col("cand_rank") == 1, F.col("commonness"))).alias(
+            "top_commonness"
+        ),
+        (
+            F.max(F.when(F.col("cand_rank") == 1, F.col("n_triples"))) * 2
+            <= F.sum("n_triples")
+        ).alias("ambiguous"),
+    )
+
+
 def q_refined_rules(spark, sf_dir):
     """Depth-1 context refinement over REAL mined rules
     (`Miner.java:123-144`): candidate atoms proposed from the outgoing
@@ -3704,6 +3740,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 27: per-prediction provenance export, source drift
         "rule_predictions": q_rule_predictions,
         "source_drift": q_source_drift,
+        # batch 28: rule subsumption flags, EL ambiguity profile
+        "rule_subsumption": q_rule_subsumption,
+        "ambiguous_mentions": q_ambiguous_mentions,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5831,7 +5870,7 @@ _BM25_SQL = f"""
 
 def oracle_sql() -> dict[str, str]:
     M = MAX_REV
-    return {
+    out = {
         "state_intervals": with_history_ctes(
             "SELECT subj, pred, obj, from_rev, to_rev FROM h_state"
         ),
@@ -7053,6 +7092,27 @@ def oracle_sql() -> dict[str, str]:
         "rule_pipeline_eval": with_history_ctes(
             _EVAL_KR
             + expansion_sql(keyed_by_constraint=True, final_select=_RULE_EVAL_FINAL)
+        ),
+        # subsumption decided RELATIONALLY over the transcribed rule
+        # table: with context-free basic rules, a is strictly
+        # subsumed iff a same-head same-constraint twin exists whose
+        # bound violation value is generalized away (the exact
+        # reduction of Rule.java's isMorePrecise for this rule class)
+        "rule_subsumption": with_history_ctes(
+            _EVAL_KR
+            + expansion_sql(
+                keyed_by_constraint=True,
+                final_select=_MINE_CTES + """
+            SELECT a.rule_id, a.constraint_id, a.violation_obj, a.support,
+                   EXISTS (SELECT 1 FROM rid b
+                           WHERE b.rule_id <> a.rule_id
+                             AND b.constraint_id = a.constraint_id
+                             AND b.head_str = a.head_str
+                             AND a.violation_obj IS NOT NULL
+                             AND b.violation_obj IS NULL) AS is_subsumed
+            FROM rid a
+            """,
+            )
         ),
         # the rule_pipeline transcription cut after predx; one row per
         # fired rule with provenance + exact-set verdict
@@ -9330,3 +9390,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id < (SELECT MAX(event_id) FROM events) / 4
         """,
     }
+    # derived entries built FROM other oracles so the two
+    # transcriptions cannot drift apart
+    out["ambiguous_mentions"] = (
+        "SELECT mention, COUNT(*) AS n_cands, "
+        "MAX(CASE WHEN cand_rank = 1 THEN commonness END) AS top_commonness, "
+        "MAX(CASE WHEN cand_rank = 1 THEN n_triples END) * 2 "
+        "<= SUM(n_triples) AS ambiguous "
+        "FROM (" + out["el_candidates"] + ") GROUP BY mention"
+    )
+    return out

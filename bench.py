@@ -263,6 +263,9 @@ HEADLINE = [
     # batch 27: prediction provenance export, source drift
     "rule_predictions",
     "source_drift",
+    # batch 28: rule subsumption flags, EL ambiguity profile
+    "rule_subsumption",
+    "ambiguous_mentions",
 ]
 
 

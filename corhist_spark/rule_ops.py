@@ -118,3 +118,21 @@ def subsumed_rule_ids(rules: DataFrame) -> list[str]:
                 out.append(a["rule_id"])
                 break
     return out
+
+
+def rules_with_subsumption(rules: DataFrame) -> DataFrame:
+    """Rule table annotated with the strict-subsumption flag
+    (`.../Rule.java` isMorePrecise semantics via
+    ``subsumed_rule_ids`` — the driver-small pairwise check, as the
+    reference runs it): (rule_id, constraint_id, violation_obj,
+    support, is_subsumed).  A subsumed rule is one a strictly more
+    general twin exists for (same canonical head, same constraint,
+    its bound violation value generalized away) — the pruning pass
+    before rules ship to the live game queue."""
+    sub = set(subsumed_rule_ids(rules))
+    return rules.select(
+        "rule_id", "constraint_id", "violation_obj", "support"
+    ).withColumn(
+        "is_subsumed",
+        F.col("rule_id").isin(sorted(sub)) if sub else F.lit(False),
+    )

@@ -162,3 +162,27 @@ def test_queue_stats_and_approval_summary(spark):
     assert summ["T1"].all_n == 4 and summ["T1"].approved == 2 and summ["T1"].rejected == 1
     assert abs(summ["T1"].ratio - 0.67) < 1e-9
     assert summ["T2"].ratio is None
+
+
+def test_rules_with_subsumption_planted_pair(spark):
+    """A vo-bound rule with a same-head generalized twin is strictly
+    subsumed; the twin, and an unrelated rule, are not — pins the
+    positive branch the fixture-scale registry row never exercises
+    (48 mined rules, 0 subsumed)."""
+    from corhist_spark.rule_ops import rules_with_subsumption
+
+    head = [("?s", "P1", "V1", "del")]
+    rows = [
+        ("r-specific", "c1", "V9", head, None, 12, 0.9),
+        ("r-general", "c1", None, head, None, 20, 0.8),
+        ("r-other", "c2", "V9", head, None, 12, 0.9),
+    ]
+    rules = spark.createDataFrame(
+        rows,
+        "rule_id string, constraint_id string, violation_obj string, "
+        "head array<struct<subj:string,pred:string,obj:string,op:string>>, "
+        "context array<struct<var:string,pred:string,obj:string>>, "
+        "support long, confidence double",
+    )
+    got = {r["rule_id"]: r["is_subsumed"] for r in rules_with_subsumption(rules).collect()}
+    assert got == {"r-specific": True, "r-general": False, "r-other": False}
