@@ -2786,6 +2786,49 @@ def q_hash_doc_vectors(spark, sf_dir):
     return hash_doc_vectors(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+def _typed_kg_edges(spark, sf_dir):
+    """The event-derived entity graph with a typed predicate
+    (P(event_id % 5)) — the composable triple set for the QA-pair
+    bridge (the derived h_cur is bipartite Q->V, so 2-hop
+    composition only exists on this graph)."""
+    ev = _t(spark, sf_dir, "events")
+    k = max(64, _ev_count(spark, sf_dir) // 20)
+    return ev.select(
+        F.concat(F.lit("Q"), (F.col("event_id") % k).cast("string")).alias("subj"),
+        F.concat(F.lit("P"), (F.col("event_id") % 5).cast("string")).alias("pred"),
+        F.concat(
+            F.lit("Q"),
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 13), 16, 10) AS BIGINT)"
+                )
+                % k
+            ).cast("string"),
+        ).alias("obj"),
+    )
+
+
+def q_kgqa_pairs(spark, sf_dir):
+    """KG-to-QA training pairs: 1-hop for every triple, 2-hop
+    compositional pairs ONLY where the exact join-cardinality gate
+    (count products, never enumerated) says the expansion stays
+    under the cap — the statistics-gated 2-hop that survives
+    corpus scale."""
+    from corhist_spark.fusion import kgqa_pairs
+
+    return kgqa_pairs(_typed_kg_edges(spark, sf_dir))
+
+
+def q_class_balance_plan(spark, sf_dir):
+    """Uniform-mixture sampling plan over the seeded topic labels:
+    per-class integer keep-rate that downsamples every class to the
+    smallest one."""
+    from corhist_spark.fusion import class_balance_plan
+    from corhist_spark.textops import topic_assignment
+
+    return class_balance_plan(topic_assignment(_t(spark, sf_dir, "documents")))
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3743,6 +3786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 28: rule subsumption flags, EL ambiguity profile
         "rule_subsumption": q_rule_subsumption,
         "ambiguous_mentions": q_ambiguous_mentions,
+        # batch 29: cardinality-gated QA pairs, class-balance plan
+        "kgqa_pairs": q_kgqa_pairs,
+        "class_balance_plan": q_class_balance_plan,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4043,7 +4089,7 @@ _MINE_CTES = f"""
              CASE WHEN has_extra = 1 THEN ex_obj END AS x_obj,
              CASE WHEN has_extra = 1 THEN co_op END AS x_op
       FROM okf WHERE still_ok = 1
-    ), corrf AS (
+    ), corrf AS MATERIALIZED (
       SELECT c.*,
              CASE WHEN a2 IS NULL OR a2 = a1 THEN a1
                   ELSE least(a1, a2) || {_S} || greatest(a1, a2) END AS actual_str
@@ -4070,7 +4116,7 @@ _MINE_CTES = f"""
              {_gen_stmt('m', False)},
              CASE WHEN x_subj IS NOT NULL THEN {_gen_stmt('x', False)} END
       FROM train
-    ), bindh AS (
+    ), bindh AS MATERIALIZED (
       SELECT constraint_id, violation_obj,
              CASE WHEN g2 IS NULL OR g2 = g1 THEN g1
                   ELSE least(g1, g2) || {_S} || greatest(g1, g2) END AS head_str
@@ -4088,7 +4134,7 @@ _MINE_CTES = f"""
         ON f.constraint_id = b.constraint_id
        AND f.violation_obj IS NOT DISTINCT FROM b.violation_obj
       WHERE f.support >= 10 AND f.support * 1.0 / b.body_n >= 0.5
-    ), rid AS (
+    ), rid AS MATERIALIZED (
       SELECT r.*,
              sha256(constraint_id || {_G} || COALESCE(violation_obj, '?o') || {_G} ||
                '[' || array_to_string(list_transform(string_split(head_str, {_S}),
@@ -4113,11 +4159,11 @@ _RULES_TEXT_FINAL = _MINE_CTES + f"""
 """
 
 _RULE_EVAL_FINAL = _MINE_CTES + f"""
-    , tid AS (
+    , tid AS MATERIALIZED (
       SELECT DISTINCT constraint_id, corr_rev, target_subj, target_pred,
              target_obj, actual_str
       FROM test
-    ), fm AS (
+    ), fm AS MATERIALIZED (
       SELECT * FROM (
         SELECT t.*, r.rule_id, r.head_str, r.support, r.confidence,
                row_number() OVER (
@@ -4128,7 +4174,7 @@ _RULE_EVAL_FINAL = _MINE_CTES + f"""
           ON r.constraint_id = t.constraint_id
          AND (r.violation_obj IS NULL OR r.violation_obj = t.target_obj)
       ) WHERE rn = 1
-    ), predx AS (
+    ), predx AS MATERIALIZED (
       SELECT fm.*,
         array_to_string(list_sort(list_transform(string_split(head_str, {_S}), x ->
           {_INST_FIELD.format(i=1)}
@@ -4742,6 +4788,7 @@ from corhist_spark.textops import (
 from corhist_spark.fusion import REVERT_WINDOW as _REVERT_WINDOW
 from corhist_spark.fusion import DATATYPE_CLASSES as _DATATYPE_CLASSES
 from corhist_spark.fusion import VT_CHECKPOINTS as _VT_CHECKPOINTS
+from corhist_spark.fusion import KGQA_2HOP_CAP as _KGQA_2HOP_CAP
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -7093,6 +7140,45 @@ def oracle_sql() -> dict[str, str]:
             _EVAL_KR
             + expansion_sql(keyed_by_constraint=True, final_select=_RULE_EVAL_FINAL)
         ),
+        # typed event graph; 2-hop pairs enumerated only for predicate
+        # pairs the count-product gate admits (cap from the fusion
+        # constant)
+        "kgqa_pairs": f"""
+            WITH kk AS (SELECT greatest(64, COUNT(*) // 20) AS k FROM events),
+            tr AS MATERIALIZED (
+              SELECT 'Q' || CAST(event_id % (SELECT k FROM kk) AS VARCHAR)
+                       AS subj,
+                     'P' || CAST(event_id % 5 AS VARCHAR) AS pred,
+                     'Q' || CAST(({hexval_sql("CAST(event_id AS VARCHAR)")})
+                                 % (SELECT k FROM kk) AS VARCHAR) AS obj
+              FROM events
+            ), one AS (
+              SELECT 'what is ' || pred || ' of ' || subj || '?' AS question,
+                     obj AS answer, 1 AS hops
+              FROM tr
+            ), inc AS (
+              SELECT obj AS x, pred AS pred_a, COUNT(*) AS n_in
+              FROM tr GROUP BY 1, 2
+            ), outt AS (
+              SELECT subj AS x, pred AS pred_b, COUNT(*) AS n_out
+              FROM tr GROUP BY 1, 2
+            ), gate AS MATERIALIZED (
+              SELECT pred_a, pred_b FROM (
+                SELECT pred_a, pred_b,
+                       CAST(SUM(n_in * n_out) AS BIGINT) AS n_paths
+                FROM inc JOIN outt USING (x) GROUP BY 1, 2
+              ) WHERE n_paths <= {_KGQA_2HOP_CAP}
+            ), two AS (
+              SELECT 'what is ' || r.pred || ' of the ' || l.pred || ' of '
+                       || l.subj || '?' AS question,
+                     r.obj AS answer, 2 AS hops
+              FROM tr l
+              JOIN tr r ON r.subj = l.obj
+              JOIN gate g ON g.pred_a = l.pred AND g.pred_b = r.pred
+            )
+            SELECT DISTINCT question, answer, hops
+            FROM (SELECT * FROM one UNION ALL SELECT * FROM two)
+        """,
         # subsumption decided RELATIONALLY over the transcribed rule
         # table: with context-free basic rules, a is strictly
         # subsumed iff a same-head same-constraint twin exists whose
@@ -9392,6 +9478,13 @@ def oracle_sql() -> dict[str, str]:
     }
     # derived entries built FROM other oracles so the two
     # transcriptions cannot drift apart
+    out["class_balance_plan"] = (
+        "WITH t AS (" + out["topic_assignment"] + ") "
+        "SELECT label, n_docs, (1000 * min_class) // n_docs AS keep_per_1000 "
+        "FROM (SELECT topic AS label, COUNT(*) AS n_docs FROM t GROUP BY topic) "
+        "CROSS JOIN (SELECT MIN(n) AS min_class FROM "
+        "(SELECT COUNT(*) AS n FROM t GROUP BY topic))"
+    )
     out["ambiguous_mentions"] = (
         "SELECT mention, COUNT(*) AS n_cands, "
         "MAX(CASE WHEN cand_rank = 1 THEN commonness END) AS top_commonness, "

@@ -266,6 +266,9 @@ HEADLINE = [
     # batch 28: rule subsumption flags, EL ambiguity profile
     "rule_subsumption",
     "ambiguous_mentions",
+    # batch 29: cardinality-gated QA pairs, class-balance plan
+    "kgqa_pairs",
+    "class_balance_plan",
 ]
 
 

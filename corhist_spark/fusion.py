@@ -1086,3 +1086,76 @@ def labeler_agreement(labels: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("kappa"),
     )
+
+
+KGQA_2HOP_CAP = 100_000  # skip predicate pairs whose exact path count
+# exceeds this — the cardinality gate that keeps 2-hop enumeration
+# linear-ish at corpus scale
+
+
+def kgqa_pairs(cur: DataFrame, two_hop_cap: int = KGQA_2HOP_CAP) -> DataFrame:
+    """KG-to-QA training-pair generation (the synthetic-QA bridge
+    next to ``kg_linearize``'s KELM verbalization): every current
+    triple yields a 1-hop pair ("what is P of S?" -> O), and 2-hop
+    COMPOSITIONAL pairs ("what is P2 of the P1 of S?" -> O2) are
+    enumerated ONLY for predicate pairs whose exact join cardinality
+    (from ``join_cardinality_stats``'s count-product identity) stays
+    under ``two_hop_cap`` — the statistics-gated enumeration that
+    keeps the quadratic-looking stage linear by construction: the
+    gate itself costs two entity-keyed counts, never a pair
+    expansion.  Output: (question, answer, hops).
+
+    Scale shape: 1-hop is a map pass; the 2-hop stage first computes
+    the per-(pred_a, pred_b) path counts WITHOUT enumeration, then
+    materializes only the gated pairs through one entity-keyed
+    equi-join (volume = the gated path counts, known in advance)."""
+    one = cur.select(
+        F.concat(
+            F.lit("what is "), "pred", F.lit(" of "), "subj", F.lit("?")
+        ).alias("question"),
+        F.col("obj").alias("answer"),
+        F.lit(1).alias("hops"),
+    )
+    stats = join_cardinality_stats(cur).filter(
+        F.col("n_paths") <= two_hop_cap
+    )
+    left = cur.select(
+        F.col("subj").alias("s0"), F.col("pred").alias("pred_a"), F.col("obj").alias("x")
+    )
+    right = cur.select(
+        F.col("subj").alias("x"), F.col("pred").alias("pred_b"), F.col("obj").alias("o2")
+    )
+    two = (
+        left.join(right, "x")
+        .join(F.broadcast(stats.select("pred_a", "pred_b")), ["pred_a", "pred_b"], "left_semi")
+        .select(
+            F.concat(
+                F.lit("what is "), "pred_b", F.lit(" of the "), "pred_a",
+                F.lit(" of "), "s0", F.lit("?"),
+            ).alias("question"),
+            F.col("o2").alias("answer"),
+            F.lit(2).alias("hops"),
+        )
+    )
+    return one.unionByName(two).distinct()
+
+
+def class_balance_plan(labels: DataFrame, label_col: str = "topic") -> DataFrame:
+    """Class-balanced sampling plan: given per-document class labels,
+    the per-class keep-rate that downsamples every class to the size
+    of the SMALLEST class (the uniform-mixture plan a curation run
+    feeds into hash-threshold sampling).  Output: (label, n_docs,
+    keep_per_1000) where keep_per_1000 = floor(1000 * min_class /
+    n_docs) — integer arithmetic, identical on both engines.
+
+    Scale shape: one label-keyed count + one single-row min
+    broadcast."""
+    counts = labels.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    mn = counts.agg(F.min("n_docs").alias("min_class"))
+    return counts.crossJoin(F.broadcast(mn)).select(  # single-row totals
+        "label",
+        "n_docs",
+        F.expr("(1000 * min_class) DIV n_docs").alias("keep_per_1000"),
+    )

@@ -1150,3 +1150,35 @@ def test_labeler_agreement_kappa(spark):
     # degenerate all-same-label case publishes 0.0
     same = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
     assert labeler_agreement(same, "a", "b").collect()[0]["kappa"] == 0.0
+
+
+def test_kgqa_pairs_cardinality_gate(spark):
+    from corhist_spark.fusion import kgqa_pairs
+
+    # (P1, P2) composes via x with 1*2 = 2 paths; (P1, P3) via a hot
+    # hub with 3*3 = 9 paths — a cap of 4 admits the first only
+    cur = _cur(
+        spark,
+        [("a", "P1", "x"), ("x", "P2", "b"), ("x", "P2", "c")]
+        + [(f"s{i}", "P1", "hub") for i in range(3)]
+        + [("hub", "P3", f"t{i}") for i in range(3)],
+    )
+    rows = kgqa_pairs(cur, two_hop_cap=4).collect()
+    two = {(r["question"], r["answer"]) for r in rows if r["hops"] == 2}
+    assert two == {
+        ("what is P2 of the P1 of a?", "b"),
+        ("what is P2 of the P1 of a?", "c"),
+    }
+    ones = [r for r in rows if r["hops"] == 1]
+    assert len(ones) == 9  # every triple yields a 1-hop pair
+
+
+def test_class_balance_plan_integer_rates(spark):
+    from corhist_spark.fusion import class_balance_plan
+
+    labels = spark.createDataFrame(
+        [("a",)] * 10 + [("b",)] * 4 + [("c",)] * 5, "topic string"
+    )
+    got = {r["label"]: (r["n_docs"], r["keep_per_1000"])
+           for r in class_balance_plan(labels).collect()}
+    assert got == {"a": (10, 400), "b": (4, 1000), "c": (5, 800)}
