@@ -2,8 +2,9 @@
 
 The design targets Iceberg (`spark.read.format("iceberg")`, MERGE INTO,
 snapshot-based resume) per SURVEY §1.3; this environment has no Iceberg
-runtime jar (re-verified rounds 2-5: no iceberg/delta jar under
-pyspark/jars or anywhere on disk), so the same semantics run on a
+runtime jar (re-verified rounds 2-5, twice in round 5 — a full-disk
+find for iceberg/delta jars and media codecs both come back empty),
+so the same semantics run on a
 parquet warehouse directory with atomic directory-swap commits:
 
 - a table write goes to ``<table>/.staging-<token>`` and is promoted by
