@@ -2829,6 +2829,28 @@ def q_class_balance_plan(spark, sf_dir):
     return class_balance_plan(topic_assignment(_t(spark, sf_dir, "documents")))
 
 
+def q_score_calibration(spark, sf_dir):
+    """Calibration table of the hashed-ngram classifier against the
+    weak-label ensemble: per score decile, document count, mean
+    score and ensemble keep-rate — the reliability diagram a
+    curation run reads before trusting a learned filter's threshold.
+    Composes two oracled operators; one doc-keyed join + one
+    10-row aggregate."""
+    from corhist_spark.textops import weak_labels
+
+    qc = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    wl = weak_labels(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("keep").alias("wl_keep")
+    )
+    j = qc.join(wl, "doc_id")
+    b = F.least(F.lit(9), F.floor(F.col("score") * 10)).cast("int")
+    return j.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+        F.round(F.avg(F.col("wl_keep").cast("double")), 6).alias("keep_rate"),
+    )
+
+
 def q_token_quantiles(spark, sf_dir):
     """p50/p90/p99 of the per-document token count via the fixed-width
     binned histogram sketch — the mergeable (cell-wise-add) summary
@@ -3789,6 +3811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 29: cardinality-gated QA pairs, class-balance plan
         "kgqa_pairs": q_kgqa_pairs,
         "class_balance_plan": q_class_balance_plan,
+        # batch 30: classifier calibration vs the weak-label ensemble
+        "score_calibration": q_score_calibration,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -9484,6 +9508,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM (SELECT topic AS label, COUNT(*) AS n_docs FROM t GROUP BY topic) "
         "CROSS JOIN (SELECT MIN(n) AS min_class FROM "
         "(SELECT COUNT(*) AS n FROM t GROUP BY topic))"
+    )
+    out["score_calibration"] = (
+        "WITH qc AS (" + out["quality_classifier"] + "), "
+        "wl AS (" + out["weak_labels"] + ") "
+        "SELECT least(9, CAST(floor(score * 10) AS INT)) AS bin, "
+        "COUNT(*) AS n_docs, round(AVG(score), 6) AS mean_score, "
+        "round(AVG(CASE WHEN wl.keep THEN 1.0 ELSE 0.0 END), 6) "
+        "AS keep_rate "
+        "FROM qc JOIN wl USING (doc_id) "
+        "GROUP BY least(9, CAST(floor(score * 10) AS INT))"
     )
     out["ambiguous_mentions"] = (
         "SELECT mention, COUNT(*) AS n_cands, "

@@ -269,6 +269,8 @@ HEADLINE = [
     # batch 29: cardinality-gated QA pairs, class-balance plan
     "kgqa_pairs",
     "class_balance_plan",
+    # batch 30: classifier calibration vs the weak-label ensemble
+    "score_calibration",
 ]
 
 
