@@ -2829,6 +2829,67 @@ def q_class_balance_plan(spark, sf_dir):
     return class_balance_plan(topic_assignment(_t(spark, sf_dir, "documents")))
 
 
+def q_dedup_token_budget(spark, sf_dir):
+    """Token-budget report after dedup: total vs surviving tokens and
+    the savings ratio — the number a training-run planner actually
+    budgets with (raw token counts overstate the corpus when
+    near-dup clusters collapse to one survivor).  One join of the
+    dedup output against in-array token counts + a single-row
+    aggregate."""
+    surv = q_dedup_survivors(spark, sf_dir)
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    j = surv.join(toks, "doc_id")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(~F.col("is_dup"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens_total"),
+        F.sum(F.when(~F.col("is_dup"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), F.col("n_tok")).otherwise(0))
+            / F.sum("n_tok").cast("double"),
+            6,
+        ).alias("savings_ratio"),
+    )
+
+
+def q_balanced_sample(spark, sf_dir):
+    """The class-balance plan APPLIED: hash-threshold sampling at
+    each topic's integer keep-per-1000 rate — every class downsampled
+    toward the smallest one, deterministically on both engines (the
+    repo's hash-in-place-of-RNG convention).  Output: the kept
+    (doc_id, topic) rows."""
+    from corhist_spark.fusion import class_balance_plan
+    from corhist_spark.textops import topic_assignment
+
+    labels = topic_assignment(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "topic"
+    )
+    plan = class_balance_plan(labels.select(F.col("topic"))).select(
+        F.col("label").alias("topic"), "keep_per_1000"
+    )
+    h = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('bal:', CAST(doc_id AS STRING))),"
+            " 1, 13), 16, 10) AS BIGINT)"
+        )
+        % 1000
+    )
+    return (
+        labels.join(F.broadcast(plan), "topic")
+        .filter(h < F.col("keep_per_1000"))
+        .select("doc_id", "topic")
+    )
+
+
 def q_score_calibration(spark, sf_dir):
     """Calibration table of the hashed-ngram classifier against the
     weak-label ensemble: per score decile, document count, mean
@@ -3813,6 +3874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_balance_plan": q_class_balance_plan,
         # batch 30: classifier calibration vs the weak-label ensemble
         "score_calibration": q_score_calibration,
+        # batch 31: dedup token budget, applied balanced sampling
+        "dedup_token_budget": q_dedup_token_budget,
+        "balanced_sample": q_balanced_sample,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -9518,6 +9582,34 @@ def oracle_sql() -> dict[str, str]:
         "AS keep_rate "
         "FROM qc JOIN wl USING (doc_id) "
         "GROUP BY least(9, CAST(floor(score * 10) AS INT))"
+    )
+    out["dedup_token_budget"] = (
+        "WITH surv AS (" + out["dedup_survivors"] + "), "
+        "toks AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS BIGINT) AS n_tok FROM documents) "
+        "SELECT COUNT(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_docs_kept, "
+        "CAST(SUM(n_tok) AS BIGINT) AS n_tokens_total, "
+        "CAST(SUM(CASE WHEN NOT is_dup THEN n_tok ELSE 0 END) AS BIGINT) "
+        "AS n_tokens_kept, "
+        "round(CAST(SUM(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS DOUBLE) "
+        "/ SUM(n_tok), 6) AS savings_ratio "
+        "FROM surv JOIN toks USING (doc_id)"
+    )
+    _hx_bal = "+".join(
+        f"(strpos('0123456789abcdef', substr(md5('bal:' || CAST(doc_id AS VARCHAR)), {i + 1}, 1))-1)*{16 ** (12 - i)}"
+        for i in range(13)
+    )
+    out["balanced_sample"] = (
+        "WITH t AS (" + out["topic_assignment"] + "), "
+        "plan AS (SELECT label AS topic, (1000 * min_class) // n_docs "
+        "AS keep_per_1000 FROM "
+        "(SELECT topic AS label, COUNT(*) AS n_docs FROM t GROUP BY topic) "
+        "CROSS JOIN (SELECT MIN(n) AS min_class FROM "
+        "(SELECT COUNT(*) AS n FROM t GROUP BY topic))) "
+        "SELECT t.doc_id, t.topic FROM t JOIN plan USING (topic) "
+        "WHERE (" + _hx_bal + ") % 1000 < plan.keep_per_1000"
     )
     out["ambiguous_mentions"] = (
         "SELECT mention, COUNT(*) AS n_cands, "

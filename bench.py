@@ -271,6 +271,9 @@ HEADLINE = [
     "class_balance_plan",
     # batch 30: classifier calibration vs the weak-label ensemble
     "score_calibration",
+    # batch 31: dedup token budget, applied balanced sampling
+    "dedup_token_budget",
+    "balanced_sample",
 ]
 
 
