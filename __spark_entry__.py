@@ -2890,6 +2890,55 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def q_source_dup_rates(spark, sf_dir):
+    """Per-source near-duplicate rates from the end-to-end dedup
+    output — which sources bring redundancy (the per-source
+    complement of cross_source_dups' pairwise leakage matrix); one
+    join + one source-keyed aggregate."""
+    surv = q_dedup_survivors(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        surv.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("int")).cast("bigint").alias("n_dups"),
+            F.round(
+                F.sum(F.col("is_dup").cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def q_correction_latency(spark, sf_dir):
+    """Violation dwell time: how many revisions a corrected statement
+    was live before its correction (corr_rev - from_rev of the
+    validity interval covering the correction) — the responsiveness
+    profile of the correction process, per constraint.  One interval
+    as-of join + a constraint-keyed aggregate."""
+    corr = _eval_corrections(spark, sf_dir).select(
+        "constraint_id", "corr_rev", "target_subj", "target_pred", "target_obj"
+    ).distinct()
+    state = _hist_state(spark, sf_dir)
+    j = corr.join(
+        state,
+        (F.col("subj") == F.col("target_subj"))
+        & (F.col("pred") == F.col("target_pred"))
+        & (F.col("obj") == F.col("target_obj"))
+        & (F.col("from_rev") <= F.col("corr_rev"))
+        & (F.col("to_rev") >= F.col("corr_rev")),
+    )
+    return j.groupBy("constraint_id").agg(
+        F.count(F.lit(1)).alias("n_corrections"),
+        F.round(F.avg(F.col("corr_rev") - F.col("from_rev")), 6).alias(
+            "avg_latency_revs"
+        ),
+        F.max(F.col("corr_rev") - F.col("from_rev")).alias("max_latency_revs"),
+    )
+
+
 def q_score_calibration(spark, sf_dir):
     """Calibration table of the hashed-ngram classifier against the
     weak-label ensemble: per score decile, document count, mean
@@ -3877,6 +3926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 31: dedup token budget, applied balanced sampling
         "dedup_token_budget": q_dedup_token_budget,
         "balanced_sample": q_balanced_sample,
+        # batch 32: per-source dup rates, correction latency
+        "source_dup_rates": q_source_dup_rates,
+        "correction_latency": q_correction_latency,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -7228,6 +7280,30 @@ def oracle_sql() -> dict[str, str]:
             _EVAL_KR
             + expansion_sql(keyed_by_constraint=True, final_select=_RULE_EVAL_FINAL)
         ),
+        # correction latency: corrected-statement validity interval
+        # covering corr_rev; same closed-bound condition both engines
+        "correction_latency": with_history_ctes(
+            _EVAL_KR
+            + expansion_sql(
+                keyed_by_constraint=True,
+                final_select="""
+            , corr AS MATERIALIZED (
+              SELECT DISTINCT constraint_id, corr_rev, target_subj,
+                     property AS target_pred, target_obj
+              FROM okf WHERE still_ok = 1
+            )
+            SELECT c.constraint_id, COUNT(*) AS n_corrections,
+                   round(AVG(c.corr_rev - s.from_rev), 6)
+                     AS avg_latency_revs,
+                   MAX(c.corr_rev - s.from_rev) AS max_latency_revs
+            FROM corr c JOIN h_state s
+              ON s.subj = c.target_subj AND s.pred = c.target_pred
+             AND s.obj = c.target_obj
+             AND s.from_rev <= c.corr_rev AND s.to_rev >= c.corr_rev
+            GROUP BY c.constraint_id
+            """,
+            )
+        ),
         # typed event graph; 2-hop pairs enumerated only for predicate
         # pairs the count-product gate admits (cap from the fusion
         # constant)
@@ -9610,6 +9686,14 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT COUNT(*) AS n FROM t GROUP BY topic))) "
         "SELECT t.doc_id, t.topic FROM t JOIN plan USING (topic) "
         "WHERE (" + _hx_bal + ") % 1000 < plan.keep_per_1000"
+    )
+    out["source_dup_rates"] = (
+        "WITH surv AS (" + out["dedup_survivors"] + ") "
+        "SELECT d.source, COUNT(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, "
+        "round(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ COUNT(*), 6) AS dup_rate "
+        "FROM surv JOIN documents d USING (doc_id) GROUP BY d.source"
     )
     out["ambiguous_mentions"] = (
         "SELECT mention, COUNT(*) AS n_cands, "

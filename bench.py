@@ -274,6 +274,9 @@ HEADLINE = [
     # batch 31: dedup token budget, applied balanced sampling
     "dedup_token_budget",
     "balanced_sample",
+    # batch 32: per-source dup rates, correction latency
+    "source_dup_rates",
+    "correction_latency",
 ]
 
 
