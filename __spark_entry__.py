@@ -2819,6 +2819,28 @@ def q_kgqa_pairs(spark, sf_dir):
     return kgqa_pairs(_typed_kg_edges(spark, sf_dir))
 
 
+def q_inverse_properties(spark, sf_dir):
+    """PARIS-style inverse/symmetric property alignment over the
+    typed event graph: per ordered predicate pair, the reversed-pair
+    overlap with both alignment scores and integer-compared candidate
+    flags — how inverse/symmetric constraint candidates are
+    bootstrapped before any constraint table exists (cf. the
+    reference's hand-curated inverse/symmetric constraint fetch)."""
+    from corhist_spark.fusion import property_axioms
+
+    return property_axioms(_typed_kg_edges(spark, sf_dir))
+
+
+def q_transitive_support(spark, sf_dir):
+    """Per-predicate transitivity profile (AMIE-style closed-2-path
+    confidence) with the statistics-gated wedge enumeration: hub
+    middles whose exact wedge count exceeds the cap are skipped and
+    reported, never enumerated."""
+    from corhist_spark.fusion import transitive_support
+
+    return transitive_support(_typed_kg_edges(spark, sf_dir))
+
+
 def q_class_balance_plan(spark, sf_dir):
     """Uniform-mixture sampling plan over the seeded topic labels:
     per-class integer keep-rate that downsamples every class to the
@@ -3929,6 +3951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 32: per-source dup rates, correction latency
         "source_dup_rates": q_source_dup_rates,
         "correction_latency": q_correction_latency,
+        # batch 33: KG axiom induction (inverse/symmetric, transitivity)
+        "inverse_properties": q_inverse_properties,
+        "transitive_support": q_transitive_support,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4929,6 +4954,8 @@ from corhist_spark.fusion import REVERT_WINDOW as _REVERT_WINDOW
 from corhist_spark.fusion import DATATYPE_CLASSES as _DATATYPE_CLASSES
 from corhist_spark.fusion import VT_CHECKPOINTS as _VT_CHECKPOINTS
 from corhist_spark.fusion import KGQA_2HOP_CAP as _KGQA_2HOP_CAP
+from corhist_spark.fusion import INV_CANDIDATE_PCT as _INV_CANDIDATE_PCT
+from corhist_spark.fusion import TRANS_WEDGE_CAP as _TRANS_WEDGE_CAP
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -4971,6 +4998,21 @@ _KG_EDGE_CTES = f"""
       SELECT 'Q' || CAST(event_id % (SELECT k FROM kk) AS VARCHAR) AS src,
              'Q' || CAST(({hexval_sql("CAST(event_id AS VARCHAR)")})
                          % (SELECT k FROM kk) AS VARCHAR) AS dst
+      FROM events
+    )"""
+
+# Shared DEDUPED typed-triple CTE (mirrors _typed_kg_edges + the
+# .distinct() the axiom-induction operators apply: pred = P(event_id
+# mod 5), same K and md5-decode as _KG_EDGE_CTES).
+_TYPED_TR_CTE = f"""
+    WITH kk AS (
+      SELECT greatest(64, COUNT(*) // 20) AS k FROM events
+    ), tr AS MATERIALIZED (
+      SELECT DISTINCT
+             'Q' || CAST(event_id % (SELECT k FROM kk) AS VARCHAR) AS subj,
+             'P' || CAST(event_id % 5 AS VARCHAR) AS pred,
+             'Q' || CAST(({hexval_sql("CAST(event_id AS VARCHAR)")})
+                         % (SELECT k FROM kk) AS VARCHAR) AS obj
       FROM events
     )"""
 
@@ -7342,6 +7384,80 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT question, answer, hops
             FROM (SELECT * FROM one UNION ALL SELECT * FROM two)
+        """,
+        # PARIS-style inverse/symmetric alignment over the deduped
+        # typed triple set; candidate flags compare in integers
+        "inverse_properties": f"""{_TYPED_TR_CTE}
+            , n AS (SELECT pred, COUNT(*) AS n_pairs FROM tr GROUP BY 1)
+            , ov AS (
+              SELECT a.pred AS pred_a, b.pred AS pred_b,
+                     COUNT(*) AS n_overlap
+              FROM tr a JOIN tr b ON a.subj = b.obj AND a.obj = b.subj
+              GROUP BY 1, 2
+            )
+            SELECT pred_a, pred_b,
+                   na.n_pairs AS n_a, nb.n_pairs AS n_b, n_overlap,
+                   round(n_overlap / CAST(na.n_pairs AS DOUBLE), 6)
+                     AS score_a,
+                   round(n_overlap / CAST(nb.n_pairs AS DOUBLE), 6)
+                     AS score_b,
+                   (n_overlap * 100 >= {_INV_CANDIDATE_PCT} * na.n_pairs
+                    AND n_overlap * 100 >= {_INV_CANDIDATE_PCT} * nb.n_pairs)
+                     AS inverse_candidate,
+                   (pred_a = pred_b) AS symmetric
+            FROM ov
+            JOIN n na ON na.pred = ov.pred_a
+            JOIN n nb ON nb.pred = ov.pred_b
+        """,
+        # AMIE-style transitivity profile; wedges enumerated only
+        # through (pred, middle) cells within the count-product cap,
+        # hub cells reported in n_wedges_skipped
+        "transitive_support": f"""{_TYPED_TR_CTE}
+            , inc AS (
+              SELECT pred, obj AS mid, COUNT(*) AS n_in
+              FROM tr GROUP BY 1, 2
+            ), outt AS (
+              SELECT pred, subj AS mid, COUNT(*) AS n_out
+              FROM tr GROUP BY 1, 2
+            ), cells AS MATERIALIZED (
+              SELECT pred, mid, n_in * n_out AS n_cell_wedges
+              FROM inc JOIN outt USING (pred, mid)
+            ), gate AS (
+              SELECT pred, mid FROM cells
+              WHERE n_cell_wedges <= {_TRANS_WEDGE_CAP}
+            ), skipped AS (
+              SELECT pred,
+                     CAST(SUM(n_cell_wedges) AS BIGINT) AS n_wedges_skipped
+              FROM cells WHERE n_cell_wedges > {_TRANS_WEDGE_CAP}
+              GROUP BY 1
+            ), wedges AS (
+              SELECT l.subj AS w_subj, l.pred AS pred, r.obj AS w_obj
+              FROM tr l
+              JOIN gate g ON g.pred = l.pred AND g.mid = l.obj
+              JOIN tr r ON r.pred = l.pred AND r.subj = l.obj
+            ), prof AS (
+              SELECT w.pred, COUNT(*) AS n_wedges,
+                     CAST(SUM(CASE WHEN d.subj IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_closed
+              FROM wedges w
+              LEFT JOIN tr d ON d.subj = w.w_subj AND d.pred = w.pred
+                            AND d.obj = w.w_obj
+              GROUP BY 1
+            )
+            SELECT COALESCE(p.pred, s.pred) AS pred,
+                   CAST(COALESCE(p.n_wedges, 0) AS BIGINT) AS n_wedges,
+                   CAST(COALESCE(p.n_closed, 0) AS BIGINT) AS n_closed,
+                   CASE WHEN COALESCE(p.n_wedges, 0) > 0
+                        THEN round(p.n_closed / CAST(p.n_wedges AS DOUBLE), 6)
+                   END AS closed_ratio,
+                   CAST(COALESCE(s.n_wedges_skipped, 0) AS BIGINT)
+                     AS n_wedges_skipped,
+                   (COALESCE(p.n_wedges, 0) > 0
+                    AND COALESCE(p.n_closed, 0) * 100
+                        >= {_INV_CANDIDATE_PCT} * COALESCE(p.n_wedges, 0)
+                    AND COALESCE(s.n_wedges_skipped, 0) = 0)
+                     AS transitive_candidate
+            FROM prof p FULL JOIN skipped s ON s.pred = p.pred
         """,
         # subsumption decided RELATIONALLY over the transcribed rule
         # table: with context-free basic rules, a is strictly

@@ -277,6 +277,9 @@ HEADLINE = [
     # batch 32: per-source dup rates, correction latency
     "source_dup_rates",
     "correction_latency",
+    # batch 33: KG axiom induction
+    "inverse_properties",
+    "transitive_support",
 ]
 
 

@@ -1159,3 +1159,165 @@ def class_balance_plan(labels: DataFrame, label_col: str = "topic") -> DataFrame
         "n_docs",
         F.expr("(1000 * min_class) DIV n_docs").alias("keep_per_1000"),
     )
+
+
+# integer-percent overlap threshold for flagging a predicate pair as
+# inverse (or a predicate as symmetric): the reversed-pair overlap
+# must cover >= PCT% of BOTH predicates' distinct pair sets
+INV_CANDIDATE_PCT = 50
+
+# per-middle-node wedge budget for transitive-support enumeration: a
+# (pred, middle) cell whose exact wedge count (in_deg * out_deg, a
+# count product — never enumerated) exceeds the cap is skipped and
+# reported in n_wedges_skipped instead of enumerated (the same
+# statistics-gated expansion as kgqa_pairs' 2-hop gate)
+TRANS_WEDGE_CAP = 100_000
+
+
+def property_axioms(cur: DataFrame) -> DataFrame:
+    """PARIS-style inverse/symmetric property alignment over the
+    current triple set ``cur(subj, pred, obj)`` -> one row per
+    ordered predicate pair (pred_a, pred_b) with a nonzero
+    reversed-pair overlap: (pred_a, pred_b, n_a, n_b, n_overlap,
+    score_a, score_b, inverse_candidate, symmetric).
+
+    n_overlap counts distinct (s, o) pairs of pred_a whose reversal
+    (o, s) is asserted under pred_b; score_a = n_overlap / n_a is the
+    PARIS alignment confidence that pred_a is a subproperty of
+    pred_b^-1 (Suchanek et al., VLDB 2012), score_b likewise.  The
+    diagonal (pred_a = pred_b) is the symmetry profile: score = the
+    fraction of pairs asserted in both directions.  The candidate
+    flag compares in pure integers (n_overlap * 100 >= PCT * n) on
+    BOTH sides, so both engines decide identically.
+
+    Scale shape: pair sets deduped once, then ONE edge-keyed
+    equi-join ((subj, obj) against the reversed key) — per edge key
+    the match multiplicity is bounded by the PREDICATE VOCABULARY
+    (the dedup collapsed same-pred repeats), so the join output is at
+    most |pairs| * |preds| and the final aggregate is
+    predicate^2-sized.  Upstream of any constraint table this is how
+    inverse/symmetric constraint CANDIDATES are bootstrapped — cf.
+    the reference's hand-curated inverse/symmetric fetch
+    (`corhist/.../ConstraintsListUpdater`)."""
+    t = cur.select("subj", "pred", "obj").distinct()
+    n = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    a = t.select(
+        F.col("subj").alias("a_subj"),
+        F.col("pred").alias("pred_a"),
+        F.col("obj").alias("a_obj"),
+    )
+    b = t.select(
+        F.col("subj").alias("b_subj"),
+        F.col("pred").alias("pred_b"),
+        F.col("obj").alias("b_obj"),
+    )
+    ov = (
+        a.join(b, (F.col("a_subj") == F.col("b_obj")) & (F.col("a_obj") == F.col("b_subj")))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    na = n.select(F.col("pred").alias("pred_a"), F.col("n_pairs").alias("n_a"))
+    nb = n.select(F.col("pred").alias("pred_b"), F.col("n_pairs").alias("n_b"))
+    return (
+        ov.join(F.broadcast(na), "pred_a")  # predicate-vocabulary-sized
+        .join(F.broadcast(nb), "pred_b")
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_a").cast("double"), 6).alias("score_a"),
+            F.round(F.col("n_overlap") / F.col("n_b").cast("double"), 6).alias("score_b"),
+            (
+                (F.col("n_overlap") * 100 >= F.lit(INV_CANDIDATE_PCT) * F.col("n_a"))
+                & (F.col("n_overlap") * 100 >= F.lit(INV_CANDIDATE_PCT) * F.col("n_b"))
+            ).alias("inverse_candidate"),
+            (F.col("pred_a") == F.col("pred_b")).alias("symmetric"),
+        )
+    )
+
+
+def transitive_support(
+    cur: DataFrame, wedge_cap: int = TRANS_WEDGE_CAP
+) -> DataFrame:
+    """Transitivity profile per predicate: the fraction of 2-paths
+    s -P-> m -P-> o that are closed by a direct s -P-> o triple ->
+    (pred, n_wedges, n_closed, closed_ratio, n_wedges_skipped,
+    transitive_candidate).  The rule-mining statistic behind OWL
+    TransitiveProperty suggestion (AMIE-style closed-path confidence,
+    Galárraga et al., WWW 2013).
+
+    Wedges are enumerated ONLY through (pred, middle) cells whose
+    exact wedge count (in_deg * out_deg — a count product on the
+    degree profile, never an enumeration) is within ``wedge_cap``;
+    hub middles beyond the cap are reported in n_wedges_skipped (the
+    kgqa_pairs gate pattern), so the plan survives power-law hubs
+    (P31 -> Q5 at Wikidata scale) instead of squaring on them.  The
+    candidate flag compares in integers over the ENUMERATED portion
+    and additionally requires nothing was skipped.
+
+    Scale shape: degree profile = two (pred, node)-keyed counts; the
+    wedge join is (pred, middle)-keyed with per-cell output bounded
+    by the cap; closure check is one edge-keyed left join against the
+    deduped triple set (multiplicity <= 1)."""
+    t = cur.select("subj", "pred", "obj").distinct()
+    inc = t.groupBy("pred", F.col("obj").alias("mid")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    outt = t.groupBy("pred", F.col("subj").alias("mid")).agg(
+        F.count(F.lit(1)).alias("n_out")
+    )
+    cells = inc.join(outt, ["pred", "mid"]).select(
+        "pred", "mid", (F.col("n_in") * F.col("n_out")).alias("n_cell_wedges")
+    )
+    gate = cells.filter(F.col("n_cell_wedges") <= F.lit(wedge_cap)).select("pred", "mid")
+    skipped = (
+        cells.filter(F.col("n_cell_wedges") > F.lit(wedge_cap))
+        .groupBy("pred")
+        .agg(F.sum("n_cell_wedges").cast("bigint").alias("n_wedges_skipped"))
+    )
+    left = t.select(
+        F.col("subj").alias("w_subj"), "pred", F.col("obj").alias("mid")
+    ).join(gate, ["pred", "mid"])
+    right = t.select("pred", F.col("subj").alias("mid"), F.col("obj").alias("w_obj"))
+    wedges = left.join(right, ["pred", "mid"])
+    closed = wedges.join(
+        t.select(
+            F.col("subj").alias("w_subj"),
+            "pred",
+            F.col("obj").alias("w_obj"),
+            F.lit(1).alias("is_closed"),
+        ),
+        ["w_subj", "pred", "w_obj"],
+        "left",
+    )
+    prof = closed.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.sum(F.coalesce(F.col("is_closed"), F.lit(0))).cast("bigint").alias("n_closed"),
+    )
+    # full outer: a predicate whose EVERY wedge cell is gated out still
+    # appears (n_wedges = 0, ratio NULL, skipped count carried)
+    return (
+        prof.join(skipped, "pred", "full")  # predicate-vocabulary-sized
+        .select(
+            "pred",
+            F.coalesce(F.col("n_wedges"), F.lit(0)).cast("bigint").alias("n_wedges"),
+            F.coalesce(F.col("n_closed"), F.lit(0)).cast("bigint").alias("n_closed"),
+            F.when(
+                F.coalesce(F.col("n_wedges"), F.lit(0)) > 0,
+                F.round(F.col("n_closed") / F.col("n_wedges").cast("double"), 6),
+            ).alias("closed_ratio"),
+            F.coalesce(F.col("n_wedges_skipped"), F.lit(0)).cast("bigint").alias(
+                "n_wedges_skipped"
+            ),
+            (
+                (F.coalesce(F.col("n_wedges"), F.lit(0)) > 0)
+                & (
+                    F.coalesce(F.col("n_closed"), F.lit(0)) * 100
+                    >= F.lit(INV_CANDIDATE_PCT) * F.coalesce(F.col("n_wedges"), F.lit(0))
+                )
+                & (F.coalesce(F.col("n_wedges_skipped"), F.lit(0)) == 0)
+            ).alias("transitive_candidate"),
+        )
+    )

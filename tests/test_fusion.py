@@ -1182,3 +1182,86 @@ def test_class_balance_plan_integer_rates(spark):
     got = {r["label"]: (r["n_docs"], r["keep_per_1000"])
            for r in class_balance_plan(labels).collect()}
     assert got == {"a": (10, 400), "b": (4, 1000), "c": (5, 800)}
+
+
+# ---- batch 33: KG axiom induction ----
+
+
+def test_property_axioms_inverse_and_symmetric(spark):
+    from corhist_spark.fusion import property_axioms
+
+    # P1/P2 exact inverses; P3 symmetric; P4 has no reversed twin
+    cur = _cur(
+        spark,
+        [
+            ("a", "P1", "b"),
+            ("c", "P1", "d"),
+            ("b", "P2", "a"),
+            ("d", "P2", "c"),
+            ("x", "P3", "y"),
+            ("y", "P3", "x"),
+            ("a", "P4", "z"),
+        ],
+    )
+    rows = {(r.pred_a, r.pred_b): r for r in property_axioms(cur).collect()}
+    r12 = rows[("P1", "P2")]
+    assert r12.n_overlap == 2 and r12.n_a == 2 and r12.n_b == 2
+    assert r12.score_a == 1.0 and r12.inverse_candidate and not r12.symmetric
+    assert ("P2", "P1") in rows  # both orientations emitted
+    r33 = rows[("P3", "P3")]
+    assert r33.symmetric and r33.n_overlap == 2 and r33.inverse_candidate
+    # P4's pair set has no reversal anywhere -> no row mentions it
+    assert all("P4" not in k for k in rows)
+
+
+def test_transitive_support_closure_flag(spark):
+    from corhist_spark.fusion import transitive_support
+
+    # P1: a->b->c closed by a->c; P2: same wedge, not closed
+    cur = _cur(
+        spark,
+        [
+            ("a", "P1", "b"),
+            ("b", "P1", "c"),
+            ("a", "P1", "c"),
+            ("a", "P2", "b"),
+            ("b", "P2", "c"),
+        ],
+    )
+    rows = {r.pred: r for r in transitive_support(cur).collect()}
+    assert rows["P1"].n_wedges == 1 and rows["P1"].n_closed == 1
+    assert rows["P1"].closed_ratio == 1.0 and rows["P1"].transitive_candidate
+    assert rows["P2"].n_wedges == 1 and rows["P2"].n_closed == 0
+    assert not rows["P2"].transitive_candidate
+
+
+def test_transitive_support_hub_gate_skips_not_enumerates(spark):
+    from corhist_spark.fusion import transitive_support
+
+    # hub middle m: in-degree 2 x out-degree 2 = 4 wedges > cap 3 ->
+    # the cell is SKIPPED (counted via the degree product) and the
+    # predicate still appears with n_wedges = 0 and the skip count
+    cur = _cur(
+        spark,
+        [
+            ("x1", "P3", "m"),
+            ("x2", "P3", "m"),
+            ("m", "P3", "y1"),
+            ("m", "P3", "y2"),
+        ],
+    )
+    rows = {r.pred: r for r in transitive_support(cur, wedge_cap=3).collect()}
+    r = rows["P3"]
+    assert r.n_wedges == 0 and r.n_closed == 0
+    assert r.closed_ratio is None
+    assert r.n_wedges_skipped == 4 and not r.transitive_candidate
+
+
+def test_axiom_plans_stay_jvm_side(spark):
+    from corhist_spark.fusion import property_axioms, transitive_support
+
+    cur = _cur(spark, [("a", "P1", "b"), ("b", "P2", "a")])
+    for df in (property_axioms(cur), transitive_support(cur)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "CartesianProduct" not in plan
