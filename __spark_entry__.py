@@ -2961,6 +2961,26 @@ def q_correction_latency(spark, sf_dir):
     )
 
 
+def q_signal_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation across the per-document quality
+    signals (length, token count, type-token ratio, digit fraction) —
+    the redundancy audit read before combining signals into a
+    filter.  Integer-permille signals keep every aggregate sum exact
+    under any summation order."""
+    from corhist_spark.textops import signal_correlations
+
+    return signal_correlations(_t(spark, sf_dir, "documents"))
+
+
+def q_fim_pairs(spark, sf_dir):
+    """Deterministic fill-in-the-middle transform (PSM arrangement,
+    hash-selected 50% of eligible docs) — map-only, hash-in-place-of-
+    RNG so both engines carve identical splits."""
+    from corhist_spark.textops import fim_pairs
+
+    return fim_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_score_calibration(spark, sf_dir):
     """Calibration table of the hashed-ngram classifier against the
     weak-label ensemble: per score decile, document count, mean
@@ -3954,6 +3974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 33: KG axiom induction (inverse/symmetric, transitivity)
         "inverse_properties": q_inverse_properties,
         "transitive_support": q_transitive_support,
+        # batch 34: signal redundancy audit, FIM transform
+        "signal_correlations": q_signal_correlations,
+        "fim_pairs": q_fim_pairs,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4956,6 +4979,8 @@ from corhist_spark.fusion import VT_CHECKPOINTS as _VT_CHECKPOINTS
 from corhist_spark.fusion import KGQA_2HOP_CAP as _KGQA_2HOP_CAP
 from corhist_spark.fusion import INV_CANDIDATE_PCT as _INV_CANDIDATE_PCT
 from corhist_spark.fusion import TRANS_WEDGE_CAP as _TRANS_WEDGE_CAP
+from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
+from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -5015,6 +5040,53 @@ _TYPED_TR_CTE = f"""
                          % (SELECT k FROM kk) AS VARCHAR) AS obj
       FROM events
     )"""
+
+def _signal_corr_sql() -> str:
+    """signal_correlations oracle, BUILT FROM textops.SIGNAL_COLS so
+    the engine and transcription cannot drift (the ADVICE r4
+    convention): integer-permille signals -> exact sufficient
+    statistics -> one final double Pearson expression per pair."""
+    toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    defs = {
+        "n_chars": "CAST(length(text) AS BIGINT)",
+        "n_tok": f"CAST(len({toks}) AS BIGINT)",
+        "ttr_pm": (
+            f"CASE WHEN len({toks}) > 0 THEN "
+            f"(1000 * len(list_distinct({toks}))) // len({toks}) "
+            "ELSE 0 END"
+        ),
+        "digit_pm": (
+            "(1000 * (length(text) - "
+            "length(regexp_replace(text, '[0-9]', '', 'g')))) // length(text)"
+        ),
+    }
+    assert tuple(defs) == tuple(_SIGNAL_COLS)
+    sig = ", ".join(f"{v} AS {k}" for k, v in defs.items())
+    sums = ["COUNT(*) AS n"]
+    for c in _SIGNAL_COLS:
+        sums.append(f"SUM(CAST({c} AS DOUBLE)) AS s_{c}")
+        sums.append(f"SUM(CAST({c} * {c} AS DOUBLE)) AS ss_{c}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_SIGNAL_COLS)
+        for b in _SIGNAL_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        sums.append(f"SUM(CAST({a} * {b} AS DOUBLE)) AS sp_{a}_{b}")
+    sel = []
+    for a, b in pairs:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        den = f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b}))"
+        sel.append(
+            f"SELECT '{a}' AS sig_a, '{b}' AS sig_b, n, "
+            f"CASE WHEN {den} > 0 THEN round({num} / {den}, 6) END AS r FROM tot"
+        )
+    return (
+        f"WITH sig AS (SELECT {sig} FROM documents WHERE length(text) > 0), "
+        f"tot AS (SELECT {', '.join(sums)} FROM sig) "
+        + " UNION ALL ".join(sel)
+    )
+
 
 # Triangle counts: the oracle closes wedges over the LEXICOGRAPHIC
 # orientation (canon already stores each edge as a < b), which finds
@@ -7458,6 +7530,50 @@ def oracle_sql() -> dict[str, str]:
                     AND COALESCE(s.n_wedges_skipped, 0) = 0)
                      AS transitive_candidate
             FROM prof p FULL JOIN skipped s ON s.pred = p.pred
+        """,
+        # built from textops.SIGNAL_COLS (engine/oracle cannot drift)
+        "signal_correlations": _signal_corr_sql(),
+        # deterministic FIM: same md5 split arithmetic both engines;
+        # min-token gate from the Python constant
+        "fim_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, ' '), x -> x <> '')
+                       AS toks,
+                     CAST(len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS BIGINT) AS n_tok,
+                     ({hexval_sql("CAST(doc_id AS VARCHAR) || ':fimsel'")}) % 2 = 0
+                       AS selected,
+                     ({hexval_sql("CAST(doc_id AS VARCHAR) || ':fim1'")}) AS h1,
+                     ({hexval_sql("CAST(doc_id AS VARCHAR) || ':fim2'")}) AS h2
+              FROM documents
+            ), e AS (
+              SELECT *, (selected AND n_tok >= {_FIM_MIN_TOKENS}) AS fim_applied
+              FROM d
+            ), s1t AS (
+              SELECT *, CASE WHEN fim_applied
+                             THEN 1 + h1 % (n_tok - 2) END AS s1
+              FROM e
+            ), s2t AS (
+              SELECT *, CASE WHEN fim_applied
+                             THEN s1 + 1 + h2 % (n_tok - s1 - 1) END AS s2
+              FROM s1t
+            )
+            SELECT doc_id, fim_applied,
+                   CASE WHEN fim_applied THEN
+                     '<PRE> ' || array_to_string(list_slice(toks, 1, s1), ' ')
+                     || ' <SUF> '
+                     || array_to_string(list_slice(toks, s2 + 1, n_tok), ' ')
+                     || ' <MID> '
+                     || array_to_string(list_slice(toks, s1 + 1, s2), ' ')
+                   ELSE text END AS text_out,
+                   CAST(CASE WHEN fim_applied THEN s1 ELSE 0 END AS BIGINT)
+                     AS n_prefix,
+                   CAST(CASE WHEN fim_applied THEN s2 - s1 ELSE 0 END AS BIGINT)
+                     AS n_middle,
+                   CAST(CASE WHEN fim_applied THEN n_tok - s2 ELSE 0 END
+                        AS BIGINT) AS n_suffix
+            FROM s2t
         """,
         # subsumption decided RELATIONALLY over the transcribed rule
         # table: with context-free basic rules, a is strictly

@@ -280,6 +280,9 @@ HEADLINE = [
     # batch 33: KG axiom induction
     "inverse_properties",
     "transitive_support",
+    # batch 34: signal redundancy audit, FIM transform
+    "signal_correlations",
+    "fim_pairs",
 ]
 
 

@@ -2867,3 +2867,151 @@ def source_drift(docs: DataFrame, head_k: int = DRIFT_HEAD_K) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(F.col("head_l1") + other, 6).alias("l1_drift"),
     )
+
+
+# quality-signal correlation matrix: signals are held in integer
+# PERMILLE so every aggregate sum is a sum of integers well inside
+# the 2^53 exact-double window — engine-order-independent, so the
+# DuckDB transcription matches to the last rounded digit
+SIGNAL_COLS = ("n_chars", "n_tok", "ttr_pm", "digit_pm")
+
+
+def signal_correlations(docs: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation across per-document quality
+    signals -> (sig_a, sig_b, n, r): the redundancy audit a curation
+    run reads before combining signals into a filter (two signals
+    with |r| ~ 1 contribute one vote, not two — cf. the signal
+    ensembling discussion in Gopher / RefinedWeb data work).
+
+    Signals: n_chars (text length), n_tok (whitespace tokens),
+    ttr_pm (type-token ratio, integer permille), digit_pm (digit
+    character fraction, integer permille).  All four are INTEGER
+    per-row values, so the sufficient statistics (Sx, Sxx, Sxy) are
+    exact under any summation order; r is assembled from them in one
+    final double expression, rounded to 6.  Zero-variance signals
+    publish r = NULL.
+
+    Scale shape: ONE map-side-combined single-row aggregate over the
+    corpus (15 sums + a count), then a 6-row driver-side unpivot —
+    no shuffle wider than the partial-aggregate tree."""
+    toks = F.expr("filter(split(text, ' '), x -> x != '')")
+    sig = docs.filter(F.length("text") > 0).select(
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.expr(
+            "CASE WHEN size(filter(split(text, ' '), x -> x != '')) > 0 THEN "
+            "(1000 * size(array_distinct(filter(split(text, ' '), x -> x != '')))) "
+            "DIV size(filter(split(text, ' '), x -> x != '')) ELSE 0 END"
+        ).alias("ttr_pm"),
+        F.expr(
+            "(1000 * (length(text) - length(regexp_replace(text, '[0-9]', '')))) "
+            "DIV length(text)"
+        ).alias("digit_pm"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in SIGNAL_COLS:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"s_{c}"))
+        aggs.append(F.sum((F.col(c) * F.col(c)).cast("double")).alias(f"ss_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(SIGNAL_COLS) for b in SIGNAL_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum((F.col(a) * F.col(b)).cast("double")).alias(f"sp_{a}_{b}"))
+    tot = sig.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        den = f"sqrt((n * ss_{a} - s_{a} * s_{a}) * (n * ss_{b} - s_{b} * s_{b}))"
+        rows.append(
+            f"struct('{a}' AS sig_a, '{b}' AS sig_b, n, "
+            f"CASE WHEN {den} > 0 THEN round({num} / {den}, 6) END AS r)"
+        )
+    return tot.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("x")
+    ).select("x.sig_a", "x.sig_b", "x.n", "x.r")
+
+
+# FIM (fill-in-the-middle) transform constants: apply to the
+# hash-selected half of eligible docs (the 50% FIM rate of Bavarian
+# et al. 2022, "Efficient Training of Language Models to Fill in the
+# Middle"), PSM (prefix-suffix-middle) arrangement
+FIM_MIN_TOKENS = 4
+
+
+def fim_pairs(docs: DataFrame) -> DataFrame:
+    """Deterministic fill-in-the-middle training transform ->
+    (doc_id, fim_applied, text_out, n_prefix, n_middle, n_suffix).
+    For the md5-selected half of docs with >= FIM_MIN_TOKENS tokens,
+    two hash-derived token split points carve (prefix, middle,
+    suffix) and text_out is the PSM rearrangement
+    ``<PRE> prefix <SUF> suffix <MID> middle``; all other docs pass
+    through verbatim.  Hash-in-place-of-RNG (the repo convention), so
+    the transform is reproducible across engines/runs/partitionings
+    and the DuckDB transcription is exact.
+
+    Scale shape: map-only — split points come from per-row md5
+    arithmetic, slicing is in-array; no shuffle at all."""
+    h = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '{tag}')), 1, 13),"
+        " 16, 10) AS BIGINT)"
+    )
+    d = docs.select(
+        "doc_id",
+        "text",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    ).select(
+        "doc_id",
+        "text",
+        "toks",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        (F.expr(h.format(tag=":fimsel")) % 2 == 0).alias("selected"),
+        F.expr(h.format(tag=":fim1")).alias("h1"),
+        F.expr(h.format(tag=":fim2")).alias("h2"),
+    )
+    d = d.withColumn(
+        "fim_applied", F.col("selected") & (F.col("n_tok") >= F.lit(FIM_MIN_TOKENS))
+    )
+    # split1 in [1, n_tok-2], split2 in [split1+1, n_tok-1]
+    d = d.withColumn(
+        "s1", F.when(F.col("fim_applied"), F.lit(1) + F.col("h1") % (F.col("n_tok") - 2))
+    ).withColumn(
+        "s2",
+        F.when(
+            F.col("fim_applied"),
+            F.col("s1") + 1 + F.col("h2") % (F.col("n_tok") - F.col("s1") - 1),
+        ),
+    )
+    return d.select(
+        "doc_id",
+        "fim_applied",
+        F.when(
+            F.col("fim_applied"),
+            F.concat(
+                F.lit("<PRE> "),
+                F.expr("array_join(slice(toks, 1, CAST(s1 AS INT)), ' ')"),
+                F.lit(" <SUF> "),
+                F.expr(
+                    "array_join(slice(toks, CAST(s2 + 1 AS INT),"
+                    " CAST(n_tok - s2 AS INT)), ' ')"
+                ),
+                F.lit(" <MID> "),
+                F.expr(
+                    "array_join(slice(toks, CAST(s1 + 1 AS INT),"
+                    " CAST(s2 - s1 AS INT)), ' ')"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text_out"),
+        F.coalesce(F.when(F.col("fim_applied"), F.col("s1")), F.lit(0))
+        .cast("bigint")
+        .alias("n_prefix"),
+        F.coalesce(F.when(F.col("fim_applied"), F.col("s2") - F.col("s1")), F.lit(0))
+        .cast("bigint")
+        .alias("n_middle"),
+        F.coalesce(
+            F.when(F.col("fim_applied"), F.col("n_tok") - F.col("s2")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_suffix"),
+    )

@@ -1326,3 +1326,70 @@ def test_source_drift_identical_source_has_zero_drift(spark):
         [(1, "A", "x y"), (2, "A", "x z")], "doc_id long, source string, text string"
     )
     assert source_drift(one).collect()[0]["l1_drift"] == 0.0
+
+
+# ---- batch 34: signal correlations / FIM transform ----
+
+
+def test_signal_correlations_perfect_and_degenerate(spark):
+    from corhist_spark.textops import signal_correlations
+
+    # n_chars = 2*n_tok - 1 exactly (single-char tokens) -> r = 1.0;
+    # no digits anywhere -> digit_pm has zero variance -> r IS NULL
+    docs = _docs(spark, [(i, " ".join(["a"] * k)) for i, k in enumerate([1, 2, 3, 5])])
+    rows = {(r.sig_a, r.sig_b): r for r in signal_correlations(docs).collect()}
+    assert rows[("n_chars", "n_tok")].r == 1.0
+    assert rows[("n_chars", "n_tok")].n == 4
+    for k, r in rows.items():
+        if "digit_pm" in k:
+            assert r.r is None
+    assert len(rows) == 6  # 4 signals -> 6 unordered pairs
+
+
+def test_fim_conserves_tokens_and_split_bounds(spark):
+    from corhist_spark.textops import FIM_MIN_TOKENS, fim_pairs
+
+    texts = {
+        i: " ".join(f"t{i}w{j}" for j in range(3 + (i % 9))) for i in range(40)
+    }
+    docs = _docs(spark, list(texts.items()))
+    out = {r.doc_id: r for r in fim_pairs(docs).collect()}
+    assert len(out) == 40
+    n_applied = 0
+    for i, text in texts.items():
+        toks = text.split()
+        r = out[i]
+        if r.fim_applied:
+            n_applied += 1
+            assert len(toks) >= FIM_MIN_TOKENS
+            # all three parts non-empty, counts partition the doc
+            assert r.n_prefix >= 1 and r.n_middle >= 1 and r.n_suffix >= 1
+            assert r.n_prefix + r.n_middle + r.n_suffix == len(toks)
+            # PSM rearrangement conserves the token multiset
+            body = r.text_out
+            assert body.startswith("<PRE> ")
+            pre, rest = body[len("<PRE> "):].split(" <SUF> ", 1)
+            suf, mid = rest.split(" <MID> ", 1)
+            assert sorted(pre.split() + mid.split() + suf.split()) == sorted(toks)
+            # deterministic reassembly in PSM order
+            assert pre.split() == toks[: r.n_prefix]
+            assert mid.split() == toks[r.n_prefix : r.n_prefix + r.n_middle]
+            assert suf.split() == toks[r.n_prefix + r.n_middle :]
+        else:
+            assert r.text_out == text
+            assert r.n_prefix == r.n_middle == r.n_suffix == 0
+    # the hash-selected half: some applied, some not
+    assert 0 < n_applied < 40
+
+
+def test_fim_is_map_only_and_rerun_deterministic(spark):
+    from corhist_spark.textops import fim_pairs
+
+    docs = _docs(spark, [(i, "a b c d e f") for i in range(8)])
+    df = fim_pairs(docs)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only: no shuffle at all
+    assert "BatchEvalPython" not in plan
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, fim_pairs(docs.repartition(5)).collect()))
+    assert a == b  # partitioning-independent (hash-in-place-of-RNG)
