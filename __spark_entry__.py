@@ -2981,6 +2981,76 @@ def q_fim_pairs(spark, sf_dir):
     return fim_pairs(_t(spark, sf_dir, "documents"))
 
 
+def q_user_sessions(spark, sf_dir):
+    """Per-session interaction-trajectory export (extends sessionize's
+    per-user count rollup to the actual training artifact): 30-min
+    inactivity-gap sessions with span, size and event-type mix — the
+    sequence extraction behind behavioral/agent-trajectory corpora.
+    One user-keyed window + one session-keyed aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    prev = F.lag("ts_s").over(w)
+    e = e.withColumn(
+        "is_new",
+        F.when(prev.isNull() | (F.col("ts_s") - prev > 1800), 1).otherwise(0),
+    )
+    e = e.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return e.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts_s").alias("start_s"),
+        F.max("ts_s").alias("end_s"),
+        (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+
+
+def q_packing_efficiency(spark, sf_dir):
+    """Fill/waste report over the sequence-packing output: per
+    fill-quartile bucket (4 = overflow), sequence counts, the
+    final-sequence share (a group's last sequence is inherently
+    underfull), mean fill pct and the underfill/overflow token
+    totals — the packing-waste number a batching config is tuned
+    against.  One group-keyed window + a 5-row aggregate; every
+    ratio is a dyadic rational (budget is a power of two), so the
+    averages are bit-exact across engines."""
+    from corhist_spark.textops import PACK_BUDGET
+
+    b = PACK_BUDGET
+    packed = q_sequence_pack(spark, sf_dir)
+    w = Window.partitionBy("pack_group")
+    pk = packed.withColumn(
+        "is_final", (F.col("seq_id") == F.max("seq_id").over(w)).cast("int")
+    ).withColumn(
+        "fill_bucket",
+        F.least(F.lit(4), F.expr(f"(n_tokens * 4) DIV {b}")).cast("bigint"),
+    )
+    return pk.groupBy("fill_bucket").agg(
+        F.count(F.lit(1)).alias("n_seqs"),
+        F.sum("is_final").cast("bigint").alias("n_final_seqs"),
+        F.round(F.avg(F.col("n_tokens") * 100.0 / b), 6).alias("avg_fill_pct"),
+        F.sum(
+            F.when(
+                F.col("is_final") == 0,
+                F.greatest(F.lit(0), F.lit(b) - F.col("n_tokens")),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("underfill_nonfinal"),
+        F.sum(F.greatest(F.lit(0), F.col("n_tokens") - F.lit(b)))
+        .cast("bigint")
+        .alias("overflow_tokens"),
+    )
+
+
 def q_score_calibration(spark, sf_dir):
     """Calibration table of the hashed-ngram classifier against the
     weak-label ensemble: per score decile, document count, mean
@@ -3977,6 +4047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 34: signal redundancy audit, FIM transform
         "signal_correlations": q_signal_correlations,
         "fim_pairs": q_fim_pairs,
+        # batch 35: session trajectories, packing efficiency
+        "user_sessions": q_user_sessions,
+        "packing_efficiency": q_packing_efficiency,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -4981,6 +5054,7 @@ from corhist_spark.fusion import INV_CANDIDATE_PCT as _INV_CANDIDATE_PCT
 from corhist_spark.fusion import TRANS_WEDGE_CAP as _TRANS_WEDGE_CAP
 from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
 from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
+from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -7575,6 +7649,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_suffix
             FROM s2t
         """,
+        # 30-min-gap sessionization, per-session trajectory export;
+        # gap decided on FLOORED epoch seconds (the sessionize
+        # convention), order (ts, event_id) both engines
+        "user_sessions": """
+            WITH l AS (
+              SELECT user_id, event_id, event_type, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), n AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                                  OR ts_s - CAST(floor(epoch(prev_ts))
+                                              AS BIGINT) > 1800
+                             THEN 1 ELSE 0 END AS is_new
+              FROM l
+            ), s AS (
+              SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS session_id
+              FROM n
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT)
+                     AS n_event_types,
+                   MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+                   MAX(ts_s) - MIN(ts_s) AS duration_s
+            FROM s GROUP BY user_id, session_id
+        """,
         # subsumption decided RELATIONALLY over the transcribed rule
         # table: with context-free basic rules, a is strictly
         # subsumed iff a same-head same-constraint twin exists whose
@@ -9933,5 +10038,21 @@ def oracle_sql() -> dict[str, str]:
         "MAX(CASE WHEN cand_rank = 1 THEN n_triples END) * 2 "
         "<= SUM(n_triples) AS ambiguous "
         "FROM (" + out["el_candidates"] + ") GROUP BY mention"
+    )
+    out["packing_efficiency"] = (
+        "WITH packed AS (" + out["sequence_pack"] + "), "
+        "f AS (SELECT *, CASE WHEN seq_id = MAX(seq_id) OVER "
+        "(PARTITION BY pack_group) THEN 1 ELSE 0 END AS is_final, "
+        f"CAST(least(4, (n_tokens * 4) // {_PACK_BUDGET}) AS BIGINT) "
+        "AS fill_bucket FROM packed) "
+        "SELECT fill_bucket, COUNT(*) AS n_seqs, "
+        "CAST(SUM(is_final) AS BIGINT) AS n_final_seqs, "
+        f"round(AVG(n_tokens * 100.0 / {_PACK_BUDGET}), 6) AS avg_fill_pct, "
+        "CAST(SUM(CASE WHEN is_final = 0 THEN "
+        f"greatest(0, {_PACK_BUDGET} - n_tokens) ELSE 0 END) AS BIGINT) "
+        "AS underfill_nonfinal, "
+        f"CAST(SUM(greatest(0, n_tokens - {_PACK_BUDGET})) AS BIGINT) "
+        "AS overflow_tokens "
+        "FROM f GROUP BY fill_bucket"
     )
     return out

@@ -283,6 +283,9 @@ HEADLINE = [
     # batch 34: signal redundancy audit, FIM transform
     "signal_correlations",
     "fim_pairs",
+    # batch 35: session trajectories, packing efficiency
+    "user_sessions",
+    "packing_efficiency",
 ]
 
 

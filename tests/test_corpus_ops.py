@@ -1393,3 +1393,48 @@ def test_fim_is_map_only_and_rerun_deterministic(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, fim_pairs(docs.repartition(5)).collect()))
     assert a == b  # partitioning-independent (hash-in-place-of-RNG)
+
+
+# ---- batch 35: session trajectories / packing efficiency ----
+
+
+def test_user_sessions_partition_events_and_respect_gap(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    out = entry_mod.q_user_sessions(spark, sf).collect()
+    # sessions partition the event stream exactly
+    assert sum(r.n_events for r in out) == ev.count()
+    by_user = {}
+    for r in out:
+        assert r.duration_s == r.end_s - r.start_s >= 0
+        assert 1 <= r.n_event_types <= r.n_events
+        by_user.setdefault(r.user_id, []).append(r)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r.session_id)
+        # session ids are dense 1..k and consecutive sessions are
+        # separated by MORE than the 30-min gap
+        assert [r.session_id for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_s - a.end_s > 1800
+
+
+def test_packing_efficiency_buckets_partition_sequences(spark):
+    import __spark_entry__ as entry_mod
+    from corhist_spark.textops import CHUNK_TOKENS, PACK_GROUPS
+
+    sf = "/root/testdata/sf0.001"
+    packed = entry_mod.q_sequence_pack(spark, sf)
+    out = entry_mod.q_packing_efficiency(spark, sf).collect()
+    assert sum(r.n_seqs for r in out) == packed.count()
+    # one final sequence per non-empty pack group
+    n_groups = packed.select("pack_group").distinct().count()
+    assert sum(r.n_final_seqs for r in out) == n_groups <= PACK_GROUPS
+    for r in out:
+        assert 0 <= r.fill_bucket <= 4
+        # overflow is bounded by width-1 per sequence (chunks are
+        # never split)
+        assert r.overflow_tokens <= (CHUNK_TOKENS - 1) * r.n_seqs
+        if r.fill_bucket == 4:
+            assert r.avg_fill_pct >= 100.0
