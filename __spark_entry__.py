@@ -3051,6 +3051,26 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Centroid-distance outlier audit over the quantized embedding
+    space — the pre-training sweep that drops corrupt/degenerate
+    vectors; all sufficient statistics are exact integers, so the
+    Chebyshev-style flag is deterministic (no global sort, no
+    order-dependent float reduction)."""
+    from corhist_spark.similarity import embedding_outliers
+
+    return embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+def q_label_separation(spark, sf_dir):
+    """Intra- vs inter-class separation per label pair via centroid
+    algebra on exact integer sums — the O(n^2) pair means collapse
+    to (S.S - SSQ)/2 and S_a.S_b, so nothing enumerates a pair."""
+    from corhist_spark.similarity import label_separation
+
+    return label_separation(_t(spark, sf_dir, "embeddings"))
+
+
 def q_score_calibration(spark, sf_dir):
     """Calibration table of the hashed-ngram classifier against the
     weak-label ensemble: per score decile, document count, mean
@@ -4050,6 +4070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 35: session trajectories, packing efficiency
         "user_sessions": q_user_sessions,
         "packing_efficiency": q_packing_efficiency,
+        # batch 36: embedding-quality audits
+        "embedding_outliers": q_embedding_outliers,
+        "label_separation": q_label_separation,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5055,6 +5078,7 @@ from corhist_spark.fusion import TRANS_WEDGE_CAP as _TRANS_WEDGE_CAP
 from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
 from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
 from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
+from corhist_spark.similarity import OUTLIER_FACTOR as _OUTLIER_FACTOR
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -7679,6 +7703,100 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
                    MAX(ts_s) - MIN(ts_s) AS duration_s
             FROM s GROUP BY user_id, session_id
+        """,
+        # quantized-integer sufficient statistics (floor(1000x), the
+        # repo quantization); centroid + mean-dist2 assembled from
+        # exact integer sums, arrays iterated in index order both
+        # engines
+        "embedding_outliers": f"""
+            WITH e AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                                    x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+              FROM embeddings
+            ), d AS (
+              SELECT unnest(generate_series(1, len(qv))) AS dim,
+                     unnest(qv) AS q
+              FROM e
+            ), s AS (
+              SELECT dim, CAST(SUM(q) AS BIGINT) AS sd FROM d GROUP BY dim
+            ), nn AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(list_sum(list_transform(qv, x -> x*x)))
+                          AS BIGINT) AS ssq
+              FROM e
+            ), muv AS (
+              SELECT list(CAST(sd AS DOUBLE) / (SELECT n FROM nn)
+                          ORDER BY dim) AS mu
+              FROM s
+            ), md AS (
+              SELECT mu,
+                     list_sum(list_transform(mu, m -> m*m)) AS mu2,
+                     CAST((SELECT ssq FROM nn) AS DOUBLE)
+                       / (SELECT n FROM nn)
+                       - list_sum(list_transform(mu, m -> m*m)) AS mean_dist2
+              FROM muv
+            )
+            SELECT vec_id, label, round(qq - 2*qmu + mu2, 3) AS dist2,
+                   (qq - 2*qmu + mu2) > {_OUTLIER_FACTOR} * mean_dist2
+                     AS outlier
+            FROM (
+              SELECT e.vec_id, e.label,
+                     CAST(list_sum(list_transform(qv, x -> x*x)) AS DOUBLE)
+                       AS qq,
+                     list_sum(list_transform(generate_series(1, len(qv)),
+                                             i -> qv[i] * mu[i])) AS qmu,
+                     mu2, mean_dist2
+              FROM e, md
+            )
+        """,
+        # per-label centroid algebra on exact integer sums: the pair
+        # means never enumerate a pair
+        "label_separation": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                                    x -> CAST(floor(x*1000) AS BIGINT)) AS qv
+              FROM embeddings
+            ), per AS (
+              SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l,
+                     CAST(SUM(list_sum(list_transform(qv, x -> x*x)))
+                          AS BIGINT) AS ssq_l
+              FROM e GROUP BY label
+            ), dd AS (
+              SELECT label, unnest(generate_series(1, len(qv))) AS dim,
+                     unnest(qv) AS q
+              FROM e
+            ), sv AS (
+              SELECT label, list(sd ORDER BY dim) AS sv FROM (
+                SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sd
+                FROM dd GROUP BY label, dim
+              ) GROUP BY label
+            ), lab AS (
+              SELECT per.label, n_l, ssq_l, sv
+              FROM per JOIN sv USING (label)
+            ), p AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     a.n_l AS n_a, b.n_l AS n_b,
+                     CAST(list_sum(list_transform(
+                           generate_series(1, len(a.sv)),
+                           i -> a.sv[i] * a.sv[i])) - a.ssq_l AS DOUBLE)
+                       / (a.n_l * (a.n_l - 1)) AS wa,
+                     CAST(list_sum(list_transform(
+                           generate_series(1, len(b.sv)),
+                           i -> b.sv[i] * b.sv[i])) - b.ssq_l AS DOUBLE)
+                       / (b.n_l * (b.n_l - 1)) AS wb,
+                     CAST(list_sum(list_transform(
+                           generate_series(1, len(a.sv)),
+                           i -> a.sv[i] * b.sv[i])) AS DOUBLE)
+                       / (a.n_l * b.n_l) AS cm
+              FROM lab a JOIN lab b ON a.label < b.label
+            )
+            SELECT label_a, label_b, n_a, n_b,
+                   round(wa, 6) AS within_a, round(wb, 6) AS within_b,
+                   round(cm, 6) AS cross_mean,
+                   (2 * cm < wa + wb) AS separated
+            FROM p
         """,
         # subsumption decided RELATIONALLY over the transcribed rule
         # table: with context-free basic rules, a is strictly

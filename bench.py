@@ -286,6 +286,9 @@ HEADLINE = [
     # batch 35: session trajectories, packing efficiency
     "user_sessions",
     "packing_efficiency",
+    # batch 36: embedding-quality audits
+    "embedding_outliers",
+    "label_separation",
 ]
 
 

@@ -934,3 +934,140 @@ def bitext_margin(
             "accepted", (F.col("margin") > F.lit(BITEXT_ACCEPT_MARGIN)).cast("int")
         )
     )
+
+
+# centroid-distance outlier flag: a vector whose squared distance to
+# the global centroid exceeds FACTOR x the corpus mean squared
+# distance is flagged (Chebyshev-style fixed multiple -- no global
+# sort, no order-dependent float reduction anywhere)
+OUTLIER_FACTOR = 4
+
+
+def embedding_outliers(embeddings: DataFrame) -> DataFrame:
+    """Centroid-distance outlier audit over the QUANTIZED embedding
+    space -> (vec_id, label, dist2, outlier): the pre-training sweep
+    that drops corrupt/degenerate vectors before they skew ANN cells
+    or contrastive batches.
+
+    All sufficient statistics are exact integers on the repo's
+    floor(1000x) quantization: per-dimension sums S_d, the global
+    squared-norm total SSQ, and the count n.  The centroid mu = S/n
+    and the per-vector distance are assembled from those integers in
+    fixed array order (both engines iterate the 64-dim arrays
+    left-to-right), and dist2 = qq - 2*q.mu + mu.mu is published
+    rounded to 3.  The outlier rule compares against
+    OUTLIER_FACTOR * E[dist2] where E[dist2] = SSQ/n - |mu|^2 -- the
+    mean comes from the EXACT integer statistics, never from a
+    corpus-wide float sum, so the flag is deterministic.
+
+    Scale shape: one posexplode aggregate (64 keys, map-side
+    combined) + one single-row total, both driver-small (dim-sized);
+    the output pass is map-only against broadcast literals."""
+    e = embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding")).alias("qv")
+    )
+    stats = (
+        e.select(F.posexplode("qv").alias("dim", "q"))
+        .groupBy("dim")
+        .agg(F.sum("q").alias("sd"))
+        .orderBy("dim")
+        .collect()
+    )  # dim-sized (64 rows): driver-small by construction
+    tot = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_int_dot(F.col("qv"), F.col("qv"))).alias("ssq"),
+    ).collect()[0]
+    n, ssq = tot["n"], tot["ssq"]
+    mu = [r["sd"] / n for r in stats]
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    mu2 = 0.0
+    for m in mu:
+        mu2 += m * m
+    mean_dist2 = ssq / n - mu2
+    qmu = F.aggregate(
+        F.zip_with(F.col("qv"), mu_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist2 = (
+        _int_dot(F.col("qv"), F.col("qv")).cast("double")
+        - 2 * qmu
+        + F.lit(mu2)
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(dist2, 3).alias("dist2"),
+        (dist2 > F.lit(float(OUTLIER_FACTOR * mean_dist2))).alias("outlier"),
+    )
+
+
+def label_separation(embeddings: DataFrame) -> DataFrame:
+    """Intra- vs inter-class separation audit over the quantized
+    embedding space -> one row per unordered label pair (label_a <
+    label_b): mean pairwise dot WITHIN each class, mean dot ACROSS
+    the pair, and a deterministic `separated` flag (cross mean below
+    the average of the two within means) -- the embedding-quality
+    check run before the labels are trusted for contrastive
+    sampling or balanced retrieval training.
+
+    The O(n^2) pair means collapse to centroid algebra on EXACT
+    integer sums: sum_{i<j in L} q_i.q_j = (S_L.S_L - SSQ_L) / 2 and
+    sum_{i in A, j in B} q_i.q_j = S_A.S_B, so nothing ever
+    enumerates a pair.  Scale shape: one label-keyed posexplode
+    aggregate (|labels| x dims keys) + label-pair assembly on a
+    vocabulary-sized frame."""
+    e = embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding")).alias("qv")
+    )
+    per = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_l"),
+        F.sum(_int_dot(F.col("qv"), F.col("qv"))).alias("ssq_l"),
+    )
+    sums = (
+        e.select("label", F.posexplode("qv").alias("dim", "q"))
+        .groupBy("label", "dim")
+        .agg(F.sum("q").alias("sd"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "sd"))).alias("ds")
+        )
+        .select(
+            "label", F.expr("transform(ds, x -> x.sd)").alias("sv")
+        )
+    )
+    lab = per.join(sums, "label")  # label-vocabulary-sized
+    a = lab.select(
+        F.col("label").alias("label_a"),
+        F.col("n_l").alias("n_a"),
+        F.col("ssq_l").alias("ssq_a"),
+        F.col("sv").alias("sv_a"),
+    )
+    b = lab.select(
+        F.col("label").alias("label_b"),
+        F.col("n_l").alias("n_b"),
+        F.col("ssq_l").alias("ssq_b"),
+        F.col("sv").alias("sv_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+    within_a = (
+        (_int_dot(F.col("sv_a"), F.col("sv_a")) - F.col("ssq_a")).cast("double")
+        / (F.col("n_a") * (F.col("n_a") - 1))
+    )
+    within_b = (
+        (_int_dot(F.col("sv_b"), F.col("sv_b")) - F.col("ssq_b")).cast("double")
+        / (F.col("n_b") * (F.col("n_b") - 1))
+    )
+    cross = _int_dot(F.col("sv_a"), F.col("sv_b")).cast("double") / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        F.round(within_a, 6).alias("within_a"),
+        F.round(within_b, 6).alias("within_b"),
+        F.round(cross, 6).alias("cross_mean"),
+        (2 * cross < within_a + within_b).alias("separated"),
+    )

@@ -393,3 +393,62 @@ def test_semdedup_unpinned_routes_sharded(spark):
     assert "ShuffledHashJoin" in plan, "unpinned dedup past work bound must shard"
     # every vector still assigned somewhere: survivors + dropped = N
     assert 0 < survivors.count() <= e.count()
+
+
+# ---- batch 36: embedding-quality audits ----
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_embedding_outliers_flags_planted_far_vector(spark):
+    from corhist_spark.similarity import embedding_outliers
+
+    # 15 tight vectors near the origin + one far vector: only the far
+    # one exceeds FACTOR x the mean squared centroid distance
+    rows = [(i, [0.001 * (i % 3), 0.002, 0.0, 0.001], 0) for i in range(15)]
+    rows.append((99, [0.9, -0.9, 0.9, -0.9], 1))
+    out = {r.vec_id: r for r in embedding_outliers(_emb(spark, rows)).collect()}
+    assert len(out) == 16
+    assert out[99].outlier
+    assert not any(out[i].outlier for i in range(15))
+    assert out[99].dist2 > out[0].dist2
+
+
+def test_label_separation_planted_clusters(spark):
+    from corhist_spark.similarity import label_separation
+
+    # label 0 clusters at +e1, label 1 at -e1 -> cross mean negative,
+    # both within means positive -> separated; label 2 sits ON label
+    # 0's cluster -> the (0,2) pair is NOT separated
+    rows = (
+        [(i, [1.0, 0.01 * i, 0.0, 0.0], 0) for i in range(4)]
+        + [(10 + i, [-1.0, 0.01 * i, 0.0, 0.0], 1) for i in range(4)]
+        + [(20 + i, [1.0, 0.01 * i, 0.0, 0.0], 2) for i in range(4)]
+    )
+    out = {
+        (r.label_a, r.label_b): r
+        for r in label_separation(_emb(spark, rows)).collect()
+    }
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    r01 = out[(0, 1)]
+    assert r01.within_a > 0 and r01.within_b > 0 and r01.cross_mean < 0
+    assert r01.separated
+    assert not out[(0, 2)].separated
+    assert out[(1, 2)].separated
+
+
+def test_embedding_audit_plans_stay_jvm_side(spark):
+    from corhist_spark.similarity import embedding_outliers, label_separation
+
+    rows = [(i, [0.1 * (i % 5), 0.2, -0.1, 0.05], i % 2) for i in range(20)]
+    e = _emb(spark, rows)
+    for df in (embedding_outliers(e), label_separation(e)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+        assert "CartesianProduct" not in plan
+        # label_separation's pair join is a broadcast over the
+        # label-vocabulary-sized frame (the repo's totals pattern)
