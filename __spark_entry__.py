@@ -3051,6 +3051,32 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """MinHash tier of the decontamination stack: near-duplicate
+    eval leakage (paraphrased/perturbed) that exact n-gram and
+    substring overlap miss; LSH collisions between the splits,
+    verified with exact shingle Jaccard."""
+    from corhist_spark.textops import fuzzy_decontaminate
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_RES)
+    tr = d.filter(F.col("doc_id") % DECON_EVAL_MOD != DECON_EVAL_RES)
+    return fuzzy_decontaminate(tr, ev)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for retrieval training: per eval doc the
+    top-k highest-overlap NON-duplicate train partners (verified
+    Jaccard below the contamination threshold), ties broken on doc
+    id."""
+    from corhist_spark.textops import hard_negatives
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    ev = d.filter(F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_RES)
+    tr = d.filter(F.col("doc_id") % DECON_EVAL_MOD != DECON_EVAL_RES)
+    return hard_negatives(tr, ev)
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Centroid-distance outlier audit over the quantized embedding
     space — the pre-training sweep that drops corrupt/degenerate
@@ -4073,6 +4099,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 36: embedding-quality audits
         "embedding_outliers": q_embedding_outliers,
         "label_separation": q_label_separation,
+        # batch 37: fuzzy decontamination, hard negatives
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "hard_negatives": q_hard_negatives,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5079,6 +5108,8 @@ from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
 from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
 from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
 from corhist_spark.similarity import OUTLIER_FACTOR as _OUTLIER_FACTOR
+from corhist_spark.textops import FUZZY_DECON_PCT as _FUZZY_DECON_PCT
+from corhist_spark.textops import HARD_NEG_K as _HARD_NEG_K
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -10157,6 +10188,55 @@ def oracle_sql() -> dict[str, str]:
         "<= SUM(n_triples) AS ambiguous "
         "FROM (" + out["el_candidates"] + ") GROUP BY mention"
     )
+    # shared train-x-eval LSH candidate verification (the engine's
+    # _eval_candidate_scores): capped buckets over BOTH splits'
+    # signatures, split predicate from the DECON constants
+    _fuzzy_scored = _SIG_CTES + f"""
+        , cand AS (
+          SELECT DISTINCT t.doc_id AS doc_a, e.doc_id AS doc_b
+          FROM sigf t JOIN sigf e
+            ON t.band = e.band AND t.minhash = e.minhash
+          WHERE t.doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_RES}
+            AND e.doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_RES}
+        ), dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN dsh x ON x.doc_id = c.doc_a
+          JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+          GROUP BY c.doc_a, c.doc_b
+        ), scored AS MATERIALIZED (
+          SELECT i.doc_a, i.doc_b,
+                 ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+        )
+    """
+    out["fuzzy_decontaminate"] = _fuzzy_scored + f"""
+        , g AS (
+          SELECT doc_a, COUNT(*) AS n_candidates, MAX(jaccard) AS mx
+          FROM scored GROUP BY doc_a
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+               COALESCE(mx, 0.0) AS max_jaccard,
+               COALESCE(mx, 0.0) >= {_FUZZY_DECON_PCT} / 100.0 AS contaminated
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_RES}) d
+        LEFT JOIN g ON g.doc_a = d.doc_id
+    """
+    out["hard_negatives"] = _fuzzy_scored + f"""
+        SELECT doc_b AS query_id, doc_a AS neg_id, jaccard,
+               CAST(rank AS INT) AS rank
+        FROM (
+          SELECT doc_a, doc_b, jaccard,
+                 row_number() OVER (PARTITION BY doc_b
+                                    ORDER BY jaccard DESC, doc_a) AS rank
+          FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
+        ) WHERE rank <= {_HARD_NEG_K}
+    """
     out["packing_efficiency"] = (
         "WITH packed AS (" + out["sequence_pack"] + "), "
         "f AS (SELECT *, CASE WHEN seq_id = MAX(seq_id) OVER "

@@ -289,6 +289,9 @@ HEADLINE = [
     # batch 36: embedding-quality audits
     "embedding_outliers",
     "label_separation",
+    # batch 37: fuzzy decontamination, hard negatives
+    "fuzzy_decontaminate",
+    "hard_negatives",
 ]
 
 

@@ -3015,3 +3015,112 @@ def fim_pairs(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("n_suffix"),
     )
+
+
+# fuzzy decontamination / hard-negative mining thresholds: a verified
+# candidate with shingle Jaccard >= PCT/100 is contamination; below
+# it, the highest-overlap non-duplicate partners are the classic
+# "hard negatives" for retrieval training.  The flag compares the
+# ROUNDED jaccard against PCT/100: shingle-set sizes are bounded by
+# text length, so no true ratio can sit within rounding distance of
+# the threshold without being exactly on it.
+FUZZY_DECON_PCT = 50
+HARD_NEG_K = 3
+
+
+def _eval_candidate_scores(
+    train: DataFrame, eval_docs: DataFrame, max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Shared candidate machinery for fuzzy_decontaminate /
+    hard_negatives: MinHash-LSH collisions BETWEEN the train and eval
+    splits (never train-train), verified with exact shingle Jaccard
+    -> (doc_a = train doc, doc_b = eval doc, jaccard).
+
+    Bucket occupancy is computed over BOTH splits' signatures and
+    capped exactly like lsh_candidates (a boilerplate bucket is
+    train-side-huge and would pair with every eval member); the eval
+    signature table is benchmark-sized and broadcast, so the train
+    corpus shuffles only its capped signatures."""
+    all_docs = train.select("doc_id", "text").unionByName(
+        eval_docs.select("doc_id", "text")
+    )
+    sigs = minhash_signatures(all_docs)
+    sizes = sigs.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bc"))
+    ok = sizes.filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket)).select(
+        "band", "minhash"
+    )
+    sigf = sigs.join(ok, ["band", "minhash"], "left_semi")
+    ev_ids = eval_docs.select("doc_id")
+    ev_sig = sigf.join(F.broadcast(ev_ids), "doc_id", "left_semi").select(
+        "band", "minhash", F.col("doc_id").alias("doc_b")
+    )
+    tr_sig = sigf.join(F.broadcast(ev_ids), "doc_id", "left_anti")
+    pairs = (
+        tr_sig.join(F.broadcast(ev_sig), ["band", "minhash"])
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    return ngram_jaccard(all_docs, pairs)
+
+
+def fuzzy_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    pct: int = FUZZY_DECON_PCT,
+) -> DataFrame:
+    """Near-duplicate benchmark decontamination -> (doc_id,
+    n_candidates, max_jaccard, contaminated): catches the
+    paraphrased/perturbed eval leakage that exact n-gram overlap
+    (decontaminate) and exact substrings (substring_decontaminate)
+    miss — the MinHash tier of the standard three-tier
+    decontamination stack.  n_candidates counts verified LSH
+    partners (shared shingle >= 1); contaminated fires when the best
+    verified Jaccard reaches pct/100."""
+    scored = _eval_candidate_scores(train, eval_docs, max_bucket)
+    g = scored.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return train.select("doc_id").join(
+        g, train["doc_id"] == g["doc_a"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        (F.coalesce("max_jaccard", F.lit(0.0)) >= F.lit(pct) / 100.0).alias(
+            "contaminated"
+        ),
+    )
+
+
+def hard_negatives(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = HARD_NEG_K,
+    max_bucket: int = MAX_BUCKET,
+    pct: int = FUZZY_DECON_PCT,
+) -> DataFrame:
+    """Hard-negative mining for retrieval training -> (query_id,
+    neg_id, jaccard, rank): per eval/query doc, the top-k
+    highest-overlap train docs that are NOT near-duplicates
+    (verified jaccard below the contamination threshold) — lexically
+    close but non-duplicate partners, the negatives that actually
+    teach a retriever its decision boundary (cf. dense-retrieval
+    hard-negative practice).  Rank ties break on doc id, so the
+    export is deterministic."""
+    from pyspark.sql import Window
+
+    scored = _eval_candidate_scores(train, eval_docs, max_bucket)
+    w = Window.partitionBy("doc_b").orderBy(F.desc("jaccard"), F.asc("doc_a"))
+    return (
+        scored.filter(F.col("jaccard") < F.lit(pct) / 100.0)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc_b").alias("query_id"),
+            F.col("doc_a").alias("neg_id"),
+            "jaccard",
+            "rank",
+        )
+    )

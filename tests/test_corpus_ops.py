@@ -1438,3 +1438,53 @@ def test_packing_efficiency_buckets_partition_sequences(spark):
         assert r.overflow_tokens <= (CHUNK_TOKENS - 1) * r.n_seqs
         if r.fill_bucket == 4:
             assert r.avg_fill_pct >= 100.0
+
+
+# ---- batch 37: fuzzy decontamination / hard negatives ----
+
+
+def _split_docs(spark, train_rows, eval_rows):
+    tr = _docs(spark, train_rows)
+    ev = _docs(spark, eval_rows)
+    return tr, ev
+
+
+# the fixture perturbs by PREFIX DELETION only: the repo's banded
+# minhash takes every band's minimum at the SAME arg-min shingle
+# (the band transforms are monotone in the shingle hash), so a
+# deletion that keeps the min shingle (here ' w07 ' at char 27)
+# guarantees the LSH collision while additions could steal the min
+_FUZZY_BASE = " ".join(f"w{i:02d}" for i in range(40)) + " "
+
+
+def test_fuzzy_decontaminate_flags_near_copy_only(spark):
+    from corhist_spark.textops import fuzzy_decontaminate
+
+    near = _FUZZY_BASE[: int(len(_FUZZY_BASE) * 0.8)]   # jaccard ~0.795
+    other = "totally different words entirely unrelated content here " * 4
+    tr, ev = _split_docs(
+        spark,
+        [(1, near), (2, other)],
+        [(7, _FUZZY_BASE)],
+    )
+    out = {r.doc_id: r for r in fuzzy_decontaminate(tr, ev).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].contaminated and out[1].max_jaccard >= 0.5
+    assert not out[2].contaminated
+    # the report covers EVERY train doc, including candidate-free ones
+    assert out[2].n_candidates == 0 and out[2].max_jaccard == 0.0
+
+
+def test_hard_negatives_excludes_duplicates_and_ranks(spark):
+    from corhist_spark.textops import hard_negatives
+
+    near = _FUZZY_BASE[: int(len(_FUZZY_BASE) * 0.8)]   # ~0.795 -> excluded
+    part = _FUZZY_BASE[: int(len(_FUZZY_BASE) * 0.4)]   # ~0.385 -> negative
+    tr, ev = _split_docs(spark, [(1, near), (2, part)], [(7, _FUZZY_BASE)])
+    rows = hard_negatives(tr, ev).collect()
+    # the near-duplicate is NOT a negative; the partial-overlap doc is
+    ids = {(r.query_id, r.neg_id) for r in rows}
+    assert (7, 1) not in ids
+    assert (7, 2) in ids
+    for r in rows:
+        assert r.jaccard < 0.5 and r.rank >= 1
