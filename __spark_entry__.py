@@ -3051,6 +3051,48 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def q_quality_survivors(spark, sf_dir):
+    """Quality-aware dedup survivor selection: instead of the
+    lexicographic-min survivor dedup_survivors keeps, each duplicate
+    cluster keeps its HIGHEST-quality member (ties to the smaller
+    doc id) — the survivor policy real curation runs use (keep the
+    best copy, not the first).  Same connected components; one
+    cluster-keyed argmax."""
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    comps = _dup_components(spark, sf_dir)
+    q = d.select("doc_id", _quality_expr().alias("quality"))
+    cl = q.join(comps, q["doc_id"] == comps["node"], "left").select(
+        "doc_id",
+        "quality",
+        F.coalesce("component", F.col("doc_id")).alias("cluster"),
+    )
+    best = (
+        cl.groupBy("cluster")
+        .agg(
+            F.max(
+                F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_doc"))
+            ).alias("b")
+        )
+        .select("cluster", (-F.col("b.neg_doc")).alias("survivor"))
+    )
+    return cl.join(best, "cluster").select(
+        "doc_id",
+        "cluster",
+        "survivor",
+        (F.col("doc_id") == F.col("survivor")).alias("is_kept"),
+    )
+
+
+def q_source_repeat_factors(spark, sf_dir):
+    """Per-source epoch/repeat plan realizing the temperature mixture
+    WITH upsampling (capped at 4 epochs per the data-constrained
+    scaling evidence): integer full passes + a per-mille partial
+    pass, the format stratified_sample consumes."""
+    from corhist_spark.textops import source_repeat_factors
+
+    return source_repeat_factors(_t(spark, sf_dir, "documents"))
+
+
 def q_fuzzy_decontaminate(spark, sf_dir):
     """MinHash tier of the decontamination stack: near-duplicate
     eval leakage (paraphrased/perturbed) that exact n-gram and
@@ -4102,6 +4144,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 37: fuzzy decontamination, hard negatives
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "hard_negatives": q_hard_negatives,
+        # batch 38: quality-aware survivors, source repeat plan
+        "quality_survivors": q_quality_survivors,
+        "source_repeat_factors": q_source_repeat_factors,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5110,6 +5155,7 @@ from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
 from corhist_spark.similarity import OUTLIER_FACTOR as _OUTLIER_FACTOR
 from corhist_spark.textops import FUZZY_DECON_PCT as _FUZZY_DECON_PCT
 from corhist_spark.textops import HARD_NEG_K as _HARD_NEG_K
+from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -7828,6 +7874,71 @@ def oracle_sql() -> dict[str, str]:
                    round(cm, 6) AS cross_mean,
                    (2 * cm < wa + wb) AS separated
             FROM p
+        """,
+        # quality-aware survivor: same recursive components as
+        # dedup_survivors, argmax decided (quality DESC, doc_id ASC)
+        "quality_survivors": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _DEDUP_COMP_CTES + """
+            , qual AS (
+              SELECT doc_id, ROUND(LEAST(1.0, n / 50.0) * (u / n), 6)
+                       AS quality
+              FROM (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS DOUBLE) AS n,
+                       CAST(len(list_distinct(list_filter(
+                           string_split(text, ' '), x -> x <> '')))
+                            AS DOUBLE) AS u
+                FROM documents)
+            ), clus AS MATERIALIZED (
+              SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+                     q.quality
+              FROM documents d
+              LEFT JOIN comp c ON c.node = d.doc_id
+              JOIN qual q ON q.doc_id = d.doc_id
+            ), best AS (
+              SELECT cluster, doc_id AS survivor FROM (
+                SELECT cluster, doc_id,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY quality DESC, doc_id)
+                         AS rn
+                FROM clus
+              ) WHERE rn = 1
+            )
+            SELECT cl.doc_id, cl.cluster, b.survivor,
+                   cl.doc_id = b.survivor AS is_kept
+            FROM clus cl JOIN best b USING (cluster)
+        """,
+        # mirrors the source_mixing transcription's pow/ratio chain,
+        # cap from textops.MAX_REPEAT_EPOCHS
+        "source_repeat_factors": f"""
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY source),
+            tot AS (
+              SELECT sum(pow(n_tokens, 0.5)) AS s_pow,
+                     sum(n_tokens) AS s_tok
+              FROM per),
+            r AS (
+              SELECT source, n_docs, n_tokens,
+                     CASE WHEN n_tokens > 0 AND s_pow > 0
+                          THEN pow(n_tokens, 0.5) / s_pow * s_tok / n_tokens
+                          ELSE 0.0 END AS raw,
+                     least(CAST({_MAX_REPEAT_EPOCHS} AS DOUBLE),
+                           CASE WHEN n_tokens > 0 AND s_pow > 0
+                                THEN pow(n_tokens, 0.5) / s_pow * s_tok
+                                     / n_tokens
+                                ELSE 0.0 END) AS capped
+              FROM per CROSS JOIN tot)
+            SELECT source, n_docs, n_tokens,
+                   round(raw, 6) AS raw_factor,
+                   CAST(floor(capped) AS BIGINT) AS n_full_epochs,
+                   CAST(floor(1000 * (capped - floor(capped))) AS BIGINT)
+                     AS partial_per_1000
+            FROM r
         """,
         # subsumption decided RELATIONALLY over the transcribed rule
         # table: with context-free basic rules, a is strictly

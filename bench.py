@@ -292,6 +292,9 @@ HEADLINE = [
     # batch 37: fuzzy decontamination, hard negatives
     "fuzzy_decontaminate",
     "hard_negatives",
+    # batch 38: quality-aware survivors, source repeat plan
+    "quality_survivors",
+    "source_repeat_factors",
 ]
 
 

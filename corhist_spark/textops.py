@@ -3124,3 +3124,54 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+# repeating training data beyond ~4 epochs stops helping (Muennighoff
+# et al. 2023, "Scaling Data-Constrained Language Models") — the
+# upsampling plan caps there
+MAX_REPEAT_EPOCHS = 4
+
+
+def source_repeat_factors(
+    docs: DataFrame, alpha: float = 0.5, max_epochs: int = MAX_REPEAT_EPOCHS
+) -> DataFrame:
+    """Per-source epoch/repeat plan that REALIZES the temperature
+    mixture with upsampling (the complement of source_mixing, whose
+    keep rate is capped at 1.0) -> (source, n_docs, n_tokens,
+    raw_factor, n_full_epochs, partial_per_1000).
+
+    raw_factor = weight_s * total_tokens / tokens_s is how many times
+    the source must be repeated to hit its alpha-mixture share at the
+    full-corpus token budget; it is capped at ``max_epochs`` and
+    published as an INTEGER plan — n_full_epochs full passes plus one
+    hash-threshold partial pass at partial_per_1000 per mille — the
+    exact format stratified_sample consumes.
+
+    Scale shape: one per-source aggregate (vocabulary-sized) + a
+    single-row totals broadcast; nothing grows with the corpus."""
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_token_array())).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow("n_tokens", alpha)).alias("s_pow"),
+        F.sum("n_tokens").alias("s_tok"),
+    )
+    w = F.when(
+        F.col("s_pow") > 0, F.pow("n_tokens", alpha) / F.col("s_pow")
+    ).otherwise(F.lit(0.0))
+    raw = F.when(
+        F.col("n_tokens") > 0, w * F.col("s_tok") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    capped = F.least(F.lit(float(max_epochs)), raw)
+    nf = F.floor(capped).cast("bigint")
+    return per.crossJoin(F.broadcast(tot)).select(  # single-row totals
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(raw, 6).alias("raw_factor"),
+        nf.alias("n_full_epochs"),
+        F.floor(F.lit(1000) * (capped - nf)).cast("bigint").alias(
+            "partial_per_1000"
+        ),
+    )

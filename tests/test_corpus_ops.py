@@ -1488,3 +1488,46 @@ def test_hard_negatives_excludes_duplicates_and_ranks(spark):
     assert (7, 2) in ids
     for r in rows:
         assert r.jaccard < 0.5 and r.rank >= 1
+
+
+# ---- batch 38: quality survivors / source repeat plan ----
+
+
+def test_quality_survivors_keep_best_not_first(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    qs = {r.doc_id: r for r in entry_mod.q_quality_survivors(spark, sf).collect()}
+    ds = {r.doc_id: r for r in entry_mod.q_dedup_survivors(spark, sf).collect()}
+    assert set(qs) == set(ds)
+    # same clustering: exactly one kept doc per cluster, and the
+    # survivor is a member of its own cluster
+    by_cluster = {}
+    for r in qs.values():
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        kept = [r for r in rows if r.is_kept]
+        assert len(kept) == 1
+        assert kept[0].doc_id == kept[0].survivor
+        assert all(r.survivor == kept[0].doc_id for r in rows)
+    # the min-doc policy and the quality policy agree on cluster
+    # MEMBERSHIP but may disagree on the survivor
+    for i, r in qs.items():
+        assert (ds[i].survivor == ds[i].doc_id) == (
+            ds[i].is_dup is False
+        )
+
+
+def test_source_repeat_factors_plan_arithmetic(spark):
+    import __spark_entry__ as entry_mod
+    from corhist_spark.textops import MAX_REPEAT_EPOCHS
+
+    rows = entry_mod.q_source_repeat_factors(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_full_epochs <= MAX_REPEAT_EPOCHS
+        assert 0 <= r.partial_per_1000 <= 999
+        # capped plan never exceeds the raw factor
+        assert r.n_full_epochs + r.partial_per_1000 / 1000.0 <= r.raw_factor + 1e-6
+    # the mixture must upsample at least one low-resource source
+    assert any(r.raw_factor > 1.0 for r in rows)
