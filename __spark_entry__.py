@@ -3051,6 +3051,70 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def _el_top1(spark, sf_dir):
+    """Top-1 entity link per mention surface (commonness prior rank 1)
+    — the mention-vocabulary-sized link table both distant-supervision
+    exports broadcast."""
+    return (
+        q_el_candidates(spark, sf_dir)
+        .filter(F.col("cand_rank") == 1)
+        .select("mention", "candidate")
+    )
+
+
+def q_distant_re_pairs(spark, sf_dir):
+    """Mintz-style distant supervision for relation extraction
+    (Mintz et al., ACL 2009): co-mentioned surface pairs whose
+    TOP-1-LINKED entities are connected by a typed KG edge become
+    labeled RE training pairs (mention pair, entity pair, predicate,
+    direction, co-mention support).  The only corpus-sized passes
+    are the co-mention count and the deduped triple set; the linked
+    mention-pair table is vocabulary-sized and broadcast."""
+    co = q_comention_graph(spark, sf_dir)
+    el1 = _el_top1(spark, sf_dir)
+    tr = _typed_kg_edges(spark, sf_dir).distinct()
+    j = co.join(
+        F.broadcast(
+            el1.withColumnRenamed("mention", "mention_a").withColumnRenamed(
+                "candidate", "entity_a"
+            )
+        ),
+        "mention_a",
+    ).join(
+        F.broadcast(
+            el1.withColumnRenamed("mention", "mention_b").withColumnRenamed(
+                "candidate", "entity_b"
+            )
+        ),
+        "mention_b",
+    )
+    cols = ["mention_a", "mention_b", "entity_a", "entity_b", "n_docs_pair"]
+    fwd = (
+        F.broadcast(j.select(*cols))
+        .join(tr, (F.col("entity_a") == tr["subj"]) & (F.col("entity_b") == tr["obj"]))
+        .select(*cols, "pred", F.lit("fwd").alias("direction"))
+    )
+    bwd = (
+        F.broadcast(j.select(*cols))
+        .join(tr, (F.col("entity_b") == tr["subj"]) & (F.col("entity_a") == tr["obj"]))
+        .select(*cols, "pred", F.lit("bwd").alias("direction"))
+    )
+    return fwd.unionByName(bwd)
+
+
+def q_distant_ner_labels(spark, sf_dir):
+    """Distantly-supervised NER/EL label export: every detected span
+    whose surface has a top-1 entity link becomes a labeled training
+    span (doc_id, start, end, surface, entity) — the
+    KB-supervised-labeling bridge between the span detector and the
+    link table; one broadcast join, no extra shuffle."""
+    ns = q_ner_spans(spark, sf_dir)
+    el1 = _el_top1(spark, sf_dir)
+    return ns.join(F.broadcast(el1), ns["surface"] == el1["mention"]).select(
+        "doc_id", "start", "end", "surface", F.col("candidate").alias("entity")
+    )
+
+
 def q_quality_survivors(spark, sf_dir):
     """Quality-aware dedup survivor selection: instead of the
     lexicographic-min survivor dedup_survivors keeps, each duplicate
@@ -4147,6 +4211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 38: quality-aware survivors, source repeat plan
         "quality_survivors": q_quality_survivors,
         "source_repeat_factors": q_source_repeat_factors,
+        # batch 39: distant-supervision exports (RE pairs, NER labels)
+        "distant_re_pairs": q_distant_re_pairs,
+        "distant_ner_labels": q_distant_ner_labels,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -10348,6 +10415,35 @@ def oracle_sql() -> dict[str, str]:
           FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
         ) WHERE rank <= {_HARD_NEG_K}
     """
+    # distant supervision: co-mentions + top-1 links + typed triples
+    _el_top1_sql = (
+        "SELECT mention, candidate FROM (" + out["el_candidates"] + ") "
+        "WHERE cand_rank = 1"
+    )
+    _typed_tr_sql = _TYPED_TR_CTE + " SELECT subj, pred, obj FROM tr"
+    out["distant_re_pairs"] = (
+        "WITH co AS (" + out["comention_graph"] + "), "
+        "el AS (" + _el_top1_sql + "), "
+        "tr2 AS (" + _typed_tr_sql + "), "
+        "j AS (SELECT co.mention_a, co.mention_b, ea.candidate AS entity_a, "
+        "eb.candidate AS entity_b, co.n_docs_pair "
+        "FROM co JOIN el ea ON ea.mention = co.mention_a "
+        "JOIN el eb ON eb.mention = co.mention_b) "
+        "SELECT mention_a, mention_b, entity_a, entity_b, n_docs_pair, "
+        "t.pred, 'fwd' AS direction "
+        "FROM j JOIN tr2 t ON t.subj = j.entity_a AND t.obj = j.entity_b "
+        "UNION ALL "
+        "SELECT mention_a, mention_b, entity_a, entity_b, n_docs_pair, "
+        "t.pred, 'bwd' AS direction "
+        "FROM j JOIN tr2 t ON t.subj = j.entity_b AND t.obj = j.entity_a"
+    )
+    out["distant_ner_labels"] = (
+        "WITH ns AS (" + out["ner_spans"] + "), "
+        "el AS (" + _el_top1_sql + ") "
+        'SELECT ns.doc_id, ns.start, ns."end", ns.surface, '
+        "el.candidate AS entity "
+        "FROM ns JOIN el ON el.mention = ns.surface"
+    )
     out["packing_efficiency"] = (
         "WITH packed AS (" + out["sequence_pack"] + "), "
         "f AS (SELECT *, CASE WHEN seq_id = MAX(seq_id) OVER "

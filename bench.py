@@ -295,6 +295,9 @@ HEADLINE = [
     # batch 38: quality-aware survivors, source repeat plan
     "quality_survivors",
     "source_repeat_factors",
+    # batch 39: distant-supervision exports
+    "distant_re_pairs",
+    "distant_ner_labels",
 ]
 
 

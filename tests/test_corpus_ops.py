@@ -1531,3 +1531,52 @@ def test_source_repeat_factors_plan_arithmetic(spark):
         assert r.n_full_epochs + r.partial_per_1000 / 1000.0 <= r.raw_factor + 1e-6
     # the mixture must upsample at least one low-resource source
     assert any(r.raw_factor > 1.0 for r in rows)
+
+
+# ---- batch 39: distant-supervision exports ----
+
+
+def test_distant_re_pairs_label_only_linked_kg_edges(spark):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_distant_re_pairs(spark, sf).collect()
+    assert rows  # the fixture yields labeled pairs
+    el1 = {
+        r.mention: r.candidate for r in entry_mod._el_top1(spark, sf).collect()
+    }
+    tr = {
+        (r.subj, r.pred, r.obj)
+        for r in entry_mod._typed_kg_edges(spark, sf).distinct().collect()
+    }
+    for r in rows:
+        # entities are exactly the top-1 links of their mentions
+        assert el1[r.mention_a] == r.entity_a
+        assert el1[r.mention_b] == r.entity_b
+        # every labeled pair is backed by a real typed edge in the
+        # claimed direction
+        if r.direction == "fwd":
+            assert (r.entity_a, r.pred, r.entity_b) in tr
+        else:
+            assert r.direction == "bwd"
+            assert (r.entity_b, r.pred, r.entity_a) in tr
+        assert r.n_docs_pair >= 3  # comention min support
+
+
+def test_distant_ner_labels_subset_of_spans(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    labeled = entry_mod.q_distant_ner_labels(spark, sf).collect()
+    assert labeled
+    spans = {
+        (r.doc_id, r.start, r.end, r.surface)
+        for r in entry_mod.q_ner_spans(spark, sf).collect()
+    }
+    el1 = {
+        r.mention: r.candidate for r in entry_mod._el_top1(spark, sf).collect()
+    }
+    for r in labeled:
+        assert (r.doc_id, r.start, r.end, r.surface) in spans
+        assert el1[r.surface] == r.entity
