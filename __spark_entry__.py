@@ -3051,6 +3051,26 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def q_neighbor_sample(spark, sf_dir):
+    """GraphSAGE-style fixed-fanout neighbor sampling plan over the
+    derived entity graph: per node, 8 hash-ranked distinct neighbors
+    — the reproducible GNN minibatch adjacency export."""
+    from corhist_spark.graph import neighbor_sample
+
+    return neighbor_sample(_kg_edges(spark, sf_dir))
+
+
+def q_clip_pairs(spark, sf_dir):
+    """CLIP-style contrastive media-caption pairs over the
+    caption-link table: each grounded media span yields its linked
+    mention as the positive and one hash-picked different mention as
+    the negative (bumped off collisions) — deterministic batch
+    construction for multimodal contrastive training."""
+    from corhist_spark.extract import clip_pairs
+
+    return clip_pairs(q_media_context(spark, sf_dir))
+
+
 def _el_top1(spark, sf_dir):
     """Top-1 entity link per mention surface (commonness prior rank 1)
     — the mention-vocabulary-sized link table both distant-supervision
@@ -4214,6 +4234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 39: distant-supervision exports (RE pairs, NER labels)
         "distant_re_pairs": q_distant_re_pairs,
         "distant_ner_labels": q_distant_ner_labels,
+        # batch 40: GNN minibatch sampling, contrastive media pairs
+        "neighbor_sample": q_neighbor_sample,
+        "clip_pairs": q_clip_pairs,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5223,6 +5246,7 @@ from corhist_spark.similarity import OUTLIER_FACTOR as _OUTLIER_FACTOR
 from corhist_spark.textops import FUZZY_DECON_PCT as _FUZZY_DECON_PCT
 from corhist_spark.textops import HARD_NEG_K as _HARD_NEG_K
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
+from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -7942,6 +7966,22 @@ def oracle_sql() -> dict[str, str]:
                    (2 * cm < wa + wb) AS separated
             FROM p
         """,
+        # hash-ranked fixed-fanout adjacency sample; fanout from the
+        # graph constant
+        "neighbor_sample": f"""{_KG_EDGE_CTES}, e AS (
+              SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+            ), h AS (
+              SELECT src, dst,
+                     ({hexval_sql("src || ':' || dst || ':ns'")}) AS h
+              FROM e
+            )
+            SELECT src, dst, CAST(slot AS INT) AS slot FROM (
+              SELECT src, dst,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY h, dst) AS slot
+              FROM h
+            ) WHERE slot <= {_SAMPLE_FANOUT}
+        """,
         # quality-aware survivor: same recursive components as
         # dedup_survivors, argmax decided (quality DESC, doc_id ASC)
         "quality_survivors": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
@@ -10415,6 +10455,31 @@ def oracle_sql() -> dict[str, str]:
           FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
         ) WHERE rank <= {_HARD_NEG_K}
     """
+    # contrastive media-caption pairs: positives from the caption-link
+    # table, negatives hash-picked from the mention vocabulary with
+    # collision bump
+    _hx_clip = hexval_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(span_idx AS VARCHAR)"
+        " || ':clipneg'"
+    )
+    out["clip_pairs"] = (
+        "WITH links AS (" + out["media_context"] + "), "
+        "ment AS (SELECT mention, row_number() OVER (ORDER BY mention) - 1 "
+        "AS idx FROM (SELECT DISTINCT context_mention AS mention FROM links)), "
+        "cnt AS (SELECT COUNT(*) AS nm FROM ment), "
+        "wi AS (SELECT l.doc_id, l.span_idx, l.media_ref, "
+        "p.idx AS pos_idx, (" + _hx_clip + ") % nm AS raw_idx, nm "
+        "FROM links l JOIN ment p ON p.mention = l.context_mention "
+        "CROSS JOIN cnt), "
+        "neg AS (SELECT doc_id, span_idx, media_ref, "
+        "CASE WHEN raw_idx = pos_idx THEN (raw_idx + 1) % nm "
+        "ELSE raw_idx END AS neg_idx FROM wi WHERE nm >= 2) "
+        "SELECT doc_id, span_idx, media_ref, "
+        "context_mention AS mention, 1 AS label FROM links "
+        "UNION ALL "
+        "SELECT n.doc_id, n.span_idx, n.media_ref, m.mention, 0 AS label "
+        "FROM neg n JOIN ment m ON m.idx = n.neg_idx"
+    )
     # distant supervision: co-mentions + top-1 links + typed triples
     _el_top1_sql = (
         "SELECT mention, candidate FROM (" + out["el_candidates"] + ") "

@@ -298,6 +298,9 @@ HEADLINE = [
     # batch 39: distant-supervision exports
     "distant_re_pairs",
     "distant_ner_labels",
+    # batch 40: GNN minibatch sampling, contrastive media pairs
+    "neighbor_sample",
+    "clip_pairs",
 ]
 
 

@@ -310,3 +310,68 @@ def ner_spans(docs: DataFrame) -> DataFrame:
         F.col("m.end").alias("end"),
         F.col("m.surface").alias("surface"),
     )
+
+
+def clip_pairs(links: DataFrame) -> DataFrame:
+    """Contrastive media-caption training pairs (the CLIP-style
+    batch-construction export) over the caption-link table
+    ``links(doc_id, span_idx, media_ref, context_mention)`` ->
+    (doc_id, span_idx, media_ref, mention, label): each grounded
+    media span yields its linked mention as the POSITIVE (label 1)
+    and one hash-picked DIFFERENT mention from the corpus mention
+    vocabulary as the NEGATIVE (label 0) — hash-in-place-of-RNG, and
+    a hash that lands on the positive mention is bumped to the next
+    vocabulary slot, so the pair set is deterministic across
+    engines/runs/partitionings.
+
+    Scale shape: the mention vocabulary is tiny (it is already the
+    distinct-mention space of the linker) — its global row_number
+    index and the single-row count are the repo's vocabulary-sized /
+    totals patterns; everything row-wise is one broadcast join over
+    the links."""
+    from pyspark.sql import Window
+
+    ment = (
+        links.select(F.col("context_mention").alias("mention"))
+        .distinct()
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("mention")) - 1
+        )  # mention-vocabulary-sized
+    )
+    cnt = ment.agg(F.count(F.lit(1)).alias("nm"))
+    pos = links.select(
+        "doc_id",
+        "span_idx",
+        "media_ref",
+        F.col("context_mention").alias("mention"),
+        F.lit(1).alias("label"),
+    )
+    h = F.expr(
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(span_idx AS STRING), ':clipneg')), 1, 13), 16, 10) AS BIGINT)"
+    )
+    withidx = (
+        links.join(
+            F.broadcast(ment.withColumnRenamed("mention", "context_mention")),
+            "context_mention",
+        )
+        .withColumnRenamed("idx", "pos_idx")
+        .crossJoin(F.broadcast(cnt))  # single-row totals
+        .withColumn("raw_idx", h % F.col("nm"))
+        .withColumn(
+            "neg_idx",
+            F.when(F.col("raw_idx") == F.col("pos_idx"), (F.col("raw_idx") + 1) % F.col("nm"))
+            .otherwise(F.col("raw_idx")),
+        )
+        .filter(F.col("nm") >= 2)  # no negative exists in a 1-mention corpus
+    )
+    neg = withidx.join(
+        F.broadcast(ment.withColumnRenamed("idx", "neg_idx")), "neg_idx"
+    ).select(
+        "doc_id",
+        "span_idx",
+        "media_ref",
+        "mention",
+        F.lit(0).alias("label"),
+    )
+    return pos.unionByName(neg)

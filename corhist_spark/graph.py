@@ -1175,3 +1175,41 @@ def degree_drift(
         .orderBy(F.col("growth").desc(), "node")
         .limit(top_k)
     )
+
+
+SAMPLE_FANOUT = 8
+
+
+def neighbor_sample(edges: DataFrame, fanout: int = SAMPLE_FANOUT) -> DataFrame:
+    """GraphSAGE-style fixed-fanout neighbor sampling plan (Hamilton
+    et al., NeurIPS 2017) -> (src, dst, slot in 1..fanout): per
+    source node, keep ``fanout`` distinct out-neighbors chosen by a
+    deterministic md5 rank (the hash-in-place-of-RNG convention), so
+    the GNN minibatch plan is reproducible across engines, runs and
+    partitionings — the sampled-adjacency export a GNN trainer
+    consumes instead of the full power-law adjacency.
+
+    Scale shape: one edge dedup + ONE src-keyed window over at most
+    the node's degree rows, cut to ``fanout`` — per-node work is
+    bounded by degree, output by fanout * |V|; no hub ever expands
+    beyond its own adjacency."""
+    from pyspark.sql import Window
+
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(concat(src, ':', dst, ':ns')), 1, 13),"
+                " 16, 10) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("h").asc(), F.col("dst").asc())
+    return (
+        e.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= fanout)
+        .select("src", "dst", "slot")
+    )

@@ -906,3 +906,54 @@ def test_degree_drift_ranks_growth(spark):
         ("c", 0, 1, 1),
         ("d", 0, 1, 1),
     ]
+
+
+# ---- batch 40: GraphSAGE neighbor sampling ----
+
+
+def test_neighbor_sample_fanout_and_determinism(spark):
+    from corhist_spark.graph import neighbor_sample
+
+    # a hub with 12 out-neighbors must be cut to the fanout; small
+    # nodes keep their full adjacency; self-loops and duplicate
+    # edges are ignored
+    rows = (
+        [("hub", f"n{i:02d}") for i in range(12)]
+        + [("hub", "n00"), ("hub", "hub")]       # dup edge + self-loop
+        + [("tiny", "x"), ("tiny", "y")]
+    )
+    e = spark.createDataFrame(rows, "src string, dst string")
+    out = neighbor_sample(e, fanout=8).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src["hub"]) == 8
+    assert sorted(r.slot for r in by_src["hub"]) == list(range(1, 9))
+    assert len(by_src["tiny"]) == 2
+    assert all(r.dst != r.src for r in out)
+    # deterministic under repartitioning
+    again = neighbor_sample(e.repartition(7), fanout=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_clip_pairs_positive_negative_structure(spark):
+    from corhist_spark.extract import clip_pairs
+
+    links = spark.createDataFrame(
+        [
+            (1, 5, "mediatoken1", "alpha"),
+            (1, 9, "mediatoken2", "bravo"),
+            (2, 3, "mediatoken3", "coyote"),
+        ],
+        "doc_id long, span_idx int, media_ref string, context_mention string",
+    )
+    rows = clip_pairs(links).collect()
+    pos = [r for r in rows if r.label == 1]
+    neg = [r for r in rows if r.label == 0]
+    assert len(pos) == 3 and len(neg) == 3  # one negative per positive
+    pos_by_key = {(r.doc_id, r.span_idx): r.mention for r in pos}
+    for r in neg:
+        # the negative is a REAL vocabulary mention and never the
+        # positive of the same span
+        assert r.mention in {"alpha", "bravo", "coyote"}
+        assert r.mention != pos_by_key[(r.doc_id, r.span_idx)]
