@@ -3051,6 +3051,40 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def q_hierarchy_profile(spark, sf_dir):
+    """Ontology health profile over the subclass closure: per depth
+    level (= ancestor count — exact on the tree-shaped fixture
+    hierarchy), the class count and the total descendant mass — the
+    report an ontology curator reads before trusting type inference
+    at that depth.  Two closure-keyed aggregates + one
+    vocabulary-sized join."""
+    clo = q_subclass_closure(spark, sf_dir)
+    anc = clo.groupBy("cls").agg(F.count(F.lit(1)).alias("n_anc"))
+    des = clo.groupBy(F.col("anc").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_desc")
+    )
+    return (
+        anc.join(des, "cls", "left")
+        .groupBy(F.col("n_anc").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.coalesce("n_desc", F.lit(0))).cast("bigint").alias(
+                "total_descendants"
+            ),
+        )
+    )
+
+
+def q_sop_pairs(spark, sf_dir):
+    """Sentence-order-prediction pairs (ALBERT SOP): consecutive
+    chunk pairs, md5-selected half in order (label 1), the rest
+    swapped (label 0) — balanced, deterministic, one per-doc lead
+    window."""
+    from corhist_spark.textops import sop_pairs
+
+    return sop_pairs(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
 def q_neighbor_sample(spark, sf_dir):
     """GraphSAGE-style fixed-fanout neighbor sampling plan over the
     derived entity graph: per node, 8 hash-ranked distinct neighbors
@@ -4237,6 +4271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 40: GNN minibatch sampling, contrastive media pairs
         "neighbor_sample": q_neighbor_sample,
         "clip_pairs": q_clip_pairs,
+        # batch 41: ontology hierarchy profile, SOP pairs
+        "hierarchy_profile": q_hierarchy_profile,
+        "sop_pairs": q_sop_pairs,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -10454,6 +10491,50 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY jaccard DESC, doc_a) AS rank
           FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
         ) WHERE rank <= {_HARD_NEG_K}
+    """
+    # ontology depth profile composed from the closure transcription
+    out["hierarchy_profile"] = (
+        "WITH clo AS (" + out["subclass_closure"] + "), "
+        "anc AS (SELECT cls, COUNT(*) AS n_anc FROM clo GROUP BY cls), "
+        "des AS (SELECT anc AS cls, COUNT(*) AS n_desc FROM clo GROUP BY anc) "
+        "SELECT n_anc AS depth, COUNT(*) AS n_classes, "
+        "CAST(SUM(COALESCE(n_desc, 0)) AS BIGINT) AS total_descendants "
+        "FROM anc LEFT JOIN des USING (cls) GROUP BY n_anc"
+    )
+    # SOP pairs: chunk windows + one lead; md5 selection decides
+    # order-vs-swap
+    _hx_sop = hexval_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR) || ':sop'"
+    )
+    out["sop_pairs"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 unnest(generate_series(0,
+                        CAST(ceil(len(toks)/16.0) AS INT) - 1)) AS chunk_id,
+                 toks
+          FROM t WHERE len(toks) > 0),
+        ch AS (
+          SELECT doc_id, chunk_id,
+                 array_to_string(list_slice(toks, chunk_id*16+1,
+                                            chunk_id*16+16), ' ') AS ctext
+          FROM c),
+        p AS (
+          SELECT doc_id, chunk_id, ctext,
+                 lead(ctext) OVER (PARTITION BY doc_id
+                                   ORDER BY chunk_id) AS next_text
+          FROM ch),
+        s AS (
+          SELECT *, ({_hx_sop}) % 2 = 0 AS sel
+          FROM p WHERE next_text IS NOT NULL)
+        SELECT doc_id, chunk_id AS first_chunk,
+               CASE WHEN sel THEN ctext ELSE next_text END AS text_a,
+               CASE WHEN sel THEN next_text ELSE ctext END AS text_b,
+               CASE WHEN sel THEN 1 ELSE 0 END AS label
+        FROM s
     """
     # contrastive media-caption pairs: positives from the caption-link
     # table, negatives hash-picked from the mention vocabulary with

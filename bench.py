@@ -301,6 +301,9 @@ HEADLINE = [
     # batch 40: GNN minibatch sampling, contrastive media pairs
     "neighbor_sample",
     "clip_pairs",
+    # batch 41: ontology hierarchy profile, SOP pairs
+    "hierarchy_profile",
+    "sop_pairs",
 ]
 
 

@@ -3175,3 +3175,40 @@ def source_repeat_factors(
             "partial_per_1000"
         ),
     )
+
+
+def sop_pairs(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
+    """Sentence-order-prediction training pairs (ALBERT's SOP
+    objective, Lan et al. 2020) over fixed-width chunks ->
+    (doc_id, first_chunk, text_a, text_b, label): every consecutive
+    chunk pair becomes one example — the md5-selected half stays in
+    document order (label 1), the other half is SWAPPED (label 0) —
+    the coherence objective that, unlike NSP, cannot be solved by
+    topic alone because both segments always come from the same
+    document.  Hash-in-place-of-RNG: the split is balanced and
+    reproducible across engines/runs/partitionings.
+
+    Scale shape: the chunking is map-only; the only shuffle is ONE
+    per-doc lead window."""
+    from pyspark.sql import Window
+
+    ch = _chunked(docs, width)
+    w = Window.partitionBy("doc_id").orderBy("chunk_id")
+    p = ch.withColumn("next_text", F.lead("chunk_text").over(w)).filter(
+        F.col("next_text").isNotNull()
+    )
+    sel = (
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+            " CAST(chunk_id AS STRING), ':sop')), 1, 13), 16, 10) AS BIGINT)"
+        )
+        % 2
+        == 0
+    )
+    return p.select(
+        "doc_id",
+        F.col("chunk_id").alias("first_chunk"),
+        F.when(sel, F.col("chunk_text")).otherwise(F.col("next_text")).alias("text_a"),
+        F.when(sel, F.col("next_text")).otherwise(F.col("chunk_text")).alias("text_b"),
+        F.when(sel, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )

@@ -1580,3 +1580,48 @@ def test_distant_ner_labels_subset_of_spans(spark):
     for r in labeled:
         assert (r.doc_id, r.start, r.end, r.surface) in spans
         assert el1[r.surface] == r.entity
+
+
+# ---- batch 41: SOP pairs / hierarchy profile ----
+
+
+def test_sop_pairs_balance_and_token_identity(spark):
+    from corhist_spark.textops import sop_pairs
+
+    # 3 docs x 64 tokens -> 3 consecutive pairs per doc
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"d{i}t{j}" for j in range(64))) for i in range(12)],
+    )
+    rows = sop_pairs(docs).collect()
+    assert len(rows) == 12 * 3
+    labels = [r.label for r in rows]
+    assert 0 < sum(labels) < len(labels)  # hash split produces both classes
+    for r in rows:
+        a, b = r.text_a.split(), r.text_b.split()
+        doc_toks = [f"d{r.doc_id}t{j}" for j in range(64)]
+        lo = r.first_chunk * 16
+        in_order = doc_toks[lo : lo + 16] == a and doc_toks[lo + 16 : lo + 32] == b
+        swapped = doc_toks[lo : lo + 16] == b and doc_toks[lo + 16 : lo + 32] == a
+        # label 1 <=> document order, label 0 <=> swapped
+        assert (r.label == 1 and in_order) or (r.label == 0 and swapped)
+    # deterministic under repartitioning
+    again = sop_pairs(docs.repartition(5)).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hierarchy_profile_binary_tree_depths(spark):
+    import __spark_entry__ as entry_mod
+
+    rows = {r.depth: r for r in entry_mod.q_hierarchy_profile(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert rows
+    # on the partkey binary tree, depth counts halve going up:
+    # each level-d class has d ancestors, and class counts per depth
+    # follow the tree shape (roughly doubling with depth)
+    depths = sorted(rows)
+    assert depths[0] >= 1
+    total_classes = sum(r.n_classes for r in rows.values())
+    # every class in the closure appears exactly once
+    clo = entry_mod.q_subclass_closure(spark, "/root/testdata/sf0.001")
+    assert total_classes == clo.select("cls").distinct().count()
