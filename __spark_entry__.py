@@ -3051,6 +3051,48 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def q_mlm_masks(spark, sf_dir):
+    """Deterministic BERT-style MLM masking plan (15% selected,
+    80/10/10 mask/random/keep): per-position decisions exported as
+    data so masking reproduces across epochs/engines; map-only."""
+    from corhist_spark.textops import mlm_masks
+
+    return mlm_masks(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_datasheet(spark, sf_dir):
+    """One-row corpus datasheet (Gebru et al., 'Datasheets for
+    Datasets'): doc/source/language counts, token total, mean doc
+    length, English share (integer permille) and mean quality — the
+    mean is computed from per-doc INTEGER micro-units so the
+    corpus-wide average is exact under any summation order."""
+    d = _t(spark, sf_dir, "documents")
+    q_micro = F.round(_quality_expr() * 1000000).cast("bigint")
+    sig = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(_tokens()).cast("bigint").alias("n_tok"),
+        _lang_is_en().cast("int").alias("is_en"),
+        q_micro.alias("q_micro"),
+    )
+    return sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("n_tok") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mean_doc_tokens"
+        ),
+        F.expr("(1000 * CAST(sum(is_en) AS BIGINT)) DIV count(1)").alias(
+            "en_per_1000"
+        ),
+        F.round(
+            F.sum("q_micro") / (F.count(F.lit(1)) * 1000000.0), 6
+        ).alias("mean_quality"),
+    )
+
+
 def q_hierarchy_profile(spark, sf_dir):
     """Ontology health profile over the subclass closure: per depth
     level (= ancestor count — exact on the tree-shaped fixture
@@ -4274,6 +4316,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 41: ontology hierarchy profile, SOP pairs
         "hierarchy_profile": q_hierarchy_profile,
         "sop_pairs": q_sop_pairs,
+        # batch 42: MLM masking plan, corpus datasheet
+        "mlm_masks": q_mlm_masks,
+        "datasheet": q_datasheet,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5284,6 +5329,7 @@ from corhist_spark.textops import FUZZY_DECON_PCT as _FUZZY_DECON_PCT
 from corhist_spark.textops import HARD_NEG_K as _HARD_NEG_K
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
+from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -10491,6 +10537,75 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY jaccard DESC, doc_a) AS rank
           FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
         ) WHERE rank <= {_HARD_NEG_K}
+    """
+    # MLM plan: zipped unnest + per-row md5 arithmetic; constants from
+    # the textops module
+    _hx_mlm = hexval_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(token_idx AS VARCHAR)"
+        " || ':mlm'"
+    )
+    _hx_act = hexval_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(token_idx AS VARCHAR)"
+        " || ':mlmact'"
+    )
+    _hx_rep = hexval_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(token_idx AS VARCHAR)"
+        " || ':mlmrep'"
+    )
+    out["mlm_masks"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        e AS (
+          SELECT doc_id, toks, len(toks) AS n_tok,
+                 unnest(generate_series(0, len(toks) - 1)) AS token_idx,
+                 unnest(toks) AS token
+          FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id, token_idx, token, toks, n_tok,
+                 ({_hx_act}) % 10 AS act,
+                 ({_hx_rep}) % n_tok AS ridx
+          FROM e WHERE ({_hx_mlm}) % 1000 < {_MLM_SELECT_PER_1000})
+        SELECT doc_id, token_idx, token,
+               CASE WHEN act <= 7 THEN 'mask'
+                    WHEN act = 8 THEN 'random' ELSE 'keep' END AS action,
+               CASE WHEN act <= 7 THEN '[MASK]'
+                    WHEN act = 8 THEN toks[CAST(ridx AS INT) + 1]
+                    ELSE token END AS replacement
+        FROM s
+    """
+    # one-row datasheet: counts exact, quality mean from integer
+    # micro-units (order-independent)
+    out["datasheet"] = """
+        WITH sig AS (
+          SELECT doc_id, source, lang,
+                 CAST(len(tk) AS BIGINT) AS n_tok,
+                 CASE WHEN hits * 10 >= len(tk) THEN 1 ELSE 0 END AS is_en,
+                 CAST(round(1000000 *
+                      ROUND(LEAST(1.0, n / 50.0) * (u / n), 6)) AS BIGINT)
+                   AS q_micro
+          FROM (
+            SELECT doc_id, source, lang,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x <> '')) AS DOUBLE) AS n,
+                   CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS DOUBLE) AS u,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x = 'the' OR x = 'a' OR x = 'and'))
+                     AS hits
+            FROM documents))
+        SELECT COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               round(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_doc_tokens,
+               (1000 * CAST(SUM(is_en) AS BIGINT)) // COUNT(*) AS en_per_1000,
+               round(CAST(SUM(q_micro) AS DOUBLE) / (COUNT(*) * 1000000.0), 6)
+                 AS mean_quality
+        FROM sig
     """
     # ontology depth profile composed from the closure transcription
     out["hierarchy_profile"] = (

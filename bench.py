@@ -304,6 +304,9 @@ HEADLINE = [
     # batch 41: ontology hierarchy profile, SOP pairs
     "hierarchy_profile",
     "sop_pairs",
+    # batch 42: MLM masking plan, corpus datasheet
+    "mlm_masks",
+    "datasheet",
 ]
 
 

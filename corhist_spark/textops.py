@@ -3212,3 +3212,62 @@ def sop_pairs(docs: DataFrame, width: int = CHUNK_TOKENS) -> DataFrame:
         F.when(sel, F.col("next_text")).otherwise(F.col("chunk_text")).alias("text_b"),
         F.when(sel, F.lit(1)).otherwise(F.lit(0)).alias("label"),
     )
+
+
+# BERT masked-LM plan constants (Devlin et al. 2019): 15% of tokens
+# selected; of those 80% masked, 10% replaced by a random token, 10%
+# kept
+MLM_SELECT_PER_1000 = 150
+
+
+def mlm_masks(docs: DataFrame, select_per_1000: int = MLM_SELECT_PER_1000) -> DataFrame:
+    """Deterministic masked-LM masking plan -> (doc_id, token_idx,
+    token, action, replacement): the per-position mask/random/keep
+    decisions a BERT-style pretraining run applies, exported as data
+    so the masking is reproducible across epochs/engines (hash-in-
+    place-of-RNG).  Only SELECTED positions are emitted (~15% of the
+    token stream); action follows the 80/10/10 split; the 'random'
+    replacement is a hash-picked token from the SAME document (a
+    corpus-vocabulary draw would need a broadcast — the in-doc draw
+    keeps the plan map-only), 'mask' emits the [MASK] sentinel and
+    'keep' repeats the token.
+
+    Scale shape: posexplode + per-row md5 arithmetic — map-only, no
+    shuffle at all."""
+    h = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':',"
+        " CAST(token_idx AS STRING), '{tag}')), 1, 13), 16, 10) AS BIGINT)"
+    )
+    d = (
+        docs.select(
+            "doc_id",
+            F.posexplode(_token_array()).alias("token_idx", "token"),
+            F.size(_token_array()).alias("n_tok"),
+            _token_array().alias("toks"),
+        )
+        .filter(
+            F.expr(h.format(tag=":mlm")) % 1000 < F.lit(select_per_1000)
+        )
+        .withColumn("act", F.expr(h.format(tag=":mlmact")) % 10)
+        .withColumn("ridx", (F.expr(h.format(tag=":mlmrep")) % F.col("n_tok")))
+    )
+    action = (
+        F.when(F.col("act") <= 7, F.lit("mask"))
+        .when(F.col("act") == 8, F.lit("random"))
+        .otherwise(F.lit("keep"))
+    )
+    replacement = (
+        F.when(F.col("act") <= 7, F.lit("[MASK]"))
+        .when(
+            F.col("act") == 8,
+            F.expr("toks[CAST(ridx AS INT)]"),
+        )
+        .otherwise(F.col("token"))
+    )
+    return d.select(
+        "doc_id",
+        "token_idx",
+        "token",
+        action.alias("action"),
+        replacement.alias("replacement"),
+    )

@@ -1625,3 +1625,49 @@ def test_hierarchy_profile_binary_tree_depths(spark):
     # every class in the closure appears exactly once
     clo = entry_mod.q_subclass_closure(spark, "/root/testdata/sf0.001")
     assert total_classes == clo.select("cls").distinct().count()
+
+
+# ---- batch 42: MLM masking plan / datasheet ----
+
+
+def test_mlm_masks_rates_and_actions(spark):
+    from corhist_spark.textops import mlm_masks
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"t{j}" for j in range(200))) for i in range(20)],
+    )
+    rows = mlm_masks(docs).collect()
+    n_positions = 20 * 200
+    # ~15% selection rate (hash-uniform; generous band)
+    assert 0.10 * n_positions < len(rows) < 0.20 * n_positions
+    acts = {"mask": 0, "random": 0, "keep": 0}
+    for r in rows:
+        acts[r.action] += 1
+        if r.action == "mask":
+            assert r.replacement == "[MASK]"
+        elif r.action == "keep":
+            assert r.replacement == r.token
+        else:
+            # random replacement is a real token of the same doc
+            assert r.replacement.startswith("t")
+        assert 0 <= r.token_idx < 200
+    # 80/10/10 shape: mask dominates, both minor actions present
+    assert acts["mask"] > acts["random"] > 0
+    assert acts["keep"] > 0
+    # map-only plan
+    df = mlm_masks(docs)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_datasheet_single_row_consistency(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    row = entry_mod.q_datasheet(spark, sf).collect()[0]
+    assert row.n_docs == d.count()
+    assert row.n_sources == d.select("source").distinct().count()
+    assert 0 <= row.en_per_1000 <= 1000
+    assert 0.0 <= row.mean_quality <= 1.0
+    assert abs(row.mean_doc_tokens * row.n_docs - row.n_tokens) < 1.0
