@@ -3051,6 +3051,37 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+def q_triad_census(spark, sf_dir):
+    """Directed triad census (cyclic vs feed-forward motif counts)
+    over the derived entity graph — degree-oriented enumeration, so
+    wedge volume stays bounded by m^1.5 on power-law graphs."""
+    from corhist_spark.graph import triad_census
+
+    return triad_census(_kg_edges(spark, sf_dir))
+
+
+def q_sdtype_assign(spark, sf_dir):
+    """SDType type inference with a holdout eval: entities with
+    numeric id % 10 == 3 have their types hidden; predicates vote
+    with integer-ppm subject-type shares learned from the typed
+    rest; argmax (score DESC, cls ASC) is engine-independent."""
+    from corhist_spark.fusion import (
+        SDTYPE_HOLDOUT_MOD,
+        SDTYPE_HOLDOUT_RES,
+        sdtype_assign,
+    )
+
+    cur = _hist_current(spark, sf_dir)
+    ents = cur.select(F.col("subj").alias("entity")).distinct()
+    num = F.expr("CAST(substring(entity, 2) AS BIGINT)")
+    types = ents.select(
+        "entity",
+        F.concat(F.lit("C"), (num % 30).cast("string")).alias("cls"),
+    )
+    heldout = ents.filter(num % SDTYPE_HOLDOUT_MOD == SDTYPE_HOLDOUT_RES)
+    return sdtype_assign(cur, types, heldout)
+
+
 def q_mlm_masks(spark, sf_dir):
     """Deterministic BERT-style MLM masking plan (15% selected,
     80/10/10 mask/random/keep): per-position decisions exported as
@@ -4319,6 +4350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 42: MLM masking plan, corpus datasheet
         "mlm_masks": q_mlm_masks,
         "datasheet": q_datasheet,
+        # batch 43: directed triad census, SDType inference eval
+        "triad_census": q_triad_census,
+        "sdtype_assign": q_sdtype_assign,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5330,6 +5364,8 @@ from corhist_spark.textops import HARD_NEG_K as _HARD_NEG_K
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
+from corhist_spark.fusion import SDTYPE_HOLDOUT_MOD as _SDTYPE_HOLDOUT_MOD
+from corhist_spark.fusion import SDTYPE_HOLDOUT_RES as _SDTYPE_HOLDOUT_RES
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -8065,6 +8101,80 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             ) WHERE slot <= {_SAMPLE_FANOUT}
         """,
+        # lexicographic triangle enumeration (same set as the engine's
+        # degree orientation); direction flags ride the canonical pair
+        # table
+        "triad_census": f"""{_KG_EDGE_CTES}, e AS (
+              SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+            ), dirs AS MATERIALIZED (
+              SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                     MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f_ab,
+                     MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS f_ba
+              FROM e GROUP BY 1, 2
+            ), tri AS (
+              SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+              FROM dirs e1
+              JOIN dirs e2 ON e2.a = e1.b
+              JOIN dirs e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT COUNT(*) AS n_triangles,
+                   CAST(SUM(CASE WHEN
+                       (d12.f_ab = 1 AND d23.f_ab = 1 AND d13.f_ba = 1)
+                    OR (d12.f_ba = 1 AND d23.f_ba = 1 AND d13.f_ab = 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cyclic,
+                   CAST(SUM(CASE WHEN
+                       (d12.f_ab = 1 AND d23.f_ab = 1 AND d13.f_ab = 1)
+                    OR (d13.f_ab = 1 AND d23.f_ba = 1 AND d12.f_ab = 1)
+                    OR (d12.f_ba = 1 AND d13.f_ab = 1 AND d23.f_ab = 1)
+                    OR (d23.f_ab = 1 AND d13.f_ba = 1 AND d12.f_ba = 1)
+                    OR (d13.f_ba = 1 AND d12.f_ab = 1 AND d23.f_ba = 1)
+                    OR (d23.f_ba = 1 AND d12.f_ba = 1 AND d13.f_ba = 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_feedforward
+            FROM tri
+            JOIN dirs d12 ON d12.a = tri.n1 AND d12.b = tri.n2
+            JOIN dirs d23 ON d23.a = tri.n2 AND d23.b = tri.n3
+            JOIN dirs d13 ON d13.a = tri.n1 AND d13.b = tri.n3
+        """,
+        # SDType holdout eval: integer-ppm predicate votes, argmax
+        # (score DESC, cls ASC); holdout/typing mods transcribed from
+        # the fusion constants
+        "sdtype_assign": with_history_ctes(f"""
+            , ents AS (SELECT DISTINCT subj AS entity FROM h_cur),
+            ty AS MATERIALIZED (
+              SELECT entity,
+                     'C' || CAST(CAST(substr(entity, 2) AS BIGINT) % 30
+                                 AS VARCHAR) AS cls
+              FROM ents),
+            ho AS (
+              SELECT entity FROM ents
+              WHERE CAST(substr(entity, 2) AS BIGINT)
+                    % {_SDTYPE_HOLDOUT_MOD} = {_SDTYPE_HOLDOUT_RES}),
+            train AS (
+              SELECT h.pred, t.cls FROM h_cur h
+              JOIN ty t ON t.entity = h.subj
+              WHERE h.subj NOT IN (SELECT entity FROM ho)),
+            dcnt AS (SELECT pred, cls, COUNT(*) AS n_pc
+                     FROM train GROUP BY 1, 2),
+            dtot AS (SELECT pred, SUM(n_pc) AS n_p FROM dcnt GROUP BY pred),
+            dist AS (
+              SELECT d.pred, d.cls, (1000000 * d.n_pc) // t.n_p AS ppm
+              FROM dcnt d JOIN dtot t USING (pred)),
+            inc AS (
+              SELECT DISTINCT h.subj, h.pred
+              FROM h_cur h JOIN ho ON ho.entity = h.subj),
+            scores AS (
+              SELECT i.subj, d.cls, CAST(SUM(d.ppm) AS BIGINT) AS score_ppm
+              FROM inc i JOIN dist d USING (pred) GROUP BY 1, 2),
+            sdx AS (
+              SELECT subj AS entity, cls AS predicted_cls, score_ppm FROM (
+                SELECT subj, cls, score_ppm,
+                       row_number() OVER (PARTITION BY subj
+                                          ORDER BY score_ppm DESC, cls) AS rn
+                FROM scores) WHERE rn = 1)
+            SELECT p.entity, p.predicted_cls, t.cls AS actual_cls,
+                   p.score_ppm, p.predicted_cls = t.cls AS correct
+            FROM sdx p JOIN ty t ON t.entity = p.entity
+        """),
         # quality-aware survivor: same recursive components as
         # dedup_survivors, argmax decided (quality DESC, doc_id ASC)
         "quality_survivors": _SIG_CTES.replace("WITH ", "WITH RECURSIVE ", 1)

@@ -307,6 +307,9 @@ HEADLINE = [
     # batch 42: MLM masking plan, corpus datasheet
     "mlm_masks",
     "datasheet",
+    # batch 43: directed triad census, SDType inference eval
+    "triad_census",
+    "sdtype_assign",
 ]
 
 

@@ -1321,3 +1321,68 @@ def transitive_support(
             ).alias("transitive_candidate"),
         )
     )
+
+
+# SDType holdout slice: entities with numeric id % MOD == RES have
+# their types hidden and re-inferred (the eval harness for the
+# type-inference op; a real KG applies it to genuinely untyped
+# entities)
+SDTYPE_HOLDOUT_MOD = 10
+SDTYPE_HOLDOUT_RES = 3
+
+
+def sdtype_assign(cur: DataFrame, types: DataFrame, heldout: DataFrame) -> DataFrame:
+    """SDType-style type inference (Paulheim & Bizer, ISWC 2013) with
+    a holdout evaluation: predicates vote for an entity's class with
+    their subject-type distribution learned from the TYPED portion ->
+    (entity, predicted_cls, actual_cls, score_ppm, correct).
+
+    The per-(pred, cls) weight is the integer permille-of-a-million
+    share floor(1e6 * n_pc / n_p), so an entity's score is a SUM OF
+    INTEGERS — exact under any order — and the argmax (score DESC,
+    cls ASC) is engine-independent.  ``heldout(entity)`` names the
+    entities whose types are hidden from training and then predicted;
+    ``types(entity, cls)`` is the ground truth for both sides.
+
+    Scale shape: the distribution table is (predicates x classes) —
+    broadcast; training is one (pred, cls)-keyed count over typed
+    subject incidences; inference is one broadcast join + one
+    entity-keyed aggregate + one per-entity argmax window."""
+    from pyspark.sql import Window
+
+    ho = heldout.select(F.col("entity").alias("subj"))
+    train = (
+        cur.join(ho, "subj", "left_anti")
+        .join(types.select(F.col("entity").alias("subj"), "cls"), "subj")
+        .select("pred", "cls")
+    )
+    dcnt = train.groupBy("pred", "cls").agg(F.count(F.lit(1)).alias("n_pc"))
+    dtot = dcnt.groupBy("pred").agg(F.sum("n_pc").alias("n_p"))
+    dist = dcnt.join(dtot, "pred").select(
+        "pred", "cls", F.expr("(1000000 * n_pc) DIV n_p").alias("ppm")
+    )
+    inc = cur.join(ho, "subj", "left_semi").select("subj", "pred").distinct()
+    scores = (
+        inc.join(F.broadcast(dist), "pred")  # (preds x classes)-sized
+        .groupBy("subj", "cls")
+        .agg(F.sum("ppm").cast("bigint").alias("score_ppm"))
+    )
+    w = Window.partitionBy("subj").orderBy(F.desc("score_ppm"), F.asc("cls"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("subj").alias("entity"),
+            F.col("cls").alias("predicted_cls"),
+            "score_ppm",
+        )
+    )
+    return pred.join(
+        types.select(F.col("entity"), F.col("cls").alias("actual_cls")), "entity"
+    ).select(
+        "entity",
+        "predicted_cls",
+        "actual_cls",
+        "score_ppm",
+        (F.col("predicted_cls") == F.col("actual_cls")).alias("correct"),
+    )

@@ -957,3 +957,54 @@ def test_clip_pairs_positive_negative_structure(spark):
         # positive of the same span
         assert r.mention in {"alpha", "bravo", "coyote"}
         assert r.mention != pos_by_key[(r.doc_id, r.span_idx)]
+
+
+# ---- batch 43: directed triad census ----
+
+
+def test_triad_census_planted_motifs(spark):
+    from corhist_spark.graph import triad_census
+
+    # one pure cycle {a,b,c}, one pure feed-forward {d,e,f}, one
+    # bidirectional-pair triangle {g,h,i} that is BOTH
+    rows = (
+        [("a", "b"), ("b", "c"), ("c", "a")]
+        + [("d", "e"), ("e", "f"), ("d", "f")]
+        + [("g", "h"), ("h", "g"), ("h", "i"), ("g", "i")]
+    )
+    e = spark.createDataFrame(rows, "src string, dst string")
+    r = triad_census(e).collect()[0]
+    assert r.n_triangles == 3
+    # cycle counts once; the bidirectional triangle g->h->i + g->i is
+    # feed-forward, and h->g,g->i with h->i? h->i exists: also
+    # transitive both ways -> still not cyclic (no i->g or i->h)
+    assert r.n_cyclic == 1
+    assert r.n_feedforward == 2
+    # every triangle is cyclic or transitive (3-tournament property)
+    assert r.n_cyclic + r.n_feedforward >= r.n_triangles
+
+
+def test_sdtype_assign_recovers_types_from_perfect_signal(spark):
+    from corhist_spark.fusion import sdtype_assign
+    from pyspark.sql import functions as F
+
+    # predicate Pk is used ONLY by class Ck subjects -> a held-out
+    # entity using Pk must be typed Ck
+    rows = []
+    for k in range(3):
+        for i in range(6):
+            rows.append((f"E{k}{i}", f"P{k}", f"V{i}"))
+    cur = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    types = spark.createDataFrame(
+        [(f"E{k}{i}", f"C{k}") for k in range(3) for i in range(6)],
+        "entity string, cls string",
+    )
+    heldout = spark.createDataFrame(
+        [(f"E{k}0",) for k in range(3)], "entity string"
+    )
+    out = {r.entity: r for r in sdtype_assign(cur, types, heldout).collect()}
+    assert set(out) == {"E00", "E10", "E20"}
+    for k in range(3):
+        r = out[f"E{k}0"]
+        assert r.predicted_cls == f"C{k}" == r.actual_cls and r.correct
+        assert r.score_ppm == 1000000  # pure signal -> full vote
