@@ -3051,6 +3051,46 @@ def q_packing_efficiency(spark, sf_dir):
     )
 
 
+# candidate determinant/dependent columns for FD discovery over the
+# orders table (TANE-style 2-column profiling; the key column plants
+# the positive FDs, the low-cardinality columns the negatives)
+FD_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """C4-style wordlist document filter: per doc the blocked-token
+    occurrence/term counts, the lexicographically first matched term
+    and the keep flag — one map-only in-array pass."""
+    from corhist_spark.textops import blocklist_filter
+
+    return blocklist_filter(_t(spark, sf_dir, "documents"))
+
+
+def q_fd_mining(spark, sf_dir):
+    """TANE-style 2-column functional-dependency discovery over the
+    orders table: A -> B holds iff |distinct A| = |distinct (A,B)|
+    — the schema-profiling pass that bootstraps key/constraint
+    candidates on tabular sources (cf. the KG-side functionality
+    profile).  ONE aggregate computes every pair's distinct counts;
+    the 12-row result is unpivoted driver-side arithmetic-free."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for a in FD_COLS:
+        aggs.append(F.countDistinct(a).alias(f"d_{a}"))
+    pairs = [(a, b) for a in FD_COLS for b in FD_COLS if a != b]
+    for a, b in pairs:
+        aggs.append(F.countDistinct(a, b).alias(f"d_{a}__{b}"))
+    tot = o.agg(*aggs)
+    rows = [
+        f"struct('{a}' AS det, '{b}' AS dep, d_{a} AS n_det, "
+        f"d_{a}__{b} AS n_pair, d_{a} = d_{a}__{b} AS fd_holds)"
+        for a, b in pairs
+    ]
+    return tot.select(
+        F.explode(F.expr("array(" + ", ".join(rows) + ")")).alias("x")
+    ).select("x.det", "x.dep", "x.n_det", "x.n_pair", "x.fd_holds")
+
+
 def q_triad_census(spark, sf_dir):
     """Directed triad census (cyclic vs feed-forward motif counts)
     over the derived entity graph — degree-oriented enumeration, so
@@ -4353,6 +4393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 43: directed triad census, SDType inference eval
         "triad_census": q_triad_census,
         "sdtype_assign": q_sdtype_assign,
+        # batch 44: blocklist filter, FD discovery
+        "blocklist_filter": q_blocklist_filter,
+        "fd_mining": q_fd_mining,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5366,6 +5409,7 @@ from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
 from corhist_spark.fusion import SDTYPE_HOLDOUT_MOD as _SDTYPE_HOLDOUT_MOD
 from corhist_spark.fusion import SDTYPE_HOLDOUT_RES as _SDTYPE_HOLDOUT_RES
+from corhist_spark.textops import BLOCKLIST_TERMS as _BLOCKLIST_TERMS
 from corhist_spark.graph import DRIFT_TOP_K as _DRIFT_TOP_K
 from corhist_spark.textops import (
     DRIFT_HEAD_K as _DRIFT_HEAD_K,
@@ -10648,6 +10692,42 @@ def oracle_sql() -> dict[str, str]:
           FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
         ) WHERE rank <= {_HARD_NEG_K}
     """
+    # blocklist filter: lexicon transcribed from the textops constant
+    _bl_sql = "[" + ", ".join(f"'{t}'" for t in sorted(_BLOCKLIST_TERMS)) + "]"
+    out["blocklist_filter"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+                 list_filter(toks, x -> list_contains({_bl_sql}, x)) AS hits
+          FROM t)
+        SELECT doc_id,
+               CAST(len(hits) AS BIGINT) AS n_blocked_tokens,
+               CAST(len(list_distinct(hits)) AS BIGINT) AS n_blocked_terms,
+               CASE WHEN len(hits) > 0
+                    THEN list_sort(list_distinct(hits))[1] END AS first_term,
+               len(hits) = 0 AS keep
+        FROM h
+    """
+    # FD discovery: one UNION ALL branch per ordered column pair,
+    # built from the FD_COLS constant
+    _fd_sel = []
+    for _a in FD_COLS:
+        for _b in FD_COLS:
+            if _a == _b:
+                continue
+            _na = f"(SELECT COUNT(DISTINCT {_a}) FROM orders)"
+            _np = (
+                f"(SELECT COUNT(*) FROM (SELECT DISTINCT {_a}, {_b}"
+                " FROM orders))"
+            )
+            _fd_sel.append(
+                f"SELECT '{_a}' AS det, '{_b}' AS dep, {_na} AS n_det, "
+                f"{_np} AS n_pair, {_na} = {_np} AS fd_holds"
+            )
+    out["fd_mining"] = " UNION ALL ".join(_fd_sel)
     # MLM plan: zipped unnest + per-row md5 arithmetic; constants from
     # the textops module
     _hx_mlm = hexval_sql(

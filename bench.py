@@ -310,6 +310,9 @@ HEADLINE = [
     # batch 43: directed triad census, SDType inference eval
     "triad_census",
     "sdtype_assign",
+    # batch 44: blocklist filter, FD discovery
+    "blocklist_filter",
+    "fd_mining",
 ]
 
 

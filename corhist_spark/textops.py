@@ -3271,3 +3271,34 @@ def mlm_masks(docs: DataFrame, select_per_1000: int = MLM_SELECT_PER_1000) -> Da
         action.alias("action"),
         replacement.alias("replacement"),
     )
+
+
+# C4-style blocklist filtering (Raffel et al. 2020 filtered documents
+# containing any term from a public blocklist).  The lexicon here is
+# a fixture-vocabulary stand-in — the OPERATOR semantics (token-set
+# membership count + keep flag + first matched term) are what a real
+# deployment swaps its own list into.
+BLOCKLIST_TERMS = ("slow", "error", "drop")
+
+
+def blocklist_filter(docs: DataFrame, terms: tuple = BLOCKLIST_TERMS) -> DataFrame:
+    """Wordlist-based document filter -> (doc_id, n_blocked_tokens,
+    n_blocked_terms, first_term, keep): per doc, how many token
+    OCCURRENCES hit the blocklist, how many DISTINCT terms, the
+    lexicographically first matched term (deterministic evidence for
+    an audit), and the C4 keep rule (keep = no hit at all).
+
+    Scale shape: the lexicon is a literal array in the plan (a real
+    list would broadcast) — the whole operator is one map-only
+    in-array pass, zero shuffles."""
+    toks = _token_array()
+    lex = F.array(*[F.lit(t) for t in sorted(terms)])
+    hits = F.filter(toks, lambda x: F.array_contains(lex, x))
+    matched = F.array_sort(F.array_distinct(hits))
+    return docs.select(
+        "doc_id",
+        F.size(hits).cast("bigint").alias("n_blocked_tokens"),
+        F.size(matched).cast("bigint").alias("n_blocked_terms"),
+        F.when(F.size(matched) > 0, matched[0]).alias("first_term"),
+        (F.size(hits) == 0).alias("keep"),
+    )

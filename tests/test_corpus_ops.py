@@ -1671,3 +1671,48 @@ def test_datasheet_single_row_consistency(spark):
     assert 0 <= row.en_per_1000 <= 1000
     assert 0.0 <= row.mean_quality <= 1.0
     assert abs(row.mean_doc_tokens * row.n_docs - row.n_tokens) < 1.0
+
+
+# ---- batch 44: blocklist filter / FD mining ----
+
+
+def test_blocklist_filter_counts_and_keep(spark):
+    from corhist_spark.textops import blocklist_filter
+
+    docs = _docs(
+        spark,
+        [
+            (1, "fast clean table scan"),
+            (2, "slow error slow scan"),
+            (3, "drop the drop now"),
+        ],
+    )
+    out = {r.doc_id: r for r in blocklist_filter(docs).collect()}
+    assert out[1].keep and out[1].n_blocked_tokens == 0
+    assert out[1].first_term is None
+    r2 = out[2]
+    assert not r2.keep and r2.n_blocked_tokens == 3  # slow x2 + error
+    assert r2.n_blocked_terms == 2 and r2.first_term == "error"
+    r3 = out[3]
+    assert r3.n_blocked_tokens == 2 and r3.first_term == "drop"
+    # map-only plan
+    df = blocklist_filter(docs)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fd_mining_key_determines_everything(spark):
+    import __spark_entry__ as entry_mod
+
+    rows = {
+        (r.det, r.dep): r
+        for r in entry_mod.q_fd_mining(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(rows) == 12  # 4 columns, ordered pairs
+    # the primary key determines every other column ...
+    for dep in ("o_custkey", "o_orderstatus", "o_orderpriority"):
+        assert rows[("o_orderkey", dep)].fd_holds
+    # ... and no low-cardinality column determines the key
+    for det in ("o_orderstatus", "o_orderpriority"):
+        assert not rows[(det, "o_orderkey")].fd_holds
+    for r in rows.values():
+        assert r.n_pair >= r.n_det  # distinct pairs never fewer
