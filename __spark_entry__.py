@@ -2981,12 +2981,10 @@ def q_fim_pairs(spark, sf_dir):
     return fim_pairs(_t(spark, sf_dir, "documents"))
 
 
-def q_user_sessions(spark, sf_dir):
-    """Per-session interaction-trajectory export (extends sessionize's
-    per-user count rollup to the actual training artifact): 30-min
-    inactivity-gap sessions with span, size and event-type mix — the
-    sequence extraction behind behavioral/agent-trajectory corpora.
-    One user-keyed window + one session-keyed aggregate."""
+def _sessionized(spark, sf_dir):
+    """Events with 30-min-gap session ids attached (the shared
+    assignment behind user_sessions / funnel_rates): one user-keyed
+    window chain, gap decided on floored epoch seconds."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = ev.select(
@@ -2998,18 +2996,83 @@ def q_user_sessions(spark, sf_dir):
         "is_new",
         F.when(prev.isNull() | (F.col("ts_s") - prev > 1800), 1).otherwise(0),
     )
-    e = e.withColumn(
+    return e.withColumn(
         "session_id",
         F.sum("is_new").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def q_user_sessions(spark, sf_dir):
+    """Per-session interaction-trajectory export (extends sessionize's
+    per-user count rollup to the actual training artifact): 30-min
+    inactivity-gap sessions with span, size and event-type mix — the
+    sequence extraction behind behavioral/agent-trajectory corpora.
+    One user-keyed window + one session-keyed aggregate."""
+    e = _sessionized(spark, sf_dir)
     return e.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_event_types"),
         F.min("ts_s").alias("start_s"),
         F.max("ts_s").alias("end_s"),
         (F.max("ts_s") - F.min("ts_s")).alias("duration_s"),
+    )
+
+
+def q_funnel_rates(spark, sf_dir):
+    """Within-session funnel conversion per ordered event-type pair:
+    of the sessions containing step A, how many see step B strictly
+    AFTER A's first occurrence — the behavioral-analytics rollup a
+    trajectory corpus is triaged with.  Per-session join volume is
+    bounded by the event-type vocabulary squared."""
+    first = _sessionized(spark, sf_dir).groupBy(
+        "user_id", "session_id", "event_type"
+    ).agg(F.min("ts").alias("first_ts"))
+    n_a = first.groupBy(F.col("event_type").alias("step_a")).agg(
+        F.count(F.lit(1)).alias("n_sessions_a")
+    )
+    a = first.select(
+        "user_id", "session_id",
+        F.col("event_type").alias("step_a"), F.col("first_ts").alias("ts_a"),
+    )
+    b = first.select(
+        "user_id", "session_id",
+        F.col("event_type").alias("step_b"), F.col("first_ts").alias("ts_b"),
+    )
+    ab = (
+        a.join(b, ["user_id", "session_id"])
+        .filter((F.col("step_a") != F.col("step_b")) & (F.col("ts_a") < F.col("ts_b")))
+        .groupBy("step_a", "step_b")
+        .agg(F.count(F.lit(1)).alias("n_a_then_b"))
+    )
+    return ab.join(F.broadcast(n_a), "step_a").select(  # type-vocabulary-sized
+        "step_a",
+        "step_b",
+        "n_sessions_a",
+        "n_a_then_b",
+        F.round(F.col("n_a_then_b") / F.col("n_sessions_a").cast("double"), 6).alias(
+            "rate"
+        ),
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Day-cohort retention matrix: users grouped by their first
+    active day, activity counted per day offset — the engagement
+    rollup behind data-freshness and user-mix decisions; all day
+    arithmetic in exact integers."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_timestamp(ts) DIV 86400").alias("day")
+    )
+    f = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(f, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_day"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
 
 
@@ -4396,6 +4459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 44: blocklist filter, FD discovery
         "blocklist_filter": q_blocklist_filter,
         "fd_mining": q_fd_mining,
+        # batch 45: funnel conversion, retention cohorts
+        "funnel_rates": q_funnel_rates,
+        "retention_cohorts": q_retention_cohorts,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5453,6 +5519,30 @@ _KG_EDGE_CTES = f"""
              'Q' || CAST(({hexval_sql("CAST(event_id AS VARCHAR)")})
                          % (SELECT k FROM kk) AS VARCHAR) AS dst
       FROM events
+    )"""
+
+# Shared 30-min-gap session-assignment CTEs (mirror q_user_sessions'
+# window chain exactly: gap on FLOORED epoch seconds, order
+# (ts, event_id)); used by the user_sessions / funnel_rates oracles.
+_SESSION_CTES = """
+    WITH l AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), n AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                          OR ts_s - CAST(floor(epoch(prev_ts))
+                                      AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS is_new
+      FROM l
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_id
+      FROM n
     )"""
 
 # Shared DEDUPED typed-triple CTE (mirrors _typed_kg_edges + the
@@ -8007,26 +8097,7 @@ def oracle_sql() -> dict[str, str]:
         # 30-min-gap sessionization, per-session trajectory export;
         # gap decided on FLOORED epoch seconds (the sessionize
         # convention), order (ts, event_id) both engines
-        "user_sessions": """
-            WITH l AS (
-              SELECT user_id, event_id, event_type, ts,
-                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-                     lag(ts) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_ts
-              FROM events
-            ), n AS (
-              SELECT *, CASE WHEN prev_ts IS NULL
-                                  OR ts_s - CAST(floor(epoch(prev_ts))
-                                              AS BIGINT) > 1800
-                             THEN 1 ELSE 0 END AS is_new
-              FROM l
-            ), s AS (
-              SELECT *, SUM(is_new) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id
-                                          ROWS BETWEEN UNBOUNDED PRECEDING
-                                          AND CURRENT ROW) AS session_id
-              FROM n
-            )
+        "user_sessions": _SESSION_CTES + """
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events,
                    CAST(COUNT(DISTINCT event_type) AS BIGINT)
@@ -8034,6 +8105,45 @@ def oracle_sql() -> dict[str, str]:
                    MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
                    MAX(ts_s) - MIN(ts_s) AS duration_s
             FROM s GROUP BY user_id, session_id
+        """,
+        # within-session funnel: first-occurrence-per-type, strict
+        # timestamp order; session CTEs shared with user_sessions
+        "funnel_rates": _SESSION_CTES + """
+            , fst AS (
+              SELECT user_id, session_id, event_type, MIN(ts) AS first_ts
+              FROM s GROUP BY 1, 2, 3
+            ), na AS (
+              SELECT event_type AS step_a, COUNT(*) AS n_sessions_a
+              FROM fst GROUP BY 1
+            ), ab AS (
+              SELECT a.event_type AS step_a, b.event_type AS step_b,
+                     COUNT(*) AS n_a_then_b
+              FROM fst a
+              JOIN fst b ON a.user_id = b.user_id
+                        AND a.session_id = b.session_id
+                        AND a.event_type <> b.event_type
+                        AND a.first_ts < b.first_ts
+              GROUP BY 1, 2
+            )
+            SELECT ab.step_a, ab.step_b, na.n_sessions_a, ab.n_a_then_b,
+                   round(CAST(ab.n_a_then_b AS DOUBLE) / na.n_sessions_a, 6)
+                     AS rate
+            FROM ab JOIN na USING (step_a)
+        """,
+        # day-cohort retention: integer day arithmetic both engines
+        "retention_cohorts": """
+            WITH d AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+              FROM events
+            ), f AS (
+              SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1
+            )
+            SELECT f.cohort_day, d.day - f.cohort_day AS offset_day,
+                   CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users,
+                   COUNT(*) AS n_events
+            FROM d JOIN f USING (user_id)
+            GROUP BY 1, 2
         """,
         # quantized-integer sufficient statistics (floor(1000x), the
         # repo quantization); centroid + mean-dist2 assembled from

@@ -313,6 +313,9 @@ HEADLINE = [
     # batch 44: blocklist filter, FD discovery
     "blocklist_filter",
     "fd_mining",
+    # batch 45: funnel conversion, retention cohorts
+    "funnel_rates",
+    "retention_cohorts",
 ]
 
 

@@ -1716,3 +1716,48 @@ def test_fd_mining_key_determines_everything(spark):
         assert not rows[(det, "o_orderkey")].fd_holds
     for r in rows.values():
         assert r.n_pair >= r.n_det  # distinct pairs never fewer
+
+
+# ---- batch 45: funnel conversion / retention cohorts ----
+
+
+def test_funnel_rates_invariants(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_funnel_rates(spark, sf).collect()
+    assert rows
+    sess = entry_mod.q_user_sessions(spark, sf)
+    n_sessions = sess.count()
+    for r in rows:
+        assert r.step_a != r.step_b
+        assert 0 < r.n_a_then_b <= r.n_sessions_a <= n_sessions
+        assert 0.0 < r.rate <= 1.0
+    # A-then-B and B-then-A are disjoint within a session (strict
+    # first-occurrence order): their sum can't exceed the sessions
+    # containing both steps (bounded by the smaller side)
+    by = {(r.step_a, r.step_b): r for r in rows}
+    for (a, b), r in by.items():
+        rev = by.get((b, a))
+        if rev is not None:
+            assert r.n_a_then_b + rev.n_a_then_b <= min(
+                r.n_sessions_a, rev.n_sessions_a
+            )
+
+
+def test_retention_cohorts_conservation(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    rows = entry_mod.q_retention_cohorts(spark, sf).collect()
+    assert rows
+    # every event lands in exactly one (cohort, offset) cell
+    assert sum(r.n_events for r in rows) == ev.count()
+    # offset 0 exists for every cohort and every user appears there
+    zero = {r.cohort_day: r for r in rows if r.offset_day == 0}
+    assert set(zero) == {r.cohort_day for r in rows}
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.n_users for r in zero.values()) == n_users
+    for r in rows:
+        assert r.offset_day >= 0 and r.n_users >= 1
