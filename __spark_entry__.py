@@ -3020,6 +3020,95 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+# minimum quality gap (integer micro-units) for a preference pair:
+# chosen must beat rejected by >= 0.05 quality
+MIN_PREF_GAP_MICRO = 50_000
+# minimum occurrence support for an exported trajectory pattern
+TRAJ_MIN_SUPPORT = 5
+
+
+def q_preference_pairs(spark, sf_dir):
+    """Synthetic preference pairs for reward-model training: within
+    each topic, rank documents by quality and pair OPPOSITE HALVES —
+    rank r with rank r + n/2 — keeping pairs whose gap clears the
+    threshold; the weak-supervision bootstrap for preference data
+    when no human labels exist.  Opposite-halves pairing keeps the
+    gap a constant fraction of the quality range at ANY corpus size
+    (rank-adjacent gaps shrink as 1/n and would empty the export at
+    scale).  Quality is carried in integer micro-units so ranking,
+    the pairing and the gate are engine-independent; one per-topic
+    ranked window + one (topic, rank)-keyed self-join."""
+    d = _t(spark, sf_dir, "documents")
+    from corhist_spark.textops import topic_assignment
+
+    q = d.select(
+        "doc_id",
+        F.round(_quality_expr() * 1000000).cast("bigint").alias("q_micro"),
+    )
+    j = topic_assignment(d).select("doc_id", "topic").join(q, "doc_id")
+    w = Window.partitionBy("topic").orderBy(F.desc("q_micro"), F.asc("doc_id"))
+    r = j.withColumn("rk", F.row_number().over(w)).withColumn(
+        "half", F.expr("count(1) OVER (PARTITION BY topic) DIV 2")
+    )
+    lo = r.select(
+        F.col("topic").alias("topic_b"),
+        F.col("rk").alias("rk_b"),
+        F.col("doc_id").alias("rejected"),
+        F.col("q_micro").alias("rejected_q_micro"),
+    )
+    return (
+        r.join(
+            lo,
+            (F.col("topic") == F.col("topic_b"))
+            & (F.col("rk_b") == F.col("rk") + F.col("half")),
+        )
+        .filter(F.col("q_micro") - F.col("rejected_q_micro") >= MIN_PREF_GAP_MICRO)
+        .select(
+            "topic",
+            F.col("doc_id").alias("chosen"),
+            "rejected",
+            F.col("q_micro").alias("chosen_q_micro"),
+            "rejected_q_micro",
+            (F.col("q_micro") - F.col("rejected_q_micro")).alias("gap_micro"),
+        )
+    )
+
+
+def q_trajectory_patterns(spark, sf_dir):
+    """Frequent per-user event-type 3-grams (sequential-pattern
+    mining over interaction streams): the behavioral motifs a
+    trajectory corpus is summarized by before sequence-model
+    training.  Mined over each user's FULL chronological stream
+    (within-session sequences on this fixture are 1-3 events — the
+    stream is where the motifs live).  One user aggregate (ordered
+    in-array), in-array n-gram expansion, one pattern-keyed count;
+    support-filtered."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id,"
+            " event_type))), x -> x.event_type)"
+        ).alias("tseq")
+    )
+    grams = seq.filter(F.size("tseq") >= 3).select(
+        "user_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tseq)-3), i -> "
+                "concat_ws('>', tseq[i], tseq[i+1], tseq[i+2]))"
+            )
+        ).alias("pattern"),
+    )
+    return (
+        grams.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= TRAJ_MIN_SUPPORT)
+    )
+
+
 def q_funnel_rates(spark, sf_dir):
     """Within-session funnel conversion per ordered event-type pair:
     of the sessions containing step A, how many see step B strictly
@@ -4462,6 +4551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 45: funnel conversion, retention cohorts
         "funnel_rates": q_funnel_rates,
         "retention_cohorts": q_retention_cohorts,
+        # batch 46: preference pairs, trajectory patterns
+        "preference_pairs": q_preference_pairs,
+        "trajectory_patterns": q_trajectory_patterns,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -10801,6 +10893,45 @@ def oracle_sql() -> dict[str, str]:
                                     ORDER BY jaccard DESC, doc_a) AS rank
           FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
         ) WHERE rank <= {_HARD_NEG_K}
+    """
+    # preference pairs: topic chain composed from the topic_assignment
+    # transcription; quality in integer micro-units, rank-adjacent
+    # lead pairing, gap gate from the entry constant
+    out["preference_pairs"] = (
+        "WITH ta AS (" + out["topic_assignment"] + "), "
+        "q AS (SELECT doc_id, CAST(round(1000000 * ROUND(LEAST(1.0, "
+        "n / 50.0) * (u / n), 6)) AS BIGINT) AS q_micro "
+        "FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS DOUBLE) AS n, "
+        "CAST(len(list_distinct(list_filter(string_split(text, ' '), "
+        "x -> x <> ''))) AS DOUBLE) AS u FROM documents)), "
+        "j AS (SELECT ta.doc_id, ta.topic, q.q_micro FROM ta "
+        "JOIN q USING (doc_id)), "
+        "r AS (SELECT topic, doc_id, q_micro, "
+        "row_number() OVER (PARTITION BY topic "
+        "ORDER BY q_micro DESC, doc_id) AS rk, "
+        "COUNT(*) OVER (PARTITION BY topic) // 2 AS half FROM j) "
+        "SELECT a.topic, a.doc_id AS chosen, b.doc_id AS rejected, "
+        "a.q_micro AS chosen_q_micro, b.q_micro AS rejected_q_micro, "
+        "a.q_micro - b.q_micro AS gap_micro "
+        "FROM r a JOIN r b ON b.topic = a.topic AND b.rk = a.rk + a.half "
+        f"WHERE a.q_micro - b.q_micro >= {MIN_PREF_GAP_MICRO}"
+    )
+    # per-user trajectory 3-grams; support gate from the entry constant
+    out["trajectory_patterns"] = f"""
+        WITH seq AS (
+          SELECT user_id, list(event_type ORDER BY ts, event_id) AS tseq
+          FROM events GROUP BY 1
+        ), g AS (
+          SELECT user_id,
+                 unnest(list_transform(generate_series(1, len(tseq) - 2),
+                        i -> tseq[i] || '>' || tseq[i+1] || '>' || tseq[i+2]))
+                   AS pattern
+          FROM seq WHERE len(tseq) >= 3
+        )
+        SELECT pattern, COUNT(*) AS n_occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM g GROUP BY 1 HAVING COUNT(*) >= {TRAJ_MIN_SUPPORT}
     """
     # blocklist filter: lexicon transcribed from the textops constant
     _bl_sql = "[" + ", ".join(f"'{t}'" for t in sorted(_BLOCKLIST_TERMS)) + "]"

@@ -316,6 +316,9 @@ HEADLINE = [
     # batch 45: funnel conversion, retention cohorts
     "funnel_rates",
     "retention_cohorts",
+    # batch 46: preference pairs, trajectory patterns
+    "preference_pairs",
+    "trajectory_patterns",
 ]
 
 

@@ -1761,3 +1761,40 @@ def test_retention_cohorts_conservation(spark):
     assert sum(r.n_users for r in zero.values()) == n_users
     for r in rows:
         assert r.offset_day >= 0 and r.n_users >= 1
+
+
+# ---- batch 46: preference pairs / trajectory patterns ----
+
+
+def test_preference_pairs_opposite_halves_and_gap(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_preference_pairs(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.chosen != r.rejected
+        assert r.gap_micro == r.chosen_q_micro - r.rejected_q_micro
+        assert r.gap_micro >= entry_mod.MIN_PREF_GAP_MICRO
+    # opposite-halves pairing: each doc is chosen at most once and
+    # rejected at most once per topic
+    assert len({(r.topic, r.chosen) for r in rows}) == len(rows)
+    assert len({(r.topic, r.rejected) for r in rows}) == len(rows)
+
+
+def test_trajectory_patterns_support_and_shape(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_trajectory_patterns(spark, sf).collect()
+    assert rows
+    ev_types = {
+        r.event_type
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type").distinct().collect()
+    }
+    for r in rows:
+        steps = r.pattern.split(">")
+        assert len(steps) == 3 and all(s in ev_types for s in steps)
+        assert r.n_occurrences >= entry_mod.TRAJ_MIN_SUPPORT
+        assert 1 <= r.n_users <= r.n_occurrences
