@@ -3020,6 +3020,72 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_edit_instruction_pairs(spark, sf_dir):
+    """Corrections -> instruction-tuning pairs: every REAL pipeline
+    correction becomes an (instruction, response) SFT example — the
+    instruction names the violated constraint and target statement,
+    the response serializes the correction's edit operations (sorted,
+    so array order is engine-independent).  The KG-repair ->
+    fine-tuning-data bridge over the reference's own correction
+    semantics; one map-only pass over the memoized corrections."""
+    corr = _eval_corrections(spark, sf_dir)
+    instr = F.concat(
+        F.lit("fix "), F.col("constraint_id"), F.lit(" violation on ("),
+        F.col("target_subj"), F.lit(", "), F.col("target_pred"),
+        F.lit(", "), F.col("target_obj"), F.lit(")"),
+    )
+    resp = F.expr(
+        "array_join(array_sort(transform(correction, c -> c.op || '(' ||"
+        " c.subj || ',' || c.pred || ',' || c.obj || ')')), '; ')"
+    )
+    return corr.select(
+        "constraint_id",
+        "corr_rev",
+        instr.alias("instruction"),
+        resp.alias("response"),
+    ).distinct()
+
+
+def q_predicate_value_drift(spark, sf_dir):
+    """Per-predicate value-distribution drift between the first and
+    second half of the revision stream (total-variation distance in
+    integer ppm): the temporal-shift report a KG curator reads before
+    trusting old snapshots as training data.  The TV numerator
+    |n1*t2 - n2*t1| is exact integer cross-multiplication, so the
+    published drift is engine-independent; two half-keyed counts +
+    one predicate aggregate."""
+    edits, _revisions, _state = _hist(spark, sf_dir)
+    adds = edits.filter(F.col("op") == "add").select("rev_id", "pred", "obj")
+    mid = adds.agg(F.expr("MAX(rev_id) DIV 2").alias("m"))
+    a = adds.crossJoin(F.broadcast(mid)).withColumn(  # single-row totals
+        "half", F.when(F.col("rev_id") <= F.col("m"), 1).otherwise(2)
+    )
+    cnt = a.groupBy("pred", "obj").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    tot = cnt.groupBy("pred").agg(
+        F.sum("n1").cast("bigint").alias("t1"), F.sum("n2").cast("bigint").alias("t2")
+    )
+    j = cnt.join(tot, "pred").filter((F.col("t1") > 0) & (F.col("t2") > 0))
+    return (
+        j.groupBy("pred", "t1", "t2")
+        .agg(
+            F.sum(
+                F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1"))
+            )
+            .cast("bigint")
+            .alias("l1_num")
+        )
+        .select(
+            "pred",
+            "t1",
+            "t2",
+            F.expr("(1000000 * l1_num) DIV (2 * t1 * t2)").alias("tv_ppm"),
+        )
+    )
+
+
 # minimum quality gap (integer micro-units) for a preference pair:
 # chosen must beat rejected by >= 0.05 quality
 MIN_PREF_GAP_MICRO = 50_000
@@ -4554,6 +4620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 46: preference pairs, trajectory patterns
         "preference_pairs": q_preference_pairs,
         "trajectory_patterns": q_trajectory_patterns,
+        # batch 47: correction SFT pairs, predicate value drift
+        "edit_instruction_pairs": q_edit_instruction_pairs,
+        "predicate_value_drift": q_predicate_value_drift,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -10894,6 +10963,60 @@ def oracle_sql() -> dict[str, str]:
           FROM scored WHERE jaccard < {_FUZZY_DECON_PCT} / 100.0
         ) WHERE rank <= {_HARD_NEG_K}
     """
+    # correction SFT pairs: okf statements serialized and SORTED so
+    # array order is engine-independent; has_extra decides the co op
+    out["edit_instruction_pairs"] = with_history_ctes(
+        _EVAL_KR
+        + expansion_sql(
+            keyed_by_constraint=True,
+            final_select="""
+            SELECT DISTINCT constraint_id, corr_rev,
+                   'fix ' || constraint_id || ' violation on ('
+                     || target_subj || ', ' || property || ', '
+                     || target_obj || ')' AS instruction,
+                   array_to_string(list_sort(
+                     CASE WHEN has_extra = 1
+                          THEN [main_str, co_str] ELSE [main_str] END), '; ')
+                     AS response
+            FROM (
+              SELECT *,
+                     main_op || '(' || corr_subj || ',' || corr_pred || ','
+                       || corr_obj || ')' AS main_str,
+                     co_op || '(' || ex_subj || ',' || ex_pred || ','
+                       || ex_obj || ')' AS co_str
+              FROM okf WHERE still_ok = 1)
+            """,
+        )
+    )
+    # value-distribution drift: exact integer cross-multiplication TV
+    out["predicate_value_drift"] = with_history_ctes("""
+        , adds AS (
+          SELECT rev_id, pred, obj FROM h_edits WHERE op = 'add'
+        ), mid AS (SELECT MAX(rev_id) // 2 AS m FROM adds),
+        h AS (
+          SELECT pred, obj,
+                 CASE WHEN rev_id <= (SELECT m FROM mid)
+                      THEN 1 ELSE 2 END AS half
+          FROM adds
+        ), cnt AS (
+          SELECT pred, obj,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2
+          FROM h GROUP BY 1, 2
+        ), tot AS (
+          SELECT pred, CAST(SUM(n1) AS BIGINT) AS t1,
+                 CAST(SUM(n2) AS BIGINT) AS t2
+          FROM cnt GROUP BY pred
+        )
+        SELECT c.pred, t.t1, t.t2,
+               (1000000 * CAST(SUM(abs(c.n1 * t.t2 - c.n2 * t.t1))
+                               AS BIGINT)) // (2 * t.t1 * t.t2) AS tv_ppm
+        FROM cnt c JOIN tot t ON t.pred = c.pred
+        WHERE t.t1 > 0 AND t.t2 > 0
+        GROUP BY c.pred, t.t1, t.t2
+    """)
     # preference pairs: topic chain composed from the topic_assignment
     # transcription; quality in integer micro-units, rank-adjacent
     # lead pairing, gap gate from the entry constant

@@ -319,6 +319,9 @@ HEADLINE = [
     # batch 46: preference pairs, trajectory patterns
     "preference_pairs",
     "trajectory_patterns",
+    # batch 47: correction SFT pairs, predicate value drift
+    "edit_instruction_pairs",
+    "predicate_value_drift",
 ]
 
 

@@ -1798,3 +1798,40 @@ def test_trajectory_patterns_support_and_shape(spark):
         assert len(steps) == 3 and all(s in ev_types for s in steps)
         assert r.n_occurrences >= entry_mod.TRAJ_MIN_SUPPORT
         assert 1 <= r.n_users <= r.n_occurrences
+
+
+# ---- batch 47: correction SFT pairs / predicate value drift ----
+
+
+def test_edit_instruction_pairs_cover_corrections(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    pairs = entry_mod.q_edit_instruction_pairs(spark, sf).collect()
+    assert pairs
+    corr = entry_mod._eval_corrections(spark, sf)
+    # one distinct pair per distinct correction content
+    assert len(pairs) <= corr.count()
+    for r in pairs:
+        assert r.instruction.startswith(f"fix {r.constraint_id} violation on (")
+        # response is a sorted '; '-joined list of op(subj,pred,obj)
+        stmts = r.response.split("; ")
+        assert stmts == sorted(stmts)
+        for s in stmts:
+            assert s.endswith(")") and s.split("(")[0] in ("add", "del")
+
+
+def test_predicate_value_drift_bounds_and_symmetric_halves(spark):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_predicate_value_drift(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.tv_ppm <= 1000000  # total variation in [0, 1]
+        assert r.t1 > 0 and r.t2 > 0
+    # halves partition the add stream
+    edits, _r, _s = entry_mod._hist(spark, sf)
+    n_adds = edits.filter(F.col("op") == "add").count()
+    assert sum(r.t1 + r.t2 for r in rows) == n_adds
