@@ -4310,6 +4310,107 @@ def q_subclass_closure(spark, sf_dir):
     return static_closure(edges)
 
 
+# number of hash buckets in the two-level negative-sampling table
+NEG_TABLE_BUCKETS = 16
+
+
+def q_mixture_waterfill(spark, sf_dir):
+    """Water-filling token allocation across sources: given a global
+    token budget (half the corpus, derived deterministically), cap
+    every source at a common water level so small sources keep all
+    their tokens and large sources are truncated equally — the
+    max-min fair mixture a training-run planner uses when one source
+    would otherwise dominate the batch stream (the iterative
+    complement of the closed-form temperature mixture in
+    q_source_mixing).  Integer arithmetic throughout (DIV), so the
+    level and allocations are engine-independent.  Scale shape: the
+    heavy work is one map-side-combinable per-source token count;
+    the window + level search run on the SOURCE dimension (tens of
+    rows at any corpus size), not the data."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+        .cast("bigint")
+        .alias("n_tok")
+    )
+    tot = toks.agg(
+        F.sum("n_tok").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    w = Window.orderBy("n_tok", "source")
+    r = (
+        toks.crossJoin(F.broadcast(tot))  # single-row totals frame
+        .withColumn("budget", F.expr("total DIV 2"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .withColumn("prefix", F.sum("n_tok").over(w))
+    )
+    # first (smallest) level bracket where the remaining sources,
+    # all held at this source's count, meet the budget
+    cand = r.filter(
+        F.expr("(prefix - n_tok) + (n_src - rk + 1) * n_tok >= budget")
+    )
+    level = (
+        cand.orderBy("rk")
+        .limit(1)
+        .select(
+            F.expr("(budget - (prefix - n_tok)) DIV (n_src - rk + 1)").alias(
+                "water_level"
+            )
+        )
+    )
+    return r.crossJoin(F.broadcast(level)).select(  # single-row level frame
+        "source",
+        "n_tok",
+        "budget",
+        F.least(F.col("n_tok"), F.col("water_level")).alias("alloc_tok"),
+        (F.col("n_tok") > F.col("water_level")).alias("capped"),
+        "water_level",
+    )
+
+
+def q_neg_sampling_table(spark, sf_dir):
+    """word2vec-style negative-sampling table: unigram counts raised
+    to the 3/4 power (micro-units), laid out as a TWO-LEVEL alias
+    table — tokens hash into NEG_TABLE_BUCKETS buckets, each bucket
+    carries its own cumulative [lo, hi) ranges plus the bucket mass,
+    so a sampler draws a bucket by mass then binary-searches within
+    it.  The two-level layout is the scale design: the cumulative
+    window is PARTITIONED by bucket (parallel, bounded state) instead
+    of one global ordered window over the whole vocabulary.  floor()
+    on the shared pow() keeps the weights engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    r = cnt.withColumn(
+        "w_micro",
+        F.expr("CAST(floor(pow(cnt, 0.75) * 1000000) AS BIGINT)"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substr(md5(concat('neg:', token)), 1, 13), 16, 10)"
+            f" AS BIGINT) % {NEG_TABLE_BUCKETS}"
+        ),
+    )
+    win = Window.partitionBy("bucket").orderBy("token")
+    full = Window.partitionBy("bucket")
+    return (
+        r.withColumn("hi", F.sum("w_micro").over(win))
+        .withColumn("lo", F.col("hi") - F.col("w_micro"))
+        .withColumn("bucket_mass_micro", F.sum("w_micro").over(full))
+        .select(
+            "bucket", "token", "cnt", "w_micro", "lo", "hi",
+            "bucket_mass_micro",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4623,6 +4724,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 47: correction SFT pairs, predicate value drift
         "edit_instruction_pairs": q_edit_instruction_pairs,
         "predicate_value_drift": q_predicate_value_drift,
+        # batch 48: water-filling mixture, negative-sampling table
+        "mixture_waterfill": q_mixture_waterfill,
+        "neg_sampling_table": q_neg_sampling_table,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -11275,4 +11379,61 @@ def oracle_sql() -> dict[str, str]:
         "AS overflow_tokens "
         "FROM f GROUP BY fill_bucket"
     )
+    # water-filling mixture: integer level search over the source
+    # dimension (prefix sums + first feasible bracket)
+    out["mixture_waterfill"] = """
+        WITH t AS (
+          SELECT source,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          x -> x <> ''))) AS BIGINT) AS n_tok
+          FROM documents GROUP BY 1),
+        s AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n_src FROM t),
+        r AS (
+          SELECT t.source, t.n_tok, s.total // 2 AS budget, s.n_src,
+                 CAST(row_number() OVER (ORDER BY n_tok, source)
+                      AS BIGINT) AS rk,
+                 CAST(SUM(n_tok) OVER (ORDER BY n_tok, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS prefix
+          FROM t, s),
+        lvl AS (
+          SELECT (budget - (prefix - n_tok)) // (n_src - rk + 1)
+                   AS water_level
+          FROM r
+          WHERE (prefix - n_tok) + (n_src - rk + 1) * n_tok >= budget
+          ORDER BY rk LIMIT 1)
+        SELECT r.source, r.n_tok, r.budget,
+               LEAST(r.n_tok, lvl.water_level) AS alloc_tok,
+               r.n_tok > lvl.water_level AS capped,
+               lvl.water_level
+        FROM r, lvl
+    """
+    # two-level negative-sampling table: ^0.75 weights in micro-units,
+    # per-bucket cumulative ranges; bucket hash from the shared md5
+    # convention
+    _hx_neg = hexval_sql("'neg:' || token")
+    out["neg_sampling_table"] = f"""
+        WITH cnt AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents)
+          GROUP BY 1),
+        w AS (
+          SELECT token, cnt,
+                 CAST(floor(pow(cnt, 0.75) * 1000000) AS BIGINT) AS w_micro,
+                 ({_hx_neg}) % {NEG_TABLE_BUCKETS} AS bucket
+          FROM cnt)
+        SELECT bucket, token, cnt, w_micro,
+               CAST(SUM(w_micro) OVER (PARTITION BY bucket ORDER BY token
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - w_micro AS BIGINT) AS lo,
+               CAST(SUM(w_micro) OVER (PARTITION BY bucket ORDER BY token
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS hi,
+               CAST(SUM(w_micro) OVER (PARTITION BY bucket) AS BIGINT)
+                 AS bucket_mass_micro
+        FROM w
+    """
     return out

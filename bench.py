@@ -322,6 +322,9 @@ HEADLINE = [
     # batch 47: correction SFT pairs, predicate value drift
     "edit_instruction_pairs",
     "predicate_value_drift",
+    # batch 48: water-filling mixture, negative-sampling table
+    "mixture_waterfill",
+    "neg_sampling_table",
 ]
 
 

@@ -1835,3 +1835,67 @@ def test_predicate_value_drift_bounds_and_symmetric_halves(spark):
     edits, _r, _s = entry_mod._hist(spark, sf)
     n_adds = edits.filter(F.col("op") == "add").count()
     assert sum(r.t1 + r.t2 for r in rows) == n_adds
+
+
+# ---- batch 48: water-filling mixture / negative-sampling table ----
+
+
+def test_mixture_waterfill_level_and_fairness(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_mixture_waterfill(spark, sf).collect()
+    assert rows
+    budget = rows[0].budget
+    level = rows[0].water_level
+    total = sum(r.n_tok for r in rows)
+    assert budget == total // 2
+    # every row carries the same level; alloc = min(n_tok, level)
+    for r in rows:
+        assert r.budget == budget and r.water_level == level
+        assert r.alloc_tok == min(r.n_tok, level)
+        assert r.capped == (r.n_tok > level)
+    # the budget is met up to integer-DIV slack bounded by the
+    # source count, never exceeded
+    alloc = sum(r.alloc_tok for r in rows)
+    assert 0 <= budget - alloc < len(rows)
+    # budget < total, so at least one source must be truncated
+    assert any(r.capped for r in rows)
+    # max-min fairness: no capped source ends below an uncapped one
+    uncapped_max = max((r.alloc_tok for r in rows if not r.capped), default=0)
+    for r in rows:
+        if r.capped:
+            assert r.alloc_tok >= uncapped_max
+
+
+def test_neg_sampling_table_ranges_and_weights(spark):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_neg_sampling_table(spark, sf).collect()
+    assert rows
+    assert all(0 <= r.bucket < entry_mod.NEG_TABLE_BUCKETS for r in rows)
+    # per bucket: contiguous disjoint [lo, hi) ranges covering the mass
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for b, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.lo)
+        assert rs[0].lo == 0
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.lo == prev.hi
+        assert rs[-1].hi == rs[0].bucket_mass_micro
+        assert all(r.hi - r.lo == r.w_micro for r in rs)
+    # ^0.75 weights: sublinear in count, order-preserving
+    import math
+
+    for r in rows:
+        assert r.w_micro == math.floor(r.cnt**0.75 * 1_000_000)
+        assert r.w_micro <= r.cnt * 1_000_000
+    # counts reconcile with the corpus token count
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    n_tok = d.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+    ).first()[0]
+    assert sum(r.cnt for r in rows) == n_tok
