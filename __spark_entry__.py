@@ -4411,6 +4411,85 @@ def q_neg_sampling_table(spark, sf_dir):
     )
 
 
+# edit-distance duplicate gate: levenshtein <= 20% of the longer text
+EDIT_VERIFY_PER_1000 = 200
+
+
+def q_edit_distance_verify(spark, sf_dir):
+    """Edit-distance verification pass over the MinHash/LSH candidate
+    pairs: exact Levenshtein distance between the two texts, published
+    per-mille of the longer text, with the <= 20% duplicate verdict —
+    the character-level verify stage ExactSubstr-style pipelines run
+    where the Jaccard verifier (q_ngram_jaccard) is order-blind.
+    Scale shape: Levenshtein is O(len_a * len_b) PER PAIR, so it runs
+    only on the banded candidate set (never all pairs); at web scale
+    the inputs are additionally truncated to a fixed prefix to bound
+    the per-pair cost — a policy knob, not a plan change."""
+    cand = q_lsh_candidates(spark, sf_dir)
+    t = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    j = (
+        cand.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+        .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein("text_a", "text_b").cast("bigint").alias("edit_dist"),
+        F.greatest(F.length("text_a"), F.length("text_b"))
+        .cast("bigint")
+        .alias("max_len"),
+    ).select(
+        "doc_a",
+        "doc_b",
+        "edit_dist",
+        "max_len",
+        F.expr("(1000 * edit_dist) DIV max_len").alias("dist_per_1000"),
+        F.expr(
+            f"(1000 * edit_dist) DIV max_len <= {EDIT_VERIFY_PER_1000}"
+        ).alias("is_dup"),
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary-size coverage curve: tokens ranked by frequency,
+    cumulative corpus coverage (ppm) published at power-of-two vocab
+    sizes plus the full vocabulary — the curve a tokenizer-sizing
+    decision reads (how much of the corpus the top-k types cover).
+    The ranked window runs on the VOCABULARY dimension, not the
+    corpus; the heavy work is the map-side-combinable unigram count.
+    At web scale (1e8+ types) the same curve aggregates per count
+    value first — a grouping change, not a plan change."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (
+        d.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = cnt.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "token")
+    r = (
+        cnt.withColumn("vocab_size", F.row_number().over(w).cast("bigint"))
+        .withColumn("cum_tokens", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(tot))  # single-row totals frame
+    )
+    return r.filter(
+        F.expr("((vocab_size & (vocab_size - 1)) = 0) OR vocab_size = n_vocab")
+    ).select(
+        "vocab_size",
+        "token",
+        "cnt",
+        "cum_tokens",
+        F.expr("(1000000 * cum_tokens) DIV total").alias("coverage_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4727,6 +4806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 48: water-filling mixture, negative-sampling table
         "mixture_waterfill": q_mixture_waterfill,
         "neg_sampling_table": q_neg_sampling_table,
+        # batch 49: edit-distance dedup verify, vocab coverage curve
+        "edit_distance_verify": q_edit_distance_verify,
+        "vocab_coverage": q_vocab_coverage,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -11435,5 +11517,51 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(w_micro) OVER (PARTITION BY bucket) AS BIGINT)
                  AS bucket_mass_micro
         FROM w
+    """
+    # Levenshtein verify pass over the LSH candidate pairs
+    out["edit_distance_verify"] = _SIG_CTES + f"""
+        , cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigf a JOIN sigf b
+            ON a.band = b.band AND a.minhash = b.minhash
+           AND a.doc_id < b.doc_id
+        ), j AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist,
+                 CAST(greatest(len(ta.text), len(tb.text)) AS BIGINT)
+                   AS max_len
+          FROM cand c
+          JOIN documents ta ON ta.doc_id = c.doc_a
+          JOIN documents tb ON tb.doc_id = c.doc_b)
+        SELECT doc_a, doc_b, edit_dist, max_len,
+               (1000 * edit_dist) // max_len AS dist_per_1000,
+               (1000 * edit_dist) // max_len <= {EDIT_VERIFY_PER_1000}
+                 AS is_dup
+        FROM j
+    """
+    # vocabulary coverage curve at power-of-two sizes
+    out["vocab_coverage"] = """
+        WITH cnt AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS token
+                FROM documents)
+          GROUP BY 1),
+        s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n_vocab FROM cnt),
+        r AS (
+          SELECT token, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                      AS BIGINT) AS vocab_size,
+                 CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_tokens,
+                 s.total, s.n_vocab
+          FROM cnt, s)
+        SELECT vocab_size, token, cnt, cum_tokens,
+               (1000000 * cum_tokens) // total AS coverage_ppm
+        FROM r
+        WHERE ((vocab_size & (vocab_size - 1)) = 0)
+           OR vocab_size = n_vocab
     """
     return out

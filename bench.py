@@ -325,6 +325,9 @@ HEADLINE = [
     # batch 48: water-filling mixture, negative-sampling table
     "mixture_waterfill",
     "neg_sampling_table",
+    # batch 49: edit-distance dedup verify, vocab coverage curve
+    "edit_distance_verify",
+    "vocab_coverage",
 ]
 
 

@@ -1899,3 +1899,47 @@ def test_neg_sampling_table_ranges_and_weights(spark):
         F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
     ).first()[0]
     assert sum(r.cnt for r in rows) == n_tok
+
+
+# ---- batch 49: edit-distance verify / vocab coverage curve ----
+
+
+def test_edit_distance_verify_covers_candidates(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_edit_distance_verify(spark, sf).collect()
+    assert rows
+    # one verdict per candidate pair, no invented pairs
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in entry_mod.q_lsh_candidates(spark, sf).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == cand
+    for r in rows:
+        assert 0 <= r.edit_dist <= r.max_len
+        assert r.dist_per_1000 == (1000 * r.edit_dist) // r.max_len
+        assert r.is_dup == (
+            r.dist_per_1000 <= entry_mod.EDIT_VERIFY_PER_1000
+        )
+
+
+def test_vocab_coverage_monotone_log_spaced(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        entry_mod.q_vocab_coverage(spark, sf).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    assert rows
+    # power-of-two sizes plus the full vocabulary as the last point
+    for r in rows[:-1]:
+        assert r.vocab_size & (r.vocab_size - 1) == 0
+    assert rows[-1].coverage_ppm == 1_000_000
+    # coverage and cumulative mass strictly increase; counts
+    # non-increasing along the ranking
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_tokens > a.cum_tokens
+        assert b.coverage_ppm >= a.coverage_ppm
+        assert b.cnt <= a.cnt
