@@ -1372,6 +1372,19 @@ def q_span_triples(spark, sf_dir):
     return mention_pair_triples(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+_DOC_N_MEMO: dict = {}
+
+
+def _doc_count(spark, sf_dir):
+    """Memoized documents row count — data-dependent sample sizing
+    (e.g. the lsh_recall audit's 1/K modulus) needs N once per
+    session, the _emb_count pattern."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _DOC_N_MEMO:
+        _DOC_N_MEMO[key] = _t(spark, sf_dir, "documents").count()
+    return _DOC_N_MEMO[key]
+
+
 _SIG_MEMO: dict = {}
 
 
@@ -4490,6 +4503,149 @@ def q_vocab_coverage(spark, sf_dir):
     )
 
 
+# inclusion-dependency discovery: (table, column) candidates profiled
+# as distinct-value-set containment.  Integer key/attr columns only —
+# the unary-IND surface a schema matcher walks before proposing FK
+# joins over unfamiliar tabular sources.
+IND_COLS = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"),
+    ("customer", "c_custkey"),
+    ("customer", "c_nationkey"),
+    ("supplier", "s_suppkey"),
+    ("supplier", "s_nationkey"),
+    ("part", "p_partkey"),
+    ("part", "p_size"),
+    ("orders", "o_orderkey"),
+    ("orders", "o_custkey"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_linenumber"),
+]
+
+
+def q_inclusion_deps(spark, sf_dir):
+    """Unary inclusion-dependency discovery (BINDER/Spider family,
+    Papenbrock et al. 2015) across the warehouse's integer columns:
+    A <= B holds iff every distinct value of A also appears in B.
+    Emits one row per OVERLAPPING ordered column pair with the exact
+    containment fraction (ppm) and the is_ind verdict — the profiling
+    pass that bootstraps FK/join discovery on unfamiliar sources (the
+    tabular sibling of fd_mining's key discovery).
+
+    Scale shape: one distinct per (column, value) — map-side
+    combinable — then a self-join KEYED ON THE VALUE, so each value's
+    group is bounded by the number of profiled columns (<= 15 here):
+    per-value work is O(cols^2) CONSTANT, never O(rows).  Disjoint
+    pairs produce no join rows and are absent (a discovery tool
+    reports candidates, not the empty cross product)."""
+    parts = []
+    for t, c in IND_COLS:
+        parts.append(
+            _t(spark, sf_dir, t).select(
+                F.lit(f"{t}.{c}").alias("col"), F.col(c).cast("bigint").alias("v")
+            )
+        )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionByName(p)
+    vals = vals.distinct()
+    sizes = vals.groupBy("col").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = vals.select(F.col("col").alias("col_a"), "v")
+    b = vals.select(F.col("col").alias("col_b"), "v")
+    inter = (
+        a.join(b, "v")
+        .filter(F.col("col_a") != F.col("col_b"))
+        .groupBy("col_a", "col_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("col").alias("col_a"), F.col("n").alias("n_a")), "col_a")
+        .join(sizes.select(F.col("col").alias("col_b"), F.col("n").alias("n_b")), "col_b")
+        .select(
+            "col_a",
+            "col_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr("(1000000 * n_common) DIV n_a").alias("containment_ppm"),
+            (F.col("n_common") == F.col("n_a")).alias("is_ind"),
+        )
+    )
+
+
+# dedup-recall audit sizing: ~256-doc deterministic sample
+LSH_RECALL_SAMPLE = 256
+
+
+def q_lsh_recall(spark, sf_dir):
+    """Dedup-quality audit: measured recall of the PRODUCTION banded
+    MinHash/LSH candidate stage against exact n-gram-Jaccard ground
+    truth on a deterministic ~256-doc sample (doc_id % K == 0 with
+    K = max(1, N // 256)).  Ground truth = all within-sample pairs
+    with 5-shingle Jaccard >= 0.6 (the dedup_survivors verify
+    threshold), computed by a shingle-keyed self-join INSIDE the
+    sample; each truth pair is emitted with ``hit`` = whether the
+    corpus-level LSH candidate generation surfaced it.  The
+    text-dedup sibling of knn_lsh_recall / knn_ivf_recall: the gate
+    that tells a pipeline owner what the banding scheme's occupancy
+    caps actually cost before committing a 100-TB dedup run.
+
+    Scale shape: the quadratic ground truth is confined to the fixed
+    sample (~256 docs regardless of N); the audited candidate stage
+    is the unchanged production path."""
+    from corhist_spark.textops import lsh_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    k = max(1, _doc_count(spark, sf_dir) // LSH_RECALL_SAMPLE)
+    samp = d.filter(F.col("doc_id") % k == 0).select("doc_id", "text")
+    sh = (
+        samp.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 4, F.lit(1)))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substr(text, i, 5)").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    cand = lsh_candidates(_signatures(spark, sf_dir)).withColumn(
+        "hit", F.lit(True)
+    )
+    return truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", "jaccard", F.coalesce("hit", F.lit(False)).alias("hit")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4809,6 +4965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 49: edit-distance dedup verify, vocab coverage curve
         "edit_distance_verify": q_edit_distance_verify,
         "vocab_coverage": q_vocab_coverage,
+        # batch 50: inclusion-dependency discovery, LSH dedup recall audit
+        "inclusion_deps": q_inclusion_deps,
+        "lsh_recall": q_lsh_recall,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -11563,5 +11722,66 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE ((vocab_size & (vocab_size - 1)) = 0)
            OR vocab_size = n_vocab
+    """
+    # unary inclusion-dependency discovery (union built from IND_COLS
+    # so the engine and the oracle profile the same column list)
+    _ind_union = "\n          UNION ALL\n          ".join(
+        f"SELECT '{t}.{c}' AS col, CAST({c} AS BIGINT) AS v FROM {t}"
+        for t, c in IND_COLS
+    )
+    out["inclusion_deps"] = f"""
+        WITH vals AS (
+          SELECT DISTINCT col, v FROM (
+          {_ind_union}
+          )),
+        sizes AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM vals GROUP BY 1),
+        inter AS (
+          SELECT a.col AS col_a, b.col AS col_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM vals a JOIN vals b ON a.v = b.v AND a.col <> b.col
+          GROUP BY 1, 2)
+        SELECT col_a, col_b, x.n AS n_a, y.n AS n_b, n_common,
+               (1000000 * n_common) // x.n AS containment_ppm,
+               n_common = x.n AS is_ind
+        FROM inter
+        JOIN sizes x ON x.col = col_a
+        JOIN sizes y ON y.col = col_b
+    """
+    # LSH dedup recall audit: exact within-sample Jaccard ground truth
+    # vs the production banded candidate stage (sigf from _SIG_CTES)
+    out["lsh_recall"] = _SIG_CTES + f"""
+        , kk AS (
+          SELECT greatest(1, COUNT(*) // {LSH_RECALL_SAMPLE}) AS k
+          FROM documents)
+        , samp AS (
+          SELECT doc_id, text FROM documents, kk WHERE doc_id % kk.k = 0)
+        , ssh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, greatest(len(text)-4,1)+1),
+                                       i -> substr(text, CAST(i AS INT), 5)))
+                   AS s
+          FROM samp)
+        , ssz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY 1)
+        , sint AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+          FROM ssh a JOIN ssh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        , truth AS (
+          SELECT doc_a, doc_b,
+                 ROUND(n_inter / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+          FROM sint
+          JOIN ssz x ON x.doc_id = doc_a
+          JOIN ssz y ON y.doc_id = doc_b
+          WHERE ROUND(n_inter / (x.n_sh + y.n_sh - n_inter), 6) >= 0.6)
+        , cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigf a JOIN sigf b
+            ON a.band = b.band AND a.minhash = b.minhash
+           AND a.doc_id < b.doc_id)
+        SELECT t.doc_a, t.doc_b, t.jaccard,
+               (c.doc_a IS NOT NULL) AS hit
+        FROM truth t LEFT JOIN cand c
+          ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
     """
     return out

@@ -328,6 +328,9 @@ HEADLINE = [
     # batch 49: edit-distance dedup verify, vocab coverage curve
     "edit_distance_verify",
     "vocab_coverage",
+    # batch 50: inclusion-dependency discovery, LSH dedup recall audit
+    "inclusion_deps",
+    "lsh_recall",
 ]
 
 

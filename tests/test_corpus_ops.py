@@ -1943,3 +1943,66 @@ def test_vocab_coverage_monotone_log_spaced(spark):
         assert b.cum_tokens > a.cum_tokens
         assert b.coverage_ppm >= a.coverage_ppm
         assert b.cnt <= a.cnt
+
+
+# ---- batch 50: inclusion-dependency discovery / LSH recall audit ----
+
+
+def test_inclusion_deps_finds_fk_structure(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        (r.col_a, r.col_b): r
+        for r in entry_mod.q_inclusion_deps(spark, sf).collect()
+    }
+    assert rows
+    # the warehouse's real FK INDs must be discovered
+    for a, b in [
+        ("nation.n_regionkey", "region.r_regionkey"),
+        ("orders.o_custkey", "customer.c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey"),
+        ("customer.c_nationkey", "nation.n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey"),
+    ]:
+        assert rows[(a, b)].is_ind, (a, b)
+        assert rows[(a, b)].containment_ppm == 1_000_000
+    # discovery is selective: overlapping-but-not-contained pairs
+    # exist (e.g. a key column vs a small attribute domain), so not
+    # every reported pair is an IND
+    assert any(not r.is_ind for r in rows.values())
+    assert not rows[("part.p_partkey", "part.p_size")].is_ind
+    # per-row arithmetic invariants
+    for r in rows.values():
+        assert 0 < r.n_common <= min(r.n_a, r.n_b)
+        assert r.containment_ppm == (1_000_000 * r.n_common) // r.n_a
+        assert r.is_ind == (r.n_common == r.n_a)
+
+
+def test_lsh_recall_gate(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_lsh_recall(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.jaccard >= 0.6
+    # 8 independent bands at J>=0.6 collide w.p. ~1-0.4^8 per pair —
+    # UNCAPPED banding recall must be total; the production path's
+    # measured recall is lower exactly by the occupancy cap's cost
+    # (the tiny synthetic vocabulary concentrates min-shingles into
+    # hot buckets: measured 0.68 capped vs 1.00 uncapped at sf0.001
+    # — surfacing that cost is what this audit is FOR)
+    recall = sum(1 for r in rows if r.hit) / len(rows)
+    assert recall >= 0.5, recall
+    from corhist_spark.textops import lsh_candidates
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidates(
+            entry_mod._signatures(spark, sf), max_bucket=10**9
+        ).collect()
+    }
+    assert all((r.doc_a, r.doc_b) in uncapped for r in rows)
