@@ -4646,6 +4646,138 @@ def q_lsh_recall(spark, sf_dir):
     )
 
 
+def q_doremi_weights(spark, sf_dir):
+    """DoReMi-style domain reweighting (Xie et al. 2023), linearized
+    to ONE deterministic multiplicative-weights step: each source's
+    mixture weight is its baseline token share scaled by (1 + excess
+    loss), where excess loss is how much worse the corpus's own
+    unigram LM does on that source than on the corpus overall —
+    domains the proxy model finds hard get upweighted, easy/redundant
+    domains drift down.  The full method iterates this update against
+    a trained proxy; one step against the unigram proxy is the
+    deterministic, oracle-exact core of the update rule.
+
+    Exactness: per-token NLL is rounded to integer MICRO-NATS first,
+    so every mean/excess/weight after that is integer arithmetic —
+    no float summation-order hazard (the datasheet micro-unit
+    pattern).  Scale shape: a token-frequency aggregate, a frequency
+    join, one per-source aggregate, and two single-row broadcast
+    totals frames — all map-side combinable; output is source-sized."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").cast("bigint").alias("total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))  # single-row totals frame
+        .select(
+            "source",
+            F.round(-F.log(F.col("tf") / F.col("total")) * 1000000)
+            .cast("bigint")
+            .alias("nll_micro"),
+        )
+    )
+    per_src = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("nll_micro").cast("bigint").alias("nll_sum"),
+    )
+    corpus = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("nll_sum").cast("bigint").alias("tot_nll"),
+    )
+    w = per_src.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_tokens",
+        F.expr("(1000000 * n_tokens) DIV tot_tokens").alias("base_share_ppm"),
+        F.expr("nll_sum DIV n_tokens").alias("mean_nll_micro"),
+        F.expr(
+            "greatest(0, nll_sum DIV n_tokens - tot_nll DIV tot_tokens)"
+        ).alias("excess_micro"),
+    )
+    raw = w.withColumn(
+        "raw", F.expr("base_share_ppm * (1000000 + excess_micro)")
+    )
+    raw_tot = raw.agg(F.sum("raw").cast("bigint").alias("raw_tot"))
+    return raw.crossJoin(F.broadcast(raw_tot)).select(
+        "source",
+        "n_tokens",
+        "base_share_ppm",
+        "mean_nll_micro",
+        "excess_micro",
+        F.expr("(1000000 * raw) DIV raw_tot").alias("weight_ppm"),
+    )
+
+
+# output-shard planning: fixed token budget per shard, range buckets
+SHARD_TOKEN_BUDGET = 2048
+SHARD_BUCKET_SPAN = 256
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Output-shard manifest: assign every document a (shard_id,
+    shard_offset) in fixed-token-budget shards, contiguous in
+    (source, doc_id) order — the export plan that turns a curated
+    corpus into N-token training files.
+
+    The global running offset is an exact DISTRIBUTED PREFIX SUM in
+    two phases — never a single-partition window over the corpus:
+    phase 1 sums tokens per (source, doc_id-range bucket); phase 2
+    runs the running total over the BUCKET rows (corpus_size /
+    bucket_span rows — a window over buckets, not documents; at
+    10^12 docs with a 10^6-doc span that frame is 10^6 rows); phase 3
+    adds each doc's within-bucket cumulative sum, a window keyed by
+    (source, bucket) whose partitions are bounded by the span.  The
+    DuckDB oracle computes the same offsets with the naive one-window
+    form — the equivalence IS the correctness claim for the
+    distributed decomposition."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % SHARD_BUCKET_SPAN).alias("bkt"),
+    )
+    per_bkt = t.groupBy("source", "bkt").agg(
+        F.sum("n_tokens").alias("bkt_tokens")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = per_bkt.withColumn(
+        "bkt_offset", F.sum("bkt_tokens").over(wb) - F.col("bkt_tokens")
+    ).select("source", "bkt", "bkt_offset")
+    wd = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = t.withColumn(
+        "local_cum", F.sum("n_tokens").over(wd) - F.col("n_tokens")
+    )
+    return (
+        local.join(offs, ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("bkt_offset") + F.col("local_cum")).alias("global_offset"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"global_offset DIV {SHARD_TOKEN_BUDGET}").alias("shard_id"),
+            F.expr(f"global_offset % {SHARD_TOKEN_BUDGET}").alias("shard_offset"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4968,6 +5100,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 50: inclusion-dependency discovery, LSH dedup recall audit
         "inclusion_deps": q_inclusion_deps,
         "lsh_recall": q_lsh_recall,
+        # batch 51: DoReMi-step domain weights, output-shard manifest
+        "doremi_weights": q_doremi_weights,
+        "shard_manifest": q_shard_manifest,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -11783,5 +11918,63 @@ def oracle_sql() -> dict[str, str]:
                (c.doc_a IS NOT NULL) AS hit
         FROM truth t LEFT JOIN cand c
           ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    """
+    # DoReMi one-step domain reweighting (integer micro-nat arithmetic)
+    out["doremi_weights"] = """
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS tok
+          FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freq),
+        scored AS (
+          SELECT t.source,
+                 CAST(round(-ln(f.tf * 1.0 / x.total) * 1000000) AS BIGINT)
+                   AS nll_micro
+          FROM toks t JOIN freq f ON f.tok = t.tok, tot x),
+        per_src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 CAST(SUM(nll_micro) AS BIGINT) AS nll_sum
+          FROM scored GROUP BY 1),
+        corpus AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+                 CAST(SUM(nll_sum) AS BIGINT) AS tot_nll
+          FROM per_src),
+        w AS (
+          SELECT source, n_tokens,
+                 (1000000 * n_tokens) // tot_tokens AS base_share_ppm,
+                 nll_sum // n_tokens AS mean_nll_micro,
+                 greatest(0, nll_sum // n_tokens - tot_nll // tot_tokens)
+                   AS excess_micro
+          FROM per_src, corpus),
+        raw AS (
+          SELECT *, base_share_ppm * (1000000 + excess_micro) AS raw
+          FROM w),
+        rt AS (SELECT CAST(SUM(raw) AS BIGINT) AS raw_tot FROM raw)
+        SELECT source, n_tokens, base_share_ppm, mean_nll_micro,
+               excess_micro, (1000000 * raw) // raw_tot AS weight_ppm
+        FROM raw, rt
+    """
+    # output-shard manifest: the oracle computes the SAME offsets with
+    # the naive one-window prefix sum — equality with the engine's
+    # two-phase bucketed decomposition is the correctness claim
+    out["shard_manifest"] = f"""
+        WITH t AS (
+          SELECT doc_id, source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) - n_tokens AS global_offset
+          FROM t)
+        SELECT doc_id, source, n_tokens,
+               global_offset // {SHARD_TOKEN_BUDGET} AS shard_id,
+               global_offset % {SHARD_TOKEN_BUDGET} AS shard_offset
+        FROM c
     """
     return out

@@ -331,6 +331,9 @@ HEADLINE = [
     # batch 50: inclusion-dependency discovery, LSH dedup recall audit
     "inclusion_deps",
     "lsh_recall",
+    # batch 51: DoReMi-step domain weights, output-shard manifest
+    "doremi_weights",
+    "shard_manifest",
 ]
 
 

@@ -2006,3 +2006,76 @@ def test_lsh_recall_gate(spark):
         ).collect()
     }
     assert all((r.doc_a, r.doc_b) in uncapped for r in rows)
+
+
+# ---- batch 51: DoReMi-step domain weights / output-shard manifest ----
+
+
+def test_doremi_weights_update_rule(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entry_mod.q_doremi_weights(spark, sf).collect()
+    assert len(rows) >= 2
+    # weights form a distribution (integer-floor sums just under 1e6)
+    s = sum(r.weight_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= s <= 1_000_000
+    # the multiplicative update preserves the baseline ORDERING only
+    # up to excess: a source with zero excess keeps weight <= its
+    # baseline share scaled by the normalizer; any source with
+    # positive excess must be upweighted RELATIVE to a zero-excess
+    # source (weight/base ratio strictly larger)
+    for r in rows:
+        assert r.excess_micro >= 0
+        assert r.weight_ppm > 0
+    zero = [r for r in rows if r.excess_micro == 0]
+    pos = [r for r in rows if r.excess_micro > 0]
+    if zero and pos:
+        worst_zero = max(r.weight_ppm / r.base_share_ppm for r in zero)
+        best_pos = min(r.weight_ppm / r.base_share_ppm for r in pos)
+        assert best_pos > worst_zero
+
+
+def test_shard_manifest_two_phase_equals_naive_window(spark):
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import Window, functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = entry_mod.q_shard_manifest(spark, sf)
+    # naive single-window reference on the same input
+    d = entry_mod._t(spark, sf, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = t.withColumn("go", F.sum("n_tokens").over(w) - F.col("n_tokens")).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"go DIV {entry_mod.SHARD_TOKEN_BUDGET}").alias("shard_id"),
+        F.expr(f"go % {entry_mod.SHARD_TOKEN_BUDGET}").alias("shard_offset"),
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert a == b
+    # shard structure: per source, shard ids start at 0 and are
+    # contiguous; offsets stay under the budget
+    rows = sorted(got.collect(), key=lambda r: (r.source, r.doc_id))
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        assert rs[0].shard_id == 0 and rs[0].shard_offset == 0
+        for x in rs:
+            assert 0 <= x.shard_offset < entry_mod.SHARD_TOKEN_BUDGET
+        ids = [x.shard_id for x in rs]
+        assert ids == sorted(ids)
+        assert set(range(max(ids) + 1)) == set(ids)
