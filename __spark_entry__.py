@@ -4778,6 +4778,28 @@ def q_shard_manifest(spark, sf_dir):
     )
 
 
+def q_amie_implications(spark, sf_dir):
+    """AMIE-style same-direction implication rules with PCA confidence
+    (`fusion.amie_implications`) over the typed event graph — the
+    same-direction half of the axiom space next to inverse_properties'
+    reversed-pair half, with the partial-completeness denominator that
+    distinguishes AMIE from closed-world confidence."""
+    from corhist_spark.fusion import amie_implications
+
+    return amie_implications(_typed_kg_edges(spark, sf_dir))
+
+
+def q_kn_continuation(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram statistics
+    (`textops.kn_continuation`): continuation counts, discount
+    lambdas and integer-ppm KN probabilities per observed bigram —
+    the LM-quality backbone a curation pipeline trains its n-gram
+    scorers with (the add-k bigram_nll's principled successor)."""
+    from corhist_spark.textops import kn_continuation
+
+    return kn_continuation(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5103,6 +5125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 51: DoReMi-step domain weights, output-shard manifest
         "doremi_weights": q_doremi_weights,
         "shard_manifest": q_shard_manifest,
+        # batch 52: AMIE PCA-confidence rules, Kneser-Ney continuation
+        "amie_implications": q_amie_implications,
+        "kn_continuation": q_kn_continuation,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6105,6 +6130,9 @@ from corhist_spark.fusion import VT_CHECKPOINTS as _VT_CHECKPOINTS
 from corhist_spark.fusion import KGQA_2HOP_CAP as _KGQA_2HOP_CAP
 from corhist_spark.fusion import INV_CANDIDATE_PCT as _INV_CANDIDATE_PCT
 from corhist_spark.fusion import TRANS_WEDGE_CAP as _TRANS_WEDGE_CAP
+from corhist_spark.fusion import AMIE_MIN_SUPPORT as _AMIE_MIN_SUPPORT
+from corhist_spark.fusion import AMIE_CANDIDATE_PCT as _AMIE_CANDIDATE_PCT
+from corhist_spark.textops import KN_DISCOUNT_PPM as _KN_DISCOUNT_PPM
 from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
 from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
 from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
@@ -11976,5 +12004,76 @@ def oracle_sql() -> dict[str, str]:
                global_offset // {SHARD_TOKEN_BUDGET} AS shard_id,
                global_offset % {SHARD_TOKEN_BUDGET} AS shard_offset
         FROM c
+    """
+    # AMIE implication rules: support / PCA denominators are exact
+    # integer counts; candidate gate interpolated from the fusion
+    # constants (engine/oracle cannot drift)
+    out["amie_implications"] = f"""{_TYPED_TR_CTE}
+        , n AS (SELECT pred, COUNT(*) AS n_pairs FROM tr GROUP BY 1),
+        sup AS (
+          SELECT a.pred AS body_pred, b.pred AS head_pred,
+                 COUNT(*) AS n_support
+          FROM tr a JOIN tr b ON a.subj = b.subj AND a.obj = b.obj
+          WHERE a.pred <> b.pred
+          GROUP BY 1, 2),
+        hs AS (SELECT DISTINCT pred AS head_pred, subj FROM tr),
+        pca AS (
+          SELECT t.pred AS body_pred, hs.head_pred,
+                 COUNT(*) AS n_pca_body
+          FROM tr t JOIN hs ON hs.subj = t.subj
+          WHERE t.pred <> hs.head_pred
+          GROUP BY 1, 2)
+        SELECT s.body_pred, s.head_pred,
+               nb.n_pairs AS n_body, nh.n_pairs AS n_head,
+               p.n_pca_body, s.n_support,
+               round(s.n_support / CAST(nh.n_pairs AS DOUBLE), 6)
+                 AS head_coverage,
+               round(s.n_support / CAST(nb.n_pairs AS DOUBLE), 6)
+                 AS std_conf,
+               round(s.n_support / CAST(p.n_pca_body AS DOUBLE), 6)
+                 AS pca_conf,
+               (s.n_support * 100 >= {_AMIE_CANDIDATE_PCT} * p.n_pca_body
+                AND s.n_support >= {_AMIE_MIN_SUPPORT}) AS rule_candidate
+        FROM sup s
+        JOIN pca p ON p.body_pred = s.body_pred
+                  AND p.head_pred = s.head_pred
+        JOIN n nb ON nb.pred = s.body_pred
+        JOIN n nh ON nh.pred = s.head_pred
+    """
+    # Kneser-Ney continuation statistics: integer ppm arithmetic with
+    # the SAME fixed operation order as the engine (greatest -> // ->
+    # multiply -> //); discount interpolated from textops.KN_DISCOUNT_PPM
+    out["kn_continuation"] = f"""
+        WITH t AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        bg AS (
+          SELECT toks[CAST(i AS INT)] AS w1,
+                 toks[CAST(i AS INT) + 1] AS w2
+          FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM t WHERE len(toks) >= 2)),
+        bf AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram
+          FROM bg GROUP BY 1, 2),
+        lft AS (
+          SELECT w1, CAST(SUM(c_bigram) AS BIGINT) AS c_w1,
+                 CAST(COUNT(*) AS BIGINT) AS n1p_right
+          FROM bf GROUP BY 1),
+        cont AS (
+          SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_left
+          FROM bf GROUP BY 1),
+        ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bf)
+        SELECT bf.w1, bf.w2, bf.c_bigram, lft.c_w1, lft.n1p_right,
+               (1000000 * cont.n1p_left) // ty.n_types AS p_cont_ppm,
+               CAST(greatest(bf.c_bigram * 1000000 - {_KN_DISCOUNT_PPM}, 0)
+                      // lft.c_w1
+                    + ((({_KN_DISCOUNT_PPM} * lft.n1p_right) // lft.c_w1)
+                       * ((1000000 * cont.n1p_left) // ty.n_types))
+                      // 1000000
+                    AS BIGINT) AS p_kn_ppm
+        FROM bf
+        JOIN lft ON lft.w1 = bf.w1
+        JOIN cont ON cont.w2 = bf.w2
+        CROSS JOIN ty
     """
     return out

@@ -334,6 +334,9 @@ HEADLINE = [
     # batch 51: DoReMi-step domain weights, output-shard manifest
     "doremi_weights",
     "shard_manifest",
+    # batch 52: AMIE PCA-confidence rules, Kneser-Ney continuation
+    "amie_implications",
+    "kn_continuation",
 ]
 
 

@@ -1386,3 +1386,95 @@ def sdtype_assign(cur: DataFrame, types: DataFrame, heldout: DataFrame) -> DataF
         "score_ppm",
         (F.col("predicted_cls") == F.col("actual_cls")).alias("correct"),
     )
+
+
+# AMIE-style implication rules: minimum absolute support and the
+# integer-compared PCA-confidence gate for the candidate flag
+AMIE_MIN_SUPPORT = 10
+AMIE_CANDIDATE_PCT = 60
+
+
+def amie_implications(cur: DataFrame) -> DataFrame:
+    """AMIE-style same-direction implication rules p_body(x, y) =>
+    p_head(x, y) over the current triple set ``cur(subj, pred, obj)``
+    — one row per ordered predicate pair with nonzero support:
+    (body_pred, head_pred, n_body, n_head, n_pca_body, n_support,
+    head_coverage, std_conf, pca_conf, rule_candidate).
+
+    The distinctive AMIE contribution (Galarraga et al., WWW 2013) is
+    the PCA denominator: under the partial-completeness assumption a
+    body pair (x, y) only counts AGAINST the rule when x is known to
+    have at least one head_pred edge (to anything) — missing facts
+    about x are "unknown", not counterexamples — so
+    pca_conf = support / #{(x, y) in body : exists z head_pred(x, z)}
+    sits between std_conf (closed-world) and 1.  This is the
+    same-direction half of the axiom space next to property_axioms'
+    reversed-pair (inverse/symmetric) half, and the rule shape the
+    reference's correction miner instantiates per-edit
+    (`corhist/.../SimpleCorrectionsHistoryMiner`) profiled here
+    corpus-wide over the materialized KG instead.
+
+    The candidate flag compares in pure integers
+    (n_support * 100 >= PCT * n_pca_body AND n_support >= MIN_SUPPORT)
+    so both engines decide identically.
+
+    Scale shape: triples deduped once; support comes from ONE
+    (subj, obj)-keyed equi-join of the pair set against itself and
+    the PCA denominator from ONE subj-keyed equi-join against the
+    deduped (pred, subj) table — per key the match multiplicity is
+    bounded by the PREDICATE VOCABULARY (both sides deduped), so join
+    output is at most |pairs| * |preds| and every aggregate is
+    map-side combinable down to a predicate^2-sized result."""
+    t = cur.select("subj", "pred", "obj").distinct().localCheckpoint()
+    n = t.groupBy("pred").agg(F.count(F.lit(1)).alias("n_pairs"))
+    # support: same (subj, obj) asserted under both predicates
+    sup = (
+        t.alias("a")
+        .join(
+            t.select(
+                F.col("subj").alias("subj"),
+                F.col("pred").alias("head_pred"),
+                F.col("obj").alias("obj"),
+            ).alias("b"),
+            ["subj", "obj"],
+        )
+        .filter(F.col("a.pred") != F.col("head_pred"))
+        .groupBy(F.col("a.pred").alias("body_pred"), "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_support"))
+    )
+    # PCA denominator: body pairs whose subject has ANY head_pred edge
+    head_subj = t.select(F.col("pred").alias("head_pred"), "subj").distinct()
+    pca = (
+        t.join(head_subj, "subj")
+        .filter(F.col("pred") != F.col("head_pred"))
+        .groupBy(F.col("pred").alias("body_pred"), "head_pred")
+        .agg(F.count(F.lit(1)).alias("n_pca_body"))
+    )
+    nb = n.select(F.col("pred").alias("body_pred"), F.col("n_pairs").alias("n_body"))
+    nh = n.select(F.col("pred").alias("head_pred"), F.col("n_pairs").alias("n_head"))
+    return (
+        sup.join(pca, ["body_pred", "head_pred"])  # predicate^2-sized
+        .join(F.broadcast(nb), "body_pred")
+        .join(F.broadcast(nh), "head_pred")
+        .select(
+            "body_pred",
+            "head_pred",
+            "n_body",
+            "n_head",
+            "n_pca_body",
+            "n_support",
+            F.round(F.col("n_support") / F.col("n_head").cast("double"), 6).alias(
+                "head_coverage"
+            ),
+            F.round(F.col("n_support") / F.col("n_body").cast("double"), 6).alias(
+                "std_conf"
+            ),
+            F.round(F.col("n_support") / F.col("n_pca_body").cast("double"), 6).alias(
+                "pca_conf"
+            ),
+            (
+                (F.col("n_support") * 100 >= F.lit(AMIE_CANDIDATE_PCT) * F.col("n_pca_body"))
+                & (F.col("n_support") >= F.lit(AMIE_MIN_SUPPORT))
+            ).alias("rule_candidate"),
+        )
+    )

@@ -3302,3 +3302,78 @@ def blocklist_filter(docs: DataFrame, terms: tuple = BLOCKLIST_TERMS) -> DataFra
         F.when(F.size(matched) > 0, matched[0]).alias("first_term"),
         (F.size(hits) == 0).alias("keep"),
     )
+
+
+# Kneser-Ney absolute discount in ppm (D = 0.75) — integer-exact in
+# both engines; the standard Chen & Goodman (1998) default
+KN_DISCOUNT_PPM = 750_000
+
+
+def kn_continuation(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney bigram statistics (Kneser & Ney 1995;
+    Chen & Goodman 1998) over the corpus's own bigrams — one row per
+    DISTINCT observed bigram: (w1, w2, c_bigram, c_w1, n1p_right,
+    p_cont_ppm, p_kn_ppm).
+
+    The KN insight: the backoff probability of w2 is not its raw
+    frequency but its CONTINUATION probability — how many distinct
+    left contexts it follows ("Francisco" is frequent but nearly
+    always follows "San", so it backs off near zero):
+      p_cont(w2)  = N1+(. w2) / |distinct bigram types|
+      lambda(w1)  = D * N1+(w1 .) / c(w1)
+      p_kn(w2|w1) = max(c(w1 w2) - D, 0) / c(w1) + lambda(w1) * p_cont(w2)
+    Everything after the counts is integer ppm arithmetic with a fixed
+    operation order (greatest -> DIV -> multiply -> DIV), so both
+    engines compute bit-identical probabilities — no float summation
+    anywhere (the datasheet micro-unit pattern).
+
+    Scale shape one notch up from bigram_nll: the bigram stream
+    aggregates once (map-side combine) into the distinct-bigram table;
+    the three marginals (left totals + right-type counts, left-type
+    counts, the single-row type total) are aggregates OF that table,
+    joined back on w1 resp. w2 — Zipf-keyed joins whose hot stopword
+    keys are probe-side skew AQE splits.  Output is
+    distinct-bigram-sized (linear in the corpus, vocab^2-capped)."""
+    toks = docs.select("doc_id", _token_array().alias("toks"))
+    bg = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks)-1),"
+                    " i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bf = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c_bigram"))
+    # left marginal: total starts c(w1 .) and distinct right types N1+(w1 .)
+    left = bf.groupBy("w1").agg(
+        F.sum("c_bigram").cast("bigint").alias("c_w1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_right"),
+    )
+    # continuation counts: distinct left types N1+(. w2)
+    cont = bf.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p_left"))
+    types = bf.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    d = F.lit(KN_DISCOUNT_PPM)
+    return (
+        bf.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))  # single-row totals frame
+        .select(
+            "w1",
+            "w2",
+            "c_bigram",
+            "c_w1",
+            "n1p_right",
+            F.expr("(1000000 * n1p_left) DIV n_types").alias("p_cont_ppm"),
+            (
+                F.expr(f"greatest(c_bigram * 1000000 - {KN_DISCOUNT_PPM}, 0) DIV c_w1")
+                + F.expr(
+                    f"(({KN_DISCOUNT_PPM} * n1p_right) DIV c_w1)"
+                    f" * ((1000000 * n1p_left) DIV n_types) DIV 1000000"
+                )
+            ).cast("bigint").alias("p_kn_ppm"),
+        )
+    )

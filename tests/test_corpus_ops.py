@@ -2079,3 +2079,62 @@ def test_shard_manifest_two_phase_equals_naive_window(spark):
         ids = [x.shard_id for x in rs]
         assert ids == sorted(ids)
         assert set(range(max(ids) + 1)) == set(ids)
+
+
+# ---- batch 52: Kneser-Ney continuation statistics ----
+
+
+def test_kn_continuation_exact_vs_pure_python(spark):
+    """Bit-exact equality with a pure-Python KN on a corpus where
+    continuation and raw frequency genuinely diverge ('francisco'
+    is frequent but always follows 'san')."""
+    from corhist_spark.textops import kn_continuation, KN_DISCOUNT_PPM
+
+    docs = [
+        (1, "san francisco is in california"),
+        (2, "san francisco san francisco bay"),
+        (3, "the bay near san francisco"),
+        (4, "the city is big"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.w1, r.w2): r for r in kn_continuation(df).collect()}
+
+    # pure-Python reference with the same integer ppm order
+    from collections import Counter, defaultdict
+
+    bg = Counter()
+    for _, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+    c_w1, n1p_right, n1p_left = Counter(), Counter(), Counter()
+    for (a, b), c in bg.items():
+        c_w1[a] += c
+        n1p_right[a] += 1
+        n1p_left[b] += 1
+    T = len(bg)
+    assert len(got) == T
+    for (a, b), c in bg.items():
+        r = got[(a, b)]
+        assert (r.c_bigram, r.c_w1, r.n1p_right) == (c, c_w1[a], n1p_right[a])
+        p_cont = (1_000_000 * n1p_left[b]) // T
+        assert r.p_cont_ppm == p_cont
+        want = max(c * 1_000_000 - KN_DISCOUNT_PPM, 0) // c_w1[a] + (
+            ((KN_DISCOUNT_PPM * n1p_right[a]) // c_w1[a]) * p_cont
+        ) // 1_000_000
+        assert r.p_kn_ppm == want
+    # the KN signature: 'francisco' has high raw count but only ONE
+    # left type, so its continuation prob equals that of singletons
+    assert got[("san", "francisco")].c_bigram >= 3
+    assert got[("san", "francisco")].p_cont_ppm == 1_000_000 // T
+
+
+def test_kn_plan_stays_jvm_side(spark):
+    from corhist_spark.textops import kn_continuation
+
+    df = spark.createDataFrame(
+        [(i, "a b c a b d") for i in range(20)], "doc_id long, text string"
+    )
+    plan = kn_continuation(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -1265,3 +1265,51 @@ def test_axiom_plans_stay_jvm_side(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
         assert "CartesianProduct" not in plan
+
+
+# ---- batch 52: AMIE same-direction implications (PCA confidence) ----
+
+
+def test_amie_pca_semantics_exact(spark):
+    """Hand-built triple set where the PCA and closed-world
+    denominators genuinely differ: subjects with NO head-predicate
+    edge at all must not count against the rule."""
+    from corhist_spark.fusion import amie_implications
+
+    rows = [
+        # P0 pairs that P1 repeats (support)
+        ("a", "P0", "x"), ("a", "P1", "x"),
+        ("b", "P0", "y"), ("b", "P1", "y"),
+        # P0 pair whose subject HAS some P1 edge (counts in PCA denom)
+        ("c", "P0", "z"), ("c", "P1", "w"),
+        # P0 pair whose subject has NO P1 edge (closed-world-only)
+        ("d", "P0", "q"),
+    ]
+    cur = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {
+        (r.body_pred, r.head_pred): r
+        for r in amie_implications(cur).collect()
+    }
+    r = out[("P0", "P1")]
+    assert r.n_body == 4 and r.n_head == 3
+    assert r.n_support == 2
+    # PCA denominator excludes d's pair: a, b, c only
+    assert r.n_pca_body == 3
+    assert r.std_conf == 0.5
+    assert abs(r.pca_conf - round(2 / 3, 6)) < 1e-9
+    assert r.head_coverage == round(2 / 3, 6)
+    # the reverse rule exists too, with its own denominators
+    rr = out[("P1", "P0")]
+    assert rr.n_support == 2 and rr.n_body == 3
+
+
+def test_amie_plan_stays_jvm_side(spark):
+    from corhist_spark.fusion import amie_implications
+
+    cur = spark.createDataFrame(
+        [(f"s{i % 7}", f"P{i % 3}", f"v{i % 5}") for i in range(60)],
+        "subj string, pred string, obj string",
+    )
+    plan = amie_implications(cur)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
