@@ -4800,6 +4800,78 @@ def q_kn_continuation(spark, sf_dir):
     return kn_continuation(_t(spark, sf_dir, "documents"))
 
 
+def q_embedding_quantization(spark, sf_dir):
+    """Per-dimension int8 scalar-quantization audit
+    (`similarity.embedding_quantization`): fixed-point min/max/scale
+    and exact integer reconstruction-error aggregates — the
+    4x-compression precision check a 100-TB vector store runs before
+    shipping int8 embeddings."""
+    from corhist_spark.similarity import embedding_quantization
+
+    return embedding_quantization(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
+# unique-key discovery candidates: (table, columns) pairs profiled for
+# exact tuple-distinctness (HyUCC/DUCC family) — the key half of the
+# profiling trio next to fd_mining (FDs) and inclusion_deps (INDs)
+KEY_CANDIDATES = [
+    ("orders", ("o_orderkey",)),
+    ("orders", ("o_custkey",)),
+    ("orders", ("o_custkey", "o_orderdate")),
+    ("lineitem", ("l_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("lineitem", ("l_partkey", "l_suppkey")),
+    ("customer", ("c_custkey",)),
+    ("customer", ("c_nationkey",)),
+    ("events", ("event_id",)),
+    ("events", ("user_id",)),
+    ("events", ("user_id", "ts")),
+]
+
+
+def q_key_discovery(spark, sf_dir):
+    """Unique-key discovery (HyUCC/DUCC family, Papenbrock &
+    Naumann 2017) over a fixed candidate lattice slice: for each
+    (table, column-set) candidate the exact row count, distinct tuple
+    count, distinct_ppm and the is_key verdict.  Completes the
+    profiling trio (fd_mining finds FDs, inclusion_deps finds INDs,
+    this finds the keys FK discovery needs on the referenced side).
+
+    Scale shape: one map-side-combinable distinct-count aggregate per
+    candidate (a fixed, constant-sized list) — each is a scan +
+    hash-agg on the candidate columns, no joins, output is
+    candidate-list-sized."""
+    parts = []
+    for t, cols in KEY_CANDIDATES:
+        df = _t(spark, sf_dir, t)
+        parts.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in cols])
+                .cast("bigint")
+                .alias("n_distinct"),
+            ).select(
+                F.lit(t).alias("table_name"),
+                F.lit(",".join(cols)).alias("key_cols"),
+                "n_rows",
+                "n_distinct",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "table_name",
+        "key_cols",
+        "n_rows",
+        "n_distinct",
+        F.expr("(1000000 * n_distinct) DIV n_rows").alias("distinct_ppm"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5128,6 +5200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 52: AMIE PCA-confidence rules, Kneser-Ney continuation
         "amie_implications": q_amie_implications,
         "kn_continuation": q_kn_continuation,
+        # batch 53: int8 quantization audit, unique-key discovery
+        "embedding_quantization": q_embedding_quantization,
+        "key_discovery": q_key_discovery,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6133,6 +6208,7 @@ from corhist_spark.fusion import TRANS_WEDGE_CAP as _TRANS_WEDGE_CAP
 from corhist_spark.fusion import AMIE_MIN_SUPPORT as _AMIE_MIN_SUPPORT
 from corhist_spark.fusion import AMIE_CANDIDATE_PCT as _AMIE_CANDIDATE_PCT
 from corhist_spark.textops import KN_DISCOUNT_PPM as _KN_DISCOUNT_PPM
+from corhist_spark.similarity import QUANT_LEVELS as _QUANT_LEVELS
 from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
 from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
 from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
@@ -12075,5 +12151,52 @@ def oracle_sql() -> dict[str, str]:
         JOIN lft ON lft.w1 = bf.w1
         JOIN cont ON cont.w2 = bf.w2
         CROSS JOIN ty
+    """
+    # int8 quantization audit: fixed-point floor(x*1e6) first (the
+    # micro-unit pattern), then pure integer quantize/reconstruct;
+    # level count interpolated from similarity.QUANT_LEVELS
+    out["embedding_quantization"] = f"""
+        WITH d AS (
+          SELECT unnest(generate_series(1, len(embedding))) AS dim,
+                 unnest(list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                  AS BIGINT))) AS vm
+          FROM embeddings),
+        s AS (
+          SELECT dim, MIN(vm) AS mn, MAX(vm) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY 1),
+        sc AS (
+          SELECT dim, mn, mx, n,
+                 greatest((mx - mn) // {_QUANT_LEVELS}, 1) AS scale
+          FROM s),
+        q AS (
+          SELECT d.dim, mn, mx, n, scale,
+                 vm - (mn + least({_QUANT_LEVELS}, (vm - mn) // scale)
+                       * scale) AS err
+          FROM d JOIN sc USING (dim))
+        SELECT dim, n, mn AS mn_micro, mx AS mx_micro,
+               scale AS scale_micro,
+               CAST(MAX(err) AS BIGINT) AS max_err_micro,
+               CAST(SUM(err * err) AS BIGINT) AS sum_sq_err,
+               CAST(SUM(err) AS BIGINT) // n AS mean_err_micro
+        FROM q GROUP BY 1, 2, 3, 4, 5
+    """
+    # unique-key discovery: one exact distinct-count per candidate,
+    # built from the SAME KEY_CANDIDATES constant (no drift possible)
+    key_parts = []
+    for t, cols in KEY_CANDIDATES:
+        tup = ", ".join(cols)
+        key_parts.append(f"""
+          SELECT '{t}' AS table_name, '{",".join(cols)}' AS key_cols,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT ({tup})) AS BIGINT) AS n_distinct
+          FROM {t}""")
+    out["key_discovery"] = f"""
+        WITH c AS ({" UNION ALL ".join(key_parts)})
+        SELECT table_name, key_cols, n_rows, n_distinct,
+               (1000000 * n_distinct) // n_rows AS distinct_ppm,
+               n_distinct = n_rows AS is_key
+        FROM c
     """
     return out

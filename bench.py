@@ -337,6 +337,9 @@ HEADLINE = [
     # batch 52: AMIE PCA-confidence rules, Kneser-Ney continuation
     "amie_implications",
     "kn_continuation",
+    # batch 53: int8 quantization audit, unique-key discovery
+    "embedding_quantization",
+    "key_discovery",
 ]
 
 

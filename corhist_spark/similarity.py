@@ -1071,3 +1071,73 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
         F.round(cross, 6).alias("cross_mean"),
         (2 * cross < within_a + within_b).alias("separated"),
     )
+
+
+# int8 scalar quantization: 255 levels (the symmetric int8 range a
+# vector store actually ships); micro-unit fixed-point input
+QUANT_LEVELS = 255
+
+
+def embedding_quantization(vecs: DataFrame) -> DataFrame:
+    """Per-dimension int8 scalar-quantization audit over
+    ``vecs(vec_id, embedding)`` — one row per dimension:
+    (dim, n, mn_micro, mx_micro, scale_micro, max_err_micro,
+    sum_sq_err, mean_err_micro).
+
+    The decision a 100-TB embedding store actually makes: whether
+    4x-smaller int8 vectors lose acceptable precision.  Each float is
+    fixed-pointed FIRST (floor(x * 1e6) — the repo's micro-unit
+    pattern, so both engines run integer arithmetic from there), then
+    quantized per-dimension with q = min(LEVELS, (v - mn) DIV scale),
+    scale = max((mx - mn) DIV LEVELS, 1), and the reconstruction
+    error v - (mn + q * scale) is aggregated exactly.
+
+    Scale shape: ONE explode of the vector column (n_vecs x dim rows,
+    linear), a dim-keyed aggregate (map-side combine, dim groups), a
+    broadcast join of the dim-sized stats table back onto the stream,
+    and a final dim-keyed aggregate.  No vector ever meets another
+    vector — this is the cheap linear audit next to the ANN family.
+    At >= 2^63 / (scale^2) values per dimension the exact sum_sq
+    needs per-shard partials into decimal — document, don't hide:
+    bigint holds to ~1e11 vectors per dimension at unit-norm inputs."""
+    d = vecs.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        # CAST to double FIRST: Spark coerces FLOAT * INT to a float32
+        # multiply, whose ~0.03-micro rounding at 1e6 scale crosses
+        # integer boundaries DuckDB's double multiply does not
+        F.expr("CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)").alias("vm"),
+    )
+    s = d.groupBy("dim").agg(
+        F.min("vm").alias("mn"),
+        F.max("vm").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    sc = s.select(
+        "dim",
+        "mn",
+        "mx",
+        "n",
+        F.expr(f"greatest((mx - mn) DIV {QUANT_LEVELS}, 1)").alias("scale"),
+    )
+    q = d.join(F.broadcast(sc), "dim").withColumn(
+        "err",
+        F.expr(
+            f"vm - (mn + least({QUANT_LEVELS}, (vm - mn) DIV scale) * scale)"
+        ),
+    )
+    return q.groupBy("dim", "n", "mn", "mx", "scale").agg(
+        F.max("err").cast("bigint").alias("max_err_micro"),
+        F.sum(F.col("err") * F.col("err")).cast("bigint").alias("sum_sq_err"),
+        F.expr("CAST(sum(err) AS BIGINT) DIV first(n)").alias("mean_err_micro"),
+    ).select(
+        "dim",
+        "n",
+        F.col("mn").alias("mn_micro"),
+        F.col("mx").alias("mx_micro"),
+        F.col("scale").alias("scale_micro"),
+        "max_err_micro",
+        "sum_sq_err",
+        "mean_err_micro",
+    )

@@ -2138,3 +2138,29 @@ def test_kn_plan_stays_jvm_side(spark):
     plan = kn_continuation(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- batch 53: unique-key discovery ----
+
+
+def test_key_discovery_verdicts(spark):
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r.table_name, r.key_cols): r for r in entry_mod.q_key_discovery(spark, sf).collect()}
+    assert len(rows) == len(entry_mod.KEY_CANDIDATES)
+    # known primary keys must verify (the synthetic lineitem does NOT
+    # make (l_orderkey, l_linenumber) unique — a finding, not a bug)
+    assert rows[("orders", "o_orderkey")].is_key
+    assert rows[("customer", "c_custkey")].is_key
+    assert rows[("events", "event_id")].is_key
+    # known non-keys must not, and their ppm must be consistent
+    nk = rows[("customer", "c_nationkey")]
+    assert not nk.is_key
+    assert nk.distinct_ppm == (1_000_000 * nk.n_distinct) // nk.n_rows
+    # lattice monotonicity: a superset candidate is at least as
+    # distinct as its single-column prefix
+    lo = rows[("lineitem", "l_orderkey")]
+    comp = rows[("lineitem", "l_orderkey,l_linenumber")]
+    assert not lo.is_key and lo.n_distinct < lo.n_rows
+    assert comp.n_distinct >= lo.n_distinct

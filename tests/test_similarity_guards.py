@@ -452,3 +452,58 @@ def test_embedding_audit_plans_stay_jvm_side(spark):
         assert "CartesianProduct" not in plan
         # label_separation's pair join is a broadcast over the
         # label-vocabulary-sized frame (the repo's totals pattern)
+
+
+# ---- batch 53: int8 scalar-quantization audit ----
+
+
+def test_embedding_quantization_exact_vs_pure_python(spark):
+    """Bit-exact equality with a pure-Python quantizer, including the
+    degenerate constant dimension (scale floors to 1) and the cap
+    branch (q clamped to QUANT_LEVELS)."""
+    import math
+    from corhist_spark.similarity import embedding_quantization, QUANT_LEVELS
+
+    vecs = [
+        (1, [0.5, -1.0, 0.0001]),
+        (2, [0.5, 1.0, 0.00011]),
+        (3, [-0.25, 0.33333, 0.0001]),
+        (4, [0.125, -0.77777, 0.00012]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r.dim: r for r in embedding_quantization(df).collect()}
+
+    import struct
+    def f32(x):  # replicate the float32 storage round-trip
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    by_dim = {}
+    for _, emb in vecs:
+        for i, x in enumerate(emb, start=1):
+            by_dim.setdefault(i, []).append(math.floor(f32(x) * 1_000_000))
+    assert set(got) == set(by_dim)
+    for dim, vals in by_dim.items():
+        mn, mx, n = min(vals), max(vals), len(vals)
+        scale = max((mx - mn) // QUANT_LEVELS, 1)
+        errs = [
+            v - (mn + min(QUANT_LEVELS, (v - mn) // scale) * scale)
+            for v in vals
+        ]
+        r = got[dim]
+        assert (r.n, r.mn_micro, r.mx_micro, r.scale_micro) == (n, mn, mx, scale)
+        assert r.max_err_micro == max(errs)
+        assert r.sum_sq_err == sum(e * e for e in errs)
+        assert r.mean_err_micro == sum(errs) // n
+        assert all(e >= 0 for e in errs)
+
+
+def test_embedding_quantization_plan_stays_jvm_side(spark):
+    from corhist_spark.similarity import embedding_quantization
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7) / 7, float(i % 3) / 3]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    plan = embedding_quantization(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
