@@ -4872,6 +4872,114 @@ def q_key_discovery(spark, sf_dir):
     )
 
 
+def q_community_modularity(spark, sf_dir):
+    """Newman modularity decomposition (`graph.community_modularity`)
+    of TWO assignments over the derived entity graph, side by side:
+    the label-propagation communities and an 8-way hash-partition
+    baseline.  The derived graph is Erdos-Renyi-like, so LPA honestly
+    collapses to one giant community (Q = 0) — the baseline rows keep
+    the comparison non-degenerate and pin the judge's null: a random
+    partition of a random graph scores ~0 but NEGATIVE per-community
+    terms, which the exact integer pieces expose."""
+    from corhist_spark.graph import community_modularity, label_propagation
+
+    edges = _kg_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hash8 = nodes.select(
+        "node",
+        F.concat(
+            F.lit("C"), (F.expr("CAST(substr(node, 2) AS BIGINT)") % 8).cast("string")
+        ).alias("label"),
+    )
+    lpa = community_modularity(edges, label_propagation(edges)).select(
+        F.lit("lpa").alias("assignment"), "*"
+    )
+    base = community_modularity(edges, hash8).select(
+        F.lit("hash8").alias("assignment"), "*"
+    )
+    return lpa.unionByName(base)
+
+
+# split-conformal miscoverage target: alpha = 10% (coverage >= 90%)
+CONFORMAL_ALPHA_PCT = 10
+
+
+def q_conformal_thresholds(spark, sf_dir):
+    """Split-conformal prediction thresholds (Vovk et al.; the
+    distribution-free selective-labeling gate a curation pipeline
+    puts in front of noisy quality scores): per topic class, the
+    calibration half (md5 doc split) yields the exact
+    ceil((n_cal+1)*(1-alpha))-th smallest nonconformity — here
+    s = -q_micro, so the threshold is a quality floor — and the
+    held-out half reports achieved coverage.
+
+    All integer arithmetic: quality is micro-fixed-point, k is
+    integer-ceil'd ((n_cal+1)*(100-alpha) + 99) DIV 100 capped at
+    n_cal, the order statistic is a rank-k window row (the VALUE at
+    rank k is tie-order-independent), coverage in ppm.
+
+    Scale shape: one hash split (map-only), one per-class window over
+    the CALIBRATION slice only (classes x calibration rows), one
+    class-keyed join of the class-sized threshold table onto the eval
+    slice, map-side-combined aggregates throughout."""
+    from corhist_spark.textops import topic_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        F.round(_quality_expr() * 1000000).cast("bigint").alias("q_micro"),
+    )
+    j = (
+        topic_assignment(d)
+        .select("doc_id", "topic")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "topic",
+            (-F.col("q_micro")).alias("s"),
+            (
+                F.expr(
+                    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)"
+                    " AS BIGINT) % 2"
+                )
+                == 0
+            ).alias("is_cal"),
+        )
+    )
+    cal = j.filter(F.col("is_cal"))
+    ev = j.filter(~F.col("is_cal"))
+    nc = cal.groupBy("topic").agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    kf = nc.select(
+        "topic",
+        "n_cal",
+        F.expr(
+            f"least(n_cal, ((n_cal + 1) * {100 - CONFORMAL_ALPHA_PCT} + 99) DIV 100)"
+        ).alias("k"),
+    )
+    w = Window.partitionBy("topic").orderBy(F.asc("s"), F.asc("doc_id"))
+    thr = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(kf), "topic")
+        .filter(F.col("rn") == F.col("k"))
+        .select("topic", "n_cal", "k", F.col("s").alias("threshold_nc"))
+    )
+    return (
+        ev.join(F.broadcast(thr), "topic")
+        .groupBy("topic", "n_cal", "k", "threshold_nc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.expr(
+                "(1000000 * sum(CASE WHEN s <= threshold_nc THEN 1 ELSE 0 END))"
+                " DIV count(1)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5203,6 +5311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 53: int8 quantization audit, unique-key discovery
         "embedding_quantization": q_embedding_quantization,
         "key_discovery": q_key_discovery,
+        # batch 54: community modularity, split-conformal thresholds
+        "community_modularity": q_community_modularity,
+        "conformal_thresholds": q_conformal_thresholds,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -12199,4 +12310,78 @@ def oracle_sql() -> dict[str, str]:
                n_distinct = n_rows AS is_key
         FROM c
     """
+    # modularity of the LPA communities: the LPA transcription rides
+    # as a nested-WITH subquery (the topic_assignment composition
+    # pattern); numerator stays integer until ONE rounded division
+    out["community_modularity"] = f"""{_KG_EDGE_CTES}, canon AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), lp0 AS ({_LPA_SQL}),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst AS node FROM edges),
+        lp AS (
+          SELECT 'lpa' AS assignment, node, label FROM lp0
+          UNION ALL
+          SELECT 'hash8' AS assignment, node,
+                 'C' || CAST(CAST(substr(node, 2) AS BIGINT) % 8 AS VARCHAR)
+                   AS label
+          FROM nodes),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
+        il AS (
+          SELECT la.assignment, la.label AS label,
+                 CAST(COUNT(*) AS BIGINT) AS intra_edges
+          FROM canon c
+          JOIN lp la ON la.node = c.a
+          JOIN lp lb ON lb.node = c.b AND lb.assignment = la.assignment
+          WHERE la.label = lb.label
+          GROUP BY 1, 2),
+        und AS (SELECT a AS node FROM canon
+                UNION ALL SELECT b AS node FROM canon),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM und GROUP BY 1),
+        dl AS (
+          SELECT lp.assignment, lp.label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(d) AS BIGINT) AS degree_sum
+          FROM deg JOIN lp ON lp.node = deg.node
+          GROUP BY 1, 2)
+        SELECT dl.assignment, dl.label, n_nodes, degree_sum,
+               CAST(COALESCE(il.intra_edges, 0) AS BIGINT) AS intra_edges,
+               round((4 * m.m * COALESCE(il.intra_edges, 0)
+                      - degree_sum * degree_sum)
+                     / (4.0 * m.m * m.m), 6) AS q_contrib
+        FROM dl LEFT JOIN il ON il.label = dl.label
+                            AND il.assignment = dl.assignment
+        CROSS JOIN m
+    """
+    # split-conformal thresholds: topic chain composed from the
+    # topic_assignment transcription, quality/k/coverage all integer;
+    # alpha interpolated from the entry constant
+    out["conformal_thresholds"] = (
+        "WITH ta AS (" + out["topic_assignment"] + "), "
+        "q AS (SELECT doc_id, CAST(round(1000000 * ROUND(LEAST(1.0, "
+        "n / 50.0) * (u / n), 6)) AS BIGINT) AS q_micro "
+        "FROM (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS DOUBLE) AS n, "
+        "CAST(len(list_distinct(list_filter(string_split(text, ' '), "
+        "x -> x <> ''))) AS DOUBLE) AS u FROM documents)), "
+        "j AS (SELECT ta.doc_id, ta.topic, -q.q_micro AS s, "
+        f"({hexval_sql('CAST(ta.doc_id AS VARCHAR)')}) % 2 = 0 AS is_cal "
+        "FROM ta JOIN q USING (doc_id)), "
+        "nc AS (SELECT topic, CAST(COUNT(*) AS BIGINT) AS n_cal "
+        "FROM j WHERE is_cal GROUP BY 1), "
+        "kf AS (SELECT topic, n_cal, least(n_cal, "
+        f"((n_cal + 1) * {100 - CONFORMAL_ALPHA_PCT} + 99) // 100) AS k "
+        "FROM nc), "
+        "r AS (SELECT topic, s, row_number() OVER (PARTITION BY topic "
+        "ORDER BY s, doc_id) AS rn FROM j WHERE is_cal), "
+        "thr AS (SELECT r.topic, kf.n_cal, kf.k, r.s AS threshold_nc "
+        "FROM r JOIN kf ON kf.topic = r.topic AND r.rn = kf.k) "
+        "SELECT j.topic, thr.n_cal, thr.k, thr.threshold_nc, "
+        "CAST(COUNT(*) AS BIGINT) AS n_eval, "
+        "(1000000 * SUM(CASE WHEN j.s <= thr.threshold_nc THEN 1 ELSE 0 END)) "
+        "// COUNT(*) AS coverage_ppm "
+        "FROM j JOIN thr ON thr.topic = j.topic "
+        "WHERE NOT j.is_cal "
+        "GROUP BY 1, 2, 3, 4"
+    )
     return out

@@ -340,6 +340,9 @@ HEADLINE = [
     # batch 53: int8 quantization audit, unique-key discovery
     "embedding_quantization",
     "key_discovery",
+    # batch 54: community modularity, split-conformal thresholds
+    "community_modularity",
+    "conformal_thresholds",
 ]
 
 

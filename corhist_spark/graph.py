@@ -1312,3 +1312,74 @@ def triad_census(edges: DataFrame) -> DataFrame:
         F.sum(cyc.cast("int")).cast("bigint").alias("n_cyclic"),
         F.sum(ffw.cast("int")).cast("bigint").alias("n_feedforward"),
     )
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity decomposition of a community assignment
+    ``labels(node, label)`` over the undirected graph of
+    ``edges(src, dst)`` — one row per community:
+    (label, n_nodes, degree_sum, intra_edges, q_contrib), where
+    q_contrib = L_c/m - (D_c/2m)^2 is the community's exact term in
+    Q = sum_c q_contrib (Newman & Girvan 2004).  Composed with
+    label_propagation this scores HOW GOOD the detected communities
+    are — the missing judge next to the detector.
+
+    Exactness: both numerator pieces stay integer (4*m*L_c - D_c^2
+    over 4*m^2) until ONE final double division rounded to 6 decimals,
+    so engines cannot drift; communities with zero intra edges keep a
+    row (left join) with a negative contribution.
+
+    Scale shape: the canonical edge set is joined to the label table
+    once per endpoint (node-keyed equi-joins), degrees are one
+    map-side-combined aggregate, and every result frame is
+    community-sized; the single-row m frame rides a broadcast."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    m = canon.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("label_a"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("label_b"))
+    intra = (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    und = canon.select(F.col("a").alias("node")).unionAll(
+        canon.select(F.col("b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dl = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    return (
+        dl.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m))  # single-row totals frame
+        .select(
+            "label",
+            "n_nodes",
+            "degree_sum",
+            F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint").alias(
+                "intra_edges"
+            ),
+            F.round(
+                (
+                    4 * F.col("m") * F.coalesce(F.col("intra_edges"), F.lit(0))
+                    - F.col("degree_sum") * F.col("degree_sum")
+                ).cast("double")
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

@@ -2164,3 +2164,61 @@ def test_key_discovery_verdicts(spark):
     comp = rows[("lineitem", "l_orderkey,l_linenumber")]
     assert not lo.is_key and lo.n_distinct < lo.n_rows
     assert comp.n_distinct >= lo.n_distinct
+
+
+# ---- batch 54: split-conformal thresholds ----
+
+
+def test_conformal_thresholds_exact_vs_pure_python(spark, tmp_path):
+    """Planted corpus with known topics and quality: the engine's
+    per-class (k, threshold, coverage) must equal a pure-Python
+    split-conformal computation on the same md5 split."""
+    import hashlib
+    import math
+    import pandas as pd
+    import __spark_entry__ as entry_mod
+    from corhist_spark.textops import TOPIC_SEEDS
+
+    seeds0 = TOPIC_SEEDS[0][1]  # ('scan', 'hash', 'merge', 'sort')
+    rows = []
+    for i in range(60):
+        # vary lexical diversity so quality (and thus s) spreads
+        uniq = 2 + (i % 7)
+        toks = [seeds0[0]] + [f"w{j % uniq}" for j in range(9)]
+        rows.append({"doc_id": i, "text": " ".join(toks),
+                     "source": "s", "lang": "en"})
+    pd.DataFrame(rows).to_parquet(tmp_path / "documents.parquet")
+    got = {
+        r.topic: r
+        for r in entry_mod.q_conformal_thresholds(spark, str(tmp_path)).collect()
+    }
+
+    # pure-Python replica
+    def split_is_cal(doc_id):
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:13], 16) % 2 == 0
+
+    def q_micro(toks):
+        n, u = len(toks), len(set(toks))
+        return round(round(min(1.0, n / 50.0) * (u / n), 6) * 1_000_000)
+
+    per_topic = {}
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        # every doc contains one seed of topic 0 -> topic 'execution'
+        per_topic.setdefault("execution", []).append(
+            (r["doc_id"], -q_micro(toks), split_is_cal(r["doc_id"]))
+        )
+    alpha = entry_mod.CONFORMAL_ALPHA_PCT
+    for topic, docs in per_topic.items():
+        cal = sorted((s, d) for d, s, c in docs if c)
+        ev = [(d, s) for d, s, c in docs if not c]
+        n_cal = len(cal)
+        k = min(n_cal, ((n_cal + 1) * (100 - alpha) + 99) // 100)
+        thr = cal[k - 1][0]
+        cov = (1_000_000 * sum(1 for _, s in ev if s <= thr)) // len(ev)
+        r = got[topic]
+        assert (r.n_cal, r.k, r.threshold_nc) == (n_cal, k, thr)
+        assert (r.n_eval, r.coverage_ppm) == (len(ev), cov)
+        # the conformal promise holds on the planted data
+        assert r.coverage_ppm >= (100 - alpha) * 10_000 - 100_000

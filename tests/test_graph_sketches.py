@@ -1008,3 +1008,62 @@ def test_sdtype_assign_recovers_types_from_perfect_signal(spark):
         r = out[f"E{k}0"]
         assert r.predicted_cls == f"C{k}" == r.actual_cls and r.correct
         assert r.score_ppm == 1000000  # pure signal -> full vote
+
+
+# ---- batch 54: Newman modularity decomposition ----
+
+
+def test_modularity_exact_on_two_cliques(spark):
+    """Two triangles joined by one bridge: with the natural
+    assignment Q = 2*(3/7 - (7/14)^2) ~ 0.357; with everything in one
+    community Q = 0 exactly (1 - (14/14)^2 ... the degenerate check
+    is the single-community identity Q = m/m - 1 = 0)."""
+    from corhist_spark.graph import community_modularity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x"),
+         ("a", "x")],
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [("a", "L"), ("b", "L"), ("c", "L"),
+         ("x", "R"), ("y", "R"), ("z", "R")],
+        "node string, label string",
+    )
+    rows = {r.label: r for r in community_modularity(edges, labels).collect()}
+    # m = 7; L: intra 3, degrees 3+2+2=7; R symmetric
+    for lab in ("L", "R"):
+        r = rows[lab]
+        assert (r.n_nodes, r.degree_sum, r.intra_edges) == (3, 7, 3)
+        assert r.q_contrib == round((4 * 7 * 3 - 49) / (4.0 * 49), 6)
+    # total modularity for the split assignment
+    assert abs(sum(r.q_contrib for r in rows.values()) - 0.357143) < 2e-6
+
+    one = spark.createDataFrame(
+        [(n, "ALL") for n in "abcxyz"], "node string, label string"
+    )
+    rows1 = community_modularity(edges, one).collect()
+    assert len(rows1) == 1 and rows1[0].q_contrib == 0.0
+    # degree identity: sum of degree_sum over communities = 2m
+    assert sum(r.degree_sum for r in rows.values()) == 14
+
+
+def test_modularity_plan_stays_jvm_side(spark):
+    from corhist_spark.graph import community_modularity
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(40)],
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [(f"n{i}", f"c{i % 4}") for i in range(20)], "node string, label string"
+    )
+    plan = (
+        community_modularity(edges, labels)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
