@@ -4980,6 +4980,34 @@ def q_conformal_thresholds(spark, sf_dir):
     )
 
 
+def q_robust_source_stats(spark, sf_dir):
+    """Exact per-source median/MAD/outlier profile
+    (`textops.robust_source_stats`) over the micro-unit quality
+    score — the robust per-ingest-source drift monitor; medians are
+    exact lower-medians via the count-bucket decomposition (never a
+    full per-source sort, exact at 10^12 docs)."""
+    from corhist_spark.textops import robust_source_stats
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(_quality_expr() * 1000000).cast("bigint").alias("q_micro"),
+    )
+    return robust_source_stats(scored)
+
+
+def q_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator (`graph.hill_tail_index`) of the
+    derived entity graph's degree distribution at three tail depths —
+    the Hill-plot stability check that decides whether hot-key skew
+    mitigation is mandatory for THIS graph; log ratios fixed-pointed
+    to micro-nats before summation."""
+    from corhist_spark.graph import hill_tail_index
+
+    return hill_tail_index(_kg_edges(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5314,6 +5342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 54: community modularity, split-conformal thresholds
         "community_modularity": q_community_modularity,
         "conformal_thresholds": q_conformal_thresholds,
+        # batch 55: robust source stats, Hill tail index
+        "robust_source_stats": q_robust_source_stats,
+        "hill_tail_index": q_hill_tail_index,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6320,6 +6351,8 @@ from corhist_spark.fusion import AMIE_MIN_SUPPORT as _AMIE_MIN_SUPPORT
 from corhist_spark.fusion import AMIE_CANDIDATE_PCT as _AMIE_CANDIDATE_PCT
 from corhist_spark.textops import KN_DISCOUNT_PPM as _KN_DISCOUNT_PPM
 from corhist_spark.similarity import QUANT_LEVELS as _QUANT_LEVELS
+from corhist_spark.textops import MAD_K as _MAD_K
+from corhist_spark.graph import HILL_KS as _HILL_KS
 from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
 from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
 from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
@@ -12384,4 +12417,96 @@ def oracle_sql() -> dict[str, str]:
         "WHERE NOT j.is_cal "
         "GROUP BY 1, 2, 3, 4"
     )
+    # robust source stats: exact lower-medians via the same
+    # count-bucket running total the engine uses; MAD_K from textops
+    out["robust_source_stats"] = f"""
+        WITH q AS (
+          SELECT doc_id, source, CAST(round(1000000 * ROUND(LEAST(1.0,
+                 n / 50.0) * (u / n), 6)) AS BIGINT) AS q_micro
+          FROM (SELECT doc_id, source,
+                       CAST(len(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS DOUBLE) AS n,
+                       CAST(len(list_distinct(list_filter(
+                                string_split(text, ' '),
+                                x -> x <> ''))) AS DOUBLE) AS u
+                FROM documents)),
+        h1 AS (SELECT source, q_micro AS v, CAST(COUNT(*) AS BIGINT) AS n_v
+               FROM q GROUP BY 1, 2),
+        t1 AS (SELECT source, CAST(SUM(n_v) AS BIGINT) AS n
+               FROM h1 GROUP BY 1),
+        c1 AS (SELECT source, v,
+                      SUM(n_v) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum
+               FROM h1),
+        med AS (SELECT c1.source, CAST(MIN(v) AS BIGINT) AS median_q_micro
+                FROM c1 JOIN t1 ON t1.source = c1.source
+                WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        dev AS (SELECT q.source, abs(q_micro - median_q_micro) AS v
+                FROM q JOIN med ON med.source = q.source),
+        h2 AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS n_v
+               FROM dev GROUP BY 1, 2),
+        t2 AS (SELECT source, CAST(SUM(n_v) AS BIGINT) AS n
+               FROM h2 GROUP BY 1),
+        c2 AS (SELECT source, v,
+                      SUM(n_v) OVER (PARTITION BY source ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum
+               FROM h2),
+        mad AS (SELECT c2.source, CAST(MIN(v) AS BIGINT) AS mad_micro
+                FROM c2 JOIN t2 ON t2.source = c2.source
+                WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               med.median_q_micro, mad.mad_micro,
+               CAST(SUM(CASE WHEN abs(q_micro - median_q_micro)
+                                  > {_MAD_K} * mad_micro
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               (1000000 * SUM(CASE WHEN abs(q_micro - median_q_micro)
+                                        > {_MAD_K} * mad_micro
+                                   THEN 1 ELSE 0 END)) // COUNT(*)
+                 AS outlier_ppm
+        FROM q
+        JOIN med ON med.source = q.source
+        JOIN mad ON mad.source = q.source
+        GROUP BY 1, 3, 4
+    """
+    # Hill tail index: top-k degree multiset via the same histogram
+    # cutoff; micro-nat log ratios summed as integers; depths from
+    # graph.HILL_KS
+    hill_parts = []
+    for k in _HILL_KS:
+        hill_parts.append(f"""
+          SELECT CAST({k} AS BIGINT) AS k, d_k,
+                 CAST(COUNT(*) AS BIGINT) AS n_tail,
+                 CASE WHEN SUM(ln_micro) > 0
+                      THEN ({k} * 1000000000000)
+                           // CAST(SUM(ln_micro) AS BIGINT) END AS alpha_ppm
+          FROM (SELECT CAST(round(ln(CAST(r.d AS DOUBLE) / dk.d_k) * 1000000)
+                            AS BIGINT) AS ln_micro, dk.d_k
+                FROM ranked r
+                CROSS JOIN (SELECT d AS d_k FROM ranked WHERE rk = {k}) dk
+                WHERE r.rk <= {k}) x
+          GROUP BY 2""")
+    out["hill_tail_index"] = f"""{_KG_EDGE_CTES}, canon AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), deg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+          FROM (SELECT a AS node FROM canon
+                UNION ALL SELECT b AS node FROM canon)
+          GROUP BY 1),
+        dh AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_d
+               FROM deg GROUP BY 1),
+        dc AS (SELECT d, SUM(n_d) OVER (ORDER BY d DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM dh),
+        co AS (SELECT COALESCE(MAX(CASE WHEN cum >= {max(_HILL_KS)}
+                                        THEN d END),
+                               MIN(d)) AS cutoff FROM dc),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY d DESC, node) AS rk, d
+          FROM deg, co WHERE d >= cutoff
+          QUALIFY rk <= {max(_HILL_KS)})
+        {" UNION ALL ".join(hill_parts)}
+    """
     return out

@@ -343,6 +343,9 @@ HEADLINE = [
     # batch 54: community modularity, split-conformal thresholds
     "community_modularity",
     "conformal_thresholds",
+    # batch 55: robust source stats, Hill tail index
+    "robust_source_stats",
+    "hill_tail_index",
 ]
 
 

@@ -33,7 +33,7 @@ on public algorithms:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_ITERS = 8
@@ -1383,3 +1383,97 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+# Hill-estimator order-statistic depths (top-k tail samples)
+HILL_KS = (16, 32, 64)
+
+
+def hill_tail_index(edges: DataFrame, ks: tuple = HILL_KS) -> DataFrame:
+    """Hill estimator of the degree-distribution tail index over the
+    undirected graph of ``edges(src, dst)`` — one row per tail depth
+    k: (k, d_k, n_tail, alpha_ppm).  alpha_hat = k / sum_{i<=k}
+    ln(d_(i) / d_(k)) on the k largest degrees (Hill 1975) — the
+    heavy-tail exponent that decides whether skew mitigation (salting,
+    hot-key splits) is mandatory or cosmetic for THIS graph; the
+    multi-k row set is the standard Hill-plot stability check.
+
+    Exactness: the top-k degree MULTISET is tie-order-independent, so
+    no node tiebreak is needed; each log ratio is fixed-pointed to
+    integer micro-nats BEFORE summation (the micro-unit pattern — no
+    float summation-order hazard), alpha_ppm = (k * 1e12) DIV
+    sum_ln_micro, NULL at depths where the tail is degenerate
+    (d_k = d_1, sum = 0) or the graph has fewer than k nodes.
+
+    Scale shape: degrees are one map-side-combined aggregate; the
+    top-k slice NEVER globally sorts nodes — the exact degree cutoff
+    comes from a descending running total over the DEGREE-VALUE
+    histogram (value-keyed agg + a window over distinct degree
+    values, the count-bucket pattern), and only the >= cutoff rows
+    (kmax plus ties at the boundary) enter the single ranking window.
+    Everything after is k-row arithmetic."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    kmax = max(ks)
+    # exact top-kmax cutoff from the degree-value histogram: cum(d) =
+    # #nodes with degree >= d; cutoff = max d with cum >= kmax (min
+    # degree when the graph has fewer than kmax nodes)
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n_d"))
+    wh = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("n_d").over(wh))
+    cutoff = cum.agg(
+        F.coalesce(
+            F.max(F.when(F.col("cum") >= kmax, F.col("d"))), F.min("d")
+        ).alias("cutoff")
+    )
+    w = Window.orderBy(F.desc("d"), F.asc("node"))
+    top = (
+        deg.join(F.broadcast(cutoff), F.col("d") >= F.col("cutoff"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= kmax)
+        .select("rk", "d")
+        .localCheckpoint()
+    )
+    parts = []
+    for k in ks:
+        dk = top.filter(F.col("rk") == k).select(F.col("d").alias("d_k"))
+        tail = top.filter(F.col("rk") <= k)
+        parts.append(
+            tail.crossJoin(F.broadcast(dk))  # single-row d_k frame
+            .select(
+                F.expr(
+                    "CAST(round(ln(CAST(d AS DOUBLE) / d_k) * 1000000)"
+                    " AS BIGINT)"
+                ).alias("ln_micro"),
+                "d_k",
+            )
+            .groupBy("d_k")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+                F.sum("ln_micro").cast("bigint").alias("s"),
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("k"),
+                "d_k",
+                "n_tail",
+                F.expr(f"CASE WHEN s > 0 THEN ({k} * 1000000000000) DIV s END")
+                .alias("alpha_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
@@ -3376,4 +3376,85 @@ def kn_continuation(docs: DataFrame) -> DataFrame:
                 )
             ).cast("bigint").alias("p_kn_ppm"),
         )
+    )
+
+
+# robust-stats outlier gate: |q - median| > MAD_K * MAD
+MAD_K = 3
+
+
+def robust_source_stats(scored: DataFrame) -> DataFrame:
+    """Exact per-source median / MAD / outlier profile over
+    ``scored(doc_id, source, q_micro)`` -> one row per source:
+    (source, n_docs, median_q_micro, mad_micro, n_outliers,
+    outlier_ppm).  The robust drift monitor a curation pipeline runs
+    per ingest source: medians don't move when a scraper starts
+    emitting garbage, means do — outliers are |q - med| > 3 * MAD.
+
+    Median/MAD are EXACT lower-medians (the ((n+1) DIV 2)-th smallest
+    value) computed by the COUNT-BUCKET decomposition, never a full
+    sort: q_micro lives in [0, 1e6], so the per-source VALUE histogram
+    has at most 1e6+1 rows regardless of corpus size; the running
+    total over histogram rows (a window over value-buckets, the
+    shard_manifest two-phase pattern) finds the rank — exact medians
+    over 10^12 docs without ever sorting documents.  Both deviation
+    medians reuse the same trick.
+
+    Scale shape: two value-keyed aggregates (map-side combine), two
+    bounded windows over histogram rows, one broadcast join of the
+    source-sized median table back onto the stream.  Integer-only."""
+
+    def _bucket_median(vals: DataFrame, col: str) -> DataFrame:
+        """(source, median) via the value-histogram running total."""
+        hist = vals.groupBy("source", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v")
+        )
+        tot = hist.groupBy("source").agg(F.sum("n_v").cast("bigint").alias("n"))
+        w = (
+            Window.partitionBy("source")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = hist.withColumn("cum", F.sum("n_v").over(w))
+        return (
+            cum.join(F.broadcast(tot), "source")
+            .filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+            .groupBy("source")
+            .agg(F.min(col).cast("bigint").alias("median"))
+        )
+
+    med = _bucket_median(scored, "q_micro").select(
+        "source", F.col("median").alias("median_q_micro")
+    )
+    dev = scored.join(F.broadcast(med), "source").select(
+        "source",
+        F.abs(F.col("q_micro") - F.col("median_q_micro")).alias("dev"),
+    )
+    mad = _bucket_median(dev, "dev").select(
+        "source", F.col("median").alias("mad_micro")
+    )
+    g = (
+        scored.join(F.broadcast(med), "source")
+        .join(F.broadcast(mad), "source")
+        .groupBy("source", "median_q_micro", "mad_micro")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("q_micro") - F.col("median_q_micro"))
+                    > MAD_K * F.col("mad_micro"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "median_q_micro",
+        "mad_micro",
+        "n_outliers",
+        F.expr("(1000000 * n_outliers) DIV n_docs").alias("outlier_ppm"),
     )

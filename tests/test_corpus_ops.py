@@ -2222,3 +2222,45 @@ def test_conformal_thresholds_exact_vs_pure_python(spark, tmp_path):
         assert (r.n_eval, r.coverage_ppm) == (len(ev), cov)
         # the conformal promise holds on the planted data
         assert r.coverage_ppm >= (100 - alpha) * 10_000 - 100_000
+
+
+# ---- batch 55: robust per-source median/MAD stats ----
+
+
+def test_robust_source_stats_exact_vs_pure_python(spark):
+    """Planted per-source quality sets: odd and even counts (lower
+    median), a zero-MAD degenerate source, and one planted outlier
+    that only the MAD gate should flag."""
+    from corhist_spark.textops import robust_source_stats, MAD_K
+
+    data = {
+        # odd n, clear outlier: med=100, MAD=10, |900-100|=800 > 30
+        "a": [90, 100, 110, 120, 900],
+        # even n: lower median of [10,20,30,40] = 20
+        "b": [40, 10, 30, 20],
+        # constant source: MAD = 0 -> every deviation > 0 is an outlier
+        "c": [55, 55, 55, 42],
+    }
+    rows = [
+        (f"{s}{i}", s, v)
+        for s, vals in data.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string, q_micro long")
+    got = {r.source: r for r in robust_source_stats(df).collect()}
+
+    def lower_median(vs):
+        vs = sorted(vs)
+        return vs[(len(vs) + 1) // 2 - 1]
+
+    for s, vals in data.items():
+        med = lower_median(vals)
+        mad = lower_median([abs(v - med) for v in vals])
+        outliers = sum(1 for v in vals if abs(v - med) > MAD_K * mad)
+        r = got[s]
+        assert (r.n_docs, r.median_q_micro, r.mad_micro) == (len(vals), med, mad)
+        assert r.n_outliers == outliers
+        assert r.outlier_ppm == (1_000_000 * outliers) // len(vals)
+    assert got["a"].n_outliers == 1
+    # the zero-MAD source flags its single deviating doc
+    assert got["c"].mad_micro == 0 and got["c"].n_outliers == 1

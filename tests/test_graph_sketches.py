@@ -1067,3 +1067,36 @@ def test_modularity_plan_stays_jvm_side(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---- batch 55: Hill tail-index estimator ----
+
+
+def test_hill_tail_index_exact_vs_pure_python(spark):
+    """Degree sequence planted via star hubs: the engine's micro-nat
+    integer Hill estimate must equal the pure-Python replica, and the
+    uniform-degree degenerate tail must yield NULL alpha."""
+    import math
+    from corhist_spark.graph import hill_tail_index
+
+    # hubs h0..h4 with degrees 40, 30, 20, 16, 12 to distinct leaves
+    degs = [40, 30, 20, 16, 12]
+    edges = []
+    leaf = 0
+    for h, d in enumerate(degs):
+        for _ in range(d):
+            edges.append((f"h{h}", f"leaf{leaf}"))
+            leaf += 1
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.k: r for r in hill_tail_index(df, ks=(4,)).collect()}
+    # top-4 degrees: 40, 30, 20, 16 -> d_k = 16
+    r = got[4]
+    assert r.d_k == 16 and r.n_tail == 4
+    s = sum(round(math.log(d / 16) * 1_000_000) for d in [40, 30, 20, 16])
+    assert r.alpha_ppm == (4 * 10**12) // s
+    # uniform degrees: all ratios ln(1)=0 -> degenerate, alpha NULL
+    uni = spark.createDataFrame(
+        [(f"u{i}", f"v{i}") for i in range(8)], "src string, dst string"
+    )
+    ru = hill_tail_index(uni, ks=(4,)).collect()
+    assert len(ru) == 1 and ru[0].alpha_ppm is None and ru[0].d_k == 1
