@@ -5008,6 +5008,43 @@ def q_hill_tail_index(spark, sf_dir):
     return hill_tail_index(_kg_edges(spark, sf_dir))
 
 
+def q_lsh_band_tuning(spark, sf_dir):
+    """LSH banding-parameter sweep (`textops.lsh_band_tuning`):
+    S-curve capture probability of each (r, b) setting against the
+    corpus's own measured candidate-pair Jaccard distribution — the
+    ops table behind the dedup stack's banding choice; all capture
+    probabilities are square-chain doubles on exact integer inputs,
+    fixed-pointed before the sum."""
+    from corhist_spark.textops import lsh_band_tuning, lsh_candidates
+
+    d = _spread(spark, _t(spark, sf_dir, "documents"))
+    return lsh_band_tuning(d, lsh_candidates(_signatures(spark, sf_dir)))
+
+
+# relevance label for the retrieval eval: the BM25 query profile
+# ('join', 'stream', 'vector') shares 'join' with the 'relational'
+# topic's seed list, so topic == relational is the principled label
+_NDCG_REL_TOPIC = "relational"
+
+
+def q_ndcg_eval(spark, sf_dir):
+    """Binary nDCG@k (`retrieval.ndcg_eval`) of the BM25 selection
+    ranking against seeded topic relevance — the retrieval quality
+    gate on the curation stack's scorer; ranking is a distributed
+    top-k (TakeOrderedAndProject), DCG/IDCG sum a shared
+    micro-integer gain table."""
+    from corhist_spark.retrieval import bm25_scores, ndcg_eval
+    from corhist_spark.textops import topic_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    scores = bm25_scores(d, list(_BM25_QUERY))
+    rel = topic_assignment(d).select(
+        "doc_id",
+        (F.col("topic") == _NDCG_REL_TOPIC).cast("int").alias("rel"),
+    )
+    return ndcg_eval(scores, rel)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5345,6 +5382,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 55: robust source stats, Hill tail index
         "robust_source_stats": q_robust_source_stats,
         "hill_tail_index": q_hill_tail_index,
+        # batch 56: LSH band-parameter sweep, nDCG retrieval eval
+        "lsh_band_tuning": q_lsh_band_tuning,
+        "ndcg_eval": q_ndcg_eval,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6353,6 +6393,10 @@ from corhist_spark.textops import KN_DISCOUNT_PPM as _KN_DISCOUNT_PPM
 from corhist_spark.similarity import QUANT_LEVELS as _QUANT_LEVELS
 from corhist_spark.textops import MAD_K as _MAD_K
 from corhist_spark.graph import HILL_KS as _HILL_KS
+from corhist_spark.textops import LSH_TUNE_SETTINGS as _LSH_TUNE_SETTINGS
+from corhist_spark.textops import band_capture_ppm_sql as _band_capture_ppm_sql
+from corhist_spark.retrieval import NDCG_KS as _NDCG_KS
+from corhist_spark.retrieval import NDCG_GAIN_MICRO as _NDCG_GAIN_MICRO
 from corhist_spark.textops import SIGNAL_COLS as _SIGNAL_COLS
 from corhist_spark.textops import FIM_MIN_TOKENS as _FIM_MIN_TOKENS
 from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
@@ -12509,4 +12553,92 @@ def oracle_sql() -> dict[str, str]:
           QUALIFY rk <= {max(_HILL_KS)})
         {" UNION ALL ".join(hill_parts)}
     """
+    # LSH band sweep: pair Jaccard as exact integer ppm (ngram_jaccard
+    # machinery, rounding deferred); capture probabilities via the
+    # SHARED band_capture_ppm_sql square-chain text; settings/s50 from
+    # the textops constants
+    tune_parts = []
+    for r, b in _LSH_TUNE_SETTINGS:
+        s50 = round(1_000_000 * (1.0 / b) ** (1.0 / r))
+        tune_parts.append(f"""
+          SELECT CAST({r} AS BIGINT) AS r, CAST({b} AS BIGINT) AS b,
+                 CAST({s50} AS BIGINT) AS s50_ppm,
+                 n_pairs, caught_micro,
+                 caught_micro // 1000000 AS expected_caught,
+                 CASE WHEN n_pairs > 0 THEN caught_micro // n_pairs END
+                   AS caught_ratio_ppm
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(COALESCE(SUM(
+                         {_band_capture_ppm_sql("s_ppm", r, b)}), 0)
+                            AS BIGINT) AS caught_micro
+                FROM sppm) x{r}""")
+    out["lsh_band_tuning"] = _SIG_CTES + f"""
+        , cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM sigf a JOIN sigf b
+            ON a.band = b.band AND a.minhash = b.minhash
+           AND a.doc_id < b.doc_id
+        ), dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+          FROM cand c
+          JOIN dsh x ON x.doc_id = c.doc_a
+          JOIN dsh y ON y.doc_id = c.doc_b AND y.s = x.s
+          GROUP BY c.doc_a, c.doc_b
+        ), sppm AS MATERIALIZED (
+          SELECT (1000000 * n_inter) // (sa.n_sh + sb.n_sh - n_inter)
+                   AS s_ppm
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.doc_a
+          JOIN sizes sb ON sb.doc_id = i.doc_b
+        )
+        {" UNION ALL ".join(tune_parts)}
+    """
+    # nDCG: BM25 + topic transcriptions composed; ranking is
+    # (bm25 DESC, doc_id) row_number QUALIFY'd to kmax; gains/IDCG
+    # from the SHARED NDCG_GAIN_MICRO table
+    ndcg_gain_case = "CASE rk " + " ".join(
+        f"WHEN {i + 1} THEN {g}" for i, g in enumerate(_NDCG_GAIN_MICRO)
+    ) + " END"
+    ndcg_prefix = []
+    _acc = 0
+    for g in _NDCG_GAIN_MICRO:
+        _acc += g
+        ndcg_prefix.append(_acc)
+    ndcg_parts = []
+    for k in _NDCG_KS:
+        idcg_case = (
+            f"CASE least({k}, n_rel_total) "
+            + " ".join(
+                f"WHEN {i + 1} THEN {p}" for i, p in enumerate(ndcg_prefix[:k])
+            )
+            + " ELSE 0 END"
+        )
+        ndcg_parts.append(f"""
+          SELECT CAST({k} AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_ranked,
+                 nr.n_rel_total,
+                 CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+                 CAST(COALESCE(SUM(rel * ({ndcg_gain_case})), 0) AS BIGINT)
+                   AS dcg_micro,
+                 CAST({idcg_case} AS BIGINT) AS idcg_micro,
+                 CASE WHEN ({idcg_case}) > 0 THEN
+                   (1000000 * CAST(COALESCE(SUM(rel * ({ndcg_gain_case})), 0)
+                              AS BIGINT)) // ({idcg_case}) END AS ndcg_ppm
+          FROM ranked, nr WHERE rk <= {k}
+          GROUP BY 3""")
+    out["ndcg_eval"] = (
+        "WITH bm AS (" + out["bm25_select"] + "), "
+        "ta AS (" + out["topic_assignment"] + "), "
+        "rel AS (SELECT doc_id, CASE WHEN topic = "
+        f"'{_NDCG_REL_TOPIC}' THEN 1 ELSE 0 END AS rel FROM ta), "
+        "ranked AS (SELECT bm.doc_id, "
+        "row_number() OVER (ORDER BY bm25 DESC, bm.doc_id) AS rk, "
+        "COALESCE(rel.rel, 0) AS rel "
+        "FROM bm LEFT JOIN rel ON rel.doc_id = bm.doc_id "
+        f"QUALIFY rk <= {max(_NDCG_KS)}), "
+        "nr AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel_total FROM rel) "
+        + " UNION ALL ".join(ndcg_parts)
+    )
     return out

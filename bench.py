@@ -346,6 +346,9 @@ HEADLINE = [
     # batch 55: robust source stats, Hill tail index
     "robust_source_stats",
     "hill_tail_index",
+    # batch 56: LSH band-parameter sweep, nDCG retrieval eval
+    "lsh_band_tuning",
+    "ndcg_eval",
 ]
 
 

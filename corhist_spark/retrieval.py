@@ -19,7 +19,9 @@ doc_id or the (tiny) term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BM25_K1 = 1.2
@@ -79,3 +81,93 @@ def bm25_scores(
         )
     )
     return scored.groupBy("doc_id").agg(F.round(F.sum("s"), 6).alias("bm25"))
+
+
+# nDCG cutoffs and the position-gain table 1e6/log2(i+1), i = 1..10 —
+# Python-side constants interpolated into BOTH engines (log2 is libm,
+# not correctly-rounded; a shared integer table cannot drift)
+NDCG_KS = (5, 10)
+NDCG_GAIN_MICRO = tuple(
+    round(1_000_000 / math.log2(i + 1)) for i in range(1, 11)
+)
+
+
+def ndcg_eval(scores: DataFrame, relevance: DataFrame, ks: tuple = NDCG_KS) -> DataFrame:
+    """Binary nDCG@k of a retrieval ranking (Jarvelin & Kekalainen
+    2002) — one row per cutoff k: (k, n_ranked, n_rel_total,
+    n_rel_at_k, dcg_micro, idcg_micro, ndcg_ppm).  The retrieval
+    quality gate for the selection stack: BM25 (or any scorer) picks
+    training documents; this measures how much of the truly relevant
+    mass the top of that ranking actually captures.
+
+    ``scores(doc_id, bm25)`` ranks by (score DESC, doc_id);
+    ``relevance(doc_id, rel)`` carries binary labels.  DCG/IDCG use
+    the shared micro-integer gain table (NDCG_GAIN_MICRO), so both
+    engines sum exact integers; IDCG places all n_rel_total relevant
+    docs optimally (prefix sums of the gain table, capped at k).
+
+    Scale shape: the ranking is orderBy + limit max(ks) — Spark plans
+    TakeOrderedAndProject, a distributed top-k with per-partition
+    partials, never a global sort; everything downstream is
+    <= max(ks) rows plus one map-side-combined relevance count."""
+    kmax = max(ks)
+    top = (
+        scores.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(kmax)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .join(relevance, "doc_id", "left")
+        .select("rk", F.coalesce(F.col("rel"), F.lit(0)).alias("rel"))
+        .localCheckpoint()
+    )
+    n_rel = relevance.agg(
+        F.sum(F.col("rel")).cast("bigint").alias("n_rel_total")
+    )
+    gain_case = "CASE rk " + " ".join(
+        f"WHEN {i + 1} THEN {g}" for i, g in enumerate(NDCG_GAIN_MICRO)
+    ) + " END"
+    prefix = []
+    acc = 0
+    for g in NDCG_GAIN_MICRO:
+        acc += g
+        prefix.append(acc)
+    parts = []
+    for k in ks:
+        idcg_case = (
+            "CASE least(" + str(k) + ", n_rel_total) "
+            + " ".join(
+                f"WHEN {i + 1} THEN {p}" for i, p in enumerate(prefix[:k])
+            )
+            + " ELSE 0 END"
+        )
+        parts.append(
+            top.filter(F.col("rk") <= k)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_ranked"),
+                F.sum("rel").cast("bigint").alias("n_rel_at_k"),
+                F.coalesce(F.sum(F.expr(f"rel * ({gain_case})")), F.lit(0))
+                .cast("bigint")
+                .alias("dcg_micro"),
+            )
+            .crossJoin(F.broadcast(n_rel))  # single-row totals frame
+            .select(
+                F.lit(k).cast("bigint").alias("k"),
+                "n_ranked",
+                "n_rel_total",
+                "n_rel_at_k",
+                "dcg_micro",
+                F.expr(idcg_case).cast("bigint").alias("idcg_micro"),
+                F.expr(
+                    f"CASE WHEN ({idcg_case}) > 0 "
+                    f"THEN (1000000 * dcg_micro) DIV ({idcg_case}) END"
+                ).alias("ndcg_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

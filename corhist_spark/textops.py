@@ -3458,3 +3458,131 @@ def robust_source_stats(scored: DataFrame) -> DataFrame:
         "n_outliers",
         F.expr("(1000000 * n_outliers) DIV n_docs").alias("outlier_ppm"),
     )
+
+
+# LSH band-parameter sweep: (rows-per-band, bands) with r*b = 16
+# minhashes, the repo's signature budget
+LSH_TUNE_SETTINGS = ((2, 8), (4, 4), (8, 2))
+
+
+def _pow2_chain(expr: str, e: int) -> str:
+    """SQL text for expr**e (e a power of two) as an explicit square
+    chain — the SAME literal expression runs in Spark and DuckDB, so
+    the double arithmetic is bit-identical (libm pow() is not
+    correctly-rounded and may differ across engines; IEEE multiply
+    is)."""
+    while e > 1:
+        expr = f"({expr} * {expr})"
+        e //= 2
+    return expr
+
+
+def band_capture_ppm_sql(s_ppm_col: str, r: int, b: int) -> str:
+    """SQL text for the S-curve capture probability
+    1 - (1 - s^r)^b in integer ppm, from an integer-ppm similarity
+    column: division by the 1e6 literal and the square chains are all
+    deterministic IEEE double ops on exact integer inputs.  Shared by
+    the engine and the DuckDB oracle (built from ONE function — no
+    drift)."""
+    # explicit DOUBLE casts everywhere: Spark parses a bare 1.0 / 1e6
+    # literal as DECIMAL inside F.expr and would run the whole chain
+    # in decimal arithmetic (the _BM25_SQL convention)
+    one = "CAST(1 AS DOUBLE)"
+    s = f"(CAST({s_ppm_col} AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    miss = _pow2_chain(f"({one} - {_pow2_chain(s, r)})", b)
+    return f"CAST(round(({one} - {miss}) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+
+
+def lsh_band_tuning(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = SHINGLE,
+    settings: tuple = LSH_TUNE_SETTINGS,
+) -> DataFrame:
+    """LSH banding-parameter sweep over the corpus's OWN candidate
+    pairs — one row per (r, b) setting with r*b = the signature
+    budget: (r, b, s50_ppm, n_pairs, caught_micro, expected_caught,
+    caught_ratio_ppm).  The ops table behind choosing the dedup
+    stack's banding: steeper settings (high r) push the S-curve
+    threshold s50 = (1/b)^(1/r) right and drop borderline pairs,
+    flat settings catch noise — this measures both against the
+    MEASURED pair-similarity distribution instead of folklore.
+
+    Exactness: pair similarity is the exact integer-ppm n-gram
+    Jaccard ((1e6 * inter) DIV union — ngram_jaccard's machinery with
+    the float rounding deferred); each pair's capture probability
+    1-(1-s^r)^b is evaluated by an explicit square chain on exact
+    integer inputs (band_capture_ppm_sql) and fixed-pointed BEFORE
+    the sum, so both engines agree bit-for-bit.  s50 is a Python-side
+    constant interpolated into the output.
+
+    Scale shape: identical to the verification stage it audits — only
+    candidate-pair docs are shingled, one pair-keyed intersection
+    join, then a settings-count union of map-side-combinable
+    aggregates over the pair-scored frame (checkpointed once)."""
+    pairs = pairs.localCheckpoint()
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(cand_docs, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - (n - 1), F.lit(1)))
+            ).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substr(text, i, {n})").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            F.expr("(1000000 * n_inter) DIV (na + nb - n_inter)").alias("s_ppm")
+        )
+        .localCheckpoint()
+    )
+    parts = []
+    for r, b in settings:
+        s50 = round(1_000_000 * (1.0 / b) ** (1.0 / r))
+        parts.append(
+            scored.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.coalesce(
+                    F.sum(F.expr(band_capture_ppm_sql("s_ppm", r, b))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("caught_micro"),
+            ).select(
+                F.lit(r).cast("bigint").alias("r"),
+                F.lit(b).cast("bigint").alias("b"),
+                F.lit(s50).cast("bigint").alias("s50_ppm"),
+                "n_pairs",
+                "caught_micro",
+                F.expr("caught_micro DIV 1000000").alias("expected_caught"),
+                F.expr(
+                    "CASE WHEN n_pairs > 0 THEN caught_micro DIV n_pairs END"
+                ).alias("caught_ratio_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2264,3 +2264,109 @@ def test_robust_source_stats_exact_vs_pure_python(spark):
     assert got["a"].n_outliers == 1
     # the zero-MAD source flags its single deviating doc
     assert got["c"].mad_micro == 0 and got["c"].n_outliers == 1
+
+
+# ---- batch 56: LSH band-parameter sweep ----
+
+
+def test_lsh_band_tuning_s_curve_semantics(spark):
+    """Planted similarity spectrum: near-duplicates must be caught by
+    every setting; low-similarity pairs must be caught more by flat
+    (r=2) than steep (r=8) banding — the S-curve ordering."""
+    from corhist_spark.textops import lsh_band_tuning, LSH_TUNE_SETTINGS
+
+    # doc pairs with high / medium / low character-5-gram overlap
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " x"),                      # near-dup of 1
+            (3, "completely different text " + "z " * 18),
+            (4, "completely different words " + "z " * 18),  # mid sim to 3
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    rows = {(r.r, r.b): r for r in lsh_band_tuning(docs, pairs).collect()}
+    assert set(rows) == set(LSH_TUNE_SETTINGS)
+    for (r, b), row in rows.items():
+        assert row.n_pairs == 2
+        assert 0 <= row.caught_micro <= 2_000_000
+        # s50 monotone: steeper r -> higher threshold
+    s50s = [rows[s].s50_ppm for s in ((2, 8), (4, 4), (8, 2))]
+    assert s50s == sorted(s50s)
+    # flat banding catches at least as much expected mass as steep
+    assert rows[(2, 8)].caught_micro >= rows[(8, 2)].caught_micro
+
+
+def test_band_capture_sql_matches_python(spark):
+    """The shared square-chain SQL equals the pure-Python S-curve at
+    integer ppm for a grid of similarities and all settings."""
+    from corhist_spark.textops import band_capture_ppm_sql, LSH_TUNE_SETTINGS
+
+    grid = [0, 1, 137000, 250000, 500000, 600000, 750000, 999999, 1000000]
+    df = spark.createDataFrame([(s,) for s in grid], "s_ppm long")
+    for r, b in LSH_TUNE_SETTINGS:
+        got = {
+            row.s_ppm: row.p
+            for row in df.selectExpr(
+                "s_ppm", band_capture_ppm_sql("s_ppm", r, b) + " AS p"
+            ).collect()
+        }
+        for s in grid:
+            x = s / 1_000_000
+            want = round((1 - (1 - x**r) ** b) * 1_000_000)
+            assert got[s] == want, (r, b, s)
+
+
+# ---- batch 56: nDCG retrieval eval ----
+
+
+def test_ndcg_eval_exact_vs_pure_python(spark):
+    """Hand-built ranking with known relevance: nDCG must equal the
+    pure-Python computation on the shared gain table, including the
+    perfect-ranking = 1e6 ppm identity."""
+    from corhist_spark.retrieval import ndcg_eval, NDCG_GAIN_MICRO
+
+    scores = spark.createDataFrame(
+        [(i, round(1.0 - i * 0.05, 6)) for i in range(1, 13)],
+        "doc_id long, bm25 double",
+    )
+    # relevant docs at ranks 1, 3, 4, 11 (11 is outside top-10)
+    rel = spark.createDataFrame(
+        [(i, 1 if i in (1, 3, 4, 11) else 0) for i in range(1, 13)],
+        "doc_id long, rel int",
+    )
+    got = {r.k: r for r in ndcg_eval(scores, rel, ks=(5, 10)).collect()}
+    for k in (5, 10):
+        hits = [i for i in (1, 3, 4, 11) if i <= k]
+        dcg = sum(NDCG_GAIN_MICRO[i - 1] for i in hits)
+        idcg = sum(NDCG_GAIN_MICRO[: min(k, 4)])
+        r = got[k]
+        assert (r.n_ranked, r.n_rel_total, r.n_rel_at_k) == (k, 4, len(hits))
+        assert (r.dcg_micro, r.idcg_micro) == (dcg, idcg)
+        assert r.ndcg_ppm == (1_000_000 * dcg) // idcg
+    # perfect ranking: relevant docs occupy the top ranks exactly
+    rel_perfect = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 0) for i in range(1, 13)],
+        "doc_id long, rel int",
+    )
+    rp = {r.k: r for r in ndcg_eval(scores, rel_perfect, ks=(5,)).collect()}
+    assert rp[5].ndcg_ppm == 1_000_000
+
+
+def test_ndcg_ranking_is_distributed_topk(spark):
+    """The ranking stage must plan as TakeOrderedAndProject (a
+    distributed top-k), never a global Sort over the scored set."""
+    from corhist_spark.retrieval import ndcg_eval
+
+    scores = spark.createDataFrame(
+        [(i, float(i % 97) / 97) for i in range(500)], "doc_id long, bm25 double"
+    )
+    rel = spark.createDataFrame(
+        [(i, i % 5 == 0) for i in range(500)], "doc_id long, rel boolean"
+    ).select("doc_id", F.col("rel").cast("int").alias("rel"))
+    plan = ndcg_eval(scores, rel)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
