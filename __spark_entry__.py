@@ -5045,6 +5045,28 @@ def q_ndcg_eval(spark, sf_dir):
     return ndcg_eval(scores, rel)
 
 
+def q_pra_path_features(spark, sf_dir):
+    """PRA path-type feature statistics (`fusion.pra_path_features`,
+    Lao & Cohen path ranking) over the typed event graph: length-1
+    and cardinality-gated length-2 path types scored by integer-ppm
+    precision/recall against the direct P0 edges — the
+    feature-selection pass before a path-ranking link predictor."""
+    from corhist_spark.fusion import pra_path_features
+
+    return pra_path_features(_typed_kg_edges(spark, sf_dir))
+
+
+def q_sft_pack_masks(spark, sf_dir):
+    """Loss-masked SFT packing (`textops.sft_pack_masks`) of the
+    correction-derived instruction pairs: examples packed into
+    ~PACK_BUDGET-token sequences per corr_rev%32 group, prompt tokens
+    masked, response tokens trained; mask_hash pins the exact
+    per-example (offset, n_instr, n_resp) layout."""
+    from corhist_spark.textops import sft_pack_masks
+
+    return sft_pack_masks(q_edit_instruction_pairs(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5385,6 +5407,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 56: LSH band-parameter sweep, nDCG retrieval eval
         "lsh_band_tuning": q_lsh_band_tuning,
         "ndcg_eval": q_ndcg_eval,
+        # batch 57: PRA path features, loss-masked SFT packing
+        "pra_path_features": q_pra_path_features,
+        "sft_pack_masks": q_sft_pack_masks,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6403,6 +6428,9 @@ from corhist_spark.textops import PACK_BUDGET as _PACK_BUDGET
 from corhist_spark.similarity import OUTLIER_FACTOR as _OUTLIER_FACTOR
 from corhist_spark.textops import FUZZY_DECON_PCT as _FUZZY_DECON_PCT
 from corhist_spark.textops import HARD_NEG_K as _HARD_NEG_K
+from corhist_spark.textops import PACK_GROUPS as _PACK_GROUPS
+from corhist_spark.fusion import PRA_TARGET_PRED as _PRA_TARGET_PRED
+from corhist_spark.fusion import PRA_PATH_CAP as _PRA_PATH_CAP
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -12640,5 +12668,110 @@ def oracle_sql() -> dict[str, str]:
         f"QUALIFY rk <= {max(_NDCG_KS)}), "
         "nr AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel_total FROM rel) "
         + " UNION ALL ".join(ndcg_parts)
+    )
+    # PRA path features: the gate's composed-path counts are the exact
+    # count-product identity (never an enumeration), so the oracle
+    # computes the same gate before joining; constants interpolated
+    # from fusion.PRA_* so engine and transcription cannot drift
+    out["pra_path_features"] = f"""{_TYPED_TR_CTE}
+        , pos AS (
+          SELECT DISTINCT subj, obj FROM tr
+          WHERE pred = '{_PRA_TARGET_PRED}'),
+        npos AS (
+          SELECT greatest(CAST(COUNT(*) AS BIGINT), 1) AS n_pos FROM pos),
+        inc AS (
+          SELECT obj AS x, pred AS pred_a, COUNT(*) AS n_in
+          FROM tr GROUP BY 1, 2),
+        outc AS (
+          SELECT subj AS x, pred AS pred_b, COUNT(*) AS n_out
+          FROM tr GROUP BY 1, 2),
+        gate AS (
+          SELECT pred_a, pred_b FROM (
+            SELECT i.pred_a, o.pred_b, SUM(i.n_in * o.n_out) AS n_paths
+            FROM inc i JOIN outc o ON o.x = i.x GROUP BY 1, 2)
+          WHERE n_paths <= {_PRA_PATH_CAP}),
+        feats AS (
+          SELECT DISTINCT path, hops, subj, obj FROM (
+            SELECT pred AS path, 1 AS hops, subj, obj FROM tr
+            WHERE pred <> '{_PRA_TARGET_PRED}'
+            UNION ALL
+            SELECT a.pred || '/' || b.pred AS path, 2 AS hops,
+                   a.subj, b.obj
+            FROM tr a JOIN tr b ON b.subj = a.obj
+            JOIN gate g ON g.pred_a = a.pred AND g.pred_b = b.pred)),
+        lab AS (
+          SELECT f.path, f.hops,
+                 CASE WHEN p.subj IS NOT NULL THEN 1 ELSE 0 END AS is_pos
+          FROM feats f LEFT JOIN pos p
+            ON p.subj = f.subj AND p.obj = f.obj)
+        SELECT path, hops,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(is_pos) AS BIGINT) AS n_hits,
+               (1000000 * CAST(SUM(is_pos) AS BIGINT)) // COUNT(*)
+                 AS prec_ppm,
+               (1000000 * CAST(SUM(is_pos) AS BIGINT))
+                 // (SELECT n_pos FROM npos) AS rec_ppm
+        FROM lab GROUP BY 1, 2
+    """
+    # loss-masked SFT packing: extends the edit_instruction_pairs
+    # transcription with the sequence_pack window cut; PACK_* constants
+    # interpolated so the layout cannot drift from textops
+    out["sft_pack_masks"] = with_history_ctes(
+        _EVAL_KR
+        + expansion_sql(
+            keyed_by_constraint=True,
+            final_select=f"""
+            , pairs AS (
+              SELECT DISTINCT constraint_id, corr_rev,
+                     'fix ' || constraint_id || ' violation on ('
+                       || target_subj || ', ' || property || ', '
+                       || target_obj || ')' AS instruction,
+                     array_to_string(list_sort(
+                       CASE WHEN has_extra = 1
+                            THEN [main_str, co_str] ELSE [main_str] END), '; ')
+                       AS response
+              FROM (
+                SELECT *,
+                       main_op || '(' || corr_subj || ',' || corr_pred || ','
+                         || corr_obj || ')' AS main_str,
+                       co_op || '(' || ex_subj || ',' || ex_pred || ','
+                         || ex_obj || ')' AS co_str
+                FROM okf WHERE still_ok = 1)
+            ), ex AS (
+              SELECT constraint_id, corr_rev, instruction, response,
+                     CAST(len(list_filter(string_split(instruction, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_instr,
+                     CAST(len(list_filter(string_split(response, ' '),
+                          x -> x <> '')) AS BIGINT) AS n_resp,
+                     corr_rev % {_PACK_GROUPS} AS pack_group
+              FROM pairs
+            ), sq AS (
+              SELECT *, n_instr + n_resp AS n_ex,
+                     SUM(n_instr + n_resp) OVER (
+                       PARTITION BY pack_group
+                       ORDER BY constraint_id, corr_rev, instruction,
+                                response
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM ex
+            ), s2 AS (
+              SELECT *, cum - n_ex AS st,
+                     (cum - n_ex) // {_PACK_BUDGET} AS seq_id
+              FROM sq
+            )
+            SELECT pack_group, seq_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_examples,
+                   CAST(SUM(n_ex) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_instr) AS BIGINT) AS n_masked,
+                   CAST(SUM(n_resp) AS BIGINT) AS n_trained,
+                   (1000000 * CAST(SUM(n_resp) AS BIGINT)) // SUM(n_ex)
+                     AS trained_ppm,
+                   md5(string_agg(
+                     CAST(st - seq_id * {_PACK_BUDGET} AS VARCHAR)
+                       || ':' || CAST(n_instr AS VARCHAR)
+                       || ':' || CAST(n_resp AS VARCHAR), ';'
+                     ORDER BY st)) AS mask_hash
+            FROM s2 GROUP BY 1, 2
+            """,
+        )
     )
     return out

@@ -349,6 +349,9 @@ HEADLINE = [
     # batch 56: LSH band-parameter sweep, nDCG retrieval eval
     "lsh_band_tuning",
     "ndcg_eval",
+    # batch 57: PRA path features, loss-masked SFT packing
+    "pra_path_features",
+    "sft_pack_masks",
 ]
 
 

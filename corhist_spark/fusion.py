@@ -1478,3 +1478,87 @@ def amie_implications(cur: DataFrame) -> DataFrame:
             ).alias("rule_candidate"),
         )
     )
+
+
+# PRA (path-ranking) settings: the target predicate whose links the
+# path features rank, and the join-cardinality gate that bounds which
+# length-2 path types are ever enumerated
+PRA_TARGET_PRED = "P0"
+PRA_PATH_CAP = 1_000_000
+
+
+def pra_path_features(
+    cur: DataFrame,
+    target: str = PRA_TARGET_PRED,
+    path_cap: int = PRA_PATH_CAP,
+) -> DataFrame:
+    """PRA path-type feature statistics (Lao & Cohen 2010, "Relational
+    retrieval using a combination of path-constrained random walks"):
+    for the ``target`` predicate, every length-1 path type (another
+    predicate connecting the same pair) and every GATED length-2 path
+    type (pred_a/pred_b composed through a mid entity) is scored by
+    how well the pairs it connects predict a direct ``target`` edge —
+    the feature-selection statistics a PRA/SFE link-prediction
+    trainer computes before fitting per-path weights.  Output one row
+    per path type: (path, hops, n_pairs, n_hits, prec_ppm, rec_ppm)
+    where n_pairs = distinct (subj, obj) the path connects, n_hits =
+    those also linked by ``target``, prec_ppm/rec_ppm integer-ppm
+    precision/recall against the positive pair set.
+
+    Scale shape: triples deduped once; length-1 features are one
+    pred-keyed aggregate.  Length-2 path types pass through the
+    ``join_cardinality_stats`` gate FIRST (exact composed-path counts
+    from two entity-keyed counts — never an enumeration), so the one
+    mid-entity equi-join only materializes path types whose instance
+    count is known <= ``path_cap``; hub blowups are excluded by the
+    gate, not discovered by OOM.  The positive pair set rides a
+    (subj, obj)-keyed left join; all aggregates map-side combinable,
+    result is path-vocabulary sized."""
+    t = cur.select("subj", "pred", "obj").distinct().localCheckpoint()
+    pos = t.filter(F.col("pred") == target).select("subj", "obj").distinct()
+    npos = pos.agg(
+        F.greatest(F.count(F.lit(1)), F.lit(1)).cast("bigint").alias("n_pos")
+    )  # single-row broadcast frame (the predicate_value_drift pattern)
+    one = t.filter(F.col("pred") != target).select(
+        F.col("pred").alias("path"), F.lit(1).alias("hops"), "subj", "obj"
+    )
+    gate = join_cardinality_stats(t).filter(F.col("n_paths") <= path_cap)
+    left = t.select(
+        F.col("subj").alias("s0"), F.col("pred").alias("pred_a"), F.col("obj").alias("x")
+    )
+    right = t.select(
+        F.col("subj").alias("x"), F.col("pred").alias("pred_b"), F.col("obj").alias("o2")
+    )
+    two = (
+        left.join(right, "x")
+        .join(
+            F.broadcast(gate.select("pred_a", "pred_b")),
+            ["pred_a", "pred_b"],
+            "left_semi",
+        )
+        .select(
+            F.concat("pred_a", F.lit("/"), "pred_b").alias("path"),
+            F.lit(2).alias("hops"),
+            F.col("s0").alias("subj"),
+            F.col("o2").alias("obj"),
+        )
+    )
+    feats = one.unionByName(two).distinct()
+    lab = feats.join(
+        pos.withColumn("is_pos", F.lit(1)), ["subj", "obj"], "left"
+    )
+    agg = lab.groupBy("path", "hops").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.coalesce(F.col("is_pos"), F.lit(0))).cast("bigint").alias("n_hits"),
+        F.expr(
+            "(1000000 * CAST(sum(coalesce(is_pos, 0)) AS BIGINT)) DIV count(1)"
+        ).alias("prec_ppm"),
+    )
+    return agg.crossJoin(F.broadcast(npos)).select(
+        "path",
+        "hops",
+        "n_pairs",
+        "n_hits",
+        "prec_ppm",
+        F.expr("(1000000 * n_hits) DIV n_pos").alias("rec_ppm"),
+    )

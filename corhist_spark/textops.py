@@ -3586,3 +3586,88 @@ def lsh_band_tuning(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def sft_pack_masks(
+    pairs: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_groups: int = PACK_GROUPS,
+) -> DataFrame:
+    """Loss-masked SFT sequence packing (the example-packing step of
+    instruction tuning: multiple (instruction, response) examples are
+    concatenated into one training sequence, prompt tokens are
+    loss-MASKED and only response tokens train).  Input rows carry
+    (constraint_id, corr_rev, instruction, response); whitespace token
+    counts stand in for the tokenizer.  Examples are packed in
+    (constraint_id, corr_rev, instruction, response) order within
+    corr_rev%``n_groups`` pack groups, an example lands in the
+    sequence its STARTING token falls in (never split; bounded
+    overflow — ``sequence_pack``'s cut rule), and per sequence the
+    emitted layout is (pack_group, seq_id, n_examples, n_tokens,
+    n_masked, n_trained, trained_ppm, mask_hash) where mask_hash
+    pins the exact per-example (offset, n_instr, n_resp) mask
+    layout engine-independently.
+
+    Scale shape: one group-keyed window cumsum + one (group, seq)
+    aggregate — identical to ``sequence_pack``; on a real corpus the
+    pack group is the input partition id, so packing co-partitions
+    with ingest and needs NO shuffle at all (corr_rev % n_groups here
+    keeps the grouping reproducible in the SQL oracle)."""
+    from pyspark.sql import Window
+
+    toks = lambda c: F.size(F.filter(F.split(c, " "), lambda x: x != ""))
+    ex = pairs.select(
+        "constraint_id",
+        "corr_rev",
+        "instruction",
+        "response",
+        toks("instruction").cast("bigint").alias("n_instr"),
+        toks("response").cast("bigint").alias("n_resp"),
+        (F.col("corr_rev") % n_groups).alias("pack_group"),
+    ).withColumn("n_ex", F.col("n_instr") + F.col("n_resp"))
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("constraint_id", "corr_rev", "instruction", "response")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ex.withColumn("cum", F.sum("n_ex").over(w)).withColumn(
+        "start", F.col("cum") - F.col("n_ex")
+    ).withColumn("seq_id", F.floor(F.col("start") / budget)).withColumn(
+        "offset", F.col("start") - F.col("seq_id") * budget
+    )
+    layout = F.array_sort(
+        F.collect_list(
+            F.struct(
+                "offset",
+                "constraint_id",
+                "corr_rev",
+                "instruction",
+                "response",
+                "n_instr",
+                "n_resp",
+            )
+        )
+    )
+    return seq.groupBy("pack_group", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.sum("n_ex").cast("bigint").alias("n_tokens"),
+        F.sum("n_instr").cast("bigint").alias("n_masked"),
+        F.sum("n_resp").cast("bigint").alias("n_trained"),
+        F.expr(
+            "(1000000 * CAST(sum(n_resp) AS BIGINT)) DIV sum(n_instr + n_resp)"
+        ).alias("trained_ppm"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    layout,
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["offset"].cast("string"),
+                        s["n_instr"].cast("string"),
+                        s["n_resp"].cast("string"),
+                    ),
+                ),
+                ";",
+            )
+        ).alias("mask_hash"),
+    )

@@ -2370,3 +2370,87 @@ def test_ndcg_ranking_is_distributed_topk(spark):
     ).select("doc_id", F.col("rel").cast("int").alias("rel"))
     plan = ndcg_eval(scores, rel)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ---- batch 57: PRA path features, loss-masked SFT packing ----
+
+
+def test_pra_path_features_exact_vs_pure_python(spark):
+    """Planted 8-edge graph with one 2-hop path type: precision /
+    recall ppm must match the hand computation, and the cardinality
+    gate must drop the 2-hop type when the cap is below its exact
+    composed-path count."""
+    from corhist_spark.fusion import pra_path_features
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "P0", "b"), ("c", "P0", "d"),
+            ("a", "P1", "b"), ("e", "P1", "f"),
+            ("a", "P2", "x"), ("c", "P2", "y"),
+            ("x", "P3", "b"), ("y", "P3", "z"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    rows = {
+        (r.path, r.hops): r
+        for r in pra_path_features(edges, target="P0").collect()
+    }
+    # positives {(a,b),(c,d)}; P1 connects {(a,b),(e,f)}; the only
+    # composable 2-hop type is P2/P3 with pairs {(a,b),(c,z)}
+    expect = {
+        ("P1", 1): (2, 1, 500000, 500000),
+        ("P2", 1): (2, 0, 0, 0),
+        ("P3", 1): (2, 0, 0, 0),
+        ("P2/P3", 2): (2, 1, 500000, 500000),
+    }
+    assert set(rows) == set(expect)
+    for k, (n_pairs, n_hits, prec, rec) in expect.items():
+        r = rows[k]
+        assert (r.n_pairs, r.n_hits, r.prec_ppm, r.rec_ppm) == (
+            n_pairs, n_hits, prec, rec,
+        ), k
+    # the gate works on the EXACT composed-path count (2 for P2/P3):
+    # cap 1 excludes it before any enumeration
+    gated = pra_path_features(edges, target="P0", path_cap=1).collect()
+    assert all(r.hops == 1 for r in gated)
+
+
+def test_sft_pack_masks_exact_vs_pure_python(spark):
+    """Planted examples with known token counts: sequence cuts, mask
+    totals and the md5 layout hash must match the pure-Python pack."""
+    from corhist_spark.textops import sft_pack_masks
+
+    pairs = spark.createDataFrame(
+        [
+            ("c1", 0, "fix a b", "add x"),
+            ("c1", 2, "fix c", "del y z"),
+            ("c2", 4, "fix d e f g", "add q"),
+            ("c1", 1, "fix h", "del r"),
+            ("c3", 3, "fix i j", "add s t u v w"),
+        ],
+        "constraint_id string, corr_rev long, instruction string,"
+        " response string",
+    )
+    got = {
+        (r.pack_group, r.seq_id): r
+        for r in sft_pack_masks(pairs, budget=10, n_groups=2).collect()
+    }
+
+    def h(layout):
+        return hashlib.md5(layout.encode()).hexdigest()
+
+    # group 0 order: (c1,0) 3+2, (c1,2) 2+3, (c2,4) 5+2 (starts at
+    # token 10 -> second sequence); group 1: (c1,1) 2+2, (c3,3) 3+6
+    # (starts at 4, overflows the 10-token budget -- never split)
+    expect = {
+        (0, 0): (2, 10, 5, 5, 500000, h("0:3:2;5:2:3")),
+        (0, 1): (1, 7, 5, 2, 285714, h("0:5:2")),
+        (1, 0): (2, 13, 5, 8, 615384, h("0:2:2;4:3:6")),
+    }
+    assert set(got) == set(expect)
+    for k, (n_ex, n_tok, n_mask, n_train, ppm, mh) in expect.items():
+        r = got[k]
+        assert (
+            r.n_examples, r.n_tokens, r.n_masked, r.n_trained,
+            r.trained_ppm, r.mask_hash,
+        ) == (n_ex, n_tok, n_mask, n_train, ppm, mh), k
