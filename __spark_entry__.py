@@ -5067,6 +5067,26 @@ def q_sft_pack_masks(spark, sf_dir):
     return sft_pack_masks(q_edit_instruction_pairs(spark, sf_dir))
 
 
+def q_ppr_scores(spark, sf_dir):
+    """Personalized PageRank (`graph.ppr_scores`) from the top-4
+    out-degree hubs of the derived entity graph — the
+    entity-relatedness feature an entity-linking stage ranks
+    candidates with; sparse per-seed state, dangling mass returns to
+    the seed, 4 synchronous rounds."""
+    from corhist_spark.graph import ppr_scores
+
+    return ppr_scores(_kg_edges(spark, sf_dir))
+
+
+def q_ul2_plan(spark, sf_dir):
+    """UL2 mixture-of-denoisers assignment (`textops.ul2_plan`):
+    hash-assigned R/S/X paradigm per document with integer corruption
+    budgets and span counts — map-only, zero shuffle."""
+    from corhist_spark.textops import ul2_plan
+
+    return ul2_plan(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5410,6 +5430,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 57: PRA path features, loss-masked SFT packing
         "pra_path_features": q_pra_path_features,
         "sft_pack_masks": q_sft_pack_masks,
+        # batch 58: personalized PageRank, UL2 denoiser plan
+        "ppr_scores": q_ppr_scores,
+        "ul2_plan": q_ul2_plan,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6431,6 +6454,12 @@ from corhist_spark.textops import HARD_NEG_K as _HARD_NEG_K
 from corhist_spark.textops import PACK_GROUPS as _PACK_GROUPS
 from corhist_spark.fusion import PRA_TARGET_PRED as _PRA_TARGET_PRED
 from corhist_spark.fusion import PRA_PATH_CAP as _PRA_PATH_CAP
+from corhist_spark.graph import PPR_ITERS as _PPR_ITERS
+from corhist_spark.graph import PPR_SEEDS as _PPR_SEEDS
+from corhist_spark.graph import PPR_DAMPING_PCT as _PPR_DP
+from corhist_spark.graph import PPR_UNIT as _PPR_UNIT
+from corhist_spark.textops import UL2_RATE_PCT as _UL2_RATE_PCT
+from corhist_spark.textops import UL2_MEAN_SPAN as _UL2_MEAN_SPAN
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -6637,6 +6666,49 @@ _PAGERANK_SQL = f"""{_KG_EDGE_CTES}, e AS MATERIALIZED (
     ), {", ".join(_pr_round(k) for k in range(1, _PR_ITERS + 1))}
     SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_norm
     FROM r{_PR_ITERS}
+"""
+
+
+def _ppr_round(k: int) -> str:
+    """One sparse personalized-PageRank round (mirrors
+    graph.ppr_scores: FIXED-POINT picounit state with floored integer
+    division per edge contribution — the whole fixpoint is exact
+    integer arithmetic, so the transcription cannot straddle a float
+    rounding grid; contribs scaled by damping_pct/100, the restart
+    row carries (100-dp)%*UNIT + dp%*dang(seed), one (seed, node)
+    aggregate sums both, floored-to-zero rows dropped per round)."""
+    prev = f"p{k - 1}"
+    return f"""pd{k} AS (
+      SELECT r.seed, CAST(SUM(r.rank) AS BIGINT) AS dang
+      FROM {prev} r LEFT JOIN outdeg o ON o.src = r.node
+      WHERE o.src IS NULL GROUP BY r.seed
+    ), p{k} AS MATERIALIZED (
+      SELECT seed, node, CAST(SUM(r) AS BIGINT) AS rank FROM (
+        SELECT r.seed, e.dst AS node,
+               ({_PPR_DP} * r.rank) // (100 * o.odeg) AS r
+        FROM e JOIN outdeg o USING (src) JOIN {prev} r ON r.node = e.src
+        UNION ALL
+        SELECT s.seed, s.seed AS node,
+               {(100 - _PPR_DP) * _PPR_UNIT // 100}
+               + ({_PPR_DP} * COALESCE(pd.dang, 0)) // 100 AS r
+        FROM seeds s LEFT JOIN pd{k} pd ON pd.seed = s.seed
+      ) GROUP BY seed, node
+      HAVING SUM(r) > 0
+    )"""
+
+
+_PPR_SQL = f"""{_KG_EDGE_CTES}, e AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+    ), outdeg AS MATERIALIZED (
+      SELECT src, COUNT(*) AS odeg FROM e GROUP BY src
+    ), seeds AS MATERIALIZED (
+      SELECT src AS seed FROM outdeg
+      ORDER BY odeg DESC, src LIMIT {_PPR_SEEDS}
+    ), p0 AS MATERIALIZED (
+      SELECT seed, seed AS node, CAST({_PPR_UNIT} AS BIGINT) AS rank
+      FROM seeds
+    ), {", ".join(_ppr_round(k) for k in range(1, _PPR_ITERS + 1))}
+    SELECT seed, node, rank AS rank_pico FROM p{_PPR_ITERS}
 """
 
 _CMS_SQL = f"""
@@ -12774,4 +12846,52 @@ def oracle_sql() -> dict[str, str]:
             """,
         )
     )
+    # personalized PageRank: sparse unrolled rounds (module-level
+    # _PPR_SQL, built from graph.PPR_* and the shared _pr_round
+    # float-constant convention)
+    out["ppr_scores"] = _PPR_SQL
+    # UL2 denoiser plan: pure hash/integer arithmetic, constants
+    # interpolated from textops.UL2_* so engine and oracle cannot drift
+    out["ul2_plan"] = f"""
+        WITH d AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS BIGINT) AS n_tokens,
+                 ({hexval_sql("CAST(doc_id AS VARCHAR) || ':ul2d'")}) % 4
+                   AS _b,
+                 ({hexval_sql("CAST(doc_id AS VARCHAR) || ':ul2s'")}) AS _hs
+          FROM documents
+        ), a AS (
+          SELECT doc_id, n_tokens, _hs,
+                 CASE WHEN _b <= 1 THEN 'R' WHEN _b = 2 THEN 'S'
+                      ELSE 'X' END AS denoiser
+          FROM d
+        ), b AS (
+          SELECT *,
+                 CASE WHEN denoiser = 'R' THEN {_UL2_RATE_PCT["R"]}
+                      WHEN denoiser = 'X' THEN {_UL2_RATE_PCT["X"]}
+                      ELSE 0 END AS _rate,
+                 CASE WHEN denoiser = 'R' THEN {_UL2_MEAN_SPAN["R"]}
+                      WHEN denoiser = 'X' THEN {_UL2_MEAN_SPAN["X"]}
+                      ELSE 1 END AS _span,
+                 CASE WHEN denoiser = 'S' AND n_tokens >= 2
+                        THEN 1 + _hs % (n_tokens - 1)
+                      WHEN denoiser = 'S' THEN n_tokens
+                      ELSE 0 END AS prefix_len
+          FROM a
+        ), c AS (
+          SELECT *,
+                 CASE WHEN denoiser = 'S' THEN n_tokens - prefix_len
+                      ELSE (n_tokens * _rate) // 100 END AS n_corrupt
+          FROM b
+        )
+        SELECT doc_id, denoiser, '[' || denoiser || ']' AS task_token,
+               n_tokens, CAST(prefix_len AS BIGINT) AS prefix_len,
+               CAST(n_corrupt AS BIGINT) AS n_corrupt,
+               CAST(CASE WHEN n_corrupt <= 0 THEN 0
+                         WHEN denoiser = 'S' THEN 1
+                         ELSE greatest(1, n_corrupt // _span)
+                    END AS BIGINT) AS n_spans
+        FROM c
+    """
     return out

@@ -352,6 +352,9 @@ HEADLINE = [
     # batch 57: PRA path features, loss-masked SFT packing
     "pra_path_features",
     "sft_pack_masks",
+    # batch 58: personalized PageRank, UL2 denoiser plan
+    "ppr_scores",
+    "ul2_plan",
 ]
 
 

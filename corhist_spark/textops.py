@@ -3671,3 +3671,97 @@ def sft_pack_masks(
             )
         ).alias("mask_hash"),
     )
+
+# UL2 mixture-of-denoisers settings (Tay et al. 2022, "UL2: Unifying
+# Language Learning Paradigms"): hash-assigned paradigm per document
+# (R 50% / S 25% / X 25%), per-paradigm corruption rate (integer pct)
+# and mean span length
+UL2_RATE_PCT = {"R": 15, "X": 50}
+UL2_MEAN_SPAN = {"R": 3, "X": 32}
+
+
+def ul2_plan(docs: DataFrame) -> DataFrame:
+    """UL2 mixture-of-denoisers task assignment (the pre-tokenization
+    plan of a UL2/PaLM-2-style pretraining mix): each document is
+    hash-assigned a denoiser paradigm — R (regular span corruption,
+    15% noise, mean span 3), S (sequential prefix-LM: a hash-picked
+    split point, the suffix is the target) or X (extreme corruption,
+    50% noise, mean span 32) — with the per-doc corruption budget in
+    integer arithmetic: R/X corrupt (n_tokens * rate) DIV 100 tokens
+    in greatest(1, n_corrupt DIV mean_span) spans (0 spans when the
+    budget is 0); S corrupts the n_tokens - prefix_len suffix in one
+    span.  Output (doc_id, denoiser, task_token, n_tokens,
+    prefix_len, n_corrupt, n_spans); hash-in-place-of-RNG (the repo
+    convention), so the plan is reproducible across
+    engines/runs/partitionings and the DuckDB transcription is exact.
+
+    Scale shape: map-only — paradigm and split come from per-row md5
+    arithmetic; no shuffle at all."""
+    h = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '{tag}')), 1, 13),"
+        " 16, 10) AS BIGINT)"
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("n_tokens"),
+        (F.expr(h.format(tag=":ul2d")) % 4).alias("_b"),
+        F.expr(h.format(tag=":ul2s")).alias("_hs"),
+    ).withColumn(
+        "denoiser",
+        F.when(F.col("_b") <= 1, F.lit("R"))
+        .when(F.col("_b") == 2, F.lit("S"))
+        .otherwise(F.lit("X")),
+    )
+    rate = (
+        F.when(F.col("denoiser") == "R", F.lit(UL2_RATE_PCT["R"]))
+        .when(F.col("denoiser") == "X", F.lit(UL2_RATE_PCT["X"]))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    mean_span = (
+        F.when(F.col("denoiser") == "R", F.lit(UL2_MEAN_SPAN["R"]))
+        .when(F.col("denoiser") == "X", F.lit(UL2_MEAN_SPAN["X"]))
+        .otherwise(F.lit(1))
+        .cast("bigint")
+    )
+    d = (
+        d.withColumn(
+            "prefix_len",
+            F.when(
+                (F.col("denoiser") == "S") & (F.col("n_tokens") >= 2),
+                F.lit(1) + F.col("_hs") % (F.col("n_tokens") - 1),
+            )
+            .when(F.col("denoiser") == "S", F.col("n_tokens"))
+            .otherwise(F.lit(0))
+            .cast("bigint"),
+        )
+        .withColumn("_rate", rate)
+        .withColumn("_span", mean_span)
+        .withColumn(
+            "n_corrupt",
+            F.when(
+                F.col("denoiser") == "S",
+                F.col("n_tokens") - F.col("prefix_len"),
+            )
+            .otherwise(F.expr("(n_tokens * _rate) DIV 100"))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "n_spans",
+            F.when(F.col("n_corrupt") <= 0, F.lit(0))
+            .when(F.col("denoiser") == "S", F.lit(1))
+            .otherwise(F.expr("greatest(1, n_corrupt DIV _span)"))
+            .cast("bigint"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        "denoiser",
+        F.concat(F.lit("["), "denoiser", F.lit("]")).alias("task_token"),
+        "n_tokens",
+        "prefix_len",
+        "n_corrupt",
+        "n_spans",
+    )

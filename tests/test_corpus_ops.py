@@ -2454,3 +2454,41 @@ def test_sft_pack_masks_exact_vs_pure_python(spark):
             r.n_examples, r.n_tokens, r.n_masked, r.n_trained,
             r.trained_ppm, r.mask_hash,
         ) == (n_ex, n_tok, n_mask, n_train, ppm, mh), k
+
+
+def test_ul2_plan_exact_vs_pure_python(spark):
+    """Planted docs across all three paradigms and the edge sizes:
+    paradigm assignment, S-split bounds, integer corruption budgets
+    and span counts must match the md5 replication."""
+    from corhist_spark.textops import ul2_plan, UL2_MEAN_SPAN, UL2_RATE_PCT
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 7 * 10))) for i in range(40)]
+    got = {r.doc_id: r for r in ul2_plan(_docs(spark, rows)).collect()}
+
+    def h(doc_id, tag):
+        return int(hashlib.md5(f"{doc_id}{tag}".encode()).hexdigest()[:13], 16)
+
+    seen = set()
+    for doc_id, text in rows:
+        n_tok = len([t for t in text.split(" ") if t])
+        b = h(doc_id, ":ul2d") % 4
+        den = "R" if b <= 1 else ("S" if b == 2 else "X")
+        seen.add(den)
+        r = got[doc_id]
+        assert (r.denoiser, r.task_token, r.n_tokens) == (den, f"[{den}]", n_tok)
+        if den == "S":
+            if n_tok >= 2:
+                pref = 1 + h(doc_id, ":ul2s") % (n_tok - 1)
+                assert 1 <= pref < n_tok
+            else:
+                pref = n_tok
+            corrupt, spans = n_tok - pref, (1 if n_tok - pref > 0 else 0)
+        else:
+            pref = 0
+            corrupt = (n_tok * UL2_RATE_PCT[den]) // 100
+            spans = max(1, corrupt // UL2_MEAN_SPAN[den]) if corrupt > 0 else 0
+        assert (r.prefix_len, r.n_corrupt, r.n_spans) == (pref, corrupt, spans), doc_id
+    assert seen == {"R", "S", "X"}
+    # empty docs get zero budgets everywhere
+    empty = [r for r in got.values() if r.n_tokens == 0]
+    assert empty and all(r.n_corrupt == 0 and r.n_spans == 0 for r in empty)

@@ -1100,3 +1100,58 @@ def test_hill_tail_index_exact_vs_pure_python(spark):
     )
     ru = hill_tail_index(uni, ks=(4,)).collect()
     assert len(ru) == 1 and ru[0].alpha_ppm is None and ru[0].d_k == 1
+
+
+# ---- batch 58: personalized PageRank ----
+
+
+def test_ppr_scores_exact_vs_pure_python(spark):
+    """Planted 5-node graph with a dangling node: per-(seed, node)
+    picounit ranks must match the pure-Python integer fixpoint
+    EXACTLY (dangling mass returns to the seed; floored division per
+    contribution), and per-seed mass must conserve up to the bounded
+    floor leakage."""
+    from corhist_spark.graph import (
+        ppr_scores,
+        PPR_DAMPING_PCT,
+        PPR_ITERS,
+        PPR_UNIT,
+    )
+
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"),
+        ("c", "a"),
+        ("e", "a"),
+    ]
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {(r.seed, r.node): r.rank_pico for r in ppr_scores(df).collect()}
+
+    # pure-Python integer replication; seeds = top-4 out-degree,
+    # ties by node id
+    out = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    odeg = {s: len(ts) for s, ts in out.items()}
+    seeds = sorted(odeg, key=lambda s: (-odeg[s], s))[:4]
+    assert seeds == ["a", "b", "c", "e"]
+    dp = PPR_DAMPING_PCT
+    expect = {}
+    for seed in seeds:
+        rank = {seed: PPR_UNIT}
+        n_addends = 0
+        for _ in range(PPR_ITERS):
+            dang = sum(v for n, v in rank.items() if n not in out)
+            nxt = {seed: (100 - dp) * PPR_UNIT // 100 + dp * dang // 100}
+            n_addends = 1
+            for n, v in rank.items():
+                for t in out.get(n, []):
+                    nxt[t] = nxt.get(t, 0) + dp * v // (100 * odeg[n])
+                    n_addends += 1
+            rank = {n: v for n, v in nxt.items() if v > 0}
+        # mass conservation up to floor leakage (< 1 picounit/addend)
+        leak = PPR_UNIT - sum(rank.values())
+        assert 0 < leak < n_addends * PPR_ITERS * 2, (seed, leak)
+        for n, v in rank.items():
+            expect[(seed, n)] = v
+    assert got == expect
