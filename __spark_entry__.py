@@ -5087,6 +5087,32 @@ def q_ul2_plan(spark, sf_dir):
     return ul2_plan(_t(spark, sf_dir, "documents"))
 
 
+def q_feistel_order(spark, sf_dir):
+    """Deterministic per-epoch training-data permutation
+    (`textops.feistel_order`): a 3-round balanced Feistel bijection
+    over doc ids keyed by epoch — reproducible global reshuffle with
+    no RNG state; map-only."""
+    from corhist_spark.textops import feistel_order
+
+    return feistel_order(_t(spark, sf_dir, "documents"))
+
+
+def q_curriculum_stages(spark, sf_dir):
+    """Competence-based curriculum staging
+    (`textops.curriculum_stages`, Platanios et al. 2019) over the
+    shared micro-unit quality score: exact per-mille difficulty via
+    the bounded count-bucket histogram, stage = first quarter whose
+    competence covers the doc."""
+    from corhist_spark.textops import curriculum_stages
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.round(_quality_expr() * 1000000).cast("bigint").alias("q_micro"),
+    )
+    return curriculum_stages(scored)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5433,6 +5459,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 58: personalized PageRank, UL2 denoiser plan
         "ppr_scores": q_ppr_scores,
         "ul2_plan": q_ul2_plan,
+        # batch 59: Feistel epoch permutation, curriculum staging
+        "feistel_order": q_feistel_order,
+        "curriculum_stages": q_curriculum_stages,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6460,6 +6489,11 @@ from corhist_spark.graph import PPR_DAMPING_PCT as _PPR_DP
 from corhist_spark.graph import PPR_UNIT as _PPR_UNIT
 from corhist_spark.textops import UL2_RATE_PCT as _UL2_RATE_PCT
 from corhist_spark.textops import UL2_MEAN_SPAN as _UL2_MEAN_SPAN
+from corhist_spark.textops import FEISTEL_EPOCHS as _FEISTEL_EPOCHS
+from corhist_spark.textops import feistel_sql as _feistel_sql
+from corhist_spark.textops import (
+    CURRICULUM_COMPETENCE_PM as _CURR_COMPETENCE_PM,
+)
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -12850,6 +12884,48 @@ def oracle_sql() -> dict[str, str]:
     # _PPR_SQL, built from graph.PPR_* and the shared _pr_round
     # float-constant convention)
     out["ppr_scores"] = _PPR_SQL
+    # Feistel epoch permutation: ONE generator (textops.feistel_sql)
+    # emits both dialects, so the bit arithmetic cannot drift
+    out["feistel_order"] = f"""
+        SELECT doc_id, epoch,
+               CAST({_feistel_sql("doc_id", "epoch", dialect="duckdb")}
+                    AS BIGINT) AS perm_key
+        FROM documents,
+             (SELECT unnest(generate_series(0, {_FEISTEL_EPOCHS - 1}))
+              AS epoch)
+    """
+    # curriculum staging: bounded count-bucket difficulty percentile +
+    # the precomputed competence constants
+    _c1, _c2, _c3 = _CURR_COMPETENCE_PM[:3]
+    out["curriculum_stages"] = f"""
+        WITH scored AS (
+          SELECT doc_id, CAST(round(1000000 * ROUND(LEAST(1.0, n / 50.0)
+                   * (u / n), 6)) AS BIGINT) AS q_micro
+          FROM (SELECT doc_id,
+                       CAST(len(list_filter(string_split(text, ' '),
+                            x -> x <> '')) AS DOUBLE) AS n,
+                       CAST(len(list_distinct(list_filter(
+                            string_split(text, ' '), x -> x <> '')))
+                            AS DOUBLE) AS u
+                FROM documents)
+        ), hist AS (
+          SELECT q_micro, CAST(COUNT(*) AS BIGINT) AS n_v
+          FROM scored GROUP BY 1
+        ), tot AS (SELECT CAST(SUM(n_v) AS BIGINT) AS n FROM hist),
+        lev AS (
+          SELECT q_micro,
+                 (1000 * (SUM(n_v) OVER (ORDER BY q_micro DESC
+                            ROWS UNBOUNDED PRECEDING) - n_v))
+                   // (SELECT n FROM tot) AS difficulty_pm
+          FROM hist
+        )
+        SELECT s.doc_id, s.q_micro, l.difficulty_pm,
+               CASE WHEN l.difficulty_pm < {_c1} THEN 1
+                    WHEN l.difficulty_pm < {_c2} THEN 2
+                    WHEN l.difficulty_pm < {_c3} THEN 3
+                    ELSE 4 END AS stage
+        FROM scored s JOIN lev l ON l.q_micro = s.q_micro
+    """
     # UL2 denoiser plan: pure hash/integer arithmetic, constants
     # interpolated from textops.UL2_* so engine and oracle cannot drift
     out["ul2_plan"] = f"""

@@ -355,6 +355,9 @@ HEADLINE = [
     # batch 58: personalized PageRank, UL2 denoiser plan
     "ppr_scores",
     "ul2_plan",
+    # batch 59: Feistel epoch permutation, curriculum staging
+    "feistel_order",
+    "curriculum_stages",
 ]
 
 

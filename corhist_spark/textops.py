@@ -3765,3 +3765,126 @@ def ul2_plan(docs: DataFrame) -> DataFrame:
         "n_corrupt",
         "n_spans",
     )
+
+
+# Feistel epoch-permutation settings: 3 rounds of a balanced Feistel
+# network over 2*FEISTEL_HALF_BITS-bit ids — a bijection for ANY round
+# function, so every epoch is a full deterministic reshuffle with no
+# shuffle-service randomness to reproduce; at 10^12 docs raise
+# half_bits to 21 (the domain just needs to cover max doc_id)
+FEISTEL_ROUNDS = 3
+FEISTEL_HALF_BITS = 16
+FEISTEL_EPOCHS = 2
+
+
+def feistel_sql(
+    x: str,
+    epoch: str,
+    half_bits: int = FEISTEL_HALF_BITS,
+    rounds: int = FEISTEL_ROUNDS,
+    dialect: str = "spark",
+) -> str:
+    """SQL text of the balanced Feistel permutation of ``x`` keyed by
+    ``epoch`` — ONE generator emits both dialects (the
+    band_capture_ppm_sql convention: shared text, zero drift), they
+    differ only in shift/xor spelling and the 13-hex md5 decode."""
+    mask = (1 << half_bits) - 1
+    if dialect == "spark":
+        shr = lambda e: f"shiftright({e}, {half_bits})"
+        shl = lambda e: f"shiftleft({e}, {half_bits})"
+        xor = lambda a, b: f"(({a}) ^ ({b}))"
+        hx = (
+            lambda s: "CAST(conv(substr(md5("
+            + s
+            + "), 1, 13), 16, 10) AS BIGINT)"
+        )
+        cat = lambda *ps: "concat(" + ", ".join(ps) + ")"
+        s_of = lambda e: f"CAST({e} AS STRING)"
+    else:
+        shr = lambda e: f"(({e}) >> {half_bits})"
+        shl = lambda e: f"(({e}) << {half_bits})"
+        xor = lambda a, b: f"xor(({a}), ({b}))"
+        hx = lambda s: "(" + hexval_sql(s) + ")"
+        cat = lambda *ps: " || ".join(ps)
+        s_of = lambda e: f"CAST({e} AS VARCHAR)"
+    left = shr(f"({x})")
+    right = f"(({x}) & {mask})"
+    for r in range(rounds):
+        f_r = (
+            hx(cat(s_of(epoch), f"':{r}:'", s_of(right))) + f" & {mask}"
+        )
+        left, right = right, xor(left, f"({f_r})")
+    return f"({shl(f'({left})')} | ({right}))"
+
+
+def feistel_order(docs: DataFrame, n_epochs: int = FEISTEL_EPOCHS) -> DataFrame:
+    """Deterministic per-epoch training-data permutation (the
+    reproducible global reshuffle a multi-epoch run needs: same
+    ordering on every rerun/resume, different ordering every epoch,
+    no RNG state to checkpoint): perm_key = a 3-round balanced
+    Feistel network over the doc_id domain, keyed by the epoch — a
+    BIJECTION for any round function (Luby & Rackoff 1988), so
+    ordering shards by (epoch, perm_key) replays each epoch as a full
+    permutation.  Output: (doc_id, epoch, perm_key).
+
+    Scale shape: map-only — per-row md5/bit arithmetic, no shuffle at
+    all (the sort the training job does by perm_key is the
+    shard_manifest two-phase pattern's job, not this plan's)."""
+    epochs = F.explode(
+        F.array(*[F.lit(i) for i in range(n_epochs)])
+    ).alias("epoch")
+    d = docs.select("doc_id", epochs)
+    return d.select(
+        "doc_id",
+        "epoch",
+        F.expr(feistel_sql("doc_id", "epoch", dialect="spark"))
+        .cast("bigint")
+        .alias("perm_key"),
+    )
+
+
+# competence-based curriculum (Platanios et al. NAACL 2019): per-mille
+# competence at each training quarter, floor(1000 * sqrt(t/4)) —
+# precomputed constants, no libm at runtime
+CURRICULUM_COMPETENCE_PM = (500, 707, 866, 1000)
+
+
+def curriculum_stages(scored: DataFrame) -> DataFrame:
+    """Competence-based curriculum staging over ``scored(doc_id,
+    q_micro)``: difficulty_pm = per-mille share of docs with STRICTLY
+    higher quality (0 = easiest), stage = the first training quarter
+    whose competence covers the doc (difficulty_pm <
+    CURRICULUM_COMPETENCE_PM[t]) — the data-availability schedule a
+    curriculum trainer samples from.  Output: (doc_id, q_micro,
+    difficulty_pm, stage).
+
+    Scale shape: q_micro lives in [0, 1e6], so the VALUE histogram is
+    bounded at 1e6+1 rows regardless of corpus size (the
+    robust_source_stats count-bucket decomposition); one value-keyed
+    aggregate, one bounded window over histogram rows, one value-keyed
+    join back onto the stream.  Integer-only."""
+    hist = scored.groupBy("q_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    tot = hist.agg(F.sum("n_v").cast("bigint").alias("n"))
+    w = (
+        Window.orderBy(F.desc("q_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn(
+        "n_higher", F.sum("n_v").over(w) - F.col("n_v")
+    ).crossJoin(F.broadcast(tot))
+    c1, c2, c3 = CURRICULUM_COMPETENCE_PM[:3]
+    lev = cum.select(
+        "q_micro",
+        F.expr("(1000 * n_higher) DIV n").alias("difficulty_pm"),
+    ).withColumn(
+        "stage",
+        F.when(F.col("difficulty_pm") < c1, F.lit(1))
+        .when(F.col("difficulty_pm") < c2, F.lit(2))
+        .when(F.col("difficulty_pm") < c3, F.lit(3))
+        .otherwise(F.lit(4)),
+    )
+    return scored.join(lev, "q_micro").select(
+        "doc_id", "q_micro", "difficulty_pm", "stage"
+    )

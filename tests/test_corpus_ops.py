@@ -2492,3 +2492,80 @@ def test_ul2_plan_exact_vs_pure_python(spark):
     # empty docs get zero budgets everywhere
     empty = [r for r in got.values() if r.n_tokens == 0]
     assert empty and all(r.n_corrupt == 0 and r.n_spans == 0 for r in empty)
+
+
+# ---- batch 59: Feistel epoch permutation, curriculum staging ----
+
+
+def test_feistel_order_bijective_and_exact(spark):
+    """The permutation must be a bijection on the id set per epoch,
+    differ between epochs, and match the pure-Python md5 Feistel."""
+    from corhist_spark.textops import (
+        feistel_order,
+        FEISTEL_HALF_BITS,
+        FEISTEL_ROUNDS,
+    )
+
+    ids = list(range(200)) + [2**31, 2**32 - 1]
+    d = spark.createDataFrame([(i, "") for i in ids], "doc_id long, text string")
+    got = {}
+    for r in feistel_order(d).collect():
+        got[(r.epoch, r.doc_id)] = r.perm_key
+
+    mask = (1 << FEISTEL_HALF_BITS) - 1
+
+    def feistel(x, epoch):
+        left, right = x >> FEISTEL_HALF_BITS, x & mask
+        for r in range(FEISTEL_ROUNDS):
+            f = (
+                int(
+                    hashlib.md5(f"{epoch}:{r}:{right}".encode()).hexdigest()[:13],
+                    16,
+                )
+                & mask
+            )
+            left, right = right, left ^ f
+        return (left << FEISTEL_HALF_BITS) | right
+
+    for (epoch, doc_id), v in got.items():
+        assert v == feistel(doc_id, epoch), (epoch, doc_id)
+    for epoch in (0, 1):
+        keys = [got[(epoch, i)] for i in ids]
+        assert len(set(keys)) == len(ids)  # injective on the id set
+        assert all(0 <= k < 2**32 for k in keys)
+    # epochs genuinely reshuffle
+    assert [got[(0, i)] for i in ids] != [got[(1, i)] for i in ids]
+
+
+def test_curriculum_stages_exact_vs_pure_python(spark):
+    """Planted quality ties: difficulty must count STRICTLY higher
+    quality docs, stages must follow the competence constants, and
+    every doc must appear exactly once."""
+    from corhist_spark.textops import (
+        curriculum_stages,
+        CURRICULUM_COMPETENCE_PM,
+    )
+
+    # 10 docs: q = 900k x3 (easiest), 500k x4, 100k x3
+    qs = [900000] * 3 + [500000] * 4 + [100000] * 3
+    scored = spark.createDataFrame(
+        list(enumerate(qs)), "doc_id long, q_micro long"
+    )
+    got = {r.doc_id: r for r in curriculum_stages(scored).collect()}
+    assert len(got) == 10
+    n = len(qs)
+    for doc_id, q in enumerate(qs):
+        higher = sum(1 for x in qs if x > q)
+        diff = (1000 * higher) // n
+        stage = next(
+            (
+                t + 1
+                for t, c in enumerate(CURRICULUM_COMPETENCE_PM)
+                if diff < c
+            ),
+            4,
+        )
+        r = got[doc_id]
+        assert (r.q_micro, r.difficulty_pm, r.stage) == (q, diff, stage), doc_id
+    # the three tiers land in stages 1 (0pm), 1 (300pm), 2 (700pm)
+    assert [got[0].stage, got[3].stage, got[7].stage] == [1, 1, 2]
