@@ -5113,6 +5113,26 @@ def q_curriculum_stages(spark, sf_dir):
     return curriculum_stages(scored)
 
 
+def q_partition_audit(spark, sf_dir):
+    """Edge-partitioning strategy audit (`graph.partition_audit`):
+    1D-src vs 1D-dst vs 2D-grid vertex-cut skew and replication
+    factor on the derived entity graph — the placement decision
+    before shuffling a trillion edges."""
+    from corhist_spark.graph import partition_audit
+
+    return partition_audit(_kg_edges(spark, sf_dir))
+
+
+def q_cardinality_qerror(spark, sf_dir):
+    """Optimizer-statistics self-audit (`fusion.cardinality_qerror`):
+    q-error of the uniform-independence join estimate vs the exact
+    composed-path counts per predicate pair on the typed event
+    graph."""
+    from corhist_spark.fusion import cardinality_qerror
+
+    return cardinality_qerror(_typed_kg_edges(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5462,6 +5482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 59: Feistel epoch permutation, curriculum staging
         "feistel_order": q_feistel_order,
         "curriculum_stages": q_curriculum_stages,
+        # batch 60: partition strategy audit, cardinality q-error
+        "partition_audit": q_partition_audit,
+        "cardinality_qerror": q_cardinality_qerror,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6494,6 +6517,8 @@ from corhist_spark.textops import feistel_sql as _feistel_sql
 from corhist_spark.textops import (
     CURRICULUM_COMPETENCE_PM as _CURR_COMPETENCE_PM,
 )
+from corhist_spark.graph import PART_ROWS as _PART_ROWS
+from corhist_spark.graph import PART_COLS as _PART_COLS
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -12925,6 +12950,75 @@ def oracle_sql() -> dict[str, str]:
                     WHEN l.difficulty_pm < {_c3} THEN 3
                     ELSE 4 END AS stage
         FROM scored s JOIN lev l ON l.q_micro = s.q_micro
+    """
+    # partition strategy audit: per-strategy union, same md5 placement
+    _p_total = _PART_ROWS * _PART_COLS
+    _hp_src = "(" + hexval_sql("'part:' || src") + f") % {_p_total}"
+    _hp_dst = "(" + hexval_sql("'part:' || dst") + f") % {_p_total}"
+    _hp_2d = (
+        "((" + hexval_sql("'part:' || src") + f") % {_PART_ROWS})"
+        f" * {_PART_COLS} + ((" + hexval_sql("'part:' || dst")
+        + f") % {_PART_COLS})"
+    )
+    _part_branches = " UNION ALL ".join(
+        f"""(
+        WITH d AS (SELECT src, dst, {pexpr} AS part FROM e2),
+        loads AS (SELECT part, COUNT(*) AS n_e FROM d GROUP BY part),
+        tot AS (SELECT CAST(SUM(n_e) AS BIGINT) AS n_edges,
+                       CAST(MAX(n_e) AS BIGINT) AS max_edges FROM loads),
+        vp AS (SELECT DISTINCT v, part FROM (
+                 SELECT src AS v, part FROM d
+                 UNION ALL SELECT dst AS v, part FROM d)),
+        repl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vp,
+                        CAST(COUNT(DISTINCT v) AS BIGINT) AS n_v FROM vp)
+        SELECT '{name}' AS strategy, {_p_total} AS n_parts,
+               t.n_edges, t.max_edges,
+               (1000000 * t.max_edges * {_p_total}) // t.n_edges AS skew_ppm,
+               (1000000 * r.n_vp) // r.n_v AS repl_ppm
+        FROM tot t, repl r)"""
+        for name, pexpr in (
+            ("1d_src", _hp_src),
+            ("1d_dst", _hp_dst),
+            ("2d_grid", _hp_2d),
+        )
+    )
+    out["partition_audit"] = f"""{_KG_EDGE_CTES}, e2 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM edges
+        )
+        {_part_branches}
+    """
+    # cardinality q-error: the independence estimate vs the exact
+    # count-product path counts, integer cross-division
+    out["cardinality_qerror"] = f"""{_TYPED_TR_CTE}
+        , n AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_edges
+                FROM tr GROUP BY 1),
+        ents AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ent FROM (
+                   SELECT DISTINCT v FROM (
+                     SELECT subj AS v FROM tr
+                     UNION ALL SELECT obj AS v FROM tr))),
+        inc AS (SELECT obj AS x, pred AS pred_a, COUNT(*) AS n_in
+                FROM tr GROUP BY 1, 2),
+        outc AS (SELECT subj AS x, pred AS pred_b, COUNT(*) AS n_out
+                 FROM tr GROUP BY 1, 2),
+        actual AS (
+          SELECT i.pred_a, o.pred_b,
+                 CAST(SUM(i.n_in * o.n_out) AS BIGINT) AS n_paths
+          FROM inc i JOIN outc o ON o.x = i.x GROUP BY 1, 2),
+        est AS (
+          SELECT a.pred AS pred_a, b.pred AS pred_b,
+                 a.n_edges AS n_a, b.n_edges AS n_b, e.n_ent,
+                 (a.n_edges * b.n_edges) // e.n_ent AS est_paths
+          FROM n a, n b, ents e)
+        SELECT e.pred_a, e.pred_b, e.n_a, e.n_b, e.n_ent, e.est_paths,
+               CAST(COALESCE(a.n_paths, 0) AS BIGINT) AS n_paths,
+               CASE WHEN e.est_paths > 0 AND COALESCE(a.n_paths, 0) > 0
+                    THEN greatest(
+                      (1000000 * e.est_paths) // a.n_paths,
+                      (1000000 * a.n_paths) // e.est_paths) END
+                 AS q_error_ppm,
+               e.est_paths < COALESCE(a.n_paths, 0) AS underestimated
+        FROM est e LEFT JOIN actual a
+          ON a.pred_a = e.pred_a AND a.pred_b = e.pred_b
     """
     # UL2 denoiser plan: pure hash/integer arithmetic, constants
     # interpolated from textops.UL2_* so engine and oracle cannot drift

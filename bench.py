@@ -358,6 +358,9 @@ HEADLINE = [
     # batch 59: Feistel epoch permutation, curriculum staging
     "feistel_order",
     "curriculum_stages",
+    # batch 60: partition strategy audit, cardinality q-error
+    "partition_audit",
+    "cardinality_qerror",
 ]
 
 

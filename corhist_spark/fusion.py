@@ -1562,3 +1562,66 @@ def pra_path_features(
         "prec_ppm",
         F.expr("(1000000 * n_hits) DIV n_pos").alias("rec_ppm"),
     )
+
+
+def cardinality_qerror(cur: DataFrame) -> DataFrame:
+    """Cardinality-estimation quality audit (q-error, Moerkotte et
+    al. VLDB 2009) of the uniform-independence join estimate against
+    the EXACT composed-path counts: for every ordered predicate pair,
+    est_paths = n(pred_a) * n(pred_b) DIV n_entities (each pred_a
+    edge's object matches n(pred_b)/|V| out-edges under independence)
+    vs the true n_paths from ``join_cardinality_stats``; q_error_ppm
+    = 1e6 * max(est/actual, actual/est) in exact integer
+    cross-division, plus the direction flag.  This is the
+    optimizer-statistics self-audit a 100-TB engine runs to know
+    WHERE the independence assumption lies about its own data (and
+    why the kgqa/PRA stages gate on exact counts instead).
+
+    Scale shape: predicate-keyed counts + one distinct-entity count
+    (single-row broadcast) + the count-product identity of
+    join_cardinality_stats — never a path enumeration; output is
+    predicate-vocabulary squared."""
+    t = cur.select("subj", "pred", "obj").distinct().localCheckpoint()
+    n = t.groupBy("pred").agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    ents = (
+        t.select(F.col("subj").alias("v"))
+        .unionAll(t.select(F.col("obj").alias("v")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ent"))
+    )
+    actual = join_cardinality_stats(t).select(
+        "pred_a", "pred_b", F.col("n_paths").cast("bigint").alias("n_paths")
+    )
+    na = n.select(F.col("pred").alias("pred_a"), F.col("n_edges").alias("n_a"))
+    nb = n.select(F.col("pred").alias("pred_b"), F.col("n_edges").alias("n_b"))
+    est = (
+        na.crossJoin(nb)
+        .crossJoin(F.broadcast(ents))  # single-row totals frame
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_a",
+            "n_b",
+            "n_ent",
+            F.expr("(n_a * n_b) DIV n_ent").alias("est_paths"),
+        )
+    )
+    return (
+        est.join(actual, ["pred_a", "pred_b"], "left")
+        .withColumn("n_paths", F.coalesce(F.col("n_paths"), F.lit(0)).cast("bigint"))
+        .select(
+            "pred_a",
+            "pred_b",
+            "n_a",
+            "n_b",
+            "n_ent",
+            "est_paths",
+            "n_paths",
+            F.expr(
+                "CASE WHEN est_paths > 0 AND n_paths > 0 THEN "
+                "greatest((1000000 * est_paths) DIV n_paths, "
+                "(1000000 * n_paths) DIV est_paths) END"
+            ).alias("q_error_ppm"),
+            (F.col("est_paths") < F.col("n_paths")).alias("underestimated"),
+        )
+    )

@@ -1567,3 +1567,71 @@ def ppr_scores(
             .localCheckpoint()
         )
     return ranks.select("seed", "node", F.col("rank").alias("rank_pico"))
+
+
+# partition-audit settings: the three standard edge-placement
+# strategies at P = PART_ROWS * PART_COLS partitions (1D by src, 1D by
+# dst, 2D grid vertex-cut a la PowerGraph/GraphX EdgePartition2D)
+PART_ROWS = 2
+PART_COLS = 4
+_HASH52_SRC = "CAST(conv(substr(md5(concat('part:', src)), 1, 13), 16, 10) AS BIGINT)"
+_HASH52_DST = "CAST(conv(substr(md5(concat('part:', dst)), 1, 13), 16, 10) AS BIGINT)"
+
+
+def partition_audit(edges: DataFrame) -> DataFrame:
+    """Edge-partitioning strategy audit (the placement decision a
+    100-TB graph job makes BEFORE shuffling a trillion edges): for 1D
+    hash-by-src, 1D hash-by-dst and the 2D grid vertex-cut
+    (PowerGraph, Gonzalez et al. OSDI 2012; GraphX EdgePartition2D),
+    the measured edge-load skew and vertex replication factor on THIS
+    graph.  Output one row per strategy: (strategy, n_parts, n_edges,
+    max_edges, skew_ppm, repl_ppm) where skew_ppm = 1e6 * max_edges *
+    n_parts / n_edges (1e6 = perfectly balanced) and repl_ppm = 1e6 *
+    avg distinct partitions per vertex (the 2D grid bounds it by
+    rows + cols; 1D by degree).  Exact integer arithmetic.
+
+    Scale shape: per strategy one map pass assigns the partition,
+    edge loads aggregate to n_parts rows, and the replication factor
+    is one distinct (vertex, part) count — map-side combinable; no
+    per-vertex state beyond the aggregate."""
+    p_total = PART_ROWS * PART_COLS
+    hs = f"({_HASH52_SRC} % {p_total})"
+    hd = f"({_HASH52_DST} % {p_total})"
+    h2 = (
+        f"(({_HASH52_SRC} % {PART_ROWS}) * {PART_COLS}"
+        f" + ({_HASH52_DST} % {PART_COLS}))"
+    )
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    outs = []
+    for strategy, part_expr in (("1d_src", hs), ("1d_dst", hd), ("2d_grid", h2)):
+        d = e.select("src", "dst", F.expr(part_expr).alias("part"))
+        loads = d.groupBy("part").agg(F.count(F.lit(1)).alias("n_e"))
+        tot = loads.agg(
+            F.sum("n_e").cast("bigint").alias("n_edges"),
+            F.max("n_e").cast("bigint").alias("max_edges"),
+        )
+        vparts = (
+            d.select(F.col("src").alias("v"), "part")
+            .unionAll(d.select(F.col("dst").alias("v"), "part"))
+            .distinct()
+        )
+        repl = vparts.groupBy().agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vp"),
+            F.countDistinct("v").cast("bigint").alias("n_v"),
+        )
+        outs.append(
+            tot.crossJoin(repl).select(  # two single-row frames
+                F.lit(strategy).alias("strategy"),
+                F.lit(p_total).alias("n_parts"),
+                "n_edges",
+                "max_edges",
+                F.expr(f"(1000000 * max_edges * {p_total}) DIV n_edges").alias(
+                    "skew_ppm"
+                ),
+                F.expr("(1000000 * n_vp) DIV n_v").alias("repl_ppm"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -2569,3 +2569,43 @@ def test_curriculum_stages_exact_vs_pure_python(spark):
         assert (r.q_micro, r.difficulty_pm, r.stage) == (q, diff, stage), doc_id
     # the three tiers land in stages 1 (0pm), 1 (300pm), 2 (700pm)
     assert [got[0].stage, got[3].stage, got[7].stage] == [1, 1, 2]
+
+
+def test_cardinality_qerror_exact_vs_pure_python(spark):
+    """Planted correlated graph: the independence estimate must be
+    exactly n_a*n_b DIV n_ent, the actual the exact path count, and
+    the q-error the integer cross-division (including the
+    NULL-on-zero and direction conventions)."""
+    from corhist_spark.fusion import cardinality_qerror
+
+    # A-edges fan into m; B-edges leave m (correlated: every A meets
+    # every B at m, far above the independence estimate)
+    edge_list = (
+        [(f"a{i}", "A", "m") for i in range(4)]
+        + [("m", "B", f"b{i}") for i in range(3)]
+        + [("x", "C", "y")]
+    )
+    df = spark.createDataFrame(edge_list, "subj string, pred string, obj string")
+    got = {(r.pred_a, r.pred_b): r for r in cardinality_qerror(df).collect()}
+    ents = {s for s, _, _ in edge_list} | {o for _, _, o in edge_list}
+    n_ent = len(ents)
+    n = {"A": 4, "B": 3, "C": 1}
+    paths = {("A", "B"): 4 * 3}  # all compositions via m
+    assert len(got) == 9
+    for pa in n:
+        for pb in n:
+            r = got[(pa, pb)]
+            est = (n[pa] * n[pb]) // n_ent
+            actual = paths.get((pa, pb), 0)
+            assert (r.n_a, r.n_b, r.n_ent, r.est_paths, r.n_paths) == (
+                n[pa], n[pb], n_ent, est, actual,
+            ), (pa, pb)
+            if est > 0 and actual > 0:
+                assert r.q_error_ppm == max(
+                    (1_000_000 * est) // actual, (1_000_000 * actual) // est
+                )
+            else:
+                assert r.q_error_ppm is None
+            assert r.underestimated == (est < actual)
+    # the correlated pair is underestimated by the independence model
+    assert got[("A", "B")].underestimated

@@ -1155,3 +1155,48 @@ def test_ppr_scores_exact_vs_pure_python(spark):
         for n, v in rank.items():
             expect[(seed, n)] = v
     assert got == expect
+
+
+# ---- batch 60: partition strategy audit ----
+
+
+def test_partition_audit_exact_vs_pure_python(spark):
+    """Hub-heavy planted graph: 1D-by-src must show the hub's full
+    skew, the 2D grid must split the hub row-wise; every number must
+    match the md5 replication."""
+    from corhist_spark.graph import partition_audit, PART_ROWS, PART_COLS
+
+    edge_list = [("hub", f"t{i}") for i in range(24)] + [
+        ("u1", "u2"), ("u2", "u3"), ("u3", "u1"),
+    ]
+    df = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r.strategy: r for r in partition_audit(df).collect()}
+    p_total = PART_ROWS * PART_COLS
+
+    def h(v):
+        return int(hashlib.md5(f"part:{v}".encode()).hexdigest()[:13], 16)
+
+    for strategy in ("1d_src", "1d_dst", "2d_grid"):
+        loads, vparts = {}, set()
+        for s, t in edge_list:
+            if strategy == "1d_src":
+                p = h(s) % p_total
+            elif strategy == "1d_dst":
+                p = h(t) % p_total
+            else:
+                p = (h(s) % PART_ROWS) * PART_COLS + h(t) % PART_COLS
+            loads[p] = loads.get(p, 0) + 1
+            vparts.add((s, p))
+            vparts.add((t, p))
+        n_edges, max_edges = len(edge_list), max(loads.values())
+        n_v = len({v for v, _ in vparts})
+        r = got[strategy]
+        assert (r.n_parts, r.n_edges, r.max_edges) == (
+            p_total, n_edges, max_edges,
+        ), strategy
+        assert r.skew_ppm == (1_000_000 * max_edges * p_total) // n_edges
+        assert r.repl_ppm == (1_000_000 * len(vparts)) // n_v
+    # the hub's 24 edges land in ONE partition under 1d_src but are
+    # split across PART_COLS cells under the 2D grid
+    assert got["1d_src"].max_edges >= 24
+    assert got["2d_grid"].max_edges < 24
