@@ -5133,6 +5133,26 @@ def q_cardinality_qerror(spark, sf_dir):
     return cardinality_qerror(_typed_kg_edges(spark, sf_dir))
 
 
+def q_icp_pack(spark, sf_dir):
+    """In-context-pretraining packing comparison (`textops.icp_pack`,
+    Shi et al. 2023): ingest-order vs topic-coherent packing of the
+    same chunk stream with per-sequence adjacent-same-topic coherence
+    ppm — the measured lift that justifies the reorder shuffle."""
+    from corhist_spark.textops import icp_pack
+
+    return icp_pack(_spread(spark, _t(spark, sf_dir, "documents")))
+
+
+def q_mix_policy_ledger(spark, sf_dir):
+    """Source-mixing ablation ledger (`textops.mix_policy_ledger`):
+    uniform vs proportional vs sqrt-damped token allocation of a
+    fixed budget, with the per-source repeat factor; exact integer
+    isqrt (float sqrt + one-compare correction)."""
+    from corhist_spark.textops import mix_policy_ledger
+
+    return mix_policy_ledger(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5485,6 +5505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 60: partition strategy audit, cardinality q-error
         "partition_audit": q_partition_audit,
         "cardinality_qerror": q_cardinality_qerror,
+        # batch 61: in-context coherent packing, mixing-policy ledger
+        "icp_pack": q_icp_pack,
+        "mix_policy_ledger": q_mix_policy_ledger,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6519,6 +6542,7 @@ from corhist_spark.textops import (
 )
 from corhist_spark.graph import PART_ROWS as _PART_ROWS
 from corhist_spark.graph import PART_COLS as _PART_COLS
+from corhist_spark.textops import MIX_BUDGET_TOKENS as _MIX_BUDGET
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -13019,6 +13043,113 @@ def oracle_sql() -> dict[str, str]:
                e.est_paths < COALESCE(a.n_paths, 0) AS underestimated
         FROM est e LEFT JOIN actual a
           ON a.pred_a = e.pred_a AND a.pred_b = e.pred_b
+    """
+    # in-context-pretraining packing: the sequence_pack chunk chain +
+    # topic labels, two orderings unioned, lag-based coherence
+    _icp_branch = """
+        (SELECT '{name}' AS ordering, pack_group, seq_id,
+                CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN prev_seq = seq_id
+                               AND prev_topic = topic
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_adj_same_topic,
+                CASE WHEN COUNT(*) > 1 THEN
+                  (1000000 * CAST(SUM(CASE WHEN prev_seq = seq_id
+                                            AND prev_topic = topic
+                                       THEN 1 ELSE 0 END) AS BIGINT))
+                    // (COUNT(*) - 1)
+                ELSE 0 END AS coherence_ppm
+         FROM (
+           SELECT pack_group, topic, n_toks,
+                  CAST(floor((cum - n_toks) / {budget}.0) AS BIGINT)
+                    AS seq_id,
+                  lag(topic) OVER w AS prev_topic,
+                  lag(CAST(floor((cum - n_toks) / {budget}.0) AS BIGINT))
+                    OVER w AS prev_seq
+           FROM (
+             SELECT *, SUM(n_toks) OVER (
+                 PARTITION BY pack_group ORDER BY {keys}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM chx)
+           WINDOW w AS (PARTITION BY pack_group ORDER BY {keys}))
+         GROUP BY pack_group, seq_id)"""
+    out["icp_pack"] = (
+        "WITH ta AS ("
+        + out["topic_assignment"]
+        + """), t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 unnest(generate_series(0,
+                   CAST(ceil(len(toks)/"""
+        + str(_CHUNK_TOKENS)
+        + """.0) AS INT) - 1)) AS chunk_id,
+                 toks
+          FROM t WHERE len(toks) > 0),
+        chx AS (
+          SELECT c.doc_id, c.chunk_id,
+                 len(list_slice(toks, chunk_id*"""
+        + str(_CHUNK_TOKENS)
+        + "+1, chunk_id*"
+        + str(_CHUNK_TOKENS)
+        + "+"
+        + str(_CHUNK_TOKENS)
+        + """)) AS n_toks,
+                 ta.topic,
+                 c.doc_id % """
+        + str(_PACK_GROUPS)
+        + """ AS pack_group
+          FROM c JOIN ta ON ta.doc_id = c.doc_id)
+        """
+        + _icp_branch.format(
+            name="ingest", keys="doc_id, chunk_id", budget=_PACK_BUDGET
+        )
+        + " UNION ALL "
+        + _icp_branch.format(
+            name="topic_coherent",
+            keys="topic, doc_id, chunk_id",
+            budget=_PACK_BUDGET,
+        )
+    )
+    # mixing-policy ledger: exact isqrt (float sqrt is IEEE
+    # correctly-rounded; the one-compare correction kills the
+    # last-ulp flip on perfect squares)
+    out["mix_policy_ledger"] = f"""
+        WITH per AS (
+          SELECT source,
+                 CAST(SUM(len(list_filter(string_split(text, ' '),
+                      x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        q AS (SELECT *, CAST(floor(sqrt(n_tokens)) AS BIGINT) AS f
+              FROM per),
+        p2 AS (SELECT source, n_tokens,
+                      CAST(CASE WHEN f * f > n_tokens THEN f - 1 ELSE f END
+                           AS BIGINT) AS sq
+               FROM q),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src,
+                       CAST(SUM(n_tokens) AS BIGINT) AS t_all,
+                       CAST(SUM(sq) AS BIGINT) AS sq_all FROM p2),
+        d AS (SELECT p2.*, t.n_src, t.t_all, t.sq_all FROM p2, tot t),
+        allocs AS (
+          SELECT 'uniform' AS policy, source, n_tokens,
+                 CAST({_MIX_BUDGET} // n_src AS BIGINT) AS alloc_tokens
+          FROM d
+          UNION ALL
+          SELECT 'proportional', source, n_tokens,
+                 CAST(({_MIX_BUDGET} * n_tokens) // t_all AS BIGINT)
+          FROM d
+          UNION ALL
+          SELECT 'sqrt_damped', source, n_tokens,
+                 CAST(({_MIX_BUDGET} * sq) // sq_all AS BIGINT)
+          FROM d)
+        SELECT policy, source, n_tokens, alloc_tokens,
+               CAST(CASE WHEN n_tokens > 0
+                    THEN (1000 * alloc_tokens) // n_tokens END AS BIGINT)
+                 AS repeat_pm
+        FROM allocs
     """
     # UL2 denoiser plan: pure hash/integer arithmetic, constants
     # interpolated from textops.UL2_* so engine and oracle cannot drift

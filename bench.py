@@ -361,6 +361,9 @@ HEADLINE = [
     # batch 60: partition strategy audit, cardinality q-error
     "partition_audit",
     "cardinality_qerror",
+    # batch 61: in-context coherent packing, mixing-policy ledger
+    "icp_pack",
+    "mix_policy_ledger",
 ]
 
 

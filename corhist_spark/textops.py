@@ -3888,3 +3888,159 @@ def curriculum_stages(scored: DataFrame) -> DataFrame:
     return scored.join(lev, "q_micro").select(
         "doc_id", "q_micro", "difficulty_pm", "stage"
     )
+
+
+def icp_pack(docs: DataFrame, width: int = CHUNK_TOKENS, budget: int = PACK_BUDGET) -> DataFrame:
+    """In-context-pretraining packing comparison (Shi et al. 2023,
+    "In-Context Pretraining: Language Modeling Beyond Document
+    Boundaries"): the same chunk stream packed two ways — the baseline
+    (doc_id, chunk_id) ingest order vs the TOPIC-COHERENT order
+    (topic, doc_id, chunk_id), where related documents become
+    neighbors inside a context window — and per (ordering, pack_group,
+    seq_id) the coherence the model will actually see:
+    adjacent-chunk pairs that share a topic, in integer ppm.  The
+    measured coherence lift is the go/no-go for paying the reorder
+    shuffle at 100 TB.  Output: (ordering, pack_group, seq_id,
+    n_chunks, n_tokens, n_adj_same_topic, coherence_ppm).
+
+    Scale shape: topic labels are map-only (seed keywords); each
+    ordering is ONE pack-group window (the sequence_pack shape — the
+    group is the parallelism knob) plus a lag comparison inside the
+    same window; aggregates map-side combine."""
+    from pyspark.sql import Window
+
+    labeled = topic_assignment(docs).select("doc_id", "topic")
+    ch = (
+        _chunked(docs, width)
+        .join(labeled, "doc_id")
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_toks",
+            "topic",
+            (F.col("doc_id") % PACK_GROUPS).alias("pack_group"),
+        )
+    )
+    outs = []
+    for ordering, keys in (
+        ("ingest", ["doc_id", "chunk_id"]),
+        ("topic_coherent", ["topic", "doc_id", "chunk_id"]),
+    ):
+        w = (
+            Window.partitionBy("pack_group")
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wl = Window.partitionBy("pack_group").orderBy(*keys)
+        seq = (
+            ch.withColumn("cum", F.sum("n_toks").over(w))
+            .withColumn(
+                "seq_id", F.floor((F.col("cum") - F.col("n_toks")) / budget)
+            )
+            .withColumn("prev_topic", F.lag("topic").over(wl))
+            .withColumn(
+                "prev_seq", F.lag(F.floor((F.col("cum") - F.col("n_toks")) / budget)).over(wl)
+            )
+        )
+        outs.append(
+            seq.groupBy("pack_group", "seq_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+                F.sum("n_toks").cast("bigint").alias("n_tokens"),
+                F.sum(
+                    F.when(
+                        (F.col("prev_seq") == F.col("seq_id"))
+                        & (F.col("prev_topic") == F.col("topic")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_adj_same_topic"),
+            )
+            .select(
+                F.lit(ordering).alias("ordering"),
+                "pack_group",
+                "seq_id",
+                "n_chunks",
+                "n_tokens",
+                "n_adj_same_topic",
+                F.expr(
+                    "CASE WHEN n_chunks > 1 THEN (1000000 * n_adj_same_topic)"
+                    " DIV (n_chunks - 1) ELSE 0 END"
+                ).alias("coherence_ppm"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+# named token-mixing policies for the ablation ledger: uniform,
+# proportional-to-size, and sqrt-damped (the alpha=0.5 temperature
+# point every multilingual/multi-source recipe publishes)
+MIX_POLICIES = ("uniform", "proportional", "sqrt_damped")
+MIX_BUDGET_TOKENS = 100_000
+
+
+def mix_policy_ledger(
+    docs: DataFrame, budget_tokens: int = MIX_BUDGET_TOKENS
+) -> DataFrame:
+    """Source-mixing ablation ledger: the per-source token allocation
+    a fixed training budget gets under the three standard policies —
+    uniform, proportional-to-size, sqrt-damped (temperature 0.5) —
+    side by side, with the repeat factor (epochs over that source's
+    data) that reveals which policy over-repeats small sources.
+    sqrt uses the EXACT integer isqrt (floor(sqrt(n)) computed via the
+    float sqrt then corrected by one integer compare — sqrt is
+    IEEE-correctly-rounded, the correction kills the last-ulp flip),
+    so every number is engine-exact.  Output: (policy, source,
+    n_tokens, alloc_tokens, repeat_pm).
+
+    Scale shape: one source-keyed token count, then all three
+    allocations are arithmetic over the source-vocabulary-sized
+    frame with single-row broadcast totals."""
+    isqrt = (
+        "CAST(CASE WHEN f * f > n_tokens THEN f - 1 ELSE f END AS BIGINT)"
+    )
+    per = (
+        docs.select(
+            "source",
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            .cast("bigint")
+            .alias("n_t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_t").cast("bigint").alias("n_tokens"))
+        .withColumn("f", F.expr("CAST(floor(sqrt(n_tokens)) AS BIGINT)"))
+        .withColumn("sq", F.expr(isqrt))
+        .drop("f")
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+        F.sum("n_tokens").cast("bigint").alias("t_all"),
+        F.sum("sq").cast("bigint").alias("sq_all"),
+    )
+    d = per.crossJoin(F.broadcast(tot))  # single-row totals frame
+    b = int(budget_tokens)
+    rows = []
+    for policy, alloc in (
+        ("uniform", f"{b} DIV n_src"),
+        ("proportional", f"({b} * n_tokens) DIV t_all"),
+        ("sqrt_damped", f"({b} * sq) DIV sq_all"),
+    ):
+        rows.append(
+            d.select(
+                F.lit(policy).alias("policy"),
+                "source",
+                "n_tokens",
+                F.expr(alloc).cast("bigint").alias("alloc_tokens"),
+            ).withColumn(
+                "repeat_pm",
+                F.expr(
+                    "CASE WHEN n_tokens > 0 THEN"
+                    " (1000 * alloc_tokens) DIV n_tokens END"
+                ).cast("bigint"),
+            )
+        )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res

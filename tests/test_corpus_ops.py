@@ -2609,3 +2609,71 @@ def test_cardinality_qerror_exact_vs_pure_python(spark):
             assert r.underestimated == (est < actual)
     # the correlated pair is underestimated by the independence model
     assert got[("A", "B")].underestimated
+
+
+# ---- batch 61: in-context coherent packing, mixing-policy ledger ----
+
+
+def test_icp_pack_coherence_lift(spark):
+    """Planted two-topic corpus in alternating ingest order: the
+    topic-coherent ordering must strictly raise adjacent-same-topic
+    coherence, and totals must be invariant across orderings."""
+    from corhist_spark.textops import icp_pack
+
+    # alternating topics, all docs in pack_group 0 (doc_id % 32 == 0)
+    rows = []
+    for i in range(8):
+        doc_id = i * 32
+        seeds = "join join join" if i % 2 == 0 else "poem poem poem"
+        rows.append((doc_id, seeds + " " + " ".join(f"w{doc_id}x{j}" for j in range(13))))
+    got = icp_pack(_docs(spark, rows), width=16, budget=64).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.ordering, []).append(r)
+    for o in ("ingest", "topic_coherent"):
+        assert sum(r.n_chunks for r in by[o]) == 8
+        assert sum(r.n_tokens for r in by[o]) == 8 * 16
+    def coh(o):
+        rs = by[o]
+        return sum(r.n_adj_same_topic for r in rs)
+    # alternating ingest order: zero same-topic adjacency; coherent
+    # order: only the one topic boundary breaks adjacency per sequence
+    assert coh("topic_coherent") > coh("ingest")
+
+
+def test_mix_policy_ledger_exact_vs_pure_python(spark):
+    """Three sources with known token counts (incl. one perfect
+    square): allocations must match the integer formulas and the
+    isqrt correction must be exact."""
+    from corhist_spark.textops import mix_policy_ledger, MIX_BUDGET_TOKENS
+    import math
+
+    # token counts: s0 -> 100 (perfect square), s1 -> 50, s2 -> 7
+    def doc(i, src, n):
+        return (i, src, " ".join("w" for _ in range(n)))
+
+    d = spark.createDataFrame(
+        [doc(0, "s0", 100), doc(1, "s1", 50), doc(2, "s2", 7)],
+        "doc_id long, source string, text string",
+    )
+    got = {(r.policy, r.source): r for r in mix_policy_ledger(d).collect()}
+    n = {"s0": 100, "s1": 50, "s2": 7}
+    sq = {s: math.isqrt(v) for s, v in n.items()}
+    b = MIX_BUDGET_TOKENS
+    t_all, sq_all = sum(n.values()), sum(sq.values())
+    assert len(got) == 9
+    for s, v in n.items():
+        assert got[("uniform", s)].alloc_tokens == b // 3
+        assert got[("proportional", s)].alloc_tokens == (b * v) // t_all
+        assert got[("sqrt_damped", s)].alloc_tokens == (b * sq[s]) // sq_all
+        for p in ("uniform", "proportional", "sqrt_damped"):
+            r = got[(p, s)]
+            assert r.n_tokens == v
+            assert r.repeat_pm == (1000 * r.alloc_tokens) // v
+    # sqrt damping over-repeats the small source less than uniform but
+    # more than proportional
+    assert (
+        got[("proportional", "s2")].repeat_pm
+        < got[("sqrt_damped", "s2")].repeat_pm
+        < got[("uniform", "s2")].repeat_pm
+    )
