@@ -5153,6 +5153,30 @@ def q_mix_policy_ledger(spark, sf_dir):
     return mix_policy_ledger(_t(spark, sf_dir, "documents"))
 
 
+def q_distance_distribution(spark, sf_dir):
+    """HyperBall distance distribution (`graph.distance_distribution`,
+    Boldi-Rosa-Vigna): global neighborhood function N(k) for k=1..4
+    over the derived entity graph with the 90%-effective-diameter
+    flag — register algebra linear in edges, hubs included."""
+    from corhist_spark.graph import distance_distribution
+
+    return distance_distribution(_kg_edges(spark, sf_dir))
+
+
+def q_dawid_skene(spark, sf_dir):
+    """One Dawid-Skene EM step (`fusion.dawid_skene_step`) over the
+    weak-labeling ensemble votes: per vote pattern the exact-integer
+    naive-Bayes re-vote vs majority, with the flipped flag an
+    annotation pipeline reviews."""
+    from corhist_spark.fusion import dawid_skene_step
+    from corhist_spark.textops import weak_labels
+
+    votes = weak_labels(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_ok", "len_ok", "rep_ok"
+    )
+    return dawid_skene_step(votes)
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5508,6 +5532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 61: in-context coherent packing, mixing-policy ledger
         "icp_pack": q_icp_pack,
         "mix_policy_ledger": q_mix_policy_ledger,
+        # batch 62: HyperBall distance distribution, Dawid-Skene step
+        "distance_distribution": q_distance_distribution,
+        "dawid_skene": q_dawid_skene,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6543,6 +6570,8 @@ from corhist_spark.textops import (
 from corhist_spark.graph import PART_ROWS as _PART_ROWS
 from corhist_spark.graph import PART_COLS as _PART_COLS
 from corhist_spark.textops import MIX_BUDGET_TOKENS as _MIX_BUDGET
+from corhist_spark.fusion import DS_CLAMP_LO as _DS_LO
+from corhist_spark.fusion import DS_CLAMP_HI as _DS_HI
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -7456,7 +7485,20 @@ def _hb_estimate_cte(regs: str, name: str) -> str:
     )"""
 
 
-_HYPERBALL_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
+def _hb_round_cte(k: int) -> str:
+    """One register-merge round r{k} from r{k-1} (mirrors the
+    graph-side loop: edge join + union + per-(u, bucket) max)."""
+    prev = f"r{k - 1}"
+    return f"""r{k} AS MATERIALIZED (
+      SELECT u, bucket, MAX(reg) AS reg FROM (
+        SELECT e.u, r.bucket, r.reg FROM und e JOIN {prev} r ON r.u = e.v
+        UNION ALL
+        SELECT u, bucket, reg FROM {prev}
+      ) GROUP BY u, bucket
+    )"""
+
+
+_HB_PREFIX_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
       FROM edges WHERE src <> dst
     ), und AS MATERIALIZED (
@@ -7480,18 +7522,44 @@ _HYPERBALL_SQL = f"""{_KG_EDGE_CTES}, canon AS MATERIALIZED (
       SELECT m.u, r.bucket, MAX(r.rho) AS reg
       FROM mem1 m JOIN nregs r ON r.x = m.v
       GROUP BY m.u, r.bucket
-    ), r2 AS MATERIALIZED (
-      SELECT u, bucket, MAX(reg) AS reg FROM (
-        SELECT e.u, r.bucket, r.reg FROM und e JOIN r1 r ON r.u = e.v
-        UNION ALL
-        SELECT u, bucket, reg FROM r1
-      ) GROUP BY u, bucket
-    ),
+    )"""
+
+_HYPERBALL_SQL = f"""{_HB_PREFIX_SQL}, {_hb_round_cte(2)},
     {_hb_estimate_cte("r1", "e1")},
     {_hb_estimate_cte("r2", "e2")}
     SELECT e1.u AS node, e1.est AS ball1_est, e2.est AS ball2_est
     FROM e1 JOIN e2 ON e1.u = e2.u
 """
+
+from corhist_spark.graph import DD_MAX_K as _DD_MAX_K
+from corhist_spark.graph import DD_EFF_PCT as _DD_EFF_PCT
+
+_DD_SQL = (
+    _HB_PREFIX_SQL
+    + ", "
+    + ",\n    ".join(_hb_round_cte(k) for k in range(2, _DD_MAX_K + 1))
+    + ",\n    "
+    + ",\n    ".join(
+        _hb_estimate_cte(f"r{k}", f"e{k}") for k in range(1, _DD_MAX_K + 1)
+    )
+    + ",\n    allk AS ("
+    + " UNION ALL ".join(
+        f"SELECT {k} AS k, CAST(SUM(est) AS BIGINT) AS n_pairs_est FROM e{k}"
+        for k in range(1, _DD_MAX_K + 1)
+    )
+    + f"""),
+    mx AS (SELECT n_pairs_est AS n_max FROM allk WHERE k = {_DD_MAX_K}),
+    flagged AS (
+      SELECT a.k, a.n_pairs_est,
+             (1000000 * a.n_pairs_est) // m.n_max AS frac_of_max_ppm,
+             100 * a.n_pairs_est >= {_DD_EFF_PCT} * m.n_max AS reaches
+      FROM allk a, mx m)
+    SELECT k, n_pairs_est, frac_of_max_ppm,
+           reaches AND k = (SELECT MIN(k) FROM flagged WHERE reaches)
+             AS is_eff_diameter
+    FROM flagged
+"""
+)
 
 _KGE_SQL = with_history_ctes(
     f"""
@@ -13151,6 +13219,83 @@ def oracle_sql() -> dict[str, str]:
                  AS repeat_pm
         FROM allocs
     """
+    # HyperBall distance distribution: the shared register prefix +
+    # unrolled rounds (module-level _DD_SQL)
+    out["distance_distribution"] = _DD_SQL
+    # Dawid-Skene step: pattern aggregate over the weak_labels
+    # transcription, clamped per-mille conditionals, integer products
+    _ds_clamp = f"least({_DS_HI}, greatest({_DS_LO}, {{e}}))"
+    _ds_s1 = " * ".join(
+        [
+            f"CASE WHEN {c} THEN p1_{c} ELSE 1000 - p1_{c} END"
+            for c in ("lang_ok", "len_ok", "rep_ok")
+        ]
+        + ["prior1_pm"]
+    )
+    _ds_s0 = " * ".join(
+        [
+            f"CASE WHEN {c} THEN p0_{c} ELSE 1000 - p0_{c} END"
+            for c in ("lang_ok", "len_ok", "rep_ok")
+        ]
+        + ["(1000 - prior1_pm)"]
+    )
+    _ds_conds = ", ".join(
+        [
+            "CAST("
+            + _ds_clamp.format(
+                e=f"(1000 * SUM(CASE WHEN majority_label = 1 AND {c}"
+                f" THEN n_docs ELSE 0 END)) // MIN(n1)"
+            )
+            + f" AS BIGINT) AS p1_{c}"
+            for c in ("lang_ok", "len_ok", "rep_ok")
+        ]
+        + [
+            "CAST("
+            + _ds_clamp.format(
+                e=f"(1000 * SUM(CASE WHEN majority_label = 0 AND {c}"
+                f" THEN n_docs ELSE 0 END)) // MIN(n0)"
+            )
+            + f" AS BIGINT) AS p0_{c}"
+            for c in ("lang_ok", "len_ok", "rep_ok")
+        ]
+        + [
+            "CAST("
+            + _ds_clamp.format(e="(1000 * MIN(n1)) // (MIN(n1) + MIN(n0))")
+            + " AS BIGINT) AS prior1_pm"
+        ]
+    )
+    out["dawid_skene"] = (
+        "WITH wl AS ("
+        + out["weak_labels"]
+        + f"""), pat AS (
+          SELECT lang_ok, len_ok, rep_ok,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM wl GROUP BY 1, 2, 3
+        ), maj AS (
+          SELECT *,
+                 CAST(CASE WHEN (CAST(lang_ok AS INT) + CAST(len_ok AS INT)
+                       + CAST(rep_ok AS INT)) * 2 >= 3
+                      THEN 1 ELSE 0 END AS INT) AS majority_label
+          FROM pat
+        ), tot AS (
+          SELECT CAST(SUM(CASE WHEN majority_label = 1 THEN n_docs
+                          ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN majority_label = 0 THEN n_docs
+                          ELSE 0 END) AS BIGINT) AS n0
+          FROM maj
+        ), conds AS (
+          SELECT {_ds_conds} FROM maj, tot
+        )
+        SELECT m.lang_ok, m.len_ok, m.rep_ok, m.n_docs, m.majority_label,
+               CAST({_ds_s1} AS BIGINT) AS score1,
+               CAST({_ds_s0} AS BIGINT) AS score0,
+               CAST(CASE WHEN {_ds_s1} >= {_ds_s0} THEN 1 ELSE 0 END AS INT)
+                 AS corrected_label,
+               (CASE WHEN {_ds_s1} >= {_ds_s0} THEN 1 ELSE 0 END)
+                 <> m.majority_label AS flipped
+        FROM maj m, conds
+    """
+    )
     # UL2 denoiser plan: pure hash/integer arithmetic, constants
     # interpolated from textops.UL2_* so engine and oracle cannot drift
     out["ul2_plan"] = f"""

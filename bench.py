@@ -364,6 +364,9 @@ HEADLINE = [
     # batch 61: in-context coherent packing, mixing-policy ledger
     "icp_pack",
     "mix_policy_ledger",
+    # batch 62: HyperBall distance distribution, Dawid-Skene step
+    "distance_distribution",
+    "dawid_skene",
 ]
 
 

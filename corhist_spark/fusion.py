@@ -1625,3 +1625,103 @@ def cardinality_qerror(cur: DataFrame) -> DataFrame:
             (F.col("est_paths") < F.col("n_paths")).alias("underestimated"),
         )
     )
+
+
+# Dawid-Skene smoothing clamp: per-labeler conditional vote rates in
+# per-mille, clamped to [1, 999] so no pattern gets a zero-probability
+# veto (the add-one convention, exact integers)
+DS_CLAMP_LO = 1
+DS_CLAMP_HI = 999
+
+
+def dawid_skene_step(votes: DataFrame, labelers: tuple = ("lang_ok", "len_ok", "rep_ok")) -> DataFrame:
+    """One Dawid-Skene EM step (Dawid & Skene 1979 — the classic
+    label-model upgrade over majority vote) on the weak-labeling
+    ensemble: (1) truth <- majority vote, (2) per labeler the
+    conditional vote rates P(vote|truth) in clamped per-mille,
+    (3) re-vote each pattern by the EXACT integer product
+    prior_pm * prod_l cond_pm — naive-Bayes posteriors compared by
+    cross-multiplication, never a float or a log.  Output one row per
+    vote pattern: (lang_ok, len_ok, rep_ok, n_docs, majority_label,
+    score1, score0, corrected_label, flipped) — flipped patterns are
+    where the label model disagrees with majority vote, the exact
+    artifact an annotation pipeline reviews.
+
+    Scale shape: ONE pattern aggregate over the vote stream
+    (map-side combinable to 2^|labelers| rows); every subsequent step
+    is arithmetic on that 8-row frame with single-row broadcast
+    totals.  Products are bounded by 1000^(|labelers|+1) — BIGINT-safe
+    at any corpus size."""
+    n_l = len(labelers)
+    pat = votes.groupBy(*labelers).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    maj = pat.withColumn(
+        "majority_label",
+        (
+            sum(F.col(c).cast("int") for c in labelers) * 2 >= F.lit(n_l)
+        ).cast("int"),
+    ).localCheckpoint()  # 2^n_l rows
+    tot = maj.groupBy().agg(
+        F.sum(F.when(F.col("majority_label") == 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("majority_label") == 0, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+    )
+    clamp = f"least({DS_CLAMP_HI}, greatest({DS_CLAMP_LO}, {{e}}))"
+    conds = maj.crossJoin(F.broadcast(tot)).groupBy().agg(
+        *[
+            F.expr(
+                clamp.format(
+                    e=f"(1000 * sum(CASE WHEN majority_label = 1 AND {c}"
+                    f" THEN n_docs ELSE 0 END)) DIV min(n1)"
+                )
+            )
+            .cast("bigint")
+            .alias(f"p1_{c}")
+            for c in labelers
+        ]
+        + [
+            F.expr(
+                clamp.format(
+                    e=f"(1000 * sum(CASE WHEN majority_label = 0 AND {c}"
+                    f" THEN n_docs ELSE 0 END)) DIV min(n0)"
+                )
+            )
+            .cast("bigint")
+            .alias(f"p0_{c}")
+            for c in labelers
+        ]
+        + [
+            F.expr(clamp.format(e="(1000 * min(n1)) DIV (min(n1) + min(n0))"))
+            .cast("bigint")
+            .alias("prior1_pm"),
+        ]
+    )
+    s1 = " * ".join(
+        [f"CASE WHEN {c} THEN p1_{c} ELSE 1000 - p1_{c} END" for c in labelers]
+        + ["prior1_pm"]
+    )
+    s0 = " * ".join(
+        [f"CASE WHEN {c} THEN p0_{c} ELSE 1000 - p0_{c} END" for c in labelers]
+        + ["(1000 - prior1_pm)"]
+    )
+    return (
+        maj.crossJoin(F.broadcast(conds))  # single-row conditionals
+        .select(
+            *labelers,
+            "n_docs",
+            "majority_label",
+            F.expr(s1).cast("bigint").alias("score1"),
+            F.expr(s0).cast("bigint").alias("score0"),
+        )
+        .withColumn(
+            "corrected_label",
+            (F.col("score1") >= F.col("score0")).cast("int"),
+        )
+        .withColumn(
+            "flipped", F.col("corrected_label") != F.col("majority_label")
+        )
+    )

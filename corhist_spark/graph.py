@@ -1635,3 +1635,111 @@ def partition_audit(edges: DataFrame) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+DD_MAX_K = 4
+DD_EFF_PCT = 90
+
+
+def distance_distribution(edges: DataFrame, max_k: int = DD_MAX_K) -> DataFrame:
+    """HyperBall distance distribution + effective diameter (Boldi,
+    Rosa & Vigna 2011 — how web-graph diameters are actually
+    measured): the global neighborhood function N(k) = sum over nodes
+    of the k-ball HLL estimates for k = 1..``max_k``, the per-k share
+    of N(max_k) in ppm, and the effective-diameter flag (first k with
+    N(k) >= DD_EFF_PCT% of N(max_k), integer-compared).  Output:
+    (k, n_pairs_est, frac_of_max_ppm, is_eff_diameter).
+
+    Scale shape: exactly ``hyperball_2hop``'s register algebra
+    iterated — each round joins the edge list against the previous
+    round's <= 16 register rows per node (volume <= 2m * 16, LINEAR
+    in edges, hubs included) and max-combines; the global N(k) sums
+    the per-node BIGINT estimates, so the output is max_k rows."""
+    canon = _undirected(edges).localCheckpoint()
+    und = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    nodes = und.select("u").distinct()
+    nregs = nodes.select(
+        F.col("u").alias("x"),
+        F.expr(
+            "CAST(conv(substr(md5(concat('hb:', u)), 1, 1), 16, 10) AS INT)"
+        ).alias("bucket"),
+        F.expr(
+            "CASE WHEN CAST(conv(substr(md5(concat('hb:', u)), 2, 13), 16, 10) AS BIGINT) = 0"
+            " THEN 53 ELSE CAST(53 - length(conv("
+            "CAST(conv(substr(md5(concat('hb:', u)), 2, 13), 16, 10) AS BIGINT)"
+            ", 10, 2)) AS INT) END"
+        ).alias("rho"),
+    ).localCheckpoint()
+    mem1 = und.unionAll(nodes.select("u", F.col("u").alias("v")))
+    regs = (
+        mem1.join(nregs, mem1["v"] == nregs["x"])
+        .groupBy("u", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .localCheckpoint()
+    )
+
+    def ball_total(r: DataFrame) -> DataFrame:
+        m = HB_BUCKETS
+        agg = r.groupBy("u").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        s = F.col("s_present") + (F.lit(m) - F.col("n_present"))
+        zeros = (F.lit(m) - F.col("n_present")).cast("int")
+        raw = F.lit(HB_ALPHA16 * m * m) / s
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+        return agg.select(
+            F.round(est, 0).cast("bigint").alias("ball")
+        ).agg(F.sum("ball").cast("bigint").alias("n_pairs_est"))
+
+    totals = []
+    for k in range(1, max_k + 1):
+        if k > 1:
+            regs = (
+                und.join(
+                    regs.select(F.col("u").alias("v"), "bucket", "reg"), "v"
+                )
+                .select("u", "bucket", "reg")
+                .unionAll(regs.select("u", "bucket", "reg"))
+                .groupBy("u", "bucket")
+                .agg(F.max("reg").alias("reg"))
+                .localCheckpoint()
+            )
+        totals.append(
+            ball_total(regs).select(
+                F.lit(k).alias("k"), "n_pairs_est"
+            )
+        )
+    res = totals[0]
+    for t in totals[1:]:
+        res = res.unionByName(t)
+    mx = res.filter(F.col("k") == max_k).select(
+        F.col("n_pairs_est").alias("n_max")
+    )
+    return (
+        res.crossJoin(F.broadcast(mx))  # single-row max-k frame
+        .select(
+            "k",
+            "n_pairs_est",
+            F.expr("(1000000 * n_pairs_est) DIV n_max").alias("frac_of_max_ppm"),
+            F.expr(
+                f"100 * n_pairs_est >= {DD_EFF_PCT} * n_max"
+            ).alias("reaches_eff"),
+        )
+        .withColumn(
+            "is_eff_diameter",
+            F.col("reaches_eff")
+            & (
+                F.col("k")
+                == F.min(F.when(F.col("reaches_eff"), F.col("k"))).over(
+                    Window.partitionBy()
+                )
+            ),
+        )
+        .drop("reaches_eff")
+    )

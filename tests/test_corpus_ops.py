@@ -2677,3 +2677,62 @@ def test_mix_policy_ledger_exact_vs_pure_python(spark):
         < got[("sqrt_damped", "s2")].repeat_pm
         < got[("uniform", "s2")].repeat_pm
     )
+
+
+def test_dawid_skene_step_exact_and_flips(spark):
+    """Planted ensemble with one labeler anti-correlated with the
+    majority: the integer naive-Bayes re-vote must match the pure
+    Python replication and flip at least one pattern."""
+    from corhist_spark.fusion import (
+        dawid_skene_step,
+        DS_CLAMP_LO,
+        DS_CLAMP_HI,
+    )
+
+    # lang/len mostly agree (the real signal); rep votes almost
+    # randomly and is wrong on a big block, so DS should discount it
+    rows = []
+    i = 0
+    def add(n, lang, ln, rep):
+        nonlocal i
+        for _ in range(n):
+            rows.append((i, lang, ln, rep)); i += 1
+    add(40, True, True, True)
+    add(25, True, True, False)   # rep disagrees with strong pair
+    add(20, False, False, False)
+    add(10, False, False, True)  # rep disagrees again
+    add(5, True, False, True)
+    votes = spark.createDataFrame(
+        rows, "doc_id long, lang_ok boolean, len_ok boolean, rep_ok boolean"
+    )
+    got = {
+        (r.lang_ok, r.len_ok, r.rep_ok): r
+        for r in dawid_skene_step(votes).collect()
+    }
+
+    # pure-Python replication
+    from collections import Counter
+    pats = Counter((l, n, p) for _, l, n, p in rows)
+    maj = {k: int(sum(k) * 2 >= 3) for k in pats}
+    n1 = sum(v for k, v in pats.items() if maj[k] == 1)
+    n0 = sum(v for k, v in pats.items() if maj[k] == 0)
+    clamp = lambda x: min(DS_CLAMP_HI, max(DS_CLAMP_LO, x))
+    p1, p0 = {}, {}
+    for j in range(3):
+        p1[j] = clamp(1000 * sum(v for k, v in pats.items() if maj[k] == 1 and k[j]) // n1)
+        p0[j] = clamp(1000 * sum(v for k, v in pats.items() if maj[k] == 0 and k[j]) // n0)
+    prior = clamp(1000 * n1 // (n1 + n0))
+    flipped_any = False
+    for k, n in pats.items():
+        s1 = prior
+        s0 = 1000 - prior
+        for j in range(3):
+            s1 *= p1[j] if k[j] else 1000 - p1[j]
+            s0 *= p0[j] if k[j] else 1000 - p0[j]
+        corrected = int(s1 >= s0)
+        r = got[k]
+        assert (r.n_docs, r.majority_label, r.score1, r.score0,
+                r.corrected_label, r.flipped) == (
+            n, maj[k], s1, s0, corrected, corrected != maj[k]), k
+        flipped_any |= corrected != maj[k]
+    assert len(got) == len(pats)

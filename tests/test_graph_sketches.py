@@ -1200,3 +1200,62 @@ def test_partition_audit_exact_vs_pure_python(spark):
     # split across PART_COLS cells under the 2D grid
     assert got["1d_src"].max_edges >= 24
     assert got["2d_grid"].max_edges < 24
+
+
+# ---- batch 62: HyperBall distance distribution ----
+
+
+def test_distance_distribution_matches_python_hll_mirror(spark):
+    """N(k) pinned EXACTLY against the pure-Python HLL mirror on a
+    5-cycle (true k-ball sizes 3, 5, 5, 5): monotone, saturating, and
+    the effective-diameter flag lands on the first saturated k."""
+    import hashlib
+    import math
+
+    from corhist_spark.graph import (
+        HB_ALPHA16,
+        HB_BUCKETS,
+        DD_EFF_PCT,
+        distance_distribution,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "e")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+
+    def regs(members):
+        r = {}
+        for x in members:
+            h = hashlib.md5(f"hb:{x}".encode()).hexdigest()
+            bucket = int(h[0], 16)
+            v = int(h[1:14], 16)
+            rho = 53 if v == 0 else 53 - v.bit_length()
+            r[bucket] = max(r.get(bucket, 0), rho)
+        return r
+
+    def est(r):
+        m = HB_BUCKETS
+        s = sum(2.0 ** -reg for reg in r.values()) + (m - len(r))
+        zeros = m - len(r)
+        raw = HB_ALPHA16 * m * m / s
+        if raw <= 2.5 * m and zeros > 0:
+            return round(m * math.log(m / zeros))
+        return round(raw)
+
+    balls = {n: {n} for n in adj}
+    want = {}
+    for k in range(1, 5):
+        balls = {n: b | {y for x in b for y in adj[x]} for n, b in balls.items()}
+        want[k] = sum(est(regs(b)) for b in balls.values())
+    got = {r.k: r for r in distance_distribution(e).collect()}
+    assert {k: got[k].n_pairs_est for k in got} == want
+    n_max = want[4]
+    first = min(k for k in want if 100 * want[k] >= DD_EFF_PCT * n_max)
+    for k, r in got.items():
+        assert r.frac_of_max_ppm == (1_000_000 * want[k]) // n_max
+        assert r.is_eff_diameter == (k == first)
+    assert sum(1 for r in got.values() if r.is_eff_diameter) == 1
