@@ -5177,6 +5177,46 @@ def q_dawid_skene(spark, sf_dir):
     return dawid_skene_step(votes)
 
 
+def _scored_signals(spark, sf_dir):
+    """Shared integer signal frame for the rank-aggregation ops:
+    (doc_id, q_micro, n_tok, ttr_pm)."""
+    toks = _tokens()
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(_quality_expr() * 1000000).cast("bigint").alias("q_micro"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.expr(
+            "CASE WHEN size(filter(split(text, ' '), x -> x != '')) > 0 THEN"
+            " (1000 * size(array_distinct(filter(split(text, ' '),"
+            " x -> x != '')))) DIV size(filter(split(text, ' '),"
+            " x -> x != '')) ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("ttr_pm"),
+    )
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """One-pass Poisson bootstrap (`textops.poisson_bootstrap`,
+    Chamandy et al.) of the corpus mean quality: 8 hash-weighted
+    resamples, exact integer thresholds — the uncertainty bar on the
+    curation dashboard."""
+    from corhist_spark.textops import poisson_bootstrap
+
+    return poisson_bootstrap(
+        _scored_signals(spark, sf_dir).select("doc_id", "q_micro")
+    )
+
+
+def q_borda_quality_rank(spark, sf_dir):
+    """Borda rank-aggregation (`textops.borda_quality_rank`) of three
+    incomparable quality signals via per-signal count-bucket ranks —
+    scale-free signal ensembling."""
+    from corhist_spark.textops import borda_quality_rank
+
+    return borda_quality_rank(_scored_signals(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5535,6 +5575,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 62: HyperBall distance distribution, Dawid-Skene step
         "distance_distribution": q_distance_distribution,
         "dawid_skene": q_dawid_skene,
+        # batch 63: Poisson bootstrap, Borda rank aggregation
+        "poisson_bootstrap": q_poisson_bootstrap,
+        "borda_quality_rank": q_borda_quality_rank,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6572,6 +6615,9 @@ from corhist_spark.graph import PART_COLS as _PART_COLS
 from corhist_spark.textops import MIX_BUDGET_TOKENS as _MIX_BUDGET
 from corhist_spark.fusion import DS_CLAMP_LO as _DS_LO
 from corhist_spark.fusion import DS_CLAMP_HI as _DS_HI
+from corhist_spark.textops import BOOTSTRAP_B as _BOOTSTRAP_B
+from corhist_spark.textops import POISSON1_T52 as _POISSON1_T52
+from corhist_spark.textops import BORDA_SIGNALS as _BORDA_SIGNALS
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -13294,6 +13340,79 @@ def oracle_sql() -> dict[str, str]:
                (CASE WHEN {_ds_s1} >= {_ds_s0} THEN 1 ELSE 0 END)
                  <> m.majority_label AS flipped
         FROM maj m, conds
+    """
+    )
+    # shared integer-signal CTE for the rank-aggregation ops
+    _signals_cte = """
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+        scored AS (
+          SELECT doc_id,
+                 CAST(round(1000000 * ROUND(LEAST(1.0,
+                      len(toks) / 50.0) * (len(list_distinct(toks))
+                      / CAST(len(toks) AS DOUBLE)), 6)) AS BIGINT)
+                   AS q_micro,
+                 CAST(len(toks) AS BIGINT) AS n_tok,
+                 CAST(CASE WHEN len(toks) > 0 THEN
+                      (1000 * len(list_distinct(toks))) // len(toks)
+                      ELSE 0 END AS BIGINT) AS ttr_pm
+          FROM tk)
+    """
+    # Poisson bootstrap: thresholds interpolated from the Python
+    # constants — both engines draw the identical weight
+    _w_case = "CASE "
+    for _k, _t in enumerate(_POISSON1_T52):
+        _w_case += (
+            "WHEN ("
+            + hexval_sql(
+                "CAST(doc_id AS VARCHAR) || ':boot:' || CAST(b AS VARCHAR)"
+            )
+            + f") < {_t} THEN {_k} "
+        )
+    _w_case += f"ELSE {len(_POISSON1_T52)} END"
+    out["poisson_bootstrap"] = (
+        _signals_cte
+        + f""", ex AS (
+          SELECT s.doc_id, s.q_micro, g.b, CAST({_w_case} AS BIGINT) AS w
+          FROM scored s,
+               (SELECT unnest(generate_series(0, {_BOOTSTRAP_B - 1})) AS b) g)
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w) AS BIGINT) AS n_eff,
+               CAST(CASE WHEN SUM(w) > 0 THEN
+                    CAST(SUM(w * q_micro) AS BIGINT) // SUM(w) END AS BIGINT)
+                 AS mean_q_micro
+        FROM ex GROUP BY b
+    """
+    )
+    # Borda rank aggregation: one histogram + desc running total per
+    # signal, joined back; constants from textops.BORDA_SIGNALS
+    _borda_joins = ""
+    for _s in _BORDA_SIGNALS:
+        _borda_joins += f""", h_{_s} AS (
+          SELECT {_s}, CAST(COUNT(*) AS BIGINT) AS n_v
+          FROM scored GROUP BY 1
+        ), l_{_s} AS (
+          SELECT {_s},
+                 CAST(SUM(n_v) OVER (ORDER BY {_s} DESC
+                      ROWS UNBOUNDED PRECEDING) - n_v AS BIGINT) AS b_{_s}
+          FROM h_{_s})
+        """
+    _k3 = len(_BORDA_SIGNALS)
+    _bsum = " + ".join(f"b_{s}" for s in _BORDA_SIGNALS)
+    out["borda_quality_rank"] = (
+        _signals_cte
+        + _borda_joins
+        + f""", tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored)
+        SELECT s.doc_id, {", ".join("b_" + s for s in _BORDA_SIGNALS)},
+               CAST(CASE WHEN t.n > 1 THEN
+                    (1000 * ({_k3} * (t.n - 1) - ({_bsum})))
+                      // ({_k3} * (t.n - 1))
+                    ELSE 1000 END AS BIGINT) AS borda_pm
+        FROM scored s
+        {" ".join(f"JOIN l_{s} USING ({s})" for s in _BORDA_SIGNALS)},
+        tot t
     """
     )
     # UL2 denoiser plan: pure hash/integer arithmetic, constants

@@ -367,6 +367,9 @@ HEADLINE = [
     # batch 62: HyperBall distance distribution, Dawid-Skene step
     "distance_distribution",
     "dawid_skene",
+    # batch 63: Poisson bootstrap, Borda rank aggregation
+    "poisson_bootstrap",
+    "borda_quality_rank",
 ]
 
 

@@ -4044,3 +4044,109 @@ def mix_policy_ledger(
     for r in rows[1:]:
         res = res.unionByName(r)
     return res
+
+
+# Poisson-bootstrap settings (Chamandy et al. 2012, "Estimating
+# uncertainty for massive data streams": per-record independent
+# Poisson(1) weights make the bootstrap ONE streaming pass): number of
+# resamples, and the Poisson(1) inverse-CDF thresholds on the 52-bit
+# hash grid — precomputed exact integers (floor(CDF(k) * 2^52) for
+# k = 0..4, weights above cap at 5), so both engines draw the
+# IDENTICAL weight from the identical hash
+BOOTSTRAP_B = 8
+POISSON1_T52 = (
+    1656781714176974,
+    3313563428353948,
+    4141954285442435,
+    4418084571138597,
+    4487117142562638,
+)
+
+
+def poisson_bootstrap(scored: DataFrame, n_resamples: int = BOOTSTRAP_B) -> DataFrame:
+    """Deterministic Poisson bootstrap of the corpus mean quality —
+    the uncertainty bar a curation dashboard needs on every metric at
+    10^12 docs, computed in ONE pass: per (doc, resample) a
+    hash-drawn Poisson(1) weight (inverse CDF on the 52-bit md5 grid,
+    thresholds precomputed as exact integers), then per resample the
+    weighted mean.  Output: (b, n_docs, n_eff, mean_q_micro) — the
+    spread across the B rows IS the sampling distribution of the
+    mean.  Hash-in-place-of-RNG, so resamples are reproducible across
+    engines/runs/partitionings.
+
+    Scale shape: map-only weight draw + ONE aggregate with B * 3
+    partial cells per task — no shuffle beyond the B-row result;
+    B is the cost knob."""
+    h52 = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':boot:',"
+        " CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    w_case = "CASE "
+    for k, t in enumerate(POISSON1_T52):
+        w_case += f"WHEN {h52} < {t} THEN {k} "
+    w_case += f"ELSE {len(POISSON1_T52)} END"
+    d = scored.select(
+        "doc_id",
+        "q_micro",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(n_resamples)])
+        ).alias("b"),
+    ).withColumn("w", F.expr(w_case).cast("bigint"))
+    return d.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("n_eff"),
+        F.expr(
+            "CASE WHEN SUM(w) > 0 THEN"
+            " CAST(SUM(w * q_micro) AS BIGINT) DIV SUM(w) END"
+        )
+        .cast("bigint")
+        .alias("mean_q_micro"),
+    )
+
+
+# Borda rank-aggregation signals: each is an integer column computed
+# from the document text; aggregation by rank makes the ensemble
+# immune to the signals' incomparable scales
+BORDA_SIGNALS = ("q_micro", "n_tok", "ttr_pm")
+
+
+def borda_quality_rank(docs_scored: DataFrame) -> DataFrame:
+    """Borda rank-aggregation of incomparable quality signals (the
+    classic voting rule; rank aggregation is how curation stacks
+    combine a perplexity, a classifier score and a heuristic without
+    inventing scale weights): per signal the EXACT count of
+    strictly-better documents via the value-histogram running total
+    (never a global sort over docs), then borda_pm = the per-mille
+    average of (N-1 - n_better) / (N-1) across signals.  Input needs
+    (doc_id, q_micro, n_tok, ttr_pm); output adds b_q_micro / b_n_tok
+    / b_ttr_pm (the n_better counts) and borda_pm.
+
+    Scale shape: one value histogram + one bounded window + one
+    value-keyed join back PER SIGNAL (the curriculum_stages
+    decomposition applied threefold); integer-only."""
+    out = docs_scored
+    for sig in BORDA_SIGNALS:
+        hist = docs_scored.groupBy(sig).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_v")
+        )
+        w = (
+            Window.orderBy(F.desc(sig))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        lev = hist.withColumn(
+            f"b_{sig}", (F.sum("n_v").over(w) - F.col("n_v")).cast("bigint")
+        ).drop("n_v")
+        out = out.join(lev, sig)
+    tot = docs_scored.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    k = len(BORDA_SIGNALS)
+    better_sum = " + ".join(f"b_{s}" for s in BORDA_SIGNALS)
+    return out.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        *[f"b_{s}" for s in BORDA_SIGNALS],
+        F.expr(
+            f"CASE WHEN n > 1 THEN (1000 * ({k} * (n - 1) - ({better_sum})))"
+            f" DIV ({k} * (n - 1)) ELSE 1000 END"
+        )
+        .cast("bigint")
+        .alias("borda_pm"),
+    )

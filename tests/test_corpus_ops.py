@@ -2736,3 +2736,79 @@ def test_dawid_skene_step_exact_and_flips(spark):
             n, maj[k], s1, s0, corrected, corrected != maj[k]), k
         flipped_any |= corrected != maj[k]
     assert len(got) == len(pats)
+
+
+# ---- batch 63: Poisson bootstrap, Borda rank aggregation ----
+
+
+def test_poisson_bootstrap_exact_vs_pure_python(spark):
+    """Hash-weight draws and weighted means must match the md5
+    replication exactly, and the empirical weight distribution must
+    be Poisson(1)-shaped (mean ~1)."""
+    from corhist_spark.textops import (
+        poisson_bootstrap,
+        BOOTSTRAP_B,
+        POISSON1_T52,
+    )
+
+    scored = spark.createDataFrame(
+        [(i, (i * 37) % 1000001) for i in range(300)],
+        "doc_id long, q_micro long",
+    )
+    got = {r.b: r for r in poisson_bootstrap(scored).collect()}
+
+    def w(doc_id, b):
+        u = int(
+            hashlib.md5(f"{doc_id}:boot:{b}".encode()).hexdigest()[:13], 16
+        )
+        for k, t in enumerate(POISSON1_T52):
+            if u < t:
+                return k
+        return len(POISSON1_T52)
+
+    assert set(got) == set(range(BOOTSTRAP_B))
+    total_w = 0
+    for b in range(BOOTSTRAP_B):
+        ws = [(w(i, b), (i * 37) % 1000001) for i in range(300)]
+        n_eff = sum(x for x, _ in ws)
+        total_w += n_eff
+        mean = sum(x * q for x, q in ws) // n_eff if n_eff else None
+        r = got[b]
+        assert (r.n_docs, r.n_eff, r.mean_q_micro) == (300, n_eff, mean), b
+    # Poisson(1): average weight ~1 (loose band, deterministic draws)
+    avg = total_w / (300 * BOOTSTRAP_B)
+    assert 0.85 < avg < 1.15
+
+
+def test_borda_quality_rank_exact_vs_pure_python(spark):
+    """Planted signals with deliberate rank disagreements and ties:
+    per-signal strictly-better counts and the per-mille Borda score
+    must match pure Python."""
+    from corhist_spark.textops import borda_quality_rank, BORDA_SIGNALS
+
+    rows = [
+        # doc_id, q_micro, n_tok, ttr_pm  (doc 0 best quality but
+        # shortest; doc 3 ties doc 2 on quality)
+        (0, 900, 5, 100),
+        (1, 500, 50, 900),
+        (2, 700, 20, 500),
+        (3, 700, 30, 500),
+        (4, 100, 40, 700),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, q_micro long, n_tok long, ttr_pm long")
+    got = {r.doc_id: r for r in borda_quality_rank(d).collect()}
+    n = len(rows)
+    cols = {s: i + 1 for i, s in enumerate(BORDA_SIGNALS)}
+    for doc in rows:
+        better = {
+            s: sum(1 for o in rows if o[cols[s]] > doc[cols[s]])
+            for s in BORDA_SIGNALS
+        }
+        total = sum(better.values())
+        pm = (1000 * (3 * (n - 1) - total)) // (3 * (n - 1))
+        r = got[doc[0]]
+        for s in BORDA_SIGNALS:
+            assert getattr(r, f"b_{s}") == better[s], (doc[0], s)
+        assert r.borda_pm == pm, doc[0]
+    # the tie pair shares every count on the tied signal
+    assert got[2].b_q_micro == got[3].b_q_micro == 1
