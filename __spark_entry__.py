@@ -5217,6 +5217,38 @@ def q_borda_quality_rank(spark, sf_dir):
     return borda_quality_rank(_scored_signals(spark, sf_dir))
 
 
+def q_rerank_eval(spark, sf_dir):
+    """Two-stage retrieval eval (`retrieval.rerank_eval`): BM25 top-50
+    candidates re-ranked by cosine to the top-1 candidate's embedding
+    (Rocchio pseudo-relevance feedback), nDCG@10 before vs after over
+    the same candidates and topic relevance."""
+    from corhist_spark.retrieval import bm25_scores, rerank_eval
+    from corhist_spark.textops import topic_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    scores = bm25_scores(d, list(_BM25_QUERY))
+    rel = topic_assignment(d).select(
+        "doc_id",
+        (F.col("topic") == _NDCG_REL_TOPIC).cast("int").alias("rel"),
+    )
+    return rerank_eval(
+        scores, _t(spark, sf_dir, "embeddings").select("vec_id", "embedding"), rel
+    )
+
+
+def q_cv_fold_audit(spark, sf_dir):
+    """Stratification audit (`textops.cv_fold_audit`) of the hash-mod
+    CV fold draw: per (fold, topic) exact counts and per-mille
+    deviation from uniform."""
+    from corhist_spark.textops import cv_fold_audit, topic_assignment
+
+    return cv_fold_audit(
+        topic_assignment(_t(spark, sf_dir, "documents")).select(
+            "doc_id", "topic"
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5578,6 +5610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 63: Poisson bootstrap, Borda rank aggregation
         "poisson_bootstrap": q_poisson_bootstrap,
         "borda_quality_rank": q_borda_quality_rank,
+        # batch 64: two-stage retrieval re-rank, CV fold audit
+        "rerank_eval": q_rerank_eval,
+        "cv_fold_audit": q_cv_fold_audit,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -6618,6 +6653,9 @@ from corhist_spark.fusion import DS_CLAMP_HI as _DS_HI
 from corhist_spark.textops import BOOTSTRAP_B as _BOOTSTRAP_B
 from corhist_spark.textops import POISSON1_T52 as _POISSON1_T52
 from corhist_spark.textops import BORDA_SIGNALS as _BORDA_SIGNALS
+from corhist_spark.retrieval import RERANK_CANDIDATES as _RERANK_CANDS
+from corhist_spark.retrieval import RERANK_KS as _RERANK_KS
+from corhist_spark.textops import CV_FOLDS as _CV_FOLDS
 from corhist_spark.textops import MAX_REPEAT_EPOCHS as _MAX_REPEAT_EPOCHS
 from corhist_spark.graph import SAMPLE_FANOUT as _SAMPLE_FANOUT
 from corhist_spark.textops import MLM_SELECT_PER_1000 as _MLM_SELECT_PER_1000
@@ -13413,6 +13451,97 @@ def oracle_sql() -> dict[str, str]:
         FROM scored s
         {" ".join(f"JOIN l_{s} USING ({s})" for s in _BORDA_SIGNALS)},
         tot t
+    """
+    )
+    # two-stage retrieval: BM25 candidates, 1-row PRF seed, cosine
+    # re-rank, then the shared nDCG gain machinery for both rankings
+    _rr_k = _RERANK_KS[0]
+    _rr_idcg = (
+        f"CASE least({_rr_k}, n_rel_total) "
+        + " ".join(
+            f"WHEN {i + 1} THEN {p}"
+            for i, p in enumerate(ndcg_prefix[:_rr_k])
+        )
+        + " ELSE 0 END"
+    )
+    _rr_part = f"""(
+          SELECT '{{name}}' AS ranking, CAST({_rr_k} AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS n_ranked,
+                 nr.n_rel_total,
+                 CAST(SUM(rel) AS BIGINT) AS n_rel_at_k,
+                 CAST(COALESCE(SUM(rel * ({ndcg_gain_case})), 0) AS BIGINT)
+                   AS dcg_micro,
+                 CAST({_rr_idcg} AS BIGINT) AS idcg_micro,
+                 CASE WHEN ({_rr_idcg}) > 0 THEN
+                   (1000000 * CAST(COALESCE(SUM(rel * ({ndcg_gain_case})), 0)
+                              AS BIGINT)) // ({_rr_idcg}) END AS ndcg_ppm
+          FROM {{ranked}}, nr WHERE rk <= {_rr_k}
+          GROUP BY 4)"""
+    out["rerank_eval"] = (
+        "WITH bm AS ("
+        + out["bm25_select"]
+        + "), ta AS ("
+        + out["topic_assignment"]
+        + f"""), rel AS (
+          SELECT doc_id, CASE WHEN topic = '{_NDCG_REL_TOPIC}' THEN 1
+                         ELSE 0 END AS rel FROM ta),
+        emb AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        nemb AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM emb),
+        cand AS (
+          SELECT bm.doc_id, bm.bm25, n.v, n.nrm,
+                 row_number() OVER (ORDER BY bm25 DESC, bm.doc_id) AS crk
+          FROM bm JOIN nemb n ON n.vec_id = bm.doc_id
+          QUALIFY crk <= {_RERANK_CANDS}),
+        seed AS (SELECT v AS qv, nrm AS qn FROM cand WHERE crk = 1),
+        rr AS (
+          SELECT c.doc_id,
+                 ROUND(list_inner_product(c.v, s.qv) / (c.nrm * s.qn), 3)
+                   AS score
+          FROM cand c, seed s),
+        ranked_base AS (
+          SELECT c.doc_id,
+                 row_number() OVER (ORDER BY c.bm25 DESC, c.doc_id) AS rk,
+                 COALESCE(rel.rel, 0) AS rel
+          FROM cand c LEFT JOIN rel ON rel.doc_id = c.doc_id
+          QUALIFY rk <= {_rr_k}),
+        ranked_rr AS (
+          SELECT r.doc_id,
+                 row_number() OVER (ORDER BY r.score DESC, r.doc_id) AS rk,
+                 COALESCE(rel.rel, 0) AS rel
+          FROM rr r LEFT JOIN rel ON rel.doc_id = r.doc_id
+          QUALIFY rk <= {_rr_k}),
+        nr AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel_total FROM rel)
+        """
+        + _rr_part.format(name="bm25_baseline", ranked="ranked_base")
+        + " UNION ALL "
+        + _rr_part.format(name="cosine_reranked", ranked="ranked_rr")
+    )
+    # CV fold audit: hash-mod fold + stratified counts
+    out["cv_fold_audit"] = (
+        "WITH ta AS ("
+        + out["topic_assignment"]
+        + f"""), d AS (
+          SELECT topic,
+                 CAST(({hexval_sql("CAST(doc_id AS VARCHAR) || ':cv'")})
+                      % {_CV_FOLDS} AS INT) AS fold
+          FROM ta),
+        cnt AS (
+          SELECT fold, topic, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM d GROUP BY 1, 2),
+        tot AS (
+          SELECT topic, CAST(SUM(n_docs) AS BIGINT) AS class_total
+          FROM cnt GROUP BY 1)
+        SELECT c.fold, c.topic, c.n_docs, t.class_total,
+               CAST(CASE WHEN t.class_total > 0 THEN
+                    (1000 * abs({_CV_FOLDS} * c.n_docs - t.class_total))
+                      // t.class_total END AS BIGINT) AS dev_pm
+        FROM cnt c JOIN tot t ON t.topic = c.topic
     """
     )
     # UL2 denoiser plan: pure hash/integer arithmetic, constants

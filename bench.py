@@ -370,6 +370,9 @@ HEADLINE = [
     # batch 63: Poisson bootstrap, Borda rank aggregation
     "poisson_bootstrap",
     "borda_quality_rank",
+    # batch 64: two-stage retrieval re-rank, CV fold audit
+    "rerank_eval",
+    "cv_fold_audit",
 ]
 
 

@@ -171,3 +171,69 @@ def ndcg_eval(scores: DataFrame, relevance: DataFrame, ks: tuple = NDCG_KS) -> D
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# two-stage retrieval settings: BM25 candidate depth and the nDCG
+# cutoff the re-rank is judged at
+RERANK_CANDIDATES = 50
+RERANK_KS = (10,)
+
+
+def rerank_eval(
+    scores: DataFrame,
+    embeddings: DataFrame,
+    relevance: DataFrame,
+    n_candidates: int = RERANK_CANDIDATES,
+    ks: tuple = RERANK_KS,
+) -> DataFrame:
+    """Two-stage retrieval evaluation (the BM25-then-dense pattern
+    every modern retrieval stack runs; the dense query vector comes
+    from pseudo-relevance feedback — Rocchio with the top-1 BM25
+    document as the sole feedback doc): take the top
+    ``n_candidates`` BM25 candidates, re-rank them by rounded cosine
+    to the top-1 candidate's embedding, and report nDCG@k for BOTH
+    rankings over the same candidate set and relevance — the
+    before/after table that decides whether the dense stage pays.
+    Output: (ranking, k, n_ranked, n_rel_total, n_rel_at_k,
+    dcg_micro, idcg_micro, ndcg_ppm) with ranking in
+    {'bm25_baseline', 'cosine_reranked'}.
+
+    Scale shape: candidate selection is orderBy+limit
+    (TakeOrderedAndProject — distributed top-k); everything after is
+    <= n_candidates rows: one id-keyed embedding join, a 1-row seed
+    broadcast, and the ndcg_eval aggregates."""
+    from corhist_spark.similarity import with_norm, _dot
+
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # the dense stage can only rerank docs that HAVE embeddings, and
+    # a fair before/after needs one candidate set — so the join comes
+    # BEFORE the top-k (an id-keyed equi-join; the top-k stays a
+    # distributed TakeOrderedAndProject over the joined stream)
+    cand = (
+        scores.join(
+            with_norm(embeddings).select(
+                F.col("vec_id").alias("doc_id"), "v", "nrm"
+            ),
+            "doc_id",
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(n_candidates)
+        .withColumn("rk", F.row_number().over(w))
+        .localCheckpoint()  # <= n_candidates rows
+    )
+    seed = cand.filter(F.col("rk") == 1).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    rr = cand.crossJoin(F.broadcast(seed)).select(
+        "doc_id",
+        F.round(
+            _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 3
+        ).alias("bm25"),
+    )
+    base = ndcg_eval(cand.select("doc_id", "bm25"), relevance, ks=ks).select(
+        F.lit("bm25_baseline").alias("ranking"), "*"
+    )
+    rer = ndcg_eval(rr, relevance, ks=ks).select(
+        F.lit("cosine_reranked").alias("ranking"), "*"
+    )
+    return base.unionByName(rer)

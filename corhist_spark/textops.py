@@ -4150,3 +4150,47 @@ def borda_quality_rank(docs_scored: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("borda_pm"),
     )
+
+
+CV_FOLDS = 5
+
+
+def cv_fold_audit(labeled: DataFrame, n_folds: int = CV_FOLDS) -> DataFrame:
+    """Cross-validation fold assignment + stratification audit: folds
+    come from the scalable hash-mod draw (fold = md5(doc_id) % K —
+    map-only, resumable, no per-class sort at 10^12 docs), and the
+    query AUDITS what that buys: per (fold, class) the exact count,
+    the uniform expectation and the per-mille deviation — the number
+    a training pipeline checks before trusting fold metrics.  Input:
+    ``labeled(doc_id, topic)``.  Output: (fold, topic, n_docs,
+    class_total, dev_pm) with dev_pm = 1000 * |K*n - total| / total.
+
+    Scale shape: one map-side fold draw + one (fold, class) aggregate
+    + a class-keyed broadcast of class totals; output is
+    K x |classes| rows."""
+    h = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':cv')), 1, 13),"
+        " 16, 10) AS BIGINT)"
+    )
+    d = labeled.select(
+        "topic", (F.expr(h) % n_folds).cast("int").alias("fold")
+    )
+    cnt = d.groupBy("fold", "topic").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = cnt.groupBy("topic").agg(
+        F.sum("n_docs").cast("bigint").alias("class_total")
+    )
+    return cnt.join(F.broadcast(tot), "topic").select(
+        "fold",
+        "topic",
+        "n_docs",
+        "class_total",
+        F.expr(
+            f"CASE WHEN class_total > 0 THEN"
+            f" (1000 * abs({n_folds} * n_docs - class_total))"
+            f" DIV class_total END"
+        )
+        .cast("bigint")
+        .alias("dev_pm"),
+    )

@@ -2812,3 +2812,78 @@ def test_borda_quality_rank_exact_vs_pure_python(spark):
         assert r.borda_pm == pm, doc[0]
     # the tie pair shares every count on the tied signal
     assert got[2].b_q_micro == got[3].b_q_micro == 1
+
+
+# ---- batch 64: two-stage retrieval re-rank, CV fold audit ----
+
+
+def test_rerank_eval_semantics(spark):
+    """Planted candidates where BM25 misranks but embeddings cluster
+    the relevant docs: the re-rank must beat the baseline nDCG, and
+    both rows must share the candidate set and idcg."""
+    from corhist_spark.retrieval import rerank_eval
+
+    # 12 docs: BM25 puts doc 0 on top (relevant); docs 1-5 irrelevant
+    # but high BM25; docs 6-9 relevant with low BM25.  Embeddings:
+    # relevant docs all equal doc 0's vector, irrelevant orthogonal.
+    scores = spark.createDataFrame(
+        [(i, round(1.0 - 0.01 * i, 6)) for i in range(12)],
+        "doc_id long, bm25 double",
+    )
+    rel_ids = {0, 6, 7, 8, 9}
+    emb = spark.createDataFrame(
+        [
+            (i, [1.0, 0.0] if i in rel_ids else [0.0, 1.0])
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rel = spark.createDataFrame(
+        [(i, 1 if i in rel_ids else 0) for i in range(12)],
+        "doc_id long, rel int",
+    )
+    got = {
+        r.ranking: r
+        for r in rerank_eval(scores, emb, rel, n_candidates=12, ks=(10,)).collect()
+    }
+    base, rr = got["bm25_baseline"], got["cosine_reranked"]
+    assert base.k == rr.k == 10
+    assert base.n_rel_total == rr.n_rel_total == 5
+    assert base.idcg_micro == rr.idcg_micro
+    # baseline top-10 misses none... doc 0 plus 6-9 are at ranks
+    # 1,7,8,9,10; reranked puts all five relevant docs first
+    assert rr.n_rel_at_k == 5 and base.n_rel_at_k == 5
+    assert rr.dcg_micro > base.dcg_micro
+    assert rr.ndcg_ppm == 1_000_000
+    assert base.ndcg_ppm < 1_000_000
+
+
+def test_cv_fold_audit_exact_vs_pure_python(spark):
+    """Fold assignment and deviation must match the md5 replication,
+    folds must partition each class, and dev_pm must be exact."""
+    from corhist_spark.textops import cv_fold_audit, CV_FOLDS
+
+    labeled = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(200)],
+        "doc_id long, topic string",
+    )
+    got = {(r.fold, r.topic): r for r in cv_fold_audit(labeled).collect()}
+
+    from collections import Counter
+    want = Counter()
+    for i in range(200):
+        t = "a" if i % 3 else "b"
+        f = int(hashlib.md5(f"{i}:cv".encode()).hexdigest()[:13], 16) % CV_FOLDS
+        want[(f, t)] += 1
+    totals = Counter()
+    for (f, t), n in want.items():
+        totals[t] += n
+    assert set(got) == set(want)
+    for k, n in want.items():
+        r = got[k]
+        ct = totals[k[1]]
+        assert (r.n_docs, r.class_total) == (n, ct), k
+        assert r.dev_pm == (1000 * abs(CV_FOLDS * n - ct)) // ct, k
+    # every class fully partitioned across folds
+    for t in ("a", "b"):
+        assert sum(n for (f, tt), n in want.items() if tt == t) == totals[t]
