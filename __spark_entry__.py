@@ -5249,6 +5249,30 @@ def q_cv_fold_audit(spark, sf_dir):
     )
 
 
+def q_skyline_docs(spark, sf_dir):
+    """2-D Pareto frontier (`textops.pareto_skyline`) over the shared
+    integer signal frame: documents not dominated on BOTH q_micro and
+    ttr_pm — the quality/diversity frontier without a weighted blend.
+    Computed via the value-histogram decomposition (distinct-x window
+    + join back), never an N^2 self-join or a global doc sort."""
+    from corhist_spark.textops import pareto_skyline
+
+    return pareto_skyline(_scored_signals(spark, sf_dir))
+
+
+def q_benford_audit(spark, sf_dir):
+    """First-digit Benford source monitor (`textops.benford_audit`)
+    over lineitem extended prices per return flag: exact per-digit
+    counts, observed vs Benford per-mille and dev_pm, zero-count
+    digits materialized.  Integer-only (fixed per-mille Benford
+    constants, no float log10)."""
+    from corhist_spark.textops import benford_audit
+
+    return benford_audit(
+        _t(spark, sf_dir, "lineitem"), "l_returnflag", "l_extendedprice"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5613,6 +5637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 64: two-stage retrieval re-rank, CV fold audit
         "rerank_eval": q_rerank_eval,
         "cv_fold_audit": q_cv_fold_audit,
+        # batch 65: Pareto skyline curation, Benford source audit
+        "skyline_docs": q_skyline_docs,
+        "benford_audit": q_benford_audit,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5691,6 +5718,7 @@ from corhist_spark.textops import (
     DSIR_BUCKETS as _DSIR_BUCKETS,
 )
 from corhist_spark.textops import BIGRAM_ADD_K as _BIGRAM_ADD_K
+from corhist_spark.textops import BENFORD_PM as _BENFORD_PM
 from corhist_spark.textops import (
     SUBSTR_STRIDE as _SUBSTR_STRIDE,
     SUBSTR_WINDOW as _SUBSTR_WINDOW,
@@ -13587,5 +13615,59 @@ def oracle_sql() -> dict[str, str]:
                          ELSE greatest(1, n_corrupt // _span)
                     END AS BIGINT) AS n_spans
         FROM c
+    """
+    # Pareto skyline: same value-histogram decomposition as the engine
+    # (distinct-x running max, never an N^2 NOT EXISTS — the sf1 tier
+    # would choke on the quadratic form; the N^2 form is pinned
+    # equivalent by tests/test_corpus_ops.py instead)
+    out["skyline_docs"] = (
+        _signals_cte
+        + """, grp AS (
+          SELECT q_micro, CAST(MAX(ttr_pm) AS BIGINT) AS max_y
+          FROM scored GROUP BY 1),
+        sky AS (
+          SELECT q_micro, max_y FROM (
+            SELECT q_micro, max_y,
+                   MAX(max_y) OVER (ORDER BY q_micro DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS prev_max
+            FROM grp)
+          WHERE prev_max IS NULL OR max_y > prev_max)
+        SELECT s.doc_id, s.q_micro, s.ttr_pm
+        FROM scored s
+        JOIN sky k ON s.q_micro = k.q_micro AND s.ttr_pm = k.max_y
+    """
+    )
+    # Benford first-digit audit: per-mille constants interpolated from
+    # textops.BENFORD_PM so engine and oracle cannot drift
+    _benford_case = "CASE s.digit " + " ".join(
+        f"WHEN {d + 1} THEN {p}" for d, p in enumerate(_BENFORD_PM)
+    ) + " END"
+    out["benford_audit"] = f"""
+        WITH d AS (
+          SELECT l_returnflag AS grp,
+                 CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                      AS VARCHAR), 1, 1) AS INT) AS digit
+          FROM lineitem WHERE l_extendedprice >= 1),
+        cnt AS (
+          SELECT grp, digit, CAST(COUNT(*) AS BIGINT) AS n_vals
+          FROM d GROUP BY 1, 2),
+        tot AS (
+          SELECT grp, CAST(SUM(n_vals) AS BIGINT) AS n_total
+          FROM cnt GROUP BY 1),
+        spine AS (
+          SELECT t.grp, t.n_total, g.digit
+          FROM tot t, (SELECT CAST(unnest(generate_series(1, 9)) AS INT)
+                       AS digit) g)
+        SELECT s.grp, s.digit,
+               CAST(COALESCE(c.n_vals, 0) AS BIGINT) AS n_vals,
+               s.n_total,
+               CAST((1000 * COALESCE(c.n_vals, 0)) // s.n_total AS BIGINT)
+                 AS obs_pm,
+               CAST({_benford_case} AS BIGINT) AS exp_pm,
+               CAST((1000 * COALESCE(c.n_vals, 0)) // s.n_total
+                    - ({_benford_case}) AS BIGINT) AS dev_pm
+        FROM spine s
+        LEFT JOIN cnt c ON c.grp = s.grp AND c.digit = s.digit
     """
     return out

@@ -373,6 +373,10 @@ HEADLINE = [
     # batch 64: two-stage retrieval re-rank, CV fold audit
     "rerank_eval",
     "cv_fold_audit",
+    # r5 batch 65: Pareto-skyline curation (value-histogram frontier)
+    # and the Benford first-digit source monitor
+    "skyline_docs",
+    "benford_audit",
 ]
 
 

@@ -4194,3 +4194,98 @@ def cv_fold_audit(labeled: DataFrame, n_folds: int = CV_FOLDS) -> DataFrame:
         .cast("bigint")
         .alias("dev_pm"),
     )
+
+
+def pareto_skyline(
+    docs_scored: DataFrame, x: str = "q_micro", y: str = "ttr_pm"
+) -> DataFrame:
+    """2-D Pareto frontier (skyline) over two quality signals — the
+    curation question "which documents are not strictly worse than
+    some other document on BOTH axes" (Börzsönyi et al.'s skyline
+    operator), used to pick the quality/diversity frontier without
+    inventing a weighted blend.  A point is dominated when another
+    point is >= on both signals and > on at least one; equal points
+    never dominate each other, so exact ties all stay on the
+    frontier.
+
+    Scale shape: the naive skyline is an N^2 self-join; this is the
+    borda/curriculum value-histogram decomposition instead — one
+    x-keyed aggregate (max y per distinct x), one bounded window over
+    the DISTINCT x values (value-cardinality-sized, never a global
+    sort over docs), one (x, y)-keyed join back.  A point is on the
+    frontier iff its y equals its x-group's max AND that max exceeds
+    the running max over all strictly-greater x groups."""
+    grp = docs_scored.groupBy(x).agg(F.max(y).cast("bigint").alias("_max_y"))
+    w = Window.orderBy(F.desc(x)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sky = (
+        grp.withColumn("_prev", F.max("_max_y").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_max_y") > F.col("_prev")))
+        .select(x, F.col("_max_y").alias(y))
+    )
+    return docs_scored.join(sky, [x, y]).select("doc_id", x, y)
+
+
+# Benford first-digit law: P(d) = log10(1 + 1/d), rounded to per-mille
+# (sums to exactly 1000) — fixed constants so Spark and the oracle
+# never evaluate a float log.
+BENFORD_PM = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def benford_audit(
+    vals: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """First-significant-digit Benford audit per source group — the
+    classic fabricated-/degenerate-data monitor for numeric feeds: a
+    source whose first-digit distribution drifts hard from Benford's
+    law (or from its own history) is flagged for inspection before it
+    poisons downstream aggregates.  Values < 1 are excluded (no first
+    significant digit in the integer sense).
+
+    Output grain is (grp, digit 1..9) with exact counts, observed
+    per-mille, the Benford expectation and dev_pm = obs - exp; digits
+    a group never produced appear with n_vals = 0 (their absence IS
+    the signal).  All integer — no float log10, no chi-square
+    overflow hazard at any n (|dev_pm| <= 1000 by construction).
+
+    Scale shape: one map-only floor/substr digit extraction + one
+    (grp, digit) aggregate (output is 9 x |groups| rows) + a
+    broadcast of per-group totals against the generated digit spine."""
+    d = vals.filter(F.col(value_col) >= 1).select(
+        F.col(group_col).alias("grp"),
+        F.substring(
+            F.floor(F.col(value_col)).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit"),
+    )
+    cnt = d.groupBy("grp", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vals")
+    )
+    tot = cnt.groupBy("grp").agg(
+        F.sum("n_vals").cast("bigint").alias("n_total")
+    )
+    spine = tot.select(
+        "grp",
+        "n_total",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+    )
+    exp_pm = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_PM]), F.col("digit")
+    ).cast("bigint")
+    return (
+        spine.join(cnt, ["grp", "digit"], "left")
+        .withColumn("n_vals", F.coalesce(F.col("n_vals"), F.lit(0)).cast("bigint"))
+        .select(
+            "grp",
+            "digit",
+            "n_vals",
+            "n_total",
+            F.expr("(1000 * n_vals) DIV n_total").cast("bigint").alias("obs_pm"),
+            exp_pm.alias("exp_pm"),
+            (
+                F.expr("(1000 * n_vals) DIV n_total") - exp_pm
+            ).cast("bigint").alias("dev_pm"),
+        )
+    )

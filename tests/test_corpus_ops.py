@@ -2887,3 +2887,65 @@ def test_cv_fold_audit_exact_vs_pure_python(spark):
     # every class fully partitioned across folds
     for t in ("a", "b"):
         assert sum(n for (f, tt), n in want.items() if tt == t) == totals[t]
+
+
+def test_pareto_skyline_matches_bruteforce(spark):
+    """The histogram+window skyline must equal the N^2 dominance
+    definition exactly, including tie groups (equal points never
+    dominate each other) and duplicated frontier points."""
+    from corhist_spark.textops import pareto_skyline
+
+    rows = [
+        # doc_id, q_micro, n_tok (unused), ttr_pm
+        (0, 900, 1, 100),
+        (1, 900, 1, 400),   # same q as 0, higher t -> dominates 0
+        (2, 700, 1, 400),   # dominated by 1 (>= both, > on q)
+        (3, 700, 1, 700),
+        (4, 500, 1, 700),   # dominated by 3
+        (5, 500, 1, 900),
+        (6, 500, 1, 900),   # exact tie with 5 -> both on frontier
+        (7, 100, 1, 50),    # dominated by everything above on q? no:
+                            # needs >= both; dominated by 5/6 etc.
+        (8, 950, 1, 50),    # global max q -> frontier
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, q_micro long, n_tok long, ttr_pm long"
+    )
+    got = sorted(r.doc_id for r in pareto_skyline(d).collect())
+
+    def dominated(a):
+        return any(
+            b[1] >= a[1] and b[3] >= a[3] and (b[1] > a[1] or b[3] > a[3])
+            for b in rows
+            if b[0] != a[0]
+        )
+
+    want = sorted(r[0] for r in rows if not dominated(r))
+    assert got == want == [1, 3, 5, 6, 8]
+
+
+def test_benford_audit_exact(spark):
+    """Planted digit distribution: exact counts, per-mille math, the
+    <1 exclusion, and zero-count digits materialized with n_vals=0."""
+    from corhist_spark.textops import benford_audit, BENFORD_PM
+
+    vals = (
+        [("a", float(v)) for v in [1.2, 19.0, 150.0, 2.5, 3.0, 0.4]]
+        + [("b", 9999.99)]
+    )
+    d = spark.createDataFrame(vals, "src string, price double")
+    got = {
+        (r.grp, r.digit): r
+        for r in benford_audit(d, "src", "price").collect()
+    }
+    assert len(got) == 18  # 2 groups x 9 digits, zero counts included
+    # group a: 0.4 excluded; digits 1,1,1,2,3 -> n=5
+    assert got[("a", 1)].n_vals == 3 and got[("a", 1)].n_total == 5
+    assert got[("a", 2)].n_vals == 1 and got[("a", 3)].n_vals == 1
+    assert got[("a", 9)].n_vals == 0 and got[("a", 9)].n_total == 5
+    assert got[("a", 1)].obs_pm == 600
+    assert got[("a", 1)].exp_pm == BENFORD_PM[0] == 301
+    assert got[("a", 1)].dev_pm == 600 - 301
+    assert got[("b", 9)].n_vals == 1 and got[("b", 9)].obs_pm == 1000
+    assert got[("b", 1)].n_vals == 0 and got[("b", 1)].dev_pm == -301
+    assert sum(BENFORD_PM) == 1000
