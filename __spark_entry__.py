@@ -5273,6 +5273,28 @@ def q_benford_audit(spark, sf_dir):
     )
 
 
+def q_scc_components(spark, sf_dir):
+    """Strongly connected components (`graph.scc_components`) of the
+    directed entity graph by forward-backward min-label coloring:
+    2 outer rounds x 8 bounded min-propagation hops per direction,
+    resolved vertices peeled between rounds.  Exactness vs an
+    in-memory Tarjan is pinned in tests; the DuckDB twin transcribes
+    the same unrolled rounds."""
+    from corhist_spark.graph import scc_components
+
+    return scc_components(_kg_edges(spark, sf_dir))
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    """One-sided upper CUSUM (`textops.cusum_changepoints`, Page 1954)
+    over zero-filled daily event counts per event_type, via the
+    closed prefix form S_t = C_t - min(0, running min C) — two
+    windows, no recursion, integer per-mille fixed point."""
+    from corhist_spark.textops import cusum_changepoints
+
+    return cusum_changepoints(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5640,6 +5662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 65: Pareto skyline curation, Benford source audit
         "skyline_docs": q_skyline_docs,
         "benford_audit": q_benford_audit,
+        # batch 66: directed SCC (FW-BW coloring), CUSUM change-points
+        "scc_components": q_scc_components,
+        "cusum_changepoints": q_cusum_changepoints,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5719,6 +5744,15 @@ from corhist_spark.textops import (
 )
 from corhist_spark.textops import BIGRAM_ADD_K as _BIGRAM_ADD_K
 from corhist_spark.textops import BENFORD_PM as _BENFORD_PM
+from corhist_spark.textops import (
+    CUSUM_H_MULT as _CUSUM_H_MULT,
+    CUSUM_SLACK_DIV as _CUSUM_SLACK_DIV,
+)
+from corhist_spark.graph import (
+    SCC_INNER as _SCC_INNER,
+    SCC_OUTER as _SCC_OUTER,
+    SCC_TRIM as _SCC_TRIM,
+)
 from corhist_spark.textops import (
     SUBSTR_STRIDE as _SUBSTR_STRIDE,
     SUBSTR_WINDOW as _SUBSTR_WINDOW,
@@ -13669,5 +13703,138 @@ def oracle_sql() -> dict[str, str]:
                     - ({_benford_case}) AS BIGINT) AS dev_pm
         FROM spine s
         LEFT JOIN cnt c ON c.grp = s.grp AND c.digit = s.digit
+    """
+
+    # SCC by trim + FW-BW min-label coloring: unrolled outer rounds
+    # (each = SCC_TRIM trim passes + SCC_INNER propagation hops),
+    # mirroring graph.scc_components exactly (MATERIALIZED label and
+    # node frames — each level is referenced several times).
+    _scc_rounds = []
+    _single_srcs = []
+    for _r in range(_SCC_OUTER):
+        # trim passes: peel vertices lacking an in- OR out-edge in the
+        # active subgraph (each a provable singleton SCC)
+        for _tt in range(1, _SCC_TRIM + 1):
+            _pn, _pe = f"n{_r}t{_tt - 1}", f"e{_r}t{_tt - 1}"
+            _scc_rounds.append(
+                f"""bo{_r}t{_tt} AS MATERIALIZED (
+                  SELECT DISTINCT dst AS node FROM {_pe}
+                  INTERSECT
+                  SELECT DISTINCT src AS node FROM {_pe}
+                ), tr{_r}t{_tt} AS (
+                  SELECT node FROM {_pn}
+                  WHERE node NOT IN (SELECT node FROM bo{_r}t{_tt})
+                ), n{_r}t{_tt} AS MATERIALIZED (
+                  SELECT node FROM {_pn}
+                  WHERE node IN (SELECT node FROM bo{_r}t{_tt})
+                ), e{_r}t{_tt} AS MATERIALIZED (
+                  SELECT g.src, g.dst FROM {_pe} g
+                  JOIN n{_r}t{_tt} na ON na.node = g.src
+                  JOIN n{_r}t{_tt} nb ON nb.node = g.dst
+                )"""
+            )
+            _single_srcs.append(f"tr{_r}t{_tt}")
+        _en = f"e{_r}t{_SCC_TRIM}"
+        _scc_rounds.append(
+            f"""l{_r}_0 AS MATERIALIZED (
+              SELECT node, node AS f, node AS b FROM n{_r}t{_SCC_TRIM}
+            )"""
+        )
+        for _i in range(1, _SCC_INNER + 1):
+            _prev = f"l{_r}_{_i - 1}"
+            _scc_rounds.append(
+                f"""l{_r}_{_i} AS MATERIALIZED (
+                  SELECT l.node,
+                         least(l.f, COALESCE(mf.m, l.f)) AS f,
+                         least(l.b, COALESCE(mb.m, l.b)) AS b
+                  FROM {_prev} l
+                  LEFT JOIN (SELECT e.dst AS node, MIN(l2.f) AS m
+                             FROM {_en} e JOIN {_prev} l2 ON l2.node = e.src
+                             GROUP BY 1) mf ON mf.node = l.node
+                  LEFT JOIN (SELECT e.src AS node, MIN(l2.b) AS m
+                             FROM {_en} e JOIN {_prev} l2 ON l2.node = e.dst
+                             GROUP BY 1) mb ON mb.node = l.node
+                )"""
+            )
+        _last = f"l{_r}_{_SCC_INNER}"
+        _scc_rounds.append(
+            f"""res{_r} AS (
+              SELECT node, f AS scc_id FROM {_last} WHERE f = b
+            ), n{_r + 1}t0 AS MATERIALIZED (
+              SELECT node FROM {_last} WHERE f <> b
+            ), e{_r + 1}t0 AS MATERIALIZED (
+              SELECT e.src, e.dst FROM {_en} e
+              JOIN n{_r + 1}t0 na ON na.node = e.src
+              JOIN n{_r + 1}t0 nb ON nb.node = e.dst
+            )"""
+        )
+    out["scc_components"] = (
+        _KG_EDGE_CTES
+        + """, e0t0 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM edges
+        ), n0t0 AS MATERIALIZED (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e0t0
+            UNION ALL SELECT dst AS node FROM e0t0
+          )
+        ), """
+        + ", ".join(_scc_rounds)
+        + " SELECT node, scc_id, TRUE AS resolved FROM res0"
+        + "".join(
+            f" UNION ALL SELECT node, scc_id, TRUE AS resolved FROM res{r}"
+            for r in range(1, _SCC_OUTER)
+        )
+        + "".join(
+            f" UNION ALL SELECT node, node AS scc_id, TRUE AS resolved"
+            f" FROM {t}"
+            for t in _single_srcs
+        )
+        + f" UNION ALL SELECT node, node AS scc_id, FALSE AS resolved"
+        f" FROM n{_SCC_OUTER}t0"
+    )
+    # CUSUM via the closed prefix form; slack/threshold constants
+    # interpolated from textops so engine and oracle cannot drift
+    out["cusum_changepoints"] = f"""
+        WITH daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+          FROM events),
+        spine AS (
+          SELECT t.event_type, strftime(g.d, '%Y-%m-%d') AS day
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               (SELECT unnest(generate_series(
+                  (SELECT d0 FROM bounds), (SELECT d1 FROM bounds),
+                  INTERVAL 1 DAY)) AS d) g),
+        filled AS (
+          SELECT s.event_type, s.day,
+                 CAST(COALESCE(dd.n_events, 0) AS BIGINT) AS n_events
+          FROM spine s LEFT JOIN daily dd
+            ON dd.event_type = s.event_type AND dd.day = s.day),
+        stats AS (
+          SELECT event_type,
+                 CAST((1000 * SUM(n_events)) // COUNT(*) AS BIGINT)
+                   AS mean_milli
+          FROM filled GROUP BY 1),
+        y AS (
+          SELECT f.event_type, f.day, f.n_events, st.mean_milli,
+                 1000 * f.n_events - st.mean_milli
+                   - st.mean_milli // {_CUSUM_SLACK_DIV} AS yv
+          FROM filled f JOIN stats st USING (event_type)),
+        c AS (
+          SELECT *, SUM(yv) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cv
+          FROM y),
+        sc AS (
+          SELECT *, cv - least(0, MIN(cv) OVER (PARTITION BY event_type
+                       ORDER BY day ROWS UNBOUNDED PRECEDING))
+                   AS cusum_milli
+          FROM c)
+        SELECT event_type, day, n_events,
+               CAST(cusum_milli AS BIGINT) AS cusum_milli,
+               cusum_milli > {_CUSUM_H_MULT} * mean_milli AS alarm
+        FROM sc
     """
     return out

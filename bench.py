@@ -377,6 +377,10 @@ HEADLINE = [
     # and the Benford first-digit source monitor
     "skyline_docs",
     "benford_audit",
+    # r5 batch 66: directed SCC (trim + FW-BW min-label coloring) and
+    # the CUSUM daily-rate change-point monitor
+    "scc_components",
+    "cusum_changepoints",
 ]
 
 

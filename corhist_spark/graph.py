@@ -1743,3 +1743,126 @@ def distance_distribution(edges: DataFrame, max_k: int = DD_MAX_K) -> DataFrame:
         )
         .drop("reaches_eff")
     )
+
+
+SCC_INNER = 8
+SCC_OUTER = 2
+SCC_TRIM = 4
+
+
+def scc_components(
+    edges: DataFrame,
+    n_outer: int = SCC_OUTER,
+    n_inner: int = SCC_INNER,
+    n_trim: int = SCC_TRIM,
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED graph of
+    ``edges(src, dst)`` by trim + forward-backward min-label coloring
+    — the standard distributed SCC recipe (trimming from Hong et
+    al.'s method, FW-BW from Fleischer/Hendrickson/Pinar, min-label
+    pivots in place of random ones for determinism).  Per outer
+    round: ``n_trim`` trim passes peel vertices with no in-edge or no
+    out-edge in the ACTIVE subgraph (each is provably a singleton
+    SCC — any SCC of size >= 2 keeps in+out edges among its own
+    members, which stay active together); then the min node label is
+    propagated ``n_inner`` hops along edges (f = min label reaching
+    v) and along reversed edges (b = min label v reaches).  f = b = x
+    proves v reaches x and x reaches v within the bound, so v is IN
+    x's SCC — bounded propagation never merges wrong vertices, it
+    can only leave vertices unresolved (and an SCC with diameter >
+    n_inner can come out split; same fixed-bound contract as
+    k_core/bfs, pinned exact vs an in-memory Tarjan on the fixture
+    graphs in tests).
+
+    Returns (node, scc_id, resolved): scc_id = min member label for
+    resolved vertices (own label for trimmed singletons), own label
+    with resolved = false for vertices the bounds did not settle.
+
+    Scale shape: trim passes are two distinct endpoint projections +
+    semi/anti-joins (node-sized frames); each coloring hop is two
+    node-keyed equi-joins (adjacency x label frame, partial-agg min
+    per endpoint).  No broadcast of anything corpus-sized; label and
+    edge frames are checkpointed per step and the active subgraph
+    shrinks monotonically."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    active = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    resolved = None
+
+    def _accum(res, done):
+        return done if res is None else res.unionByName(done)
+
+    for _ in range(n_outer):
+        for _ in range(n_trim):
+            both = (
+                e.select(F.col("dst").alias("node"))
+                .distinct()
+                .join(e.select(F.col("src").alias("node")).distinct(), "node")
+            )
+            singles = active.join(both, "node", "left_anti").select(
+                "node",
+                F.col("node").alias("scc_id"),
+                F.lit(True).alias("resolved"),
+            )
+            resolved = _accum(resolved, singles)
+            active = active.join(both, "node", "left_semi").localCheckpoint()
+            e = (
+                e.join(
+                    active.select(F.col("node").alias("src")), "src", "left_semi"
+                )
+                .join(
+                    active.select(F.col("node").alias("dst")), "dst", "left_semi"
+                )
+                .localCheckpoint()
+            )
+        lab = active.select(
+            "node", F.col("node").alias("f"), F.col("node").alias("b")
+        ).localCheckpoint()
+        for _ in range(n_inner):
+            mf = (
+                e.join(lab.select(F.col("node").alias("src"), "f"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("f").alias("mf"))
+            )
+            mb = (
+                e.join(lab.select(F.col("node").alias("dst"), "b"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.min("b").alias("mb"))
+            )
+            lab = (
+                lab.join(mf, "node", "left")
+                .join(mb, "node", "left")
+                .select(
+                    "node",
+                    F.least("f", F.coalesce("mf", "f")).alias("f"),
+                    F.least("b", F.coalesce("mb", "b")).alias("b"),
+                )
+                .localCheckpoint()
+            )
+        done = lab.filter(F.col("f") == F.col("b")).select(
+            "node", F.col("f").alias("scc_id"), F.lit(True).alias("resolved")
+        )
+        resolved = _accum(resolved, done)
+        active = (
+            lab.filter(F.col("f") != F.col("b"))
+            .select("node")
+            .localCheckpoint()
+        )
+        e = (
+            e.join(active.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    leftover = active.select(
+        "node", F.col("node").alias("scc_id"), F.lit(False).alias("resolved")
+    )
+    return resolved.unionByName(leftover)

@@ -4289,3 +4289,95 @@ def benford_audit(
             ).cast("bigint").alias("dev_pm"),
         )
     )
+
+
+# CUSUM policy constants: slack k = mean/4 per day, alarm threshold
+# h = 2x the daily mean of cumulative excess (Page 1954 tabular CUSUM
+# with k and h expressed in units of the in-control mean).
+CUSUM_SLACK_DIV = 4
+CUSUM_H_MULT = 2
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """One-sided upper CUSUM (Page 1954) over the daily event count
+    per event_type — the sequential change-point monitor a feed
+    operator runs to catch a sustained rate shift (a stuck retry
+    loop, a new bot, a dropped source) earlier than any fixed-window
+    z-score.  Days with zero events are materialized via a date
+    spine (their absence is exactly what a collapse looks like).
+
+    The CUSUM recurrence S_t = max(0, S_{t-1} + y_t) is not a
+    built-in window aggregate, but it has a closed prefix form:
+    S_t = C_t - min(0, min_{j<=t} C_j) with C the plain running sum
+    of y — two window functions, no recursion.  All integer
+    (per-mille fixed point): y = 1000*n - mean_milli - k_milli with
+    mean_milli = (1000*total) DIV n_days, k_milli = mean DIV
+    CUSUM_SLACK_DIV, alarm when S > CUSUM_H_MULT * mean_milli.
+
+    Output: (event_type, day, n_events, cusum_milli, alarm).
+
+    Scale shape: one (type, day) count aggregate, a broadcast
+    date-spine cross (types x days, tiny), one per-type mean
+    broadcast join, and two cumulative windows partitioned by
+    event_type — each type's series is one partition's worth of
+    days, never corpus-sized."""
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("_d"),
+        )
+        .select("event_type", F.date_format("_d", "yyyy-MM-dd").alias("day"))
+    )
+    filled = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .withColumn(
+            "n_events", F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint")
+        )
+    )
+    stats = filled.groupBy("event_type").agg(
+        F.expr("(1000 * SUM(n_events)) DIV COUNT(*)")
+        .cast("bigint")
+        .alias("mean_milli")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        filled.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "_y",
+            (
+                1000 * F.col("n_events")
+                - F.col("mean_milli")
+                - F.expr(f"mean_milli DIV {CUSUM_SLACK_DIV}")
+            ).cast("bigint"),
+        )
+        .withColumn("_c", F.sum("_y").over(w_cum).cast("bigint"))
+        .withColumn(
+            "cusum_milli",
+            (
+                F.col("_c")
+                - F.least(F.lit(0).cast("bigint"), F.min("_c").over(w_cum))
+            ).cast("bigint"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "n_events",
+        "cusum_milli",
+        (F.col("cusum_milli") > CUSUM_H_MULT * F.col("mean_milli")).alias(
+            "alarm"
+        ),
+    )

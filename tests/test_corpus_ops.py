@@ -2949,3 +2949,60 @@ def test_benford_audit_exact(spark):
     assert got[("b", 9)].n_vals == 1 and got[("b", 9)].obs_pm == 1000
     assert got[("b", 1)].n_vals == 0 and got[("b", 1)].dev_pm == -301
     assert sum(BENFORD_PM) == 1000
+
+
+def test_cusum_changepoints_exact_vs_pure_python(spark):
+    """Planted daily series with a level shift and a gap day: the
+    window-closed-form CUSUM must equal the textbook recurrence
+    S_t = max(0, S_{t-1} + y_t), the gap day must appear zero-filled,
+    and the alarm must fire after the shift and not before."""
+    import datetime
+
+    from corhist_spark.textops import (
+        cusum_changepoints,
+        CUSUM_H_MULT,
+        CUSUM_SLACK_DIV,
+    )
+
+    # type "a": 10/day for 6 days, then 40/day for 4 days (shift);
+    # day 3 missing entirely (zero-fill).  type "b": flat 5/day.
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    for d in range(10):
+        if d != 3:
+            for _ in range(10 if d < 6 else 40):
+                rows.append((eid, base + datetime.timedelta(days=d), "a"))
+                eid += 1
+        for _ in range(5):
+            rows.append((eid, base + datetime.timedelta(days=d), "b"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r.event_type, r.day): r
+        for r in cusum_changepoints(df).collect()
+    }
+    assert len(got) == 20  # 2 types x 10 spine days
+    assert got[("a", "2024-03-04")].n_events == 0  # zero-filled gap
+
+    # pure-Python recurrence per type
+    for t, counts in (
+        ("a", [10, 10, 10, 0, 10, 10, 40, 40, 40, 40]),
+        ("b", [5] * 10),
+    ):
+        mean_milli = (1000 * sum(counts)) // len(counts)
+        k_milli = mean_milli // CUSUM_SLACK_DIV
+        s = 0
+        for d, n in enumerate(counts):
+            s = max(0, s + 1000 * n - mean_milli - k_milli)
+            day = (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+            r = got[(t, day)]
+            assert r.n_events == n, (t, day)
+            assert r.cusum_milli == s, (t, day, r.cusum_milli, s)
+            assert r.alarm == (s > CUSUM_H_MULT * mean_milli), (t, day)
+    # shape: alarm fires for "a" after the shift, never for "b"
+    assert not got[("a", "2024-03-06")].alarm
+    assert got[("a", "2024-03-09")].alarm or got[("a", "2024-03-10")].alarm
+    assert not any(got[("b", f"2024-03-{d:02d}")].alarm for d in range(1, 11))

@@ -1259,3 +1259,168 @@ def test_distance_distribution_matches_python_hll_mirror(spark):
         assert r.frac_of_max_ppm == (1_000_000 * want[k]) // n_max
         assert r.is_eff_diameter == (k == first)
     assert sum(1 for r in got.values() if r.is_eff_diameter) == 1
+
+
+def test_scc_components_exact_vs_tarjan(spark):
+    """Planted digraph with nested structure — two 3-cycles joined by
+    a one-way bridge, a 2-cycle, a DAG chain, a self-loop and an
+    isolated edge: bounded FW-BW coloring must reproduce Tarjan's SCCs
+    exactly and mark every vertex resolved."""
+    from corhist_spark.graph import scc_components
+
+    edges = [
+        # 3-cycle A
+        ("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+        # one-way bridge (no back path)
+        ("a1", "b1"),
+        # 3-cycle B
+        ("b1", "b2"), ("b2", "b3"), ("b3", "b1"),
+        # 2-cycle
+        ("c1", "c2"), ("c2", "c1"),
+        # DAG chain of singletons
+        ("d1", "d2"), ("d2", "d3"),
+        # self-loop
+        ("e1", "e1"),
+        # feed into cycle A from a singleton
+        ("f1", "a2"),
+    ]
+    d = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.node: (r.scc_id, r.resolved) for r in scc_components(d).collect()}
+
+    # pure-Python Tarjan
+    adj = {}
+    nodes = set()
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+        nodes.update((s, t))
+    index, low, onstack, stack, sccs = {}, {}, set(), [], []
+    counter = [0]
+
+    def strongconnect(v):
+        work = [(v, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter[0]
+                counter[0] += 1
+                stack.append(node)
+                onstack.add(node)
+            recurse = False
+            succs = adj.get(node, [])
+            for j in range(pi, len(succs)):
+                w = succs[j]
+                if w not in index:
+                    work[-1] = (node, j + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstack:
+                    low[node] = min(low[node], index[w])
+            if recurse:
+                continue
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    want = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+
+    assert set(got) == nodes
+    for v in nodes:
+        assert got[v] == (want[v], True), (v, got[v], want[v])
+    # structure sanity: the two 3-cycles are distinct SCCs
+    assert got["a1"][0] == got["a2"][0] == got["a3"][0] == "a1"
+    assert got["b1"][0] == got["b2"][0] == got["b3"][0] == "b1"
+    assert got["a1"][0] != got["b1"][0]
+    assert got["d1"][0] == "d1" and got["d2"][0] == "d2"
+
+
+def test_scc_components_fixture_graph_vs_tarjan(spark):
+    """The derived entity graph at sf0.001 (64 nodes, ~1k edges):
+    bounded coloring must match an in-memory Tarjan on the REAL
+    fixture graph — evidence the 2x8 round bound covers the graphs
+    the registry query actually runs on."""
+    import __spark_entry__ as entry_mod
+    from corhist_spark.graph import scc_components
+
+    e = entry_mod._kg_edges(spark, "/root/testdata/sf0.001")
+    pairs = [(r.src, r.dst) for r in e.collect()]
+    got = {
+        r.node: (r.scc_id, r.resolved)
+        for r in scc_components(e).collect()
+    }
+
+    adj = {}
+    nodes = set()
+    for s, t in pairs:
+        adj.setdefault(s, []).append(t)
+        nodes.update((s, t))
+    index, low, onstack, stack, sccs = {}, {}, set(), [], []
+    counter = [0]
+    import sys
+
+    def strongconnect(v):
+        work = [(v, 0)]
+        while work:
+            node, pi = work[-1]
+            if pi == 0:
+                index[node] = low[node] = counter[0]
+                counter[0] += 1
+                stack.append(node)
+                onstack.add(node)
+            recurse = False
+            succs = adj.get(node, [])
+            for j in range(pi, len(succs)):
+                w = succs[j]
+                if w not in index:
+                    work[-1] = (node, j + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstack:
+                    low[node] = min(low[node], index[w])
+            if recurse:
+                continue
+            if low[node] == index[node]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == node:
+                        break
+                sccs.append(comp)
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                low[parent] = min(low[parent], low[node])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    want = {}
+    for comp in sccs:
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert set(got) == nodes
+    unresolved = [v for v in nodes if not got[v][1]]
+    assert not unresolved, f"round bound left {len(unresolved)} unresolved"
+    for v in nodes:
+        assert got[v][0] == want[v], (v, got[v], want[v])
