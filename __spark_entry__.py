@@ -5295,6 +5295,34 @@ def q_cusum_changepoints(spark, sf_dir):
     return cusum_changepoints(_t(spark, sf_dir, "events"))
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Multi-pass sorted-neighborhood ER blocking
+    (`textops.sorted_neighborhood`, Hernández & Stolfo 1995): two
+    independent normalized-key passes, per-block sort, window-4
+    neighbor pairs via the explode-rank equi-join (candidate volume
+    exactly 4N per pass, never block^2)."""
+    from corhist_spark.textops import sorted_neighborhood
+
+    return sorted_neighborhood(_t(spark, sf_dir, "documents"))
+
+
+def q_column_stats(spark, sf_dir):
+    """ANALYZE-style exact column-statistics catalog
+    (`textops.analyze_column_stats`) over all 11 lineitem columns:
+    rows, nulls, exact NDV, numeric min/max (ints / fixed-point
+    cents / epoch seconds), lexicographic string min/max, mean
+    string length per-mille."""
+    from corhist_spark.textops import analyze_column_stats
+
+    return analyze_column_stats(
+        _t(spark, sf_dir, "lineitem"),
+        int_cols=("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        cents_cols=("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        str_cols=("l_returnflag", "l_linestatus"),
+        ts_cols=("l_shipdate",),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5665,6 +5693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 66: directed SCC (FW-BW coloring), CUSUM change-points
         "scc_components": q_scc_components,
         "cusum_changepoints": q_cusum_changepoints,
+        # batch 67: sorted-neighborhood ER blocking, column stats
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "column_stats": q_column_stats,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -5747,6 +5778,11 @@ from corhist_spark.textops import BENFORD_PM as _BENFORD_PM
 from corhist_spark.textops import (
     CUSUM_H_MULT as _CUSUM_H_MULT,
     CUSUM_SLACK_DIV as _CUSUM_SLACK_DIV,
+)
+from corhist_spark.textops import (
+    SNM_BLOCK_LEN as _SNM_BLOCK_LEN,
+    SNM_KEY_LEN as _SNM_KEY_LEN,
+    SNM_WINDOW as _SNM_WINDOW,
 )
 from corhist_spark.graph import (
     SCC_INNER as _SCC_INNER,
@@ -13836,5 +13872,89 @@ def oracle_sql() -> dict[str, str]:
                CAST(cusum_milli AS BIGINT) AS cusum_milli,
                cusum_milli > {_CUSUM_H_MULT} * mean_milli AS alarm
         FROM sc
+    """
+    # sorted-neighborhood blocking: two unrolled key passes, each a
+    # block-partitioned row_number + the explode-rank neighbor join
+    _snm_passes = []
+    for _p in range(2):
+        _snm_passes.append(
+            f"""rp{_p} AS MATERIALIZED (
+              SELECT doc_id, k, substr(k, 1, {_SNM_BLOCK_LEN}) AS blk,
+                     row_number() OVER (
+                       PARTITION BY substr(k, 1, {_SNM_BLOCK_LEN})
+                       ORDER BY k, doc_id) AS r
+              FROM (
+                SELECT doc_id,
+                       substr(regexp_replace(lower(text), '[^a-z0-9]',
+                              '', 'g'),
+                              {1 + _p * _SNM_KEY_LEN}, {_SNM_KEY_LEN}) AS k
+                FROM documents)
+              WHERE length(k) > 0
+            ), pp{_p} AS (
+              SELECT least(a.doc_id, b.doc_id) AS doc_a,
+                     greatest(a.doc_id, b.doc_id) AS doc_b
+              FROM rp{_p} a
+              JOIN (SELECT unnest(generate_series(1, {_SNM_WINDOW})) AS j) g
+                ON TRUE
+              JOIN rp{_p} b ON b.blk = a.blk AND b.r = a.r + g.j
+            )"""
+        )
+    out["sorted_neighborhood"] = (
+        "WITH "
+        + ", ".join(_snm_passes)
+        + """
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_passes
+        FROM (SELECT * FROM pp0 UNION ALL SELECT * FROM pp1)
+        GROUP BY 1, 2
+    """
+    )
+    # column stats: unpivot branches generated per column class so the
+    # normalization (ints / cents / epoch) cannot drift from the engine
+    _cs_branches = []
+    for _c in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        _cs_branches.append(
+            f"SELECT '{_c}' AS column_name,"
+            f" CAST({_c} AS BIGINT) AS val_num FROM lineitem"
+        )
+    for _c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"):
+        _cs_branches.append(
+            f"SELECT '{_c}' AS column_name,"
+            f" CAST(FLOOR({_c} * 100) AS BIGINT) AS val_num FROM lineitem"
+        )
+    _cs_branches.append(
+        "SELECT 'l_shipdate' AS column_name,"
+        " CAST(FLOOR(epoch(l_shipdate)) AS BIGINT) AS val_num FROM lineitem"
+    )
+    _cs_num = " UNION ALL ".join(_cs_branches)
+    _cs_str = " UNION ALL ".join(
+        f"SELECT '{_c}' AS column_name, {_c} AS val_str FROM lineitem"
+        for _c in ("l_returnflag", "l_linestatus")
+    )
+    out["column_stats"] = f"""
+        WITH unp AS (
+          SELECT column_name, val_num, CAST(val_num AS VARCHAR) AS val_str
+          FROM ({_cs_num})
+          UNION ALL
+          SELECT column_name, CAST(NULL AS BIGINT) AS val_num, val_str
+          FROM ({_cs_str})),
+        g AS (
+          SELECT column_name, val_num, val_str,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM unp GROUP BY 1, 2, 3)
+        SELECT column_name,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN val_str IS NULL THEN cnt ELSE 0 END)
+                    AS BIGINT) AS n_nulls,
+               CAST(COUNT(CASE WHEN val_str IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS ndv,
+               MIN(val_num) AS min_num, MAX(val_num) AS max_num,
+               MIN(val_str) AS min_str, MAX(val_str) AS max_str,
+               CAST(CASE WHEN SUM(CASE WHEN val_str IS NOT NULL THEN cnt
+                                  ELSE 0 END) > 0 THEN
+                    (1000 * SUM(CASE WHEN val_str IS NOT NULL THEN
+                                cnt * length(val_str) ELSE 0 END))
+                    // SUM(CASE WHEN val_str IS NOT NULL THEN cnt
+                           ELSE 0 END) END AS BIGINT) AS avg_len_milli
+        FROM g GROUP BY 1
     """
     return out

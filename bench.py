@@ -381,6 +381,10 @@ HEADLINE = [
     # the CUSUM daily-rate change-point monitor
     "scc_components",
     "cusum_changepoints",
+    # r5 batch 67: sorted-neighborhood ER blocking (explode-rank
+    # window join) and the exact ANALYZE column-stats catalog
+    "sorted_neighborhood",
+    "column_stats",
 ]
 
 

@@ -4381,3 +4381,151 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
             "alarm"
         ),
     )
+
+
+SNM_WINDOW = 4
+SNM_KEY_LEN = 12
+SNM_BLOCK_LEN = 2
+
+
+def sorted_neighborhood(
+    docs: DataFrame,
+    window: int = SNM_WINDOW,
+    key_len: int = SNM_KEY_LEN,
+    block_len: int = SNM_BLOCK_LEN,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood blocking (Hernández & Stolfo
+    1995) over the documents table: per pass, records are keyed by a
+    normalized text slice, sorted within their key-prefix block, and
+    every record is paired with its ``window`` successors in sort
+    order.  Two passes with independent key slices (chars 1-12 and
+    13-24 of the alphanumeric-normalized text) — the multi-key trick
+    that recovers matches a single sort order separates, and the
+    classical answer to block-boundary loss (rather than windowing
+    across partition boundaries, which does not distribute).
+    Output: (doc_a, doc_b, n_passes) candidate pairs.
+
+    Scale shape: NO global sort — sorting happens inside key-prefix
+    blocks (a block-partitioned window), and the neighbor join is
+    linearized by exploding each record into ``window`` probe ranks
+    and equi-joining on (block, rank): candidate volume is exactly
+    window x N per pass, never block-size^2.  Block granularity
+    (``block_len`` prefix chars) is the skew dial: longer prefixes
+    bound the per-partition sort at the cost of more boundary loss
+    for the other pass to recover."""
+    norm = F.expr("regexp_replace(lower(text), '[^a-z0-9]', '')")
+    out = None
+    for p in range(2):
+        key = F.substring(norm, 1 + p * key_len, key_len)
+        recs = docs.select(
+            "doc_id", key.alias("k")
+        ).filter(F.length("k") > 0)
+        ranked = recs.withColumn(
+            "blk", F.substring("k", 1, block_len)
+        ).withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(F.substring("k", 1, block_len)).orderBy(
+                    "k", "doc_id"
+                )
+            ),
+        )
+        probes = ranked.select(
+            "blk",
+            F.col("doc_id").alias("id_a"),
+            "r",
+            F.explode(F.sequence(F.lit(1), F.lit(window))).alias("j"),
+        ).select(
+            "blk", "id_a", (F.col("r") + F.col("j")).alias("r")
+        )
+        pairs = probes.join(
+            ranked.select("blk", "r", F.col("doc_id").alias("id_b")),
+            ["blk", "r"],
+        ).select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passes")
+    )
+
+
+def analyze_column_stats(
+    table: DataFrame,
+    int_cols: tuple = (),
+    cents_cols: tuple = (),
+    str_cols: tuple = (),
+    ts_cols: tuple = (),
+) -> DataFrame:
+    """ANALYZE-style one-pass column statistics catalog — the exact
+    per-column profile a cost-based optimizer (or a data-quality
+    gate) reads before planning: row count, null count, EXACT
+    distinct-value count, numeric min/max, lexicographic min/max of
+    the string form and mean string length in per-mille.  Numeric
+    normalization is deterministic on both engines: ints as-is,
+    doubles as floor(x*100) fixed-point cents, timestamps as floored
+    epoch seconds.
+
+    Scale shape: one unpivot (rows x n_columns, the same expand
+    factor Spark's own multi-column count-distinct plans) feeding a
+    (column, value)-grain partial-aggregated count — shuffle volume
+    is bounded by the SUM OF PER-COLUMN NDVs, not row count — then a
+    column-grain rollup (n_columns output rows).  Exact NDV by
+    design; swap the first aggregate for HLL sketches when approximate
+    is acceptable."""
+    parts = []
+    for c in int_cols:
+        parts.append(("'%s'" % c, f"CAST({c} AS BIGINT)"))
+    for c in cents_cols:
+        parts.append(("'%s'" % c, f"CAST(FLOOR({c} * 100) AS BIGINT)"))
+    for c in ts_cols:
+        parts.append(
+            ("'%s'" % c, f"CAST(FLOOR(unix_timestamp({c})) AS BIGINT)")
+        )
+    stack_num = ", ".join(f"{n}, {v}" for n, v in parts)
+    n_numeric = len(parts)
+    unp_num = table.select(
+        F.expr(
+            f"stack({n_numeric}, {stack_num}) AS (column_name, val_num)"
+        )
+    ).select(
+        "column_name",
+        "val_num",
+        F.col("val_num").cast("string").alias("val_str"),
+    )
+    stack_str = ", ".join(f"'{c}', {c}" for c in str_cols)
+    unp_str = table.select(
+        F.expr(
+            f"stack({len(str_cols)}, {stack_str}) AS (column_name, val_str)"
+        )
+    ).select(
+        "column_name", F.lit(None).cast("bigint").alias("val_num"), "val_str"
+    )
+    g = (
+        unp_num.unionByName(unp_str)
+        .groupBy("column_name", "val_num", "val_str")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return g.groupBy("column_name").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("val_str").isNull(), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("val_str").isNotNull(), 1))
+        .cast("bigint")
+        .alias("ndv"),
+        F.min("val_num").alias("min_num"),
+        F.max("val_num").alias("max_num"),
+        F.min("val_str").alias("min_str"),
+        F.max("val_str").alias("max_str"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN val_str IS NOT NULL THEN cnt ELSE 0 END)"
+            " > 0 THEN (1000 * SUM(CASE WHEN val_str IS NOT NULL THEN"
+            " cnt * length(val_str) ELSE 0 END))"
+            " DIV SUM(CASE WHEN val_str IS NOT NULL THEN cnt ELSE 0 END)"
+            " END"
+        )
+        .cast("bigint")
+        .alias("avg_len_milli"),
+    )

@@ -3006,3 +3006,96 @@ def test_cusum_changepoints_exact_vs_pure_python(spark):
     assert not got[("a", "2024-03-06")].alarm
     assert got[("a", "2024-03-09")].alarm or got[("a", "2024-03-10")].alarm
     assert not any(got[("b", f"2024-03-{d:02d}")].alarm for d in range(1, 11))
+
+
+def test_sorted_neighborhood_exact_vs_pure_python(spark):
+    """Planted records with shared prefixes: the explode-rank window
+    join must produce exactly the textbook SNM pairs (per pass: sort
+    by key within block, pair each record with its w successors),
+    and n_passes must count the passes that proposed the pair."""
+    from corhist_spark.textops import (
+        sorted_neighborhood,
+        SNM_BLOCK_LEN,
+        SNM_KEY_LEN,
+        SNM_WINDOW,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),   # exact dup of 1
+        (3, "alpha beta zeta"),
+        (4, "alphabet soup recipe"),
+        (5, "bravo charlie delta"),
+        (6, "bravo charlie echo"),
+        (7, "zz"),                        # short: pass-2 key empty
+        (8, ""),                          # empty: no keys at all
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.n_passes
+        for r in sorted_neighborhood(d).collect()
+    }
+
+    import re
+
+    want = {}
+    for p in range(2):
+        recs = []
+        for i, t in texts:
+            norm = re.sub("[^a-z0-9]", "", t.lower())
+            k = norm[p * SNM_KEY_LEN : (p + 1) * SNM_KEY_LEN]
+            if k:
+                recs.append((k[:SNM_BLOCK_LEN], k, i))
+        by_blk = {}
+        for blk, k, i in recs:
+            by_blk.setdefault(blk, []).append((k, i))
+        for blk, rows in by_blk.items():
+            rows.sort()
+            for a in range(len(rows)):
+                for b in range(a + 1, min(a + 1 + SNM_WINDOW, len(rows))):
+                    pair = tuple(sorted((rows[a][1], rows[b][1])))
+                    want[pair] = want.get(pair, 0) + 1
+    assert got == want
+    # sanity: the exact dup pair is found, the empty doc pairs with
+    # nothing, and at least one pair is proposed by both passes
+    assert (1, 2) in got
+    assert not any(8 in p for p in got)
+    assert max(got.values()) == 2
+
+
+def test_analyze_column_stats_exact(spark):
+    """Planted frame with nulls and dup values: exact NDV, null
+    counts, fixed-point numeric bounds and string length stats."""
+    from corhist_spark.textops import analyze_column_stats
+
+    d = spark.createDataFrame(
+        [
+            (10, 1.25, "AA", None),
+            (10, 2.50, "B", "2024-01-02 00:00:00"),
+            (30, None, None, "2024-01-02 00:00:00"),
+        ],
+        "k long, x double, s string, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    got = {
+        r.column_name: r
+        for r in analyze_column_stats(
+            d, int_cols=("k",), cents_cols=("x",), str_cols=("s",),
+            ts_cols=("t",),
+        ).collect()
+    }
+    assert set(got) == {"k", "x", "s", "t"}
+    k = got["k"]
+    assert (k.n_rows, k.n_nulls, k.ndv) == (3, 0, 2)
+    assert (k.min_num, k.max_num) == (10, 30)
+    assert (k.min_str, k.max_str) == ("10", "30")
+    assert k.avg_len_milli == 2000
+    x = got["x"]
+    assert (x.n_rows, x.n_nulls, x.ndv) == (3, 1, 2)
+    assert (x.min_num, x.max_num) == (125, 250)
+    s = got["s"]
+    assert (s.n_rows, s.n_nulls, s.ndv) == (3, 1, 2)
+    assert s.min_num is None and s.max_num is None
+    assert (s.min_str, s.max_str) == ("AA", "B")
+    assert s.avg_len_milli == 1500
+    t = got["t"]
+    assert (t.n_rows, t.n_nulls, t.ndv) == (3, 1, 1)
