@@ -5323,6 +5323,30 @@ def q_column_stats(spark, sf_dir):
     )
 
 
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity privacy audit
+    (`textops.k_anonymity_audit`, Sweeney 2002) of the order feed
+    released with customer quasi-identifiers (nation, segment,
+    balance band): per-nation group count, min group size, rows in
+    groups below k=5 with per-mille risk share, min sensitive
+    diversity and l=1 group count."""
+    from corhist_spark.textops import k_anonymity_audit
+
+    return k_anonymity_audit(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_roc_auc(spark, sf_dir):
+    """Exact tie-corrected ROC AUC per language (`textops.roc_auc`,
+    Mann-Whitney rank-sum with average ranks): alphabetic-per-mille
+    score vs source-parity label, integer micro fixed point, shuffle
+    bounded by distinct scores per group."""
+    from corhist_spark.textops import roc_auc
+
+    return roc_auc(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5696,6 +5720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch 67: sorted-neighborhood ER blocking, column stats
         "sorted_neighborhood": q_sorted_neighborhood,
         "column_stats": q_column_stats,
+        "k_anonymity": q_k_anonymity,
+        "roc_auc": q_roc_auc,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -13956,5 +13982,69 @@ def oracle_sql() -> dict[str, str]:
                     // SUM(CASE WHEN val_str IS NOT NULL THEN cnt
                            ELSE 0 END) END AS BIGINT) AS avg_len_milli
         FROM g GROUP BY 1
+    """
+    # k-anonymity / l-diversity audit of the customer-QI order release
+    # (mirrors textops.k_anonymity_audit, k = 5)
+    out["k_anonymity"] = """
+        WITH released AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+                 c.c_mktsegment AS segment,
+                 CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+                 o.o_orderpriority AS sensitive
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        qs AS (
+          SELECT nation, segment, bal_band, sensitive,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM released GROUP BY 1, 2, 3, 4),
+        grp AS (
+          SELECT nation, segment, bal_band,
+                 CAST(SUM(cnt) AS BIGINT) AS k_size,
+                 CAST(COUNT(*) AS BIGINT) AS l_div
+          FROM qs GROUP BY 1, 2, 3)
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MIN(k_size) AS BIGINT) AS min_k,
+               CAST(SUM(k_size) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN k_size < 5 THEN k_size ELSE 0 END)
+                    AS BIGINT) AS rows_below_k,
+               CAST((1000 * SUM(CASE WHEN k_size < 5 THEN k_size
+                                ELSE 0 END)) // SUM(k_size)
+                    AS BIGINT) AS risk_pm,
+               CAST(MIN(l_div) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS groups_l1
+        FROM grp GROUP BY 1
+    """
+    # exact tie-corrected Mann-Whitney ROC AUC per language (mirrors
+    # textops.roc_auc: rank2 = twice the average rank, micro floor)
+    out["roc_auc"] = """
+        WITH s AS (
+          SELECT lang AS grp,
+                 CAST((1000 * length(regexp_replace(lower(text),
+                       '[^a-z]', '', 'g'))) // greatest(n_chars, 1)
+                      AS BIGINT) AS score,
+                 CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                           AS INT) % 2 = 0 THEN 1 ELSE 0 END AS label
+          FROM documents),
+        c AS (
+          SELECT grp, score, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(label) AS BIGINT) AS pos
+          FROM s GROUP BY 1, 2),
+        ranked AS (
+          SELECT grp, cnt, pos,
+                 2 * COALESCE(SUM(cnt) OVER (PARTITION BY grp
+                      ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) + cnt + 1 AS rank2
+          FROM c),
+        agg AS (
+          SELECT grp, CAST(SUM(pos) AS BIGINT) AS n_pos,
+                 CAST(SUM(cnt) - SUM(pos) AS BIGINT) AS n_neg,
+                 CAST(SUM(pos * rank2) AS BIGINT) AS s2
+          FROM ranked GROUP BY 1)
+        SELECT grp, n_pos, n_neg,
+               CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                    (500000 * (s2 - n_pos * (n_pos + 1)))
+                    // (n_pos * n_neg) END AS BIGINT) AS auc_micro
+        FROM agg
     """
     return out

@@ -385,6 +385,10 @@ HEADLINE = [
     # window join) and the exact ANALYZE column-stats catalog
     "sorted_neighborhood",
     "column_stats",
+    # r5 batch 68: k-anonymity/l-diversity privacy audit and the
+    # exact tie-corrected Mann-Whitney ROC AUC
+    "k_anonymity",
+    "roc_auc",
 ]
 
 

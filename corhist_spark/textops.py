@@ -4529,3 +4529,124 @@ def analyze_column_stats(
         .cast("bigint")
         .alias("avg_len_milli"),
     )
+
+
+def k_anonymity_audit(
+    customer: DataFrame, orders: DataFrame, k: int = 5
+) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    et al. 2007) of the released order feed: every order row carries
+    its customer's quasi-identifiers (nation, market segment,
+    account-balance band of 1000) and the sensitive attribute is the
+    order priority.  A QI group smaller than k re-identifies; a group
+    with l = 1 distinct sensitive value discloses even when large.
+
+    Output grain is one summary row per nation: group count, the
+    smallest group size (min_k), rows sitting in groups below k and
+    their per-mille share (risk_pm), the smallest per-group sensitive
+    diversity (min_l) and how many groups have l = 1.  All integer.
+
+    Scale shape: one custkey equi-join (dimension side broadcastable)
+    then a (QI, sensitive) partial-aggregated count — shuffle volume
+    bounded by |QI combos| x |sensitive values|, not row count — then
+    two bounded rollups (QI grain, nation grain)."""
+    released = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "inner"
+    ).select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        F.col("o_orderpriority").alias("sensitive"),
+    )
+    qs = released.groupBy("nation", "segment", "bal_band", "sensitive").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    grp = qs.groupBy("nation", "segment", "bal_band").agg(
+        F.sum("cnt").cast("bigint").alias("k_size"),
+        F.count(F.lit(1)).cast("bigint").alias("l_div"),
+    )
+    return grp.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("k_size").cast("bigint").alias("min_k"),
+        F.sum("k_size").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("k_size") < k, F.col("k_size")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_below_k"),
+        F.expr(
+            f"(1000 * SUM(CASE WHEN k_size < {int(k)} THEN k_size ELSE 0 END))"
+            " DIV SUM(k_size)"
+        )
+        .cast("bigint")
+        .alias("risk_pm"),
+        F.min("l_div").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("groups_l1"),
+    )
+
+
+def roc_auc(
+    docs: DataFrame,
+    group_col: str = "lang",
+    score_expr: str = (
+        "(1000 * length(regexp_replace(lower(text), '[^a-z]', '')))"
+        " DIV greatest(n_chars, 1)"
+    ),
+    label_expr: str = (
+        "CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT) % 2 = 0"
+    ),
+) -> DataFrame:
+    """Exact ROC AUC per group via the tie-corrected Mann-Whitney
+    rank-sum (Hanley & McNeil 1982): AUC = (R_pos - P(P+1)/2) / (P*N)
+    with tied scores taking their average rank — identical to the
+    pair-counting definition P(s_pos > s_neg) + 0.5*P(s_pos = s_neg).
+    The default scores documents by alphabetic per-mille and labels
+    them by source-id parity (a deterministic classifier-eval
+    fixture); both are caller-replaceable column expressions.
+
+    Integer fixed point throughout: rank2 = twice the average rank
+    (always integral), auc_micro = floor(1e6 * AUC).  NULL when a
+    group lacks a class.
+
+    Scale shape: one (group, score) partial-aggregated count —
+    shuffle bounded by distinct scores per group, not rows — then one
+    window over that distinct-score frame and a group-grain rollup.
+    Never a per-row global rank, never a pair join."""
+    s = docs.selectExpr(
+        f"{group_col} AS grp",
+        f"CAST({score_expr} AS BIGINT) AS score",
+        f"CASE WHEN {label_expr} THEN 1 ELSE 0 END AS label",
+    )
+    c = s.groupBy("grp", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = c.withColumn(
+        "rank2",
+        2 * F.coalesce(F.sum("cnt").over(w), F.lit(0)) + F.col("cnt") + 1,
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
+            F.sum(F.col("pos") * F.col("rank2")).cast("bigint").alias("s2"),
+        )
+        .select(
+            "grp",
+            "n_pos",
+            "n_neg",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.expr("(500000 * (s2 - n_pos * (n_pos + 1)))"
+                       " DIV (n_pos * n_neg)"),
+            )
+            .cast("bigint")
+            .alias("auc_micro"),
+        )
+    )

@@ -3099,3 +3099,95 @@ def test_analyze_column_stats_exact(spark):
     assert s.avg_len_milli == 1500
     t = got["t"]
     assert (t.n_rows, t.n_nulls, t.ndv) == (3, 1, 1)
+
+
+def test_k_anonymity_audit_exact(spark):
+    """Planted QI groups: one safe group (k=5, l=2), one small group
+    (k=2) and one l=1 group — the per-nation summary must count each
+    exactly."""
+    from corhist_spark.textops import k_anonymity_audit
+
+    cust = spark.createDataFrame(
+        [
+            # nation 0: 5 customers in one QI cell (seg A, band 1)
+            *[(i, 0, "A", 1500.0) for i in range(5)],
+            # nation 0: 2 customers in a second cell (seg B, band 0)
+            (5, 0, "B", 100.0),
+            (6, 0, "B", 900.0),
+            # nation 1: 3 customers, one cell, all same sensitive
+            (7, 1, "A", 2000.0),
+            (8, 1, "A", 2100.0),
+            (9, 1, "A", 2900.0),
+        ],
+        "c_custkey long, c_nationkey int, c_mktsegment string,"
+        " c_acctbal double",
+    )
+    orders = spark.createDataFrame(
+        [(i, i % 10, "1-URGENT" if i % 10 < 3 else "5-LOW")
+         for i in range(10)]
+        + [(100, 7, "5-LOW")],  # nation-1 cell stays single-valued? no:
+        # custkeys 7,8,9 -> '5-LOW'; the extra order keeps it 5-LOW too
+        "o_orderkey long, o_custkey long, o_orderpriority string",
+    )
+    got = {r.nation: r for r in k_anonymity_audit(
+        cust, orders, k=5).collect()}
+    # nation 0: cell (A,1) has customers 0-4 -> orders 0-4 (5 rows,
+    # priorities URGENT x3 + LOW x2 -> l=2, k=5); cell (B,0) has
+    # custkeys 5,6 -> 2 rows both LOW -> k=2 (below), l=1
+    n0 = got[0]
+    assert (n0.n_groups, n0.min_k, n0.n_rows) == (2, 2, 7)
+    assert (n0.rows_below_k, n0.risk_pm) == (2, 285)  # 2000*... 2/7
+    assert (n0.min_l, n0.groups_l1) == (1, 1)
+    # nation 1: one cell (A,2), custkeys 7,8,9 -> orders 7,9,100 ...
+    # custkey 8 gets order 8? order 8: o_custkey = 8 -> yes. 4 rows
+    # (orders 7,8,9 + 100), all 5-LOW -> k=4 < 5, l=1
+    n1 = got[1]
+    assert (n1.n_groups, n1.min_k, n1.n_rows) == (1, 4, 4)
+    assert (n1.rows_below_k, n1.risk_pm) == (4, 1000)
+    assert (n1.min_l, n1.groups_l1) == (1, 1)
+
+
+def test_roc_auc_exact_vs_pair_counting(spark):
+    """Planted scores with heavy ties: the rank-sum AUC must equal
+    the brute-force pair definition P(s+ > s-) + 0.5 P(s+ = s-),
+    including perfect, inverted and single-class groups."""
+    from corhist_spark.textops import roc_auc
+
+    rows = [
+        # grp 'a': mixed with ties across classes
+        ("a", 10, 1), ("a", 10, 0), ("a", 20, 1), ("a", 5, 0),
+        ("a", 20, 0), ("a", 20, 1), ("a", 1, 0),
+        # grp 'b': perfect separation
+        ("b", 100, 1), ("b", 100, 1), ("b", 50, 0),
+        # grp 'c': inverted
+        ("c", 1, 1), ("c", 9, 0),
+        # grp 'd': single class -> NULL auc
+        ("d", 7, 1), ("d", 8, 1),
+    ]
+    d = spark.createDataFrame(rows, "grp string, sc long, lab int")
+    got = {r.grp: r for r in roc_auc(
+        d, group_col="grp", score_expr="sc", label_expr="lab = 1"
+    ).collect()}
+
+    from collections import defaultdict
+
+    by = defaultdict(lambda: ([], []))
+    for g, s, l in rows:
+        by[g][l].append(s)
+    for g, (neg, pos) in by.items():
+        r = got[g]
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg))
+        if not pos or not neg:
+            assert r.auc_micro is None
+            continue
+        u = sum(
+            1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+            for sp in pos for sn in neg
+        )
+        import math
+
+        assert r.auc_micro == math.floor(
+            1e6 * u / (len(pos) * len(neg))
+        ), g
+    assert got["b"].auc_micro == 1000000
+    assert got["c"].auc_micro == 0
