@@ -5347,6 +5347,32 @@ def q_roc_auc(spark, sf_dir):
     return roc_auc(_t(spark, sf_dir, "documents"))
 
 
+def q_luby_mis(spark, sf_dir):
+    """Luby maximal independent set (`graph.luby_mis`, Luby 1986) of
+    the derived entity graph with deterministic per-round hash
+    priorities: 6 bounded rounds of strict-neighborhood-min election,
+    winners/dominated peeled per round, leftovers reported undecided.
+    The MIS is the conflict-free parallel-merge scheduler."""
+    from corhist_spark.graph import luby_mis
+
+    return luby_mis(_kg_edges(spark, sf_dir))
+
+
+def q_equidepth_hist(spark, sf_dir):
+    """Exact equi-depth histogram catalog (`textops.equidepth_hist`)
+    over the 9 numeric lineitem columns, 8 buckets each: weighted-
+    NTILE bucket closure on the distinct-value frame, exact bounds,
+    row and distinct counts per bucket."""
+    from corhist_spark.textops import equidepth_hist
+
+    return equidepth_hist(
+        _t(spark, sf_dir, "lineitem"),
+        int_cols=("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+        cents_cols=("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        ts_cols=("l_shipdate",),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5722,6 +5748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": q_column_stats,
         "k_anonymity": q_k_anonymity,
         "roc_auc": q_roc_auc,
+        "luby_mis": q_luby_mis,
+        "equidepth_hist": q_equidepth_hist,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14046,5 +14074,83 @@ def oracle_sql() -> dict[str, str]:
                     (500000 * (s2 - n_pos * (n_pos + 1)))
                     // (n_pos * n_neg) END AS BIGINT) AS auc_micro
         FROM agg
+    """
+    # Luby MIS: unrolled MIS_ROUNDS rounds mirroring graph.luby_mis
+    # (per round: strict-min election on the zero-padded hash||node
+    # key, winners + their neighbors peeled)
+    from corhist_spark.graph import MIS_ROUNDS as _MIS_ROUNDS
+
+    def _mis_round_sql(r: int) -> str:
+        key = (
+            "lpad(CAST(("
+            + hexval_sql(f"'mis:' || node || '#{r}'")
+            + ") AS VARCHAR), 16, '0') || '|' || node"
+        )
+        return f"""mk{r} AS MATERIALIZED (
+          SELECT node, {key} AS key FROM ma{r - 1}
+        ), mn{r} AS (
+          SELECT e.u AS node, MIN(k.key) AS nbr_min
+          FROM mu{r - 1} e JOIN mk{r} k ON k.node = e.v GROUP BY e.u
+        ), mw{r} AS MATERIALIZED (
+          SELECT k.node FROM mk{r} k LEFT JOIN mn{r} n ON n.node = k.node
+          WHERE n.nbr_min IS NULL OR k.key < n.nbr_min
+        ), md{r} AS MATERIALIZED (
+          SELECT DISTINCT e.v AS node FROM mu{r - 1} e
+          WHERE e.u IN (SELECT node FROM mw{r})
+        ), ma{r} AS MATERIALIZED (
+          SELECT node FROM ma{r - 1}
+          WHERE node NOT IN (SELECT node FROM mw{r})
+            AND node NOT IN (SELECT node FROM md{r})
+        ), mu{r} AS MATERIALIZED (
+          SELECT e.u, e.v FROM mu{r - 1} e
+          JOIN ma{r} x ON x.node = e.u JOIN ma{r} y ON y.node = e.v
+        )"""
+
+    out["luby_mis"] = (
+        _KG_EDGE_CTES
+        + """, mcanon AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), mu0 AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM mcanon
+          UNION ALL SELECT b AS u, a AS v FROM mcanon
+        ), ma0 AS MATERIALIZED (
+          SELECT DISTINCT u AS node FROM mu0
+        ), """
+        + ", ".join(_mis_round_sql(r) for r in range(1, _MIS_ROUNDS + 1))
+        + "".join(
+            f" SELECT node, 'in_mis' AS status, CAST({r} AS BIGINT) AS round"
+            f" FROM mw{r} UNION ALL"
+            f" SELECT node, 'dominated' AS status, CAST({r} AS BIGINT)"
+            f" AS round FROM md{r} UNION ALL"
+            for r in range(1, _MIS_ROUNDS + 1)
+        )
+        + f" SELECT node, 'undecided' AS status, CAST(NULL AS BIGINT)"
+        f" AS round FROM ma{_MIS_ROUNDS}"
+    )
+    # exact equi-depth histogram: same numeric normalization branches
+    # as column_stats, weighted-NTILE ceil bucket closure
+    from corhist_spark.textops import EQUIDEPTH_BUCKETS as _ED_B
+
+    out["equidepth_hist"] = f"""
+        WITH g AS (
+          SELECT column_name, val_num AS val,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM ({_cs_num}) WHERE val_num IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+          SELECT column_name, val, cnt,
+                 SUM(cnt) OVER (PARTITION BY column_name ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 SUM(cnt) OVER (PARTITION BY column_name) AS total
+          FROM g)
+        SELECT column_name,
+               CAST((({_ED_B} * cum) + total - 1) // total AS BIGINT)
+                 AS bucket,
+               CAST(MIN(val) AS BIGINT) AS lo,
+               CAST(MAX(val) AS BIGINT) AS hi,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS ndv
+        FROM cum GROUP BY 1, 2
     """
     return out

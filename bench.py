@@ -389,6 +389,10 @@ HEADLINE = [
     # exact tie-corrected Mann-Whitney ROC AUC
     "k_anonymity",
     "roc_auc",
+    # r5 batch 69: Luby maximal independent set (conflict-free merge
+    # scheduler) and the exact equi-depth histogram catalog
+    "luby_mis",
+    "equidepth_hist",
 ]
 
 

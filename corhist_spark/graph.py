@@ -1866,3 +1866,120 @@ def scc_components(
         "node", F.col("node").alias("scc_id"), F.lit(False).alias("resolved")
     )
     return resolved.unionByName(leftover)
+
+
+MIS_ROUNDS = 6
+
+
+def _mis_key(r: int):
+    """Round-r Luby priority key: the repo-standard 13-hex md5 decode
+    of 'mis:<node>#<r>' zero-padded to 16 digits, suffixed with the
+    node id — a total order (the suffix breaks any hash collision), so
+    'two adjacent winners' is impossible by strict-min antisymmetry."""
+    h = F.expr(
+        f"CAST(conv(substr(md5(concat('mis:', node, '#', '{r}')), 1, 13),"
+        " 16, 10) AS BIGINT)"
+    )
+    return F.concat(
+        F.lpad(h.cast("string"), 16, "0"), F.lit("|"), F.col("node")
+    )
+
+
+def luby_mis(edges: DataFrame, n_rounds: int = MIS_ROUNDS) -> DataFrame:
+    """Maximal independent set by Luby's algorithm (Luby 1986) with
+    deterministic per-round hash priorities: each round, every active
+    node whose priority key is a strict minimum over its active
+    neighborhood joins the MIS, its neighbors leave as dominated, and
+    the round repeats on the shrunken subgraph.  Isolated active nodes
+    (no surviving neighbor) join unconditionally.
+
+    Returns (node, status, round): status 'in_mis' or 'dominated' with
+    the deciding round, or 'undecided' (round NULL) for nodes still
+    active after ``n_rounds`` — Luby halves the active set in
+    expectation per round, so a fixed small bound decides virtually
+    everything while keeping the computation a deterministic function
+    of the input on both engines (the k-core/LPA unrolled contract);
+    at cluster scale the loop runs until the active set is empty.
+
+    The MIS is the classic conflict-free parallel scheduler: a set of
+    pairwise-non-adjacent dedup merges or edit applications can commit
+    in one wave without coordination.
+
+    Scale shape per round: one node-keyed neighbor-min aggregate and
+    two semi-joins of the active edge set against node-sized frames —
+    never a broadcast of anything edge-sized; actives/edges
+    checkpointed per round to cut lineage."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    active = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    spark = edges.sparkSession
+    decided = spark.createDataFrame(
+        [], "node string, status string, round bigint"
+    )
+    for r in range(1, n_rounds + 1):
+        keys = active.withColumn("key", _mis_key(r))
+        nbr_min = (
+            und.join(
+                keys.select(F.col("node").alias("v"), F.col("key").alias("kv")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("kv").alias("nbr_min"))
+            .withColumnRenamed("u", "node")
+        )
+        winners = (
+            keys.join(nbr_min, "node", "left")
+            .filter(
+                F.col("nbr_min").isNull() | (F.col("key") < F.col("nbr_min"))
+            )
+            .select("node")
+            .localCheckpoint()
+        )
+        dominated = (
+            und.join(
+                winners.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
+        decided = decided.unionByName(
+            winners.select(
+                "node",
+                F.lit("in_mis").alias("status"),
+                F.lit(r).cast("bigint").alias("round"),
+            )
+        ).unionByName(
+            dominated.select(
+                "node",
+                F.lit("dominated").alias("status"),
+                F.lit(r).cast("bigint").alias("round"),
+            )
+        )
+        gone = winners.unionAll(dominated)
+        active = (
+            active.join(gone, "node", "left_anti").localCheckpoint()
+        )
+        und = (
+            und.join(active.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(active.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    return decided.unionByName(
+        active.select(
+            "node",
+            F.lit("undecided").alias("status"),
+            F.lit(None).cast("bigint").alias("round"),
+        )
+    )

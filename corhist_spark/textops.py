@@ -4650,3 +4650,68 @@ def roc_auc(
             .alias("auc_micro"),
         )
     )
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+def equidepth_hist(
+    table: DataFrame,
+    int_cols: tuple = (),
+    cents_cols: tuple = (),
+    ts_cols: tuple = (),
+    n_buckets: int = EQUIDEPTH_BUCKETS,
+) -> DataFrame:
+    """Exact equi-depth histogram catalog — the CBO companion to
+    `analyze_column_stats`: per numeric column, ``n_buckets`` buckets
+    of (as near as ties allow) equal row mass, each with its exact
+    value bounds, row count and distinct-value count.  A distinct
+    value lands in bucket ceil(B * cum_rows_through_it / total) — the
+    standard weighted-NTILE closure, so a value whose duplicates span
+    a boundary is never split.  Numeric normalization matches
+    analyze_column_stats (ints as-is, doubles as floor-cents,
+    timestamps as floored epoch seconds); NULLs are excluded (they
+    carry no ordering information — n_nulls lives in the stats
+    catalog).
+
+    Scale shape: one unpivot feeding a (column, value)
+    partial-aggregated count — shuffle bounded by the sum of
+    per-column NDVs, not row count — then one cumulative window over
+    each column's distinct-value frame and a (column, bucket) rollup
+    (B x n_columns output rows)."""
+    parts = []
+    for c in int_cols:
+        parts.append((f"'{c}'", f"CAST({c} AS BIGINT)"))
+    for c in cents_cols:
+        parts.append((f"'{c}'", f"CAST(FLOOR({c} * 100) AS BIGINT)"))
+    for c in ts_cols:
+        parts.append(
+            (f"'{c}'", f"CAST(FLOOR(unix_timestamp({c})) AS BIGINT)")
+        )
+    stack = ", ".join(f"{n}, {v}" for n, v in parts)
+    unp = table.select(
+        F.expr(f"stack({len(parts)}, {stack}) AS (column_name, val)")
+    ).filter(F.col("val").isNotNull())
+    g = unp.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("column_name")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = g.groupBy("column_name").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    cum = g.withColumn("cum", F.sum("cnt").over(w)).join(tot, "column_name")
+    b = int(n_buckets)
+    assigned = cum.withColumn(
+        "bucket",
+        F.expr(f"(({b} * cum) + total - 1) DIV total").cast("bigint"),
+    )
+    return assigned.groupBy("column_name", "bucket").agg(
+        F.min("val").cast("bigint").alias("lo"),
+        F.max("val").cast("bigint").alias("hi"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+    )

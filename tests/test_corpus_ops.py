@@ -3191,3 +3191,89 @@ def test_roc_auc_exact_vs_pair_counting(spark):
         ), g
     assert got["b"].auc_micro == 1000000
     assert got["c"].auc_micro == 0
+
+
+def test_luby_mis_exact_vs_pure_python(spark):
+    """Planted graph (path + triangle + isolated-pair + hub star):
+    the bounded-round Spark MIS must equal a pure-Python Luby replica
+    using the same md5 priorities, and must satisfy the MIS
+    invariants (independence, domination)."""
+    import hashlib
+
+    from corhist_spark.graph import luby_mis, MIS_ROUNDS
+
+    raw = [
+        ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),   # path
+        ("t1", "t2"), ("t2", "t3"), ("t3", "t1"),   # triangle
+        ("p1", "p2"),                                # isolated edge
+        ("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4"),  # star
+        ("n1", "n1"),                                # self-loop: dropped
+        ("n2", "n1"),                                # reverse dup
+    ]
+    d = spark.createDataFrame(raw, "src string, dst string")
+    got = {r.node: (r.status, r["round"]) for r in luby_mis(d).collect()}
+
+    adj = {}
+    for s, t in raw:
+        if s == t:
+            continue
+        adj.setdefault(s, set()).add(t)
+        adj.setdefault(t, set()).add(s)
+    active = set(adj)
+    want = {}
+    for r in range(1, MIS_ROUNDS + 1):
+        def key(n):
+            h = int(hashlib.md5(f"mis:{n}#{r}".encode())
+                    .hexdigest()[:13], 16)
+            return f"{h:016d}|{n}"
+        winners = {
+            n for n in active
+            if all(key(n) < key(u) for u in adj[n] & active)
+        }
+        dominated = {
+            u for n in winners for u in adj[n] & active
+        } - winners
+        for n in winners:
+            want[n] = ("in_mis", r)
+        for n in dominated:
+            want[n] = ("dominated", r)
+        active -= winners | dominated
+    for n in active:
+        want[n] = ("undecided", None)
+    assert got == want
+    # invariants: no edge inside the MIS; every dominated node has an
+    # in_mis neighbor; with 6 rounds this graph fully decides
+    mis = {n for n, (s, _) in got.items() if s == "in_mis"}
+    assert not any(
+        s in mis and t in mis for s, t in raw if s != t
+    )
+    for n, (s, _) in got.items():
+        if s == "dominated":
+            assert adj[n] & mis, n
+    assert all(s != "undecided" for s, _ in got.values())
+
+
+def test_equidepth_hist_exact(spark):
+    """Planted skewed column: the weighted-NTILE closure must keep
+    duplicate masses unsplit, bucket counts exact, and bounds tight."""
+    from corhist_spark.textops import equidepth_hist
+
+    # column k: value 1 x6, 2 x1, 3 x1 -> with B=4: cum(1)=6 ->
+    # bucket ceil(4*6/8)=3; cum(2)=7 -> ceil(28/8)=4; cum(3)=8 -> 4
+    d = spark.createDataFrame(
+        [(1, 0.10)] * 6 + [(2, 0.20), (3, None)],
+        "k long, x double",
+    )
+    got = {
+        (r.column_name, r.bucket): (r.lo, r.hi, r.n_rows, r.ndv)
+        for r in equidepth_hist(
+            d, int_cols=("k",), cents_cols=("x",), n_buckets=4
+        ).collect()
+    }
+    assert got[("k", 3)] == (1, 1, 6, 1)
+    assert got[("k", 4)] == (2, 3, 2, 2)
+    assert set(c for c, _ in got) == {"k", "x"}
+    # x: NULL dropped -> 7 rows: 10-cents x6 (cum 6 -> ceil(24/7)=4),
+    # 20-cents x1 (cum 7 -> 4): one merged bucket
+    assert got[("x", 4)] == (10, 20, 7, 2)
+    assert ("x", 1) not in got and ("x", 3) not in got
