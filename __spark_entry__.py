@@ -5373,6 +5373,66 @@ def q_equidepth_hist(spark, sf_dir):
     )
 
 
+def q_streaming_sessions(spark, sf_dir):
+    """Batch-equivalence check for native streaming SESSION windows
+    (`streaming.session_window_counts`): per-user 30-minute-gap
+    activity sessions over the bounded events file read as a stream
+    to completion (availableNow — one micro-batch, final watermark
+    exactly max(ts) - 5min), append mode emitting exactly the
+    sessions whose end (last event + gap) the watermark passed.
+    Timestamps are floored to whole seconds BEFORE the stream so
+    session bounds and the watermark are integer-exact across
+    engines; the oracle recomputes the same sessions as batch SQL."""
+    import shutil
+    import tempfile
+
+    from corhist_spark.streaming import session_window_counts
+
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="ssw_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(sch)
+        .parquet(src_dir)
+        .select(
+            F.date_trunc("second", F.col("ts").cast("timestamp")).alias("ts"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "entity"
+            ),
+        )
+    )
+    _SWC_COUNTER[0] += 1
+    name = (
+        f"ssw_{spark.sparkContext.applicationId.replace('-', '_')}"
+        f"_{_SWC_COUNTER[0]}"
+    )
+    ck = tempfile.mkdtemp(prefix="ssw_ck_")
+    try:
+        writer = session_window_counts(stream, checkpoint_dir=ck)
+        q = writer.queryName(name).start()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).select(
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "entity",
+        "n",
+    )
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order clustering-layout audit (`textops.zorder_layout`):
+    Morton-interleave (custkey, order-day) into 64 zone-mapped files
+    vs the single-dimension sort baseline, price the planted
+    second-quartile 2-D range predicate against both zone maps —
+    files read, rows scanned, read amplification per-mille, exact."""
+    from corhist_spark.textops import zorder_layout
+
+    return zorder_layout(_t(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5750,6 +5810,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": q_roc_auc,
         "luby_mis": q_luby_mis,
         "equidepth_hist": q_equidepth_hist,
+        "streaming_sessions": q_streaming_sessions,
+        "zorder_layout": q_zorder_layout,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14153,4 +14215,98 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS ndv
         FROM cum GROUP BY 1, 2
     """
+    # streaming session windows, batch twin: 30-min-gap sessions on
+    # floored seconds, emitted iff session_end <= max(ts) - 5 min
+    # (the final availableNow watermark) — mirrors q_streaming_sessions
+    out["streaming_sessions"] = """
+        WITH e AS (
+          SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                 'u' || CAST(user_id AS VARCHAR) AS entity
+          FROM events),
+        mx AS (SELECT MAX(ts_s) AS m FROM e),
+        l AS (
+          SELECT entity, ts_s,
+                 LAG(ts_s) OVER (PARTITION BY entity ORDER BY ts_s)
+                   AS prev
+          FROM e),
+        s AS (
+          SELECT entity, ts_s,
+                 -- Spark's session_window merges TOUCHING windows
+                 -- (next start == prev end): break only on gap > 1800
+                 SUM(CASE WHEN prev IS NULL OR ts_s - prev > 1800
+                     THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY entity ORDER BY ts_s
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM l),
+        g AS (
+          SELECT entity, sid,
+                 CAST(MIN(ts_s) AS BIGINT) AS session_start,
+                 CAST(MAX(ts_s) + 1800 AS BIGINT) AS session_end,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM s GROUP BY 1, 2)
+        SELECT session_start, session_end, entity, n
+        FROM g, mx WHERE session_end <= m - 300
+    """
+    # Z-order layout audit: Morton terms + box constants interpolated
+    # from textops so engine and oracle cannot drift
+    from corhist_spark.textops import (
+        ZORDER_BITS as _Z_B,
+        ZORDER_BOX as _Z_BOX,
+        ZORDER_FILE_BITS as _Z_FB,
+        zorder_interleave_terms as _z_terms,
+    )
+
+    _, _duck_z = _z_terms("xq", "yq", _Z_B)
+    _zx0, _zx1, _zy0, _zy1 = _Z_BOX
+    _z_top = (1 << _Z_B) - 1
+    _z_read = (
+        f"(bx0 <= {_zx1} AND bx1 >= {_zx0}"
+        f" AND by0 <= {_zy1} AND by1 >= {_zy0})"
+    )
+    _z_layout = """
+        SELECT '{name}' AS layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN {read} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS files_read,
+               CAST(SUM(CASE WHEN {read} THEN n_rows ELSE 0 END)
+                 AS BIGINT) AS rows_read,
+               CAST(SUM(n_hit) AS BIGINT) AS n_match,
+               CAST((1000 * SUM(CASE WHEN {read} THEN n_rows ELSE 0 END))
+                 // greatest(1, SUM(n_hit)) AS BIGINT) AS amp_pm
+        FROM (
+          SELECT {file_col} AS f, MIN(xq) AS bx0, MAX(xq) AS bx1,
+                 MIN(yq) AS by0, MAX(yq) AS by1,
+                 COUNT(*) AS n_rows, SUM(hit) AS n_hit
+          FROM coded GROUP BY 1)
+    """
+    out["zorder_layout"] = (
+        f"""
+        WITH t AS (
+          SELECT CAST(o_custkey AS BIGINT) AS x,
+                 CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT) AS y
+          FROM orders),
+        rng AS (
+          SELECT MIN(x) AS min_x, MAX(x) AS max_x,
+                 MIN(y) AS min_y, MAX(y) AS max_y
+          FROM t),
+        q AS (
+          SELECT CAST((({_z_top} * (x - min_x))
+                   // greatest(1, max_x - min_x)) AS BIGINT) AS xq,
+                 CAST((({_z_top} * (y - min_y))
+                   // greatest(1, max_y - min_y)) AS BIGINT) AS yq
+          FROM t, rng),
+        coded AS (
+          SELECT xq, yq,
+                 CAST(({_duck_z}) // {1 << (2 * _Z_B - _Z_FB)} AS BIGINT)
+                   AS zfile,
+                 CAST(xq // {1 << (_Z_B - _Z_FB)} AS BIGINT) AS xfile,
+                 CASE WHEN xq BETWEEN {_zx0} AND {_zx1}
+                      AND yq BETWEEN {_zy0} AND {_zy1}
+                   THEN 1 ELSE 0 END AS hit
+          FROM q)
+        """
+        + _z_layout.format(name="zorder", read=_z_read, file_col="zfile")
+        + " UNION ALL "
+        + _z_layout.format(name="linear", read=_z_read, file_col="xfile")
+    )
     return out

@@ -393,6 +393,10 @@ HEADLINE = [
     # scheduler) and the exact equi-depth histogram catalog
     "luby_mis",
     "equidepth_hist",
+    # r5 batch 70: native streaming session windows (batch-equivalence)
+    # and the Z-order vs linear clustering-layout audit
+    "streaming_sessions",
+    "zorder_layout",
 ]
 
 

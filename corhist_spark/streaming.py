@@ -284,3 +284,41 @@ def join_edit_streams(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "5 minutes",
+    checkpoint_dir: str | None = None,
+):
+    """Event-time SESSION windows (native ``F.session_window``) with a
+    watermark: per-entity activity sessions close ``gap`` after their
+    last event, merge transitively while events keep arriving inside
+    the gap, and finalize (append mode) once the watermark passes the
+    session end — the stateful sessionization a revision feed needs
+    without any custom state store (contrast q_user_sessions' batch
+    window chain; this is the streaming twin on Spark's built-in
+    merging session state).
+
+    Returns a DataStreamWriter (memory sink, availableNow) producing
+    (session_start, session_end, entity, n) for FINALIZED sessions."""
+    out = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "entity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "entity",
+            "n",
+        )
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

@@ -4715,3 +4715,127 @@ def equidepth_hist(
         F.sum("cnt").cast("bigint").alias("n_rows"),
         F.count(F.lit(1)).cast("bigint").alias("ndv"),
     )
+
+
+# Z-order layout audit constants: 16-bit per-dimension quantization,
+# 64 files (top-6-bit bucketing), and the planted second-quartile
+# 2-D range predicate the audit prices under each layout.
+ZORDER_BITS = 16
+ZORDER_FILE_BITS = 6
+ZORDER_BOX = (16384, 32767, 16384, 32767)  # xq0, xq1, yq0, yq1
+
+
+def zorder_interleave_terms(xcol: str, ycol: str, bits: int = ZORDER_BITS):
+    """The Morton-code interleave as a sum of unrolled bit terms —
+    generated once and shared verbatim by the Spark expression and the
+    DuckDB oracle so the bit layout cannot drift.  x occupies the odd
+    (higher) bit of each pair, y the even."""
+    spark_terms = " + ".join(
+        f"(shiftleft(shiftright({xcol}, {i}) & 1, {2 * i + 1})"
+        f" + shiftleft(shiftright({ycol}, {i}) & 1, {2 * i}))"
+        for i in range(bits)
+    )
+    duck_terms = " + ".join(
+        f"((({xcol} >> {i}) & 1) * {1 << (2 * i + 1)}"
+        f" + ((({ycol} >> {i}) & 1) * {1 << (2 * i)}))"
+        for i in range(bits)
+    )
+    return spark_terms, duck_terms
+
+
+def zorder_layout(orders: DataFrame) -> DataFrame:
+    """Z-order (Morton-curve) clustering-layout audit — the data-
+    skipping design decision behind Delta/Iceberg OPTIMIZE ZORDER BY:
+    quantize two query dimensions (customer key, order day) to 16
+    bits each, interleave into a Morton code, bucket rows into 64
+    'files' by the code's top 6 bits, and price a planted 2-D range
+    predicate against each file's min-max zone map.  The baseline is
+    the same file count clustered on the FIRST dimension only (the
+    classic sort-key layout that zone-maps perfectly on x and not at
+    all on y).
+
+    Output: one row per layout — files read out of total (a file is
+    read iff its (xq, yq) bounding box intersects the box), rows
+    scanned, rows actually matching, and the read amplification in
+    per-mille.  All integer and exact: this measures the layout, it
+    does not sample it.
+
+    Scale shape: one single-row min/max aggregate broadcast back (the
+    only crossJoin, 1 row), one map-only quantize+interleave pass, and
+    a 64-group aggregate per layout — no shuffle wider than the file
+    count.  At cluster scale the same audit runs per partition of any
+    table; nothing here is fixture-bound."""
+    t = orders.select(
+        F.col("o_custkey").cast("bigint").alias("x"),
+        F.expr("CAST(FLOOR(unix_timestamp(o_orderdate) / 86400) AS BIGINT)")
+        .alias("y"),
+    )
+    rng = t.agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+    b = ZORDER_BITS
+    top = (1 << b) - 1
+    q = t.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST((({top} * (x - min_x)) DIV greatest(1, max_x - min_x))"
+            " AS BIGINT)"
+        ).alias("xq"),
+        F.expr(
+            f"CAST((({top} * (y - min_y)) DIV greatest(1, max_y - min_y))"
+            " AS BIGINT)"
+        ).alias("yq"),
+    )
+    spark_z, _ = zorder_interleave_terms("xq", "yq", b)
+    fb = ZORDER_FILE_BITS
+    x0, x1, y0, y1 = ZORDER_BOX
+    coded = q.select(
+        "xq",
+        "yq",
+        F.expr(f"shiftright(CAST({spark_z} AS BIGINT), {2 * b - fb})")
+        .cast("bigint")
+        .alias("zfile"),
+        F.expr(f"shiftright(xq, {b - fb})").cast("bigint").alias("xfile"),
+        F.expr(
+            f"CASE WHEN xq BETWEEN {x0} AND {x1}"
+            f" AND yq BETWEEN {y0} AND {y1} THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("hit"),
+    )
+
+    def layout_stats(file_col: str, name: str) -> DataFrame:
+        files = coded.groupBy(F.col(file_col).alias("f")).agg(
+            F.min("xq").alias("bx0"),
+            F.max("xq").alias("bx1"),
+            F.min("yq").alias("by0"),
+            F.max("yq").alias("by1"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("hit").cast("bigint").alias("n_hit"),
+        )
+        read = (
+            (F.col("bx0") <= x1)
+            & (F.col("bx1") >= x0)
+            & (F.col("by0") <= y1)
+            & (F.col("by1") >= y0)
+        ).cast("bigint")
+        return files.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(read).cast("bigint").alias("files_read"),
+            F.sum(read * F.col("n_rows")).cast("bigint").alias("rows_read"),
+            F.sum("n_hit").cast("bigint").alias("n_match"),
+            F.expr(
+                "CAST((1000 * SUM(CASE WHEN bx0 <= {x1} AND bx1 >= {x0}"
+                " AND by0 <= {y1} AND by1 >= {y0} THEN n_rows ELSE 0 END))"
+                " DIV greatest(1, SUM(n_hit)) AS BIGINT)".format(
+                    x0=x0, x1=x1, y0=y0, y1=y1
+                )
+            ).alias("amp_pm"),
+        )
+
+    return layout_stats("zfile", "zorder").unionByName(
+        layout_stats("xfile", "linear")
+    )

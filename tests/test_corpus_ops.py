@@ -3277,3 +3277,124 @@ def test_equidepth_hist_exact(spark):
     # 20-cents x1 (cum 7 -> 4): one merged bucket
     assert got[("x", 4)] == (10, 20, 7, 2)
     assert ("x", 1) not in got and ("x", 3) not in got
+
+
+def test_streaming_sessions_gap_and_watermark(spark, tmp_path):
+    """Planted event times: 30-min-gap merging and the 5-min
+    watermark suppression of the tail session, via the real
+    streaming engine run to completion."""
+    import datetime as dt
+
+    from corhist_spark.streaming import session_window_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user a: events at 0, 10, 39 min -> gaps 10 and 29 both < 30
+        # => ONE session [0, 39+30)
+        ("a", t(0)), ("a", t(10)), ("a", t(39)),
+        # user a: event at 100 min -> gap 61 >= 30 => new session,
+        # end 130 < watermark? wm = 300 - 5 = 295 -> emitted
+        ("a", t(100)),
+        # user b: session at 250..260 -> end 290 <= 295: emitted
+        ("b", t(250)), ("b", t(260)),
+        # user b: event at 293 -> end 323 > 295: SUPPRESSED
+        ("b", t(293)),
+        # user d: EXACTLY 30-min gap — session_window merges touching
+        # windows (next start == prev end), so ONE session [0, 60)
+        ("d", t(0)), ("d", t(30)),
+        # the watermark anchor
+        ("c", t(300)),
+    ]
+    df = spark.createDataFrame(rows, "entity string, ts timestamp")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src).select(
+        F.date_trunc("second", "ts").alias("ts"), "entity"
+    )
+    ck = str(tmp_path / "ck")
+    q = (
+        session_window_counts(stream, checkpoint_dir=ck)
+        .queryName("ssw_test")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.entity, r.session_start.minute + 60 * r.session_start.hour,
+         r.session_end.minute + 60 * r.session_end.hour, r.n)
+        for r in spark.table("ssw_test").collect()
+    }
+    want = {
+        ("a", 0, 69, 3),
+        ("a", 100, 130, 1),
+        ("b", 250, 290, 2),
+        ("d", 0, 60, 2),
+    }
+    assert got == want  # c's own session (end 330) and b@293 suppressed
+
+
+def test_zorder_layout_exact_vs_pure_python(spark):
+    """Planted 2-D clustered data: the full audit output must match a
+    pure-Python Morton recomputation, and the Z layout must dominate
+    the linear layout on rows scanned for the planted box."""
+    from corhist_spark.textops import (
+        zorder_layout,
+        ZORDER_BITS,
+        ZORDER_BOX,
+        ZORDER_FILE_BITS,
+    )
+    import datetime as dt
+
+    # x in 0..1023, y = a day index correlated in blocks so both
+    # layouts get non-trivial zone maps
+    rows = []
+    for i in range(1024):
+        x = i
+        y = (i * 37) % 512
+        rows.append((x, dt.datetime(2024, 1, 1) + dt.timedelta(days=y)))
+    d = spark.createDataFrame(rows, "o_custkey long, o_orderdate timestamp")
+    got = {r.layout: r for r in zorder_layout(d).collect()}
+
+    b, fb = ZORDER_BITS, ZORDER_FILE_BITS
+    top = (1 << b) - 1
+    x0, x1, y0, y1 = ZORDER_BOX
+    xs = [x for x, _ in rows]
+    ys = [(i * 37) % 512 for i in range(1024)]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    # epoch-day shift cancels in (y - min_y)
+
+    def morton(xq, yq):
+        z = 0
+        for i in range(b):
+            z += ((xq >> i) & 1) << (2 * i + 1)
+            z += ((yq >> i) & 1) << (2 * i)
+        return z
+
+    files = {"zorder": {}, "linear": {}}
+    for x, y in zip(xs, ys):
+        xq = (top * (x - mnx)) // max(1, mxx - mnx)
+        yq = (top * (y - mny)) // max(1, mxy - mny)
+        hit = x0 <= xq <= x1 and y0 <= yq <= y1
+        for name, f in (
+            ("zorder", morton(xq, yq) >> (2 * b - fb)),
+            ("linear", xq >> (b - fb)),
+        ):
+            s = files[name].setdefault(f, [1 << 20, -1, 1 << 20, -1, 0, 0])
+            s[0] = min(s[0], xq); s[1] = max(s[1], xq)
+            s[2] = min(s[2], yq); s[3] = max(s[3], yq)
+            s[4] += 1; s[5] += int(hit)
+    for name, f in files.items():
+        read = [
+            s for s in f.values()
+            if s[0] <= x1 and s[1] >= x0 and s[2] <= y1 and s[3] >= y0
+        ]
+        r = got[name]
+        assert r.n_files == len(f)
+        assert r.files_read == len(read)
+        assert r.rows_read == sum(s[4] for s in read)
+        assert r.n_match == sum(s[5] for s in f.values())
+        assert r.amp_pm == (1000 * r.rows_read) // max(1, r.n_match)
+    assert got["zorder"].rows_read < got["linear"].rows_read
