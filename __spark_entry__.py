@@ -5433,6 +5433,28 @@ def q_zorder_layout(spark, sf_dir):
     return zorder_layout(_t(spark, sf_dir, "orders"))
 
 
+def q_boruvka_mst(spark, sf_dir):
+    """Minimum spanning forest (`graph.boruvka_mst`, Boruvka 1926) of
+    the derived entity graph under deterministic md5 edge weights:
+    each round every component selects its min outgoing edge
+    (strict total order — no ties), selected edges join the forest,
+    touched components merge convergence-exactly.  MST = the
+    single-linkage dendrogram a dedup pipeline cuts into clusters."""
+    from corhist_spark.graph import boruvka_mst
+
+    return boruvka_mst(_kg_edges(spark, sf_dir))
+
+
+def q_gini_index(spark, sf_dir):
+    """Exact per-source Gini index of document lengths
+    (`textops.gini_index`): tie-safe sorted-cumulative form on the
+    NDV-grain frame, integer micro fixed point — the corpus-balance
+    diagnostic before source mixing."""
+    from corhist_spark.textops import gini_index
+
+    return gini_index(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5812,6 +5834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist": q_equidepth_hist,
         "streaming_sessions": q_streaming_sessions,
         "zorder_layout": q_zorder_layout,
+        "boruvka_mst": q_boruvka_mst,
+        "gini_index": q_gini_index,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14309,4 +14333,111 @@ def oracle_sql() -> dict[str, str]:
         + " UNION ALL "
         + _z_layout.format(name="linear", read=_z_read, file_col="xfile")
     )
+    # Boruvka MST: unrolled outer rounds mirroring graph.boruvka_mst.
+    # The per-round component merge is transcribed as MST_CC_UNROLL
+    # no-op-padded propagate+jump iterations — both engines compute
+    # the same fixpoint (min node label per connected component of the
+    # selected-edge graph), Spark by looping until no change, the
+    # oracle by unrolling past the worst-case convergence depth
+    # (2^20 pointer-chain contraction >> any fixture's merge graph).
+    from corhist_spark.graph import (
+        MST_ROUNDS as _MST_ROUNDS,
+        MST_W_MOD as _MST_W_MOD,
+    )
+
+    _MST_CC_UNROLL = 20
+
+    def _mst_round_sql(r: int) -> str:
+        inner = []
+        for i in range(1, _MST_CC_UNROLL + 1):
+            inner.append(f"""lp{r}_{i} AS MATERIALIZED (
+              SELECT a.node,
+                     LEAST(a.comp, COALESCE(b.comp, a.comp)) AS comp
+              FROM (
+                SELECT node, MIN(lbl) AS comp FROM (
+                  SELECT e.dst AS node, l.comp AS lbl
+                  FROM msym{r} e JOIN lp{r}_{i - 1} l ON l.node = e.src
+                  UNION ALL
+                  SELECT node, comp AS lbl FROM lp{r}_{i - 1}
+                ) GROUP BY node
+              ) a
+              LEFT JOIN lp{r}_{i - 1} b ON b.node = a.comp
+            )""")
+        return f"""mcross{r} AS MATERIALIZED (
+          SELECT e.a, e.b, e.w, e.key, la.comp AS ca, lb.comp AS cb
+          FROM we e
+          JOIN mlab{r - 1} la ON la.node = e.a
+          JOIN mlab{r - 1} lb ON lb.node = e.b
+          WHERE la.comp <> lb.comp
+        ), mmin{r} AS (
+          SELECT DISTINCT key FROM (
+            SELECT comp, MIN(key) AS key FROM (
+              SELECT ca AS comp, key FROM mcross{r}
+              UNION ALL SELECT cb AS comp, key FROM mcross{r}
+            ) GROUP BY comp)
+        ), mchosen{r} AS MATERIALIZED (
+          SELECT a, b, w, ca, cb FROM mcross{r}
+          WHERE key IN (SELECT key FROM mmin{r})
+        ), msym{r} AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT ca AS src, cb AS dst FROM mchosen{r}
+            UNION ALL SELECT cb AS src, ca AS dst FROM mchosen{r})
+        ), lp{r}_0 AS (
+          SELECT DISTINCT src AS node, src AS comp FROM msym{r}
+        ), {', '.join(inner)}, mlab{r} AS MATERIALIZED (
+          SELECT l.node, COALESCE(m.comp, l.comp) AS comp
+          FROM mlab{r - 1} l
+          LEFT JOIN lp{r}_{_MST_CC_UNROLL} m ON m.node = l.comp
+        )"""
+
+    out["boruvka_mst"] = (
+        _KG_EDGE_CTES
+        + f""", mcanon AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), we AS MATERIALIZED (
+          SELECT a, b, w,
+                 lpad(CAST(w AS VARCHAR), 7, '0') || '|' || a || '|' || b
+                   AS key
+          FROM (
+            SELECT a, b,
+                   ({hexval_sql("'w:' || a || '|' || b")}) % {_MST_W_MOD}
+                     AS w
+            FROM mcanon)
+        ), mlab0 AS MATERIALIZED (
+          SELECT DISTINCT node, node AS comp FROM (
+            SELECT a AS node FROM we UNION ALL SELECT b AS node FROM we)
+        ), """
+        + ", ".join(_mst_round_sql(r) for r in range(1, _MST_ROUNDS + 1))
+        + " SELECT a, b, CAST(w AS BIGINT) AS w,"
+        " CAST(1 AS BIGINT) AS round FROM mchosen1"
+        + "".join(
+            f" UNION ALL SELECT a, b, CAST(w AS BIGINT) AS w,"
+            f" CAST({r} AS BIGINT) AS round FROM mchosen{r}"
+            for r in range(2, _MST_ROUNDS + 1)
+        )
+    )
+    # exact per-source Gini of document lengths (mirrors
+    # textops.gini_index: block form x*c*(2p + c - n), micro floor)
+    out["gini_index"] = """
+        WITH c AS (
+          SELECT source AS grp, CAST(n_chars AS BIGINT) AS val,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+          GROUP BY 1, 2),
+        withp AS (
+          SELECT grp, val, cnt,
+                 COALESCE(SUM(cnt) OVER (PARTITION BY grp ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS p,
+                 SUM(cnt) OVER (PARTITION BY grp) AS n,
+                 SUM(cnt * val) OVER (PARTITION BY grp) AS t
+          FROM c)
+        SELECT grp, CAST(MAX(n) AS BIGINT) AS n_docs,
+               CAST(MAX(t) AS BIGINT) AS total_mass,
+               CAST(CASE WHEN MAX(n) > 0 AND MAX(t) > 0 THEN
+                    (1000000 * SUM(val * cnt * (2 * p + cnt - n)))
+                    // (MAX(n) * MAX(t)) END AS BIGINT) AS gini_micro
+        FROM withp GROUP BY grp
+    """
     return out

@@ -397,6 +397,10 @@ HEADLINE = [
     # and the Z-order vs linear clustering-layout audit
     "streaming_sessions",
     "zorder_layout",
+    # r5 batch 71: Boruvka minimum spanning forest (single-linkage
+    # backbone) and the exact per-source Gini length-inequality index
+    "boruvka_mst",
+    "gini_index",
 ]
 
 

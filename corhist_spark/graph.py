@@ -1983,3 +1983,157 @@ def luby_mis(edges: DataFrame, n_rounds: int = MIS_ROUNDS) -> DataFrame:
             F.lit(None).cast("bigint").alias("round"),
         )
     )
+
+
+MST_ROUNDS = 5
+MST_W_MOD = 1_000_000
+
+
+def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
+    """Minimum spanning forest by Boruvka's algorithm (Boruvka 1926;
+    the textbook distributed MST — each round every component selects
+    its minimum-weight outgoing edge, selected edges join the forest,
+    touched components merge).  Edge weights are the repo-standard
+    13-hex md5 decode of 'w:<a>|<b>' mod 1e6; ties are impossible
+    because the comparison key appends the endpoint pair, giving the
+    strict total order Boruvka needs for cycle-freedom.
+
+    Component merging inside a round is CONVERGENCE-exact (min-label
+    propagation over the selected-edge component graph, the
+    `canonicalize.connected_components` loop), so each outer round is
+    a true Boruvka round; ``n_rounds`` bounds the outer rounds only —
+    components at least halve per round, and the output (the forest
+    edges selected so far, tagged with their round) is a deterministic
+    function of the input on both engines whether or not the forest
+    has spanned.  MST = single-linkage clustering: cutting the forest
+    at a weight threshold yields exactly the SLINK dendrogram level,
+    which is how a dedup pipeline turns pairwise similarities into
+    clusters without an all-pairs pass.
+
+    Scale shape per round: two node-keyed label joins of the edge set
+    + one per-component min aggregate (component-sized) + the CC loop
+    on the SELECTED-edge graph (one edge per component, so the merge
+    graph is component-sized, shrinking geometrically).  The merge
+    graph and the label table are re-rooted on a temp-parquet scan
+    each round (`_stats_reset`): Spark's localCheckpoint PRESERVES
+    the optimized plan's size-in-bytes statistic, and nesting the CC
+    fixpoint inside the Boruvka loop compounds that carried product
+    until its digit count grows exponentially and Catalyst spends
+    minutes in BigInteger multiplication during planning (observed:
+    22 s to plan a 5-edge merge at sf0.01).  Periodic storage
+    checkpointing is the textbook pattern for iterative Spark jobs at
+    scale anyway; here it doubles as the stats re-root."""
+    import shutil
+    import tempfile
+
+    from .canonicalize import connected_components
+
+    spark = edges.sparkSession
+    tmp_dirs = []
+
+    def _stats_reset(df: DataFrame, tag: str) -> DataFrame:
+        path = tempfile.mkdtemp(prefix=f"mst_{tag}_")
+        tmp_dirs.append(path)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    wexpr = F.expr(
+        f"CAST(conv(substr(md5(concat('w:', a, '|', b)), 1, 13), 16, 10)"
+        f" AS BIGINT) % {MST_W_MOD}"
+    )
+    e = canon.select(
+        "a",
+        "b",
+        wexpr.alias("w"),
+    ).withColumn(
+        "key",
+        F.concat(
+            F.lpad(F.col("w").cast("string"), 7, "0"),
+            F.lit("|"),
+            F.col("a"),
+            F.lit("|"),
+            F.col("b"),
+        ),
+    ).localCheckpoint()
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    forest = spark.createDataFrame(
+        [], "a string, b string, w bigint, round bigint"
+    )
+    for r in range(1, n_rounds + 1):
+        lab = labels
+        cross = (
+            e.join(
+                lab.select(F.col("node").alias("a"), F.col("comp").alias("ca")),
+                "a",
+            )
+            .join(
+                lab.select(F.col("node").alias("b"), F.col("comp").alias("cb")),
+                "b",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+            .localCheckpoint()
+        )
+        # per-component minimum outgoing edge, via the strict key order
+        incident = cross.select(
+            F.col("ca").alias("comp"), "key"
+        ).unionAll(cross.select(F.col("cb").alias("comp"), "key"))
+        min_keys = (
+            incident.groupBy("comp")
+            .agg(F.min("key").alias("key"))
+            .select("key")
+            .distinct()
+        )
+        chosen = cross.join(min_keys, "key", "left_semi").select(
+            "a", "b", "w", "ca", "cb"
+        ).localCheckpoint()
+        if chosen.isEmpty():
+            break
+        forest = forest.unionByName(
+            chosen.select(
+                "a", "b", "w", F.lit(r).cast("bigint").alias("round")
+            )
+        )
+        # merge touched components: exact CC over the selected-edge
+        # component graph (stats-re-rooted), then relabel every node
+        merge_map = connected_components(
+            _stats_reset(
+                chosen.select(
+                    F.col("ca").alias("src"), F.col("cb").alias("dst")
+                ),
+                f"merge{r}",
+            )
+        )
+        labels = _stats_reset(
+            labels.join(
+                merge_map.select(
+                    F.col("node").alias("comp"),
+                    F.col("component").alias("new_comp"),
+                ),
+                "comp",
+                "left",
+            ).select(
+                "node",
+                F.coalesce("new_comp", "comp").alias("comp"),
+            ),
+            f"labels{r}",
+        )
+    # the forest unions eagerly-checkpointed (memory-backed) frames,
+    # so the temp scans are dead weight once the loop ends
+    forest = forest.localCheckpoint()
+    for p in tmp_dirs:
+        shutil.rmtree(p, ignore_errors=True)
+    return forest

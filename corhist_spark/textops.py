@@ -4839,3 +4839,66 @@ def zorder_layout(orders: DataFrame) -> DataFrame:
     return layout_stats("zfile", "zorder").unionByName(
         layout_stats("xfile", "linear")
     )
+
+
+def gini_index(
+    docs: DataFrame, group_col: str = "source", value_col: str = "n_chars"
+) -> DataFrame:
+    """Exact Gini inequality index per group — the corpus-balance
+    diagnostic for document-length (or any nonnegative mass)
+    distributions: 0 = perfectly even, ->1 = one document carries all
+    the mass.  Computed tie-safely from the sorted cumulative form
+    G = sum_i (2i - n - 1) x_(i) / (n * sum x): a block of c equal
+    values x starting after cumulative count p contributes
+    x*c*(2p + c - n), which is order-independent within the block, so
+    the NDV-grain frame needs no per-row ranking.  Integer micro
+    fixed point (values are integer counts); NULL for empty or
+    zero-mass groups.
+
+    Scale shape: one (group, value) partial-aggregated count —
+    shuffle bounded by distinct values per group — then one window
+    over each group's distinct-value frame and a group rollup."""
+    s = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("val"),
+    ).filter(F.col("val").isNotNull() & (F.col("val") >= 0))
+    c = s.groupBy("grp", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = c.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("val")).cast("bigint").alias("t"),
+    )
+    withp = c.withColumn(
+        "p", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).join(tot, "grp")
+    return (
+        withp.groupBy("grp")
+        .agg(
+            F.first("n").alias("n_docs"),
+            F.first("t").alias("total_mass"),
+            F.sum(
+                F.col("val")
+                * F.col("cnt")
+                * (2 * F.col("p") + F.col("cnt") - F.col("n"))
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            "total_mass",
+            F.when(
+                (F.col("n_docs") > 0) & (F.col("total_mass") > 0),
+                F.expr("(1000000 * s) DIV (n_docs * total_mass)"),
+            )
+            .cast("bigint")
+            .alias("gini_micro"),
+        )
+    )

@@ -3398,3 +3398,82 @@ def test_zorder_layout_exact_vs_pure_python(spark):
         assert r.n_match == sum(s[5] for s in f.values())
         assert r.amp_pm == (1000 * r.rows_read) // max(1, r.n_match)
     assert got["zorder"].rows_read < got["linear"].rows_read
+
+
+def test_boruvka_mst_exact_vs_kruskal(spark):
+    """Planted multi-component graph: the bounded-round Boruvka forest
+    must equal the Kruskal MST under the same md5 weights (weights are
+    a strict total order, so the MST is unique)."""
+    import hashlib
+
+    from corhist_spark.graph import boruvka_mst, MST_W_MOD
+
+    raw = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+        ("a", "c"),                                      # chord
+        ("e", "f"), ("f", "g"), ("g", "e"),              # triangle
+        ("h", "i"),                                      # lone edge
+        ("b", "a"), ("a", "a"),                          # dup + loop
+    ]
+    d = spark.createDataFrame(raw, "src string, dst string")
+    got = {(r.a, r.b, r.w) for r in boruvka_mst(d).collect()}
+
+    def w(a, b):
+        a, b = min(a, b), max(a, b)
+        return int(
+            hashlib.md5(f"w:{a}|{b}".encode()).hexdigest()[:13], 16
+        ) % MST_W_MOD
+
+    canon = {(min(s, t), max(s, t)) for s, t in raw if s != t}
+    # Kruskal with union-find
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for a, b in sorted(canon, key=lambda e: (w(*e), e)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            want.add((a, b, w(a, b)))
+    assert got == want
+    # forest spans: |edges| = |nodes| - |components| (3 components)
+    nodes = {n for e in canon for n in e}
+    assert len(got) == len(nodes) - 3
+
+
+def test_gini_index_exact_vs_pairwise(spark):
+    """Planted length distributions incl. ties, all-equal and
+    singleton groups: the sorted-cumulative block form must equal the
+    brute-force pairwise definition sum|xi-xj| / (2 n^2 mu)."""
+    from corhist_spark.textops import gini_index
+
+    groups = {
+        "s1": [10, 10, 10],          # all equal -> 0
+        "s2": [0, 0, 100],           # extreme
+        "s3": [5],                   # singleton -> 0
+        "s4": [1, 2, 2, 3, 8, 8],    # ties
+        "s5": [0, 0],                # zero mass -> NULL
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    d = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.grp: r for r in gini_index(d).collect()}
+    for g, vals in groups.items():
+        r = got[g]
+        assert r.n_docs == len(vals)
+        assert r.total_mass == sum(vals)
+        if sum(vals) == 0:
+            assert r.gini_micro is None
+            continue
+        n = len(vals)
+        s = sum(abs(x - y) for x in vals for y in vals)
+        want = (1_000_000 * s) // (2 * n * sum(vals))
+        # block form: floor of the same rational
+        assert r.gini_micro == want, g
+    assert got["s1"].gini_micro == 0
+    assert got["s3"].gini_micro == 0
