@@ -5455,6 +5455,27 @@ def q_gini_index(spark, sf_dir):
     return gini_index(_t(spark, sf_dir, "documents"))
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift gate per source
+    (`textops.ks_drift`): each source's doc-length CDF vs the rest of
+    the corpus, integer cross-multiplied (no float CDFs), ppm floor.
+    Spine bounded by |sources| x NDV."""
+    from corhist_spark.textops import ks_drift
+
+    return ks_drift(_t(spark, sf_dir, "documents"))
+
+
+def q_compaction_plan(spark, sf_dir):
+    """Size-tiered compaction planner (`textops.compaction_plan`)
+    over lineitem's orderkey ranges: derive files, tier by row count,
+    group 4 adjacent same-tier files per merge task, count key-range
+    overlaps against the next tier — the lakehouse OPTIMIZE pass as
+    an exact query."""
+    from corhist_spark.textops import compaction_plan
+
+    return compaction_plan(_t(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5836,6 +5857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": q_zorder_layout,
         "boruvka_mst": q_boruvka_mst,
         "gini_index": q_gini_index,
+        "ks_drift": q_ks_drift,
+        "compaction_plan": q_compaction_plan,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14439,5 +14462,82 @@ def oracle_sql() -> dict[str, str]:
                     (1000000 * SUM(val * cnt * (2 * p + cnt - n)))
                     // (MAX(n) * MAX(t)) END AS BIGINT) AS gini_micro
         FROM withp GROUP BY grp
+    """
+    # exact two-sample KS per source vs rest (mirrors textops.ks_drift:
+    # cross-multiplied integer form, spine = sources x distinct values)
+    out["ks_drift"] = """
+        WITH c AS (
+          SELECT source AS grp, CAST(n_chars AS BIGINT) AS val,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        gvals AS (
+          SELECT val, SUM(cnt) AS gcnt,
+                 SUM(SUM(cnt)) OVER (ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS gcum
+          FROM c GROUP BY val),
+        totals AS (
+          SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_grp FROM c GROUP BY 1),
+        n_all AS (SELECT SUM(gcnt) AS n_all FROM gvals),
+        filled AS (
+          SELECT t.grp, t.n_grp, g.val, g.gcum, a.n_all,
+                 SUM(COALESCE(x.cnt, 0)) OVER (PARTITION BY t.grp
+                      ORDER BY g.val ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_grp
+          FROM totals t
+          CROSS JOIN gvals g
+          CROSS JOIN n_all a
+          LEFT JOIN c x ON x.grp = t.grp AND x.val = g.val)
+        SELECT grp, CAST(MAX(n_grp) AS BIGINT) AS n_docs,
+               CAST(CASE WHEN MAX(n_grp) > 0
+                         AND MAX(n_all) > MAX(n_grp) THEN
+                    (1000000 * MAX(ABS(cum_grp * (n_all - n_grp)
+                                   - (gcum - cum_grp) * n_grp)))
+                    // (MAX(n_grp) * (MAX(n_all) - MAX(n_grp)))
+                    END AS BIGINT) AS ks_ppm
+        FROM filled GROUP BY grp
+    """
+    # size-tiered compaction planner (constants interpolated from
+    # textops so engine and oracle cannot drift)
+    from corhist_spark.textops import (
+        COMPACT_FANIN as _CP_FANIN,
+        COMPACT_FILE_KEYS as _CP_KEYS,
+        COMPACT_TIERS as _CP_TIERS,
+    )
+
+    _cp_tier = "CASE" + "".join(
+        f" WHEN n_rows < {t} THEN {i}" for i, t in enumerate(_CP_TIERS)
+    ) + f" ELSE {len(_CP_TIERS)} END"
+    out["compaction_plan"] = f"""
+        WITH files AS (
+          SELECT CAST(l_orderkey // {_CP_KEYS} AS BIGINT) AS file_id,
+                 CAST(MIN(l_orderkey) AS BIGINT) AS lo,
+                 CAST(MAX(l_orderkey) AS BIGINT) AS hi,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY 1),
+        tiered AS (
+          SELECT file_id, lo, hi, n_rows,
+                 CAST({_cp_tier} AS BIGINT) AS tier
+          FROM files),
+        tasks AS (
+          SELECT tier,
+                 CAST((ROW_NUMBER() OVER (PARTITION BY tier ORDER BY lo)
+                       - 1) // {_CP_FANIN} AS BIGINT) AS task,
+                 lo, hi, n_rows
+          FROM tiered),
+        grouped AS (
+          SELECT tier, task,
+                 CAST(COUNT(*) AS BIGINT) AS n_files,
+                 CAST(SUM(n_rows) AS BIGINT) AS rows_in,
+                 CAST(MIN(lo) AS BIGINT) AS lo,
+                 CAST(MAX(hi) AS BIGINT) AS hi
+          FROM tasks GROUP BY 1, 2)
+        SELECT g.tier, g.task, g.n_files, g.rows_in, g.lo, g.hi,
+               CAST(SUM(CASE WHEN n.lo <= g.hi AND n.hi >= g.lo
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS next_tier_overlaps
+        FROM grouped g
+        LEFT JOIN tiered n ON n.tier = g.tier + 1
+        GROUP BY 1, 2, 3, 4, 5, 6
     """
     return out

@@ -401,6 +401,10 @@ HEADLINE = [
     # backbone) and the exact per-source Gini length-inequality index
     "boruvka_mst",
     "gini_index",
+    # r5 batch 72: exact two-sample KS source-drift gate and the
+    # size-tiered compaction planner with cross-tier overlap audit
+    "ks_drift",
+    "compaction_plan",
 ]
 
 

@@ -4902,3 +4902,161 @@ def gini_index(
             .alias("gini_micro"),
         )
     )
+
+
+def ks_drift(
+    docs: DataFrame, group_col: str = "source", value_col: str = "n_chars"
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic of each source's
+    value distribution against the REST of the corpus — the standard
+    distribution-drift gate before a source is admitted to a mixture
+    (KS > threshold => the source's length/quality profile has moved).
+    KS = max_v |F_src(v) - F_rest(v)|, evaluated at every distinct
+    value in integer cross-multiplied form
+    |cum_src * n_rest - cum_rest * n_src| so no division happens until
+    the final ppm floor — exact, tie-safe, no float CDFs.
+
+    Scale shape: one (group, value) partial-aggregated count (shuffle
+    bounded by per-group NDV), one global distinct-value frame, a
+    group x distinct-value spine with a forward-fill window to carry
+    each group's running cumulative across values it lacks, and a
+    group-grain max rollup.  Spine size = |groups| x NDV — bounded by
+    design when values are discrete (lengths, scores, buckets).  The
+    one unpartitioned window (the global CDF) runs on the DISTINCT-
+    VALUE frame, never the row frame: its input is NDV-sized, so the
+    single-partition WindowExec warning is benign at any corpus
+    size."""
+    s = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("val"),
+    ).filter(F.col("val").isNotNull())
+    c = s.groupBy("grp", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gw = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    gvals = (
+        c.groupBy("val")
+        .agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+        .withColumn("gcum", F.sum("gcnt").over(gw))
+    )
+    totals = c.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n_grp"))
+    n_all = gvals.agg(F.sum("gcnt").cast("bigint").alias("n_all"))
+    spine = totals.crossJoin(F.broadcast(gvals.select("val", "gcum")))
+    sw = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = (
+        spine.join(c, ["grp", "val"], "left")
+        .withColumn(
+            "cum_grp",
+            F.coalesce(
+                F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(sw), F.lit(0)
+            ),
+        )
+        .crossJoin(F.broadcast(n_all))
+    )
+    return (
+        filled.groupBy("grp")
+        .agg(
+            F.first("n_grp").alias("n_docs"),
+            F.first("n_all").alias("n_total"),
+            F.max(
+                F.abs(
+                    F.col("cum_grp") * (F.col("n_all") - F.col("n_grp"))
+                    - (F.col("gcum") - F.col("cum_grp")) * F.col("n_grp")
+                )
+            )
+            .cast("bigint")
+            .alias("d_num"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            F.when(
+                (F.col("n_docs") > 0) & (F.col("n_total") > F.col("n_docs")),
+                F.expr("(1000000 * d_num) DIV (n_docs * (n_total - n_docs))"),
+            )
+            .cast("bigint")
+            .alias("ks_ppm"),
+        )
+    )
+
+
+# Compaction planner policy: synthetic file = 4096-key range of the
+# sort column, size tiers quadruple from 1024 rows, merge fan-in 4.
+COMPACT_FILE_KEYS = 4096
+COMPACT_TIER_BASE = 1024
+COMPACT_TIERS = (1024, 4096, 16384, 65536, 262144, 1048576)
+COMPACT_FANIN = 4
+
+
+def compaction_plan(table: DataFrame, key_col: str = "l_orderkey") -> DataFrame:
+    """Size-tiered compaction planner — the lakehouse maintenance pass
+    (Iceberg/Delta OPTIMIZE) expressed as a query: derive the file
+    list (contiguous key ranges of the sort column), assign each file
+    a size tier, group every ``COMPACT_FANIN`` adjacent same-tier
+    files into one merge task, and flag tasks whose merged key range
+    overlaps any file of the NEXT tier (those rewrites must include
+    the overlapping higher-tier data or produce overlapping outputs —
+    the leveled-vs-tiered tradeoff made visible).
+
+    Output grain: one row per planned merge task — tier, task id
+    within tier, file and row counts, merged key range, overlap count
+    against the next tier.  All exact and integer.
+
+    Scale shape: one (file) aggregate over the key scan, a file-grain
+    rank window per tier (file list is metadata-sized), the fan-in
+    grouping, and a bounded range-intersection join file-list vs
+    file-list.  Nothing here touches row-level data twice."""
+    files = (
+        table.select(
+            F.expr(f"CAST({key_col} DIV {COMPACT_FILE_KEYS} AS BIGINT)")
+            .alias("file_id"),
+            F.col(key_col).cast("bigint").alias("k"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.min("k").alias("lo"),
+            F.max("k").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    tier_expr = "CASE"
+    for i, t in enumerate(COMPACT_TIERS):
+        tier_expr += f" WHEN n_rows < {t} THEN {i}"
+    tier_expr += f" ELSE {len(COMPACT_TIERS)} END"
+    tiered = files.withColumn(
+        "tier", F.expr(tier_expr).cast("bigint")
+    ).localCheckpoint()
+    tasks = (
+        tiered.withColumn(
+            "task",
+            F.expr(f"CAST((ROW_NUMBER() OVER (PARTITION BY tier ORDER BY lo)"
+                   f" - 1) DIV {COMPACT_FANIN} AS BIGINT)"),
+        )
+        .groupBy("tier", "task")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("rows_in"),
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+        )
+    )
+    nxt = tiered.select(
+        (F.col("tier") - 1).alias("tier"),
+        F.col("lo").alias("nlo"),
+        F.col("hi").alias("nhi"),
+    )
+    overlaps = (
+        tasks.join(nxt, "tier", "left")
+        .withColumn(
+            "ov",
+            F.when(
+                (F.col("nlo") <= F.col("hi")) & (F.col("nhi") >= F.col("lo")),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("tier", "task", "n_files", "rows_in", "lo", "hi")
+        .agg(F.sum("ov").cast("bigint").alias("next_tier_overlaps"))
+    )
+    return overlaps
