@@ -5476,6 +5476,27 @@ def q_compaction_plan(spark, sf_dir):
     return compaction_plan(_t(spark, sf_dir, "lineitem"))
 
 
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center diversity coreset (`similarity.kcenter_coreset`,
+    Gonzalez 1985) over the embeddings: 8 farthest-point rounds on
+    integer milli-quantized squared L2, deterministic tie-breaks,
+    final nearest-center assignment counts.  The diversity-sampling
+    complement of similarity dedup."""
+    from corhist_spark.similarity import kcenter_coreset
+
+    return kcenter_coreset(_t(spark, sf_dir, "embeddings"))
+
+
+def q_wasserstein_drift(spark, sf_dir):
+    """Exact 1-D Wasserstein-1 drift per source (`textops.
+    wasserstein_drift`): integrates |F_src - F_rest| over the length
+    axis in integer cross-multiplied form — the magnitude companion
+    to the KS gate."""
+    from corhist_spark.textops import wasserstein_drift
+
+    return wasserstein_drift(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5859,6 +5880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_index": q_gini_index,
         "ks_drift": q_ks_drift,
         "compaction_plan": q_compaction_plan,
+        "kcenter_coreset": q_kcenter_coreset,
+        "wasserstein_drift": q_wasserstein_drift,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14539,5 +14562,103 @@ def oracle_sql() -> dict[str, str]:
         FROM grouped g
         LEFT JOIN tiered n ON n.tier = g.tier + 1
         GROUP BY 1, 2, 3, 4, 5, 6
+    """
+    # greedy k-center coreset: unrolled KCENTER_K rounds mirroring
+    # similarity.kcenter_coreset (integer milli-quantized squared L2,
+    # farthest point, min-vec_id tie-break, argmin key = d2*16 + rank)
+    from corhist_spark.similarity import KCENTER_K as _KC_K
+
+    _kc_d2 = (
+        "list_sum(list_transform(generate_series(1, len({p}.qv)),"
+        " i -> ({p}.qv[i] - {c}.cv[i]) * ({p}.qv[i] - {c}.cv[i])))"
+    )
+    _kc_rounds = []
+    for _r in range(2, _KC_K + 1):
+        _kc_rounds.append(f"""mx{_r} AS (
+          SELECT MAX(mind) AS mx FROM st{_r - 1}
+        ), c{_r} AS (
+          SELECT MIN(vec_id) AS cid FROM st{_r - 1}
+          WHERE mind = (SELECT mx FROM mx{_r})
+        ), cv{_r} AS (
+          SELECT qv AS cv FROM qe WHERE vec_id = (SELECT cid FROM c{_r})
+        ), st{_r} AS MATERIALIZED (
+          SELECT s.vec_id, s.qv,
+                 least(s.mind, {_kc_d2.format(p='s', c='c')}) AS mind
+          FROM st{_r - 1} s, cv{_r} c
+        )""")
+    _kc_centers = (
+        "SELECT 1 AS rank, (SELECT cid FROM c1) AS center_id,"
+        " 0 AS sel_d2"
+        + "".join(
+            f" UNION ALL SELECT {_r}, (SELECT cid FROM c{_r}),"
+            f" (SELECT mx FROM mx{_r})"
+            for _r in range(2, _KC_K + 1)
+        )
+    )
+    out["kcenter_coreset"] = f"""
+        WITH qe AS MATERIALIZED (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS qv
+          FROM embeddings
+        ), c1 AS (SELECT MIN(vec_id) AS cid FROM qe),
+        cv1 AS (
+          SELECT qv AS cv FROM qe WHERE vec_id = (SELECT cid FROM c1)
+        ), st1 AS MATERIALIZED (
+          SELECT s.vec_id, s.qv, {_kc_d2.format(p='s', c='c')} AS mind
+          FROM qe s, cv1 c
+        ), {", ".join(_kc_rounds)},
+        centers AS ({_kc_centers}),
+        cvecs AS (
+          SELECT c.rank AS crank, e.qv AS cv
+          FROM centers c JOIN qe e ON e.vec_id = c.center_id
+        ), assigned AS (
+          SELECT (MIN({_kc_d2.format(p='s', c='c')} * 16 + c.crank)) % 16
+                   AS rank
+          FROM qe s, cvecs c GROUP BY s.vec_id
+        ), acnt AS (
+          SELECT rank, CAST(COUNT(*) AS BIGINT) AS n_assigned
+          FROM assigned GROUP BY rank)
+        SELECT CAST(c.rank AS BIGINT) AS rank,
+               CAST(c.center_id AS BIGINT) AS center_id,
+               CAST(c.sel_d2 AS BIGINT) AS sel_d2,
+               CAST(COALESCE(a.n_assigned, 0) AS BIGINT) AS n_assigned
+        FROM centers c LEFT JOIN acnt a ON a.rank = c.rank
+    """
+    # exact 1-D Wasserstein-1 per source vs rest (mirrors
+    # textops.wasserstein_drift: |cross-multiplied CDF gap| x value gap)
+    out["wasserstein_drift"] = """
+        WITH c AS (
+          SELECT source AS grp, CAST(n_chars AS BIGINT) AS val,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        gvals AS (
+          SELECT val, SUM(cnt) AS gcnt,
+                 SUM(SUM(cnt)) OVER (ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS gcum,
+                 LEAD(val) OVER (ORDER BY val) - val AS gap
+          FROM c GROUP BY val),
+        totals AS (
+          SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_grp FROM c GROUP BY 1),
+        n_all AS (SELECT SUM(gcnt) AS n_all FROM gvals),
+        filled AS (
+          SELECT t.grp, t.n_grp, g.val, g.gcum, g.gap, a.n_all,
+                 SUM(COALESCE(x.cnt, 0)) OVER (PARTITION BY t.grp
+                      ORDER BY g.val ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum_grp
+          FROM totals t
+          CROSS JOIN gvals g
+          CROSS JOIN n_all a
+          LEFT JOIN c x ON x.grp = t.grp AND x.val = g.val)
+        SELECT grp, CAST(MAX(n_grp) AS BIGINT) AS n_docs,
+               CAST(CASE WHEN MAX(n_grp) > 0
+                         AND MAX(n_all) > MAX(n_grp) THEN
+                    (1000 * SUM(ABS(cum_grp * (n_all - n_grp)
+                                - (gcum - cum_grp) * n_grp) * gap))
+                    // (MAX(n_grp) * (MAX(n_all) - MAX(n_grp)))
+                    END AS BIGINT) AS w1_milli
+        FROM filled WHERE gap IS NOT NULL GROUP BY grp
     """
     return out

@@ -405,6 +405,10 @@ HEADLINE = [
     # size-tiered compaction planner with cross-tier overlap audit
     "ks_drift",
     "compaction_plan",
+    # r5 batch 73: greedy k-center diversity coreset and the exact
+    # 1-D Wasserstein drift magnitude gate
+    "kcenter_coreset",
+    "wasserstein_drift",
 ]
 
 

@@ -1141,3 +1141,107 @@ def embedding_quantization(vecs: DataFrame) -> DataFrame:
         "sum_sq_err",
         "mean_err_micro",
     )
+
+
+KCENTER_K = 8
+
+
+def _int_d2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_coreset(embeddings: DataFrame, k: int = KCENTER_K) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985, the 2-approximation):
+    seed with the lowest vec_id, then k-1 times pick the point
+    FARTHEST from the chosen set (integer squared L2 on the repo-
+    standard milli-quantized vectors; ties broken by lowest vec_id) —
+    the classic diversity-sampling pass that picks a maximally-spread
+    subset of a training corpus, the opposite failure mode of
+    similarity dedup.
+
+    Returns one row per center: (rank, center_id, sel_d2 — the
+    point's distance-to-set when selected, i.e. the covering radius
+    before it joined; 0 for the seed) plus n_assigned under the final
+    nearest-center assignment (ties to the lowest rank).
+
+    Scale shape per round: one global max + one filtered min (both
+    all-reduce aggregates, bytes to the driver), one broadcast of the
+    single new center vector, one map-only distance update.  k is a
+    constant; the corpus is scanned k times and never shuffled.  The
+    distance state is re-checkpointed per round (lineage cut)."""
+    e = embeddings.select(
+        "vec_id",
+        _quantized(_as_double(F.col("embedding"))).alias("qv"),
+    ).localCheckpoint()
+    seed = e.agg(F.min("vec_id")).first()[0]
+    chosen = [(1, seed, 0)]
+    cv = e.filter(F.col("vec_id") == seed).select(F.col("qv").alias("cv"))
+    state = (
+        e.crossJoin(F.broadcast(cv))
+        .select(
+            "vec_id",
+            "qv",
+            _int_d2(F.col("qv"), F.col("cv")).alias("mind"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, k + 1):
+        mx = state.agg(F.max("mind")).first()[0]
+        nxt = (
+            state.filter(F.col("mind") == mx)
+            .agg(F.min("vec_id"))
+            .first()[0]
+        )
+        chosen.append((r, nxt, int(mx)))
+        cv = e.filter(F.col("vec_id") == nxt).select(
+            F.col("qv").alias("cv")
+        )
+        state = (
+            state.crossJoin(F.broadcast(cv))
+            .select(
+                "vec_id",
+                "qv",
+                F.least(
+                    F.col("mind"), _int_d2(F.col("qv"), F.col("cv"))
+                ).alias("mind"),
+            )
+            .localCheckpoint()
+        )
+    spark = embeddings.sparkSession
+    centers = spark.createDataFrame(
+        chosen, "rank long, center_id long, sel_d2 long"
+    )
+    cvecs = e.join(
+        centers.select(F.col("center_id").alias("vec_id"), "rank"), "vec_id"
+    ).select(F.col("rank").alias("crank"), F.col("qv").alias("cv"))
+    # argmin (d2, rank) as one integer key (rank <= 15), identical
+    # arithmetic in the DuckDB twin
+    assigned = (
+        e.crossJoin(F.broadcast(cvecs))
+        .select(
+            "vec_id",
+            (
+                _int_d2(F.col("qv"), F.col("cv")) * 16 + F.col("crank")
+            ).alias("k2"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("k2").alias("best"))
+        .select((F.col("best") % 16).alias("rank"))
+        .groupBy("rank")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
+    )
+    return (
+        centers.join(assigned, "rank", "left")
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("center_id").cast("bigint").alias("center_id"),
+            F.col("sel_d2").cast("bigint").alias("sel_d2"),
+            F.coalesce("n_assigned", F.lit(0)).cast("bigint").alias(
+                "n_assigned"
+            ),
+        )
+    )

@@ -5060,3 +5060,79 @@ def compaction_plan(table: DataFrame, key_col: str = "l_orderkey") -> DataFrame:
         .agg(F.sum("ov").cast("bigint").alias("next_tier_overlaps"))
     )
     return overlaps
+
+
+def wasserstein_drift(
+    docs: DataFrame, group_col: str = "source", value_col: str = "n_chars"
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) distance of each source's
+    value distribution from the rest of the corpus — the drift gate's
+    magnitude companion to `ks_drift`: KS reports the largest CDF gap,
+    W1 integrates |F_src - F_rest| over the value axis, so a source
+    whose whole distribution shifted a little and one with a narrow
+    spike score differently.  Integer cross-multiplied:
+    W1 * n_src * n_rest = sum over consecutive distinct values of
+    |cum_src * n_rest - cum_rest * n_src| * value_gap, divided once at
+    the end into milli value-units.
+
+    Scale shape: identical to ks_drift — one NDV-bounded (group,
+    value) aggregate, the |groups| x NDV spine with forward-fill
+    windows, a group rollup; the only unpartitioned window runs on
+    the distinct-value frame."""
+    s = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("val"),
+    ).filter(F.col("val").isNotNull())
+    c = s.groupBy("grp", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gw = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    gvals = (
+        c.groupBy("val")
+        .agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+        .withColumn("gcum", F.sum("gcnt").over(gw))
+        .withColumn("gap", F.lead("val").over(Window.orderBy("val")) - F.col("val"))
+    )
+    totals = c.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n_grp"))
+    n_all = gvals.agg(F.sum("gcnt").cast("bigint").alias("n_all"))
+    spine = totals.crossJoin(F.broadcast(gvals.select("val", "gcum", "gap")))
+    sw = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    filled = (
+        spine.join(c, ["grp", "val"], "left")
+        .withColumn(
+            "cum_grp",
+            F.coalesce(
+                F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(sw), F.lit(0)
+            ),
+        )
+        .crossJoin(F.broadcast(n_all))
+    )
+    return (
+        filled.filter(F.col("gap").isNotNull())
+        .groupBy("grp")
+        .agg(
+            F.first("n_grp").alias("n_docs"),
+            F.first("n_all").alias("n_total"),
+            F.sum(
+                F.abs(
+                    F.col("cum_grp") * (F.col("n_all") - F.col("n_grp"))
+                    - (F.col("gcum") - F.col("cum_grp")) * F.col("n_grp")
+                )
+                * F.col("gap")
+            )
+            .cast("bigint")
+            .alias("w_num"),
+        )
+        .select(
+            "grp",
+            "n_docs",
+            F.when(
+                (F.col("n_docs") > 0) & (F.col("n_total") > F.col("n_docs")),
+                F.expr("(1000 * w_num) DIV (n_docs * (n_total - n_docs))"),
+            )
+            .cast("bigint")
+            .alias("w1_milli"),
+        )
+    )

@@ -3557,3 +3557,75 @@ def test_compaction_plan_exact(spark):
     all_rows = list(itertools.chain.from_iterable(tiered.values()))
     assert all(r.n_files >= 1 for r in all_rows)
     assert sum(r.rows_in for r in all_rows) == len(rows2)
+
+
+def test_kcenter_coreset_exact_vs_pure_python(spark):
+    """Planted 2-D embeddings: the Spark greedy k-center must equal a
+    pure-Python Gonzalez run (same quantization, same tie-breaks),
+    including selection distances and assignment counts."""
+    from corhist_spark.similarity import kcenter_coreset, KCENTER_K
+
+    pts = [
+        (0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [1.0, 0.0]),
+        (3, [1.0, 1.0]), (4, [0.0, 1.0]), (5, [0.5, 0.5]),
+        (6, [0.52, 0.5]), (7, [0.0, 0.98]), (8, [0.25, 0.75]),
+        (9, [0.8, 0.2]), (10, [0.1, 0.1]), (11, [0.9, 0.9]),
+    ]
+    d = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = {r.rank: r for r in kcenter_coreset(d).collect()}
+
+    import math
+
+    q = {
+        i: [math.floor(float(np_x := __import__("numpy").float32(x)) * 1000)
+            for x in v]
+        for i, v in pts
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    centers = [(1, 0, 0)]
+    mind = {i: d2(q[i], q[0]) for i, _ in pts}
+    for r in range(2, KCENTER_K + 1):
+        mx = max(mind.values())
+        nxt = min(i for i, m in mind.items() if m == mx)
+        centers.append((r, nxt, mx))
+        for i in mind:
+            mind[i] = min(mind[i], d2(q[i], q[nxt]))
+    counts = {}
+    for i, _ in pts:
+        best = min(
+            (d2(q[i], q[c]) * 16 + rk) for rk, c, _ in centers
+        )
+        counts[best % 16] = counts.get(best % 16, 0) + 1
+    for rk, cid, seld in centers:
+        r = got[rk]
+        assert (r.center_id, r.sel_d2) == (cid, seld), rk
+        assert r.n_assigned == counts.get(rk, 0), rk
+
+
+def test_wasserstein_drift_exact_vs_quantile_coupling(spark):
+    """Planted distributions: the CDF-integral form must equal the
+    independent quantile-coupling computation (each side replicated
+    to the common n_src*n_rest grid)."""
+    from corhist_spark.textops import wasserstein_drift
+
+    groups = {
+        "a": [1, 2, 3, 4],
+        "b": [11, 12, 13],        # shifted by 10
+        "c": [1, 1, 4, 4],        # tie-heavy
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    d = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.grp: r for r in wasserstein_drift(d).collect()}
+    for g, vals in groups.items():
+        rest = [v for gg, vv in groups.items() if gg != g for v in vv]
+        ns, nr = len(vals), len(rest)
+        a = sorted(v for v in vals for _ in range(nr))
+        b = sorted(v for v in rest for _ in range(ns))
+        s = sum(abs(x - y) for x, y in zip(a, b))
+        want = (1000 * s) // (ns * nr)
+        assert got[g].n_docs == ns
+        assert got[g].w1_milli == want, g
+    assert got["b"].w1_milli > got["a"].w1_milli
