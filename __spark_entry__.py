@@ -5497,6 +5497,30 @@ def q_wasserstein_drift(spark, sf_dir):
     return wasserstein_drift(_t(spark, sf_dir, "documents"))
 
 
+def q_fs_pattern_audit(spark, sf_dir):
+    """Fellegi-Sunter agreement-pattern audit (`textops.
+    fs_pattern_audit`, Fellegi & Sunter 1969): SNM candidate pairs'
+    (lang, source, length-band) comparison patterns, observed ppm vs
+    the independence expectation, lift per-mille — the E-step
+    evidence table of a probabilistic record linker, overflow-safe
+    chained integer floors."""
+    from corhist_spark.textops import fs_pattern_audit
+
+    return fs_pattern_audit(_t(spark, sf_dir, "documents"))
+
+
+def q_pseudonymize_audit(spark, sf_dir):
+    """Pseudonymization referential-integrity audit (`textops.
+    pseudonymize_audit`): truncated-hash key swap on customer,
+    collision count and raw-vs-token join cardinality on orders —
+    proves the 13-hex token space collision-free on the corpus."""
+    from corhist_spark.textops import pseudonymize_audit
+
+    return pseudonymize_audit(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5882,6 +5906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "kcenter_coreset": q_kcenter_coreset,
         "wasserstein_drift": q_wasserstein_drift,
+        "fs_pattern_audit": q_fs_pattern_audit,
+        "pseudonymize_audit": q_pseudonymize_audit,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14660,5 +14686,87 @@ def oracle_sql() -> dict[str, str]:
                     // (MAX(n_grp) * (MAX(n_all) - MAX(n_grp)))
                     END AS BIGINT) AS w1_milli
         FROM filled WHERE gap IS NOT NULL GROUP BY grp
+    """
+    # Fellegi-Sunter pattern audit: SNM pair CTEs reused verbatim;
+    # band width + chained-floor order interpolated from textops
+    from corhist_spark.textops import FS_BAND as _FS_BAND
+
+    out["fs_pattern_audit"] = (
+        "WITH "
+        + ", ".join(_snm_passes)
+        + f""", fpairs AS (
+          SELECT doc_a, doc_b
+          FROM (SELECT doc_a, doc_b FROM pp0
+                UNION ALL SELECT doc_a, doc_b FROM pp1)
+          GROUP BY 1, 2
+        ), fattrs AS (
+          SELECT doc_id, lang AS l, source AS s,
+                 CAST(n_chars // {_FS_BAND} AS BIGINT) AS b
+          FROM documents
+        ), fj AS MATERIALIZED (
+          SELECT CASE WHEN a.l = b.l THEN 1 ELSE 0 END AS gl,
+                 CASE WHEN a.s = b.s THEN 1 ELSE 0 END AS gs,
+                 CASE WHEN a.b = b.b THEN 1 ELSE 0 END AS gb
+          FROM fpairs p
+          JOIN fattrs a ON a.doc_id = p.doc_a
+          JOIN fattrs b ON b.doc_id = p.doc_b
+        ), fpat AS (
+          SELECT CAST(4 * gl + 2 * gs + gb AS BIGINT) AS pattern,
+                 gl, gs, gb, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM fj GROUP BY 1, 2, 3, 4
+        ), fmarg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(gl) AS BIGINT) AS al,
+                 CAST(SUM(gs) AS BIGINT) AS asx,
+                 CAST(SUM(gb) AS BIGINT) AS ab
+          FROM fj)
+        SELECT pattern, n_pairs,
+               CAST((1000000 * n_pairs) // n AS BIGINT) AS obs_ppm,
+               CAST((((1000000 * (CASE WHEN gl = 1 THEN al
+                                       ELSE n - al END)) // n
+                      * (CASE WHEN gs = 1 THEN asx ELSE n - asx END)) // n
+                     * (CASE WHEN gb = 1 THEN ab ELSE n - ab END)) // n
+                    AS BIGINT) AS exp_ppm,
+               CAST((1000 * ((1000000 * n_pairs) // n))
+                    // greatest(1,
+                        (((1000000 * (CASE WHEN gl = 1 THEN al
+                                           ELSE n - al END)) // n
+                          * (CASE WHEN gs = 1 THEN asx ELSE n - asx END))
+                         // n
+                         * (CASE WHEN gb = 1 THEN ab ELSE n - ab END)) // n)
+                    AS BIGINT) AS lift_pm
+        FROM fpat, fmarg
+    """
+    )
+    # pseudonymization audit: token hash + mod interpolated from
+    # textops.PSEUD_MOD
+    from corhist_spark.textops import PSEUD_MOD as _PSEUD_MOD
+
+    _ps_ctok = hexval_sql("'pseud:' || CAST(c_custkey AS VARCHAR)")
+    _ps_otok = hexval_sql("'pseud:' || CAST(o_custkey AS VARCHAR)")
+    out["pseudonymize_audit"] = f"""
+        WITH cust AS MATERIALIZED (
+          SELECT CAST(c_custkey AS BIGINT) AS key,
+                 ({_ps_ctok}) % {_PSEUD_MOD} AS token
+          FROM customer),
+        ords AS MATERIALIZED (
+          SELECT CAST(o_custkey AS BIGINT) AS key,
+                 ({_ps_otok}) % {_PSEUD_MOD} AS token
+          FROM orders),
+        counts AS (
+          SELECT CAST(COUNT(DISTINCT key) AS BIGINT) AS n_keys,
+                 CAST(COUNT(DISTINCT token) AS BIGINT) AS n_tokens
+          FROM cust),
+        rj AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS join_rows_raw
+          FROM ords o JOIN cust c ON c.key = o.key),
+        tj AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS join_rows_tok
+          FROM ords o JOIN cust c ON c.token = o.token)
+        SELECT n_keys, n_tokens,
+               CAST(n_keys - n_tokens AS BIGINT) AS n_collisions,
+               join_rows_raw, join_rows_tok,
+               CAST(join_rows_tok - join_rows_raw AS BIGINT) AS excess_rows
+        FROM counts, rj, tj
     """
     return out

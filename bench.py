@@ -409,6 +409,10 @@ HEADLINE = [
     # 1-D Wasserstein drift magnitude gate
     "kcenter_coreset",
     "wasserstein_drift",
+    # r5 batch 74: Fellegi-Sunter pattern audit (record linkage) and
+    # the pseudonymization referential-integrity/collision audit
+    "fs_pattern_audit",
+    "pseudonymize_audit",
 ]
 
 

@@ -5136,3 +5136,163 @@ def wasserstein_drift(
             .alias("w1_milli"),
         )
     )
+
+
+FS_BAND = 100
+
+
+def fs_pattern_audit(docs: DataFrame) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern audit (Fellegi & Sunter 1969)
+    over sorted-neighborhood candidate pairs: each pair's comparison
+    vector over (lang, source, length-band) becomes a 3-bit pattern;
+    the audit reports every pattern's observed frequency against its
+    expectation under attribute INDEPENDENCE (the u-probability
+    product the FS model starts from) — patterns whose lift over
+    independence is large are where genuine matches live, and the
+    table is exactly the E-step evidence an FS/EM linker consumes.
+
+    Integer throughout: marginal agreement rates enter as exact pair
+    counts; exp_ppm is computed as three chained floor-divisions by
+    n_pairs (documented floor order, identical in the oracle) so no
+    n^3 product ever overflows BIGINT.  lift_pm = 1000*obs/exp.
+
+    Scale shape: the pair generator is the bounded SNM window (4N per
+    pass, never block^2); attributes arrive by two doc_id equi-joins;
+    then one 8-row pattern aggregate and single-row marginals
+    broadcast back."""
+    pairs = sorted_neighborhood(docs).select("doc_a", "doc_b")
+    attrs = docs.select(
+        "doc_id",
+        F.col("lang").alias("l"),
+        F.col("source").alias("s"),
+        F.expr(f"CAST(n_chars DIV {FS_BAND} AS BIGINT)").alias("b"),
+    )
+    j = (
+        pairs.join(
+            attrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("l").alias("la"),
+                F.col("s").alias("sa"),
+                F.col("b").alias("ba"),
+            ),
+            "doc_a",
+        )
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("l").alias("lb"),
+                F.col("s").alias("sb"),
+                F.col("b").alias("bb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            F.when(F.col("la") == F.col("lb"), 1).otherwise(0).alias("gl"),
+            F.when(F.col("sa") == F.col("sb"), 1).otherwise(0).alias("gs"),
+            F.when(F.col("ba") == F.col("bb"), 1).otherwise(0).alias("gb"),
+        )
+    )
+    pat = j.groupBy(
+        (4 * F.col("gl") + 2 * F.col("gs") + F.col("gb"))
+        .cast("bigint")
+        .alias("pattern"),
+        "gl",
+        "gs",
+        "gb",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    marg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("gl").cast("bigint").alias("al"),
+        F.sum("gs").cast("bigint").alias("as_"),
+        F.sum("gb").cast("bigint").alias("ab"),
+    )
+    return (
+        pat.crossJoin(F.broadcast(marg))
+        .select(
+            "pattern",
+            "n_pairs",
+            F.expr("(1000000 * n_pairs) DIV n").cast("bigint").alias("obs_ppm"),
+            F.expr(
+                "(((1000000 * (CASE WHEN gl = 1 THEN al ELSE n - al END))"
+                " DIV n * (CASE WHEN gs = 1 THEN as_ ELSE n - as_ END))"
+                " DIV n * (CASE WHEN gb = 1 THEN ab ELSE n - ab END)) DIV n"
+            )
+            .cast("bigint")
+            .alias("exp_ppm"),
+        )
+        .withColumn(
+            "lift_pm",
+            F.expr("(1000 * obs_ppm) DIV greatest(1, exp_ppm)").cast("bigint"),
+        )
+    )
+
+
+PSEUD_MOD = 1 << 52
+
+
+def pseudonymize_audit(
+    customer: DataFrame, orders: DataFrame, token_mod: int = PSEUD_MOD
+) -> DataFrame:
+    """Pseudonymization referential-integrity audit: replace the
+    customer key with a deterministic truncated-hash token (the
+    standard GDPR-pipeline key swap) and measure what the truncation
+    costs — token collisions (two customers sharing a token) and the
+    false join rows they would inject into every downstream key join.
+    One output row: key/token/collision counts, the customer-orders
+    join cardinality under raw keys vs tokens, and the excess.
+
+    Scale shape: two distinct-count aggregates plus the two key joins
+    the audit is about (both shuffle on the join key; the token join
+    is the same plan with the token as key).  ``token_mod`` sets the
+    token space; the default 2^52 is the repo-standard 13-hex hash
+    width, and the audit PROVES its collision-freeness on the corpus
+    rather than assuming it."""
+    tok = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('pseud:',"
+            " CAST(c_custkey AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        )
+        % F.lit(int(token_mod))
+    )
+    cust = customer.select(
+        F.col("c_custkey").cast("bigint").alias("key"), tok.alias("token")
+    ).localCheckpoint()
+    otok = (
+        F.expr(
+            "CAST(conv(substr(md5(concat('pseud:',"
+            " CAST(o_custkey AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        )
+        % F.lit(int(token_mod))
+    )
+    ords = orders.select(
+        F.col("o_custkey").cast("bigint").alias("key"), otok.alias("token")
+    ).localCheckpoint()
+    counts = cust.agg(
+        F.countDistinct("key").cast("bigint").alias("n_keys"),
+        F.countDistinct("token").cast("bigint").alias("n_tokens"),
+    )
+    raw_join = (
+        ords.join(cust.select("key"), "key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("join_rows_raw"))
+    )
+    tok_join = (
+        ords.select("token")
+        .join(cust.select("token"), "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("join_rows_tok"))
+    )
+    return (
+        counts.crossJoin(raw_join)
+        .crossJoin(tok_join)
+        .select(
+            "n_keys",
+            "n_tokens",
+            (F.col("n_keys") - F.col("n_tokens"))
+            .cast("bigint")
+            .alias("n_collisions"),
+            "join_rows_raw",
+            "join_rows_tok",
+            (F.col("join_rows_tok") - F.col("join_rows_raw"))
+            .cast("bigint")
+            .alias("excess_rows"),
+        )
+    )

@@ -3629,3 +3629,95 @@ def test_wasserstein_drift_exact_vs_quantile_coupling(spark):
         assert got[g].n_docs == ns
         assert got[g].w1_milli == want, g
     assert got["b"].w1_milli > got["a"].w1_milli
+
+
+def test_fs_pattern_audit_exact(spark):
+    """Planted docs: recompute the pattern table in Python from the
+    engine's own SNM pairs (the pair generator is pinned by its own
+    test) and check observed/expected/lift integer arithmetic."""
+    from corhist_spark.textops import (
+        fs_pattern_audit,
+        sorted_neighborhood,
+        FS_BAND,
+    )
+
+    rows = [
+        (1, "alpha beta gamma one", "en", "s1", 150),
+        (2, "alpha beta gamma two", "en", "s1", 160),
+        (3, "alpha beta delta", "de", "s2", 150),
+        (4, "alphabet soup here", "en", "s2", 260),
+        (5, "bravo charlie delta", "de", "s1", 255),
+        (6, "bravo charlie echo", "de", "s1", 152),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    )
+    got = {r.pattern: r for r in fs_pattern_audit(d).collect()}
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in sorted_neighborhood(d).select("doc_a", "doc_b").collect()
+    ]
+    attr = {i: (l, s, c // FS_BAND) for i, _, l, s, c in rows}
+    vecs = [
+        tuple(int(attr[a][k] == attr[b][k]) for k in range(3))
+        for a, b in pairs
+    ]
+    n = len(vecs)
+    al = sum(v[0] for v in vecs)
+    asx = sum(v[1] for v in vecs)
+    ab = sum(v[2] for v in vecs)
+    from collections import Counter
+
+    cnt = Counter(4 * v[0] + 2 * v[1] + v[2] for v in vecs)
+    assert set(got) == set(cnt)
+    for p, c in cnt.items():
+        r = got[p]
+        assert r.n_pairs == c
+        obs = (1_000_000 * c) // n
+        gl, gs, gb = (p >> 2) & 1, (p >> 1) & 1, p & 1
+        exp = (
+            ((1_000_000 * (al if gl else n - al)) // n
+             * (asx if gs else n - asx)) // n
+            * (ab if gb else n - ab)
+        ) // n
+        assert (r.obs_ppm, r.exp_ppm) == (obs, exp), p
+        assert r.lift_pm == (1000 * obs) // max(1, exp), p
+
+
+def test_pseudonymize_audit_collisions(spark):
+    """Tiny token space forces collisions; the audit must count them
+    and price the excess join rows exactly."""
+    import hashlib
+
+    from corhist_spark.textops import pseudonymize_audit
+
+    cust = spark.createDataFrame(
+        [(i,) for i in range(40)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(i, i % 40) for i in range(100)], "o_orderkey long, o_custkey long"
+    )
+    got = pseudonymize_audit(cust, orders, token_mod=7).collect()[0]
+
+    def tok(k):
+        return int(
+            hashlib.md5(f"pseud:{k}".encode()).hexdigest()[:13], 16
+        ) % 7
+
+    toks = {k: tok(k) for k in range(40)}
+    n_tokens = len(set(toks.values()))
+    assert got.n_keys == 40
+    assert got.n_tokens == n_tokens
+    assert got.n_collisions == 40 - n_tokens
+    assert got.join_rows_raw == 100
+    from collections import Counter
+
+    ccnt = Counter(toks.values())
+    ocnt = Counter(toks[i % 40] for i in range(100))
+    want_tok_join = sum(ocnt[t] * ccnt[t] for t in ocnt)
+    assert got.join_rows_tok == want_tok_join
+    assert got.excess_rows == want_tok_join - 100
+    # default 2^52 space: collision-free on this corpus
+    clean = pseudonymize_audit(cust, orders).collect()[0]
+    assert clean.n_collisions == 0 and clean.excess_rows == 0
