@@ -5521,6 +5521,26 @@ def q_pseudonymize_audit(spark, sf_dir):
     )
 
 
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman variance-optimal stratified-sampling design (`textops.
+    neyman_allocation`): budget 1000 split across language strata
+    proportional to N_h*sigma_h, largest-remainder integer seats that
+    always sum to the budget."""
+    from corhist_spark.textops import neyman_allocation
+
+    return neyman_allocation(_t(spark, sf_dir, "documents"))
+
+
+def q_randomization_test(spark, sf_dir):
+    """Approximate-randomization significance test (`textops.
+    randomization_test`): 64 deterministic hash label shuffles
+    rebuild the null of the even-vs-odd-source quality gap; add-one
+    p-value in ppm."""
+    from corhist_spark.textops import randomization_test
+
+    return randomization_test(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5908,6 +5928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "fs_pattern_audit": q_fs_pattern_audit,
         "pseudonymize_audit": q_pseudonymize_audit,
+        "neyman_allocation": q_neyman_allocation,
+        "randomization_test": q_randomization_test,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14768,5 +14790,91 @@ def oracle_sql() -> dict[str, str]:
                join_rows_raw, join_rows_tok,
                CAST(join_rows_tok - join_rows_raw AS BIGINT) AS excess_rows
         FROM counts, rj, tj
+    """
+    # Neyman allocation: budget interpolated from textops; the sqrt is
+    # the documented correctly-rounded-double exception
+    from corhist_spark.textops import NEYMAN_BUDGET as _NEY_B
+
+    out["neyman_allocation"] = f"""
+        WITH per AS (
+          SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(n_chars) AS BIGINT) AS sy,
+                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS syy
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        w AS (
+          SELECT stratum, n_rows,
+                 CASE WHEN n_rows > 1 THEN CAST(FLOOR(SQRT(
+                      CAST(n_rows * (n_rows * syy - sy * sy) AS DOUBLE)
+                      / CAST(n_rows - 1 AS DOUBLE))) AS BIGINT)
+                      ELSE 0 END AS w_h
+          FROM per),
+        tot AS (SELECT SUM(w_h) AS w_tot FROM w),
+        seats AS (
+          SELECT stratum, n_rows, w_h,
+                 CASE WHEN w_tot > 0 THEN ({_NEY_B} * w_h) // w_tot
+                      ELSE 0 END AS base,
+                 CASE WHEN w_tot > 0 THEN ({_NEY_B} * w_h) % w_tot
+                      ELSE 0 END AS rem
+          FROM w, tot),
+        lo AS (SELECT {_NEY_B} - SUM(base) AS leftover FROM seats),
+        ranked AS (
+          SELECT stratum, n_rows, w_h, base,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rk
+          FROM seats)
+        SELECT stratum, n_rows, CAST(w_h AS BIGINT) AS w_h,
+               CAST(base + CASE WHEN rk <= (SELECT leftover FROM lo)
+                           THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        FROM ranked
+    """
+    # approximate-randomization test: perm count + hash interpolated
+    from corhist_spark.textops import RT_PERMS as _RT_B
+
+    _rt_hash = hexval_sql(
+        "'rt:' || CAST(doc_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)"
+    )
+    out["randomization_test"] = f"""
+        WITH scored AS (
+          SELECT CAST((1000 * length(regexp_replace(lower(text),
+                      '[^a-z]', '', 'g'))) // greatest(n_chars, 1)
+                     AS BIGINT) AS y,
+                 CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                      AS INT) % 2 = 0 THEN 1 ELSE 0 END AS in_a,
+                 CAST(doc_id AS BIGINT) AS doc_id
+          FROM documents),
+        obs AS (
+          SELECT CAST(SUM(CASE WHEN in_a = 1 THEN y ELSE 0 END)
+                      * SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN in_a = 0 THEN y ELSE 0 END)
+                      * SUM(in_a) AS BIGINT) AS x_obs,
+                 CAST(SUM(in_a)
+                      * SUM(CASE WHEN in_a = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d_obs
+          FROM scored),
+        perms AS (
+          SELECT b,
+                 CAST(SUM(CASE WHEN pa = 0 THEN y ELSE 0 END)
+                      * SUM(CASE WHEN pa = 1 THEN 1 ELSE 0 END)
+                      - SUM(CASE WHEN pa = 1 THEN y ELSE 0 END)
+                      * SUM(CASE WHEN pa = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS x_b,
+                 CAST(SUM(CASE WHEN pa = 0 THEN 1 ELSE 0 END)
+                      * SUM(CASE WHEN pa = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d_b
+          FROM (
+            SELECT s.y, s.doc_id, g.b, ({_rt_hash}) % 2 AS pa
+            FROM scored s,
+                 (SELECT unnest(generate_series(1, {_RT_B})) AS b) g)
+          GROUP BY b),
+        hits AS (
+          SELECT CAST(SUM(CASE WHEN ABS(CAST(x_b AS DOUBLE))
+                               * CAST(d_obs AS DOUBLE)
+                               >= ABS(CAST(x_obs AS DOUBLE))
+                               * CAST(d_b AS DOUBLE)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+          FROM perms, obs)
+        SELECT o.x_obs, o.d_obs, h.n_ge,
+               CAST((1000000 * (1 + h.n_ge)) // {_RT_B + 1} AS BIGINT)
+                 AS p_ppm
+        FROM obs o, hits h
     """
     return out

@@ -413,6 +413,10 @@ HEADLINE = [
     # the pseudonymization referential-integrity/collision audit
     "fs_pattern_audit",
     "pseudonymize_audit",
+    # r5 batch 75: Neyman variance-optimal allocation and the
+    # hash-seeded approximate-randomization significance test
+    "neyman_allocation",
+    "randomization_test",
 ]
 
 

@@ -5296,3 +5296,206 @@ def pseudonymize_audit(
             .alias("excess_rows"),
         )
     )
+
+
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    value_col: str = "n_chars",
+    budget: int = NEYMAN_BUDGET,
+) -> DataFrame:
+    """Neyman (variance-optimal) stratified-sample allocation (Neyman
+    1934): a fixed sampling budget is split across strata
+    proportionally to N_h * sigma_h, so high-variance strata get more
+    probes per row — the design step BEFORE `stratified_sample` when
+    the goal is estimating a mean, not matching shares.  Integer
+    seats via the largest-remainder method (exact, deterministic
+    ties -> lower stratum name first), so allocations always sum to
+    the budget.
+
+    sigma enters through w_h = floor(sqrt(N_h*V_h/(N_h-1))) with
+    V_h = N_h*sum(y^2) - sum(y)^2 — the int->double conversion, the
+    IEEE sqrt and the floor are all correctly-rounded operations, so
+    the value is deterministic and engine-identical even though a
+    square root is involved (documented exception to the
+    integer-only rule; singleton strata get w_h = 0).
+
+    Scale shape: one stratum-grain aggregate (three sums), then all
+    arithmetic on the strata-count-sized frame (single-row total
+    broadcast, one tiny rank window for remainders)."""
+    s = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(value_col).cast("bigint").alias("y"),
+    ).filter(F.col("y").isNotNull())
+    per = s.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    w = per.select(
+        "stratum",
+        "n_rows",
+        F.expr(
+            "CASE WHEN n_rows > 1 THEN CAST(FLOOR(SQRT(CAST("
+            "n_rows * (n_rows * syy - sy * sy) AS DOUBLE)"
+            " / CAST(n_rows - 1 AS DOUBLE))) AS BIGINT) ELSE 0 END"
+        ).alias("w_h"),
+    )
+    tot = w.agg(F.sum("w_h").cast("bigint").alias("w_tot"))
+    b = int(budget)
+    seats = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_rows",
+            "w_h",
+            F.expr(f"CASE WHEN w_tot > 0 THEN ({b} * w_h) DIV w_tot"
+                   " ELSE 0 END").cast("bigint").alias("base"),
+            F.expr(f"CASE WHEN w_tot > 0 THEN ({b} * w_h) % w_tot"
+                   " ELSE 0 END").cast("bigint").alias("rem"),
+        )
+    )
+    ranked = seats.withColumn(
+        "rk",
+        F.expr(
+            "ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC)"
+        ).cast("bigint"),
+    ).crossJoin(
+        F.broadcast(
+            seats.agg(
+                (F.lit(b) - F.sum("base")).cast("bigint").alias("leftover")
+            )
+        )
+    )
+    return ranked.select(
+        "stratum",
+        "n_rows",
+        "w_h",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_alloc"),
+    )
+
+
+RT_PERMS = 64
+
+
+def randomization_test(
+    docs: DataFrame, n_perms: int = RT_PERMS
+) -> DataFrame:
+    """Approximate-randomization significance test (Noreen 1989; the
+    label-shuffle test pipelines run before trusting a quality gap):
+    is the alphabetic-per-mille quality of the even-suffixed sources
+    genuinely different from the rest, or within re-randomization
+    noise?  The statistic is the cross-multiplied mean difference
+    X = sum_A*n_B - sum_B*n_A; ``n_perms`` deterministic hash
+    re-assignments (Bernoulli 1/2, the standard approximate variant)
+    rebuild its null distribution, and p_ppm = 1e6*(1 + #{|X_b| >=
+    |X_obs| at each side's own scale}) / (n_perms + 1) with the
+    add-one correction.
+
+    The cross-scale comparison |X_b|*D_obs >= |X_obs|*D_b
+    (D = n_A*n_B) is evaluated in double precision: every operand is
+    an exact integer and IEEE multiply/compare is correctly rounded,
+    so the verdict is engine-identical (documented float exception;
+    exact up to N ~ 3e4 where the products still fit 2^53, and
+    deterministic beyond).
+
+    Scale shape: one map-only score pass, one explode by n_perms
+    (bounded fan-out of two small columns), one (perm) aggregate of
+    n_perms rows, single-row observed stats broadcast back."""
+    scored = docs.select(
+        F.expr(
+            "(1000 * length(regexp_replace(lower(text), '[^a-z]', '')))"
+            " DIV greatest(n_chars, 1)"
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.expr(
+            "CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT)"
+            " % 2 = 0 THEN 1 ELSE 0 END"
+        ).alias("in_a"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    ).localCheckpoint()
+    obs = scored.agg(
+        F.sum(F.expr("CASE WHEN in_a = 1 THEN y ELSE 0 END"))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum("in_a").cast("bigint").alias("na"),
+        F.sum(F.expr("CASE WHEN in_a = 0 THEN y ELSE 0 END"))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.expr("CASE WHEN in_a = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("nb"),
+    ).select(
+        (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+        .cast("bigint")
+        .alias("x_obs"),
+        (F.col("na") * F.col("nb")).cast("bigint").alias("d_obs"),
+    )
+    perms = (
+        scored.select(
+            "y",
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(int(n_perms)))).alias("b"),
+        )
+        .withColumn(
+            "pa",
+            F.expr(
+                "CAST(conv(substr(md5(concat('rt:', CAST(doc_id AS STRING),"
+                " '#', CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT) % 2"
+            ),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.expr("CASE WHEN pa = 0 THEN y ELSE 0 END"))
+            .cast("bigint")
+            .alias("sa"),
+            F.sum(F.expr("CASE WHEN pa = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("na"),
+            F.sum(F.expr("CASE WHEN pa = 1 THEN y ELSE 0 END"))
+            .cast("bigint")
+            .alias("sb"),
+            F.sum(F.expr("CASE WHEN pa = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("nb"),
+        )
+        .select(
+            (F.col("sa") * F.col("nb") - F.col("sb") * F.col("na"))
+            .cast("bigint")
+            .alias("x_b"),
+            (F.col("na") * F.col("nb")).cast("bigint").alias("d_b"),
+        )
+    )
+    hits = perms.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN ABS(CAST(x_b AS DOUBLE)) * CAST(d_obs AS DOUBLE)"
+                " >= ABS(CAST(x_obs AS DOUBLE)) * CAST(d_b AS DOUBLE)"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_ge")
+    )
+    return (
+        obs.crossJoin(F.broadcast(hits))
+        .select(
+            "x_obs",
+            "d_obs",
+            "n_ge",
+            F.expr(
+                f"(1000000 * (1 + n_ge)) DIV {int(n_perms) + 1}"
+            )
+            .cast("bigint")
+            .alias("p_ppm"),
+        )
+    )

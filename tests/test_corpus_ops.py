@@ -3721,3 +3721,70 @@ def test_pseudonymize_audit_collisions(spark):
     # default 2^52 space: collision-free on this corpus
     clean = pseudonymize_audit(cust, orders).collect()[0]
     assert clean.n_collisions == 0 and clean.excess_rows == 0
+
+
+def test_neyman_allocation_exact(spark):
+    """Planted strata: high-variance stratum gets the seats; seats
+    always sum to the budget; singleton stratum weighs zero."""
+    import math
+
+    from corhist_spark.textops import neyman_allocation
+
+    groups = {
+        "flat": [100] * 50,            # zero variance -> w 0
+        "wild": [0, 200] * 25,         # high variance
+        "mid": [90, 110] * 25,
+        "solo": [5],                   # singleton -> w 0
+    }
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    d = spark.createDataFrame(rows, "lang string, n_chars long")
+    got = {r.stratum: r for r in neyman_allocation(d, budget=100).collect()}
+
+    w = {}
+    for g, vals in groups.items():
+        n = len(vals)
+        if n <= 1:
+            w[g] = 0
+            continue
+        vh = n * sum(v * v for v in vals) - sum(vals) ** 2
+        w[g] = math.floor(math.sqrt(n * vh / (n - 1)))
+    wt = sum(w.values())
+    base = {g: (100 * w[g]) // wt for g in w}
+    rem = {g: (100 * w[g]) % wt for g in w}
+    leftover = 100 - sum(base.values())
+    order = sorted(w, key=lambda g: (-rem[g], g))
+    alloc = dict(base)
+    for g in order[:leftover]:
+        alloc[g] += 1
+    for g in groups:
+        assert got[g].w_h == w[g], g
+        assert got[g].n_alloc == alloc[g], g
+    assert sum(r.n_alloc for r in got.values()) == 100
+    assert got["wild"].n_alloc > got["mid"].n_alloc
+    assert got["flat"].n_alloc == 0 and got["solo"].n_alloc == 0
+
+
+def test_randomization_test_detects_planted_gap(spark):
+    """A strong planted quality gap must be significant (p at the
+    add-one floor); a null corpus must not be."""
+    from corhist_spark.textops import randomization_test, RT_PERMS
+
+    # strong signal: even sources all-alpha, odd sources all-digits
+    strong = [
+        (i, "abcdefghij" if i % 2 == 0 else "0123456789",
+         f"src{i % 2}", 10)
+        for i in range(400)
+    ]
+    d = spark.createDataFrame(
+        strong, "doc_id long, text string, source string, n_chars long"
+    )
+    r = randomization_test(d).collect()[0]
+    assert r.p_ppm == 1_000_000 // (RT_PERMS + 1)  # floor: nothing >= obs
+    # null: identical text everywhere -> X_obs = 0, every perm >= it
+    null = [(i, "abc123", f"src{i % 4}", 6) for i in range(400)]
+    d0 = spark.createDataFrame(
+        null, "doc_id long, text string, source string, n_chars long"
+    )
+    r0 = randomization_test(d0).collect()[0]
+    assert r0.x_obs == 0
+    assert r0.p_ppm == 1_000_000
