@@ -5541,6 +5541,25 @@ def q_randomization_test(spark, sf_dir):
     return randomization_test(_t(spark, sf_dir, "documents"))
 
 
+def q_pq_audit(spark, sf_dir):
+    """Product-quantization audit (`similarity.pq_audit`, Jégou et
+    al. 2011): 4 subspaces x 16 ingest-order codes over the
+    milli-quantized embeddings; per subspace the reconstruction
+    error, codes used and top-code occupancy share."""
+    from corhist_spark.similarity import pq_audit
+
+    return pq_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def q_did_estimator(spark, sf_dir):
+    """Difference-in-differences estimator (`textops.did_estimator`):
+    even vs odd users, midpoint pre/post split, cell means floored to
+    micro — the causal sanity gate over the event feed."""
+    from corhist_spark.textops import did_estimator
+
+    return did_estimator(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5930,6 +5949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize_audit": q_pseudonymize_audit,
         "neyman_allocation": q_neyman_allocation,
         "randomization_test": q_randomization_test,
+        "pq_audit": q_pq_audit,
+        "did_estimator": q_did_estimator,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14876,5 +14897,96 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * (1 + h.n_ge)) // {_RT_B + 1} AS BIGINT)
                  AS p_ppm
         FROM obs o, hits h
+    """
+    # product-quantization audit: subspace/code counts interpolated
+    from corhist_spark.similarity import (
+        PQ_CODES as _PQ_C,
+        PQ_SUBSPACES as _PQ_M,
+    )
+
+    out["pq_audit"] = f"""
+        WITH qe AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS qv
+          FROM embeddings),
+        dim AS (SELECT len(qv) // {_PQ_M} AS sub FROM qe LIMIT 1),
+        parts AS MATERIALIZED (
+          SELECT q.vec_id, m.m,
+                 q.qv[m.m * d.sub + 1 : (m.m + 1) * d.sub] AS sv
+          FROM qe q, dim d,
+               (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) m),
+        codes AS MATERIALIZED (
+          SELECT m, CAST(vec_id AS BIGINT) AS code, sv AS cv
+          FROM parts WHERE vec_id < {_PQ_C}),
+        assigned AS (
+          SELECT m,
+                 MIN(list_sum(list_transform(generate_series(1, len(sv)),
+                     i -> (sv[i] - cv[i]) * (sv[i] - cv[i])))
+                     * {_PQ_C} + code) AS best
+          FROM (SELECT p.vec_id, p.m, p.sv, c.code, c.cv
+                FROM parts p JOIN codes c ON c.m = p.m)
+          GROUP BY m, vec_id),
+        per_code AS (
+          SELECT m, best % {_PQ_C} AS code,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(best // {_PQ_C}) AS BIGINT) AS err
+          FROM assigned GROUP BY 1, 2)
+        SELECT CAST(m AS BIGINT) AS m,
+               CAST(SUM(n) AS BIGINT) AS n_vectors,
+               CAST(COUNT(*) AS BIGINT) AS codes_used,
+               CAST((1000 * MAX(n)) // SUM(n) AS BIGINT) AS top_code_pm,
+               CAST(SUM(err) AS BIGINT) AS total_sq_err
+        FROM per_code GROUP BY m
+    """
+    # difference-in-differences: midpoint split, micro-floored cell
+    # means (mirrors textops.did_estimator's floor order)
+    out["did_estimator"] = """
+        WITH base AS (
+          SELECT CAST(user_id % 2 = 0 AS INT) AS treated,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                 CAST(FLOOR(value * 100) AS BIGINT) AS y
+          FROM events),
+        rng AS (
+          SELECT CAST((MIN(ts_s) + MAX(ts_s)) // 2 AS BIGINT) AS mid
+          FROM base),
+        cells AS (
+          SELECT treated, CAST(ts_s >= (SELECT mid FROM rng) AS INT)
+                   AS post,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS s
+          FROM base GROUP BY 1, 2),
+        mm AS (
+          SELECT treated, post, n, s,
+                 CAST((1000000 * s) // n AS BIGINT) AS mean_micro
+          FROM cells)
+        SELECT
+          CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN n ELSE 0 END)
+               AS BIGINT) AS n_t0_p0,
+          CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN n ELSE 0 END)
+               AS BIGINT) AS n_t0_p1,
+          CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN n ELSE 0 END)
+               AS BIGINT) AS n_t1_p0,
+          CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN n ELSE 0 END)
+               AS BIGINT) AS n_t1_p1,
+          CAST(SUM(CASE WHEN treated = 0 AND post = 0 THEN mean_micro
+                   ELSE 0 END) AS BIGINT) AS m_t0_p0,
+          CAST(SUM(CASE WHEN treated = 0 AND post = 1 THEN mean_micro
+                   ELSE 0 END) AS BIGINT) AS m_t0_p1,
+          CAST(SUM(CASE WHEN treated = 1 AND post = 0 THEN mean_micro
+                   ELSE 0 END) AS BIGINT) AS m_t1_p0,
+          CAST(SUM(CASE WHEN treated = 1 AND post = 1 THEN mean_micro
+                   ELSE 0 END) AS BIGINT) AS m_t1_p1,
+          CAST((SUM(CASE WHEN treated = 1 AND post = 1 THEN mean_micro
+                    ELSE 0 END)
+                - SUM(CASE WHEN treated = 1 AND post = 0 THEN mean_micro
+                      ELSE 0 END))
+               - (SUM(CASE WHEN treated = 0 AND post = 1 THEN mean_micro
+                      ELSE 0 END)
+                  - SUM(CASE WHEN treated = 0 AND post = 0
+                        THEN mean_micro ELSE 0 END)) AS BIGINT)
+            AS did_micro
+        FROM mm
     """
     return out

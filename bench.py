@@ -417,6 +417,10 @@ HEADLINE = [
     # hash-seeded approximate-randomization significance test
     "neyman_allocation",
     "randomization_test",
+    # r5 batch 76: product-quantization reconstruction audit and the
+    # difference-in-differences causal estimator
+    "pq_audit",
+    "did_estimator",
 ]
 
 

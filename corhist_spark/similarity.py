@@ -1245,3 +1245,87 @@ def kcenter_coreset(embeddings: DataFrame, k: int = KCENTER_K) -> DataFrame:
             ),
         )
     )
+
+
+PQ_SUBSPACES = 4
+PQ_CODES = 16
+
+
+def pq_audit(
+    embeddings: DataFrame,
+    n_subspaces: int = PQ_SUBSPACES,
+    n_codes: int = PQ_CODES,
+) -> DataFrame:
+    """Product-quantization audit (Jégou et al. 2011): split each
+    milli-quantized vector into ``n_subspaces`` contiguous subvectors,
+    build a ``n_codes``-entry codebook per subspace from the lowest
+    vec_ids (ingest-order, the same bit-exact-oracle tradeoff as the
+    IVF coarse quantizer — swap in trained centroids via the
+    `semantic_dedup_trained` k-means pass when recall matters), assign
+    every subvector to its nearest code (integer squared L2, ties to
+    the lowest code id) and report what the compression costs: total
+    squared reconstruction error, codes actually used, and the top
+    code's occupancy share per subspace — the three numbers that say
+    whether a PQ index of this corpus would be balanced or degenerate.
+
+    Scale shape: the codebook is n_subspaces x n_codes rows
+    (broadcast); one map-only explode to (vector, subspace) grain, a
+    broadcast join + argmin, then a (subspace, code) aggregate rolled
+    up to n_subspaces output rows.  The corpus shuffles only at the
+    code-grain aggregate, whose cardinality is n_subspaces*n_codes."""
+    e = embeddings.select(
+        "vec_id",
+        _quantized(_as_double(F.col("embedding"))).alias("qv"),
+    )
+    dim = len(e.select("qv").first()[0])
+    sub = dim // n_subspaces
+    parts = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("bigint").alias("m"),
+                        F.slice(F.col("qv"), m * sub + 1, sub).alias("sv"),
+                    )
+                    for m in range(n_subspaces)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.m").alias("m"), F.col("p.sv").alias("sv"))
+    codes = (
+        parts.filter(F.col("vec_id") < n_codes)
+        .select(
+            "m",
+            F.col("vec_id").cast("bigint").alias("code"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    assigned = (
+        parts.join(F.broadcast(codes), "m")
+        .select(
+            "vec_id",
+            "m",
+            (_int_d2(F.col("sv"), F.col("cv")) * n_codes + F.col("code"))
+            .alias("k2"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min("k2").alias("best"))
+        .select(
+            "m",
+            (F.col("best") % n_codes).alias("code"),
+            (F.col("best") / n_codes).cast("bigint").alias("d2"),
+        )
+    )
+    per_code = assigned.groupBy("m", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d2").cast("bigint").alias("err"),
+    )
+    return per_code.groupBy("m").agg(
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("codes_used"),
+        F.expr("(1000 * MAX(n)) DIV SUM(n)").cast("bigint").alias(
+            "top_code_pm"
+        ),
+        F.sum("err").cast("bigint").alias("total_sq_err"),
+    )

@@ -5499,3 +5499,73 @@ def randomization_test(
             .alias("p_ppm"),
         )
     )
+
+
+def did_estimator(events: DataFrame) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994 form)
+    over the event feed: treated = even user ids, control = odd;
+    pre/post split at the midpoint of the observed time range (the
+    deterministic stand-in for a rollout timestamp — callers pass
+    real cohorts by renaming columns).  Outcome = event value in
+    cents.  DiD = (mean_T_post - mean_T_pre) - (mean_C_post -
+    mean_C_pre), with each cell mean floored to integer micro first
+    (documented floor order, identical in the oracle) so the
+    estimate needs no n^4 common denominator.
+
+    One output row: the four cells' counts, sums and micro means,
+    and did_micro.  On a no-effect corpus the estimate hovers near
+    zero — the causal-inference sanity gate before attributing a
+    metric shift to a rollout.
+
+    Scale shape: one map-only cell tag + one 4-row aggregate;
+    the min/max midpoint is a single-row broadcast."""
+    base = events.select(
+        F.expr("CAST(user_id % 2 = 0 AS INT)").alias("treated"),
+        F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("ts_s"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("y"),
+    )
+    rng = base.agg(
+        F.expr("(MIN(ts_s) + MAX(ts_s)) DIV 2").cast("bigint").alias("mid")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            "treated",
+            F.expr("CAST(ts_s >= mid AS INT)").alias("post"),
+            "y",
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("s"),
+        )
+        .withColumn(
+            "mean_micro", F.expr("(1000000 * s) DIV n").cast("bigint")
+        )
+    )
+    # one wide row via conditional sums (no pivot quirks)
+    agg_cols = []
+    for t in (0, 1):
+        for po in (0, 1):
+            for src, nm in (("n", "n"), ("s", "s"), ("mean_micro", "m")):
+                agg_cols.append(
+                    F.sum(
+                        F.when(
+                            (F.col("treated") == t) & (F.col("post") == po),
+                            F.col(src),
+                        ).otherwise(0)
+                    )
+                    .cast("bigint")
+                    .alias(f"{nm}_t{t}_p{po}")
+                )
+    row = cells.agg(*agg_cols)
+    return row.select(
+        *[f"n_t{t}_p{p}" for t in (0, 1) for p in (0, 1)],
+        *[f"m_t{t}_p{p}" for t in (0, 1) for p in (0, 1)],
+        (
+            (F.col("m_t1_p1") - F.col("m_t1_p0"))
+            - (F.col("m_t0_p1") - F.col("m_t0_p0"))
+        )
+        .cast("bigint")
+        .alias("did_micro"),
+    )

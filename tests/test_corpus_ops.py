@@ -3788,3 +3788,79 @@ def test_randomization_test_detects_planted_gap(spark):
     r0 = randomization_test(d0).collect()[0]
     assert r0.x_obs == 0
     assert r0.p_ppm == 1_000_000
+
+
+def test_pq_audit_exact_vs_pure_python(spark):
+    """Planted vectors: codebook from the first 16 ids, per-subspace
+    argmin with tie-breaks, reconstruction error — vs a pure-Python
+    replica."""
+    import math
+
+    import numpy as np
+
+    from corhist_spark.similarity import pq_audit, PQ_CODES, PQ_SUBSPACES
+
+    rng_vals = [
+        [((i * 31 + j * 7) % 19 - 9) / 10.0 for j in range(8)]
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vals)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.m: r for r in pq_audit(d).collect()}
+
+    q = [
+        [math.floor(float(np.float32(x)) * 1000) for x in v]
+        for v in rng_vals
+    ]
+    sub = 8 // PQ_SUBSPACES
+    per = {}
+    for m in range(PQ_SUBSPACES):
+        codes = {c: q[c][m * sub:(m + 1) * sub] for c in range(PQ_CODES)}
+        stats = {}
+        for i in range(40):
+            sv = q[i][m * sub:(m + 1) * sub]
+            best = min(
+                sum((a - b) ** 2 for a, b in zip(sv, cv)) * PQ_CODES + c
+                for c, cv in codes.items()
+            )
+            code, d2 = best % PQ_CODES, best // PQ_CODES
+            n, e = stats.get(code, (0, 0))
+            stats[code] = (n + 1, e + d2)
+        per[m] = stats
+    for m, stats in per.items():
+        r = got[m]
+        assert r.n_vectors == 40
+        assert r.codes_used == len(stats)
+        assert r.top_code_pm == (1000 * max(n for n, _ in stats.values())) // 40
+        assert r.total_sq_err == sum(e for _, e in stats.values())
+
+
+def test_did_estimator_recovers_planted_effect(spark):
+    """Planted treatment effect: treated users' values jump by +5.00
+    post-midpoint; the DiD must recover ~5e6 micro-cents exactly
+    under the floor arithmetic."""
+    import datetime as dt
+
+    from corhist_spark.textops import did_estimator
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(400):
+        u = i % 10                      # users 0..9; even = treated
+        day = i % 20                    # days 0..19; mid -> post at 10?
+        ts = base + dt.timedelta(days=day)
+        y = 10.0
+        if u % 2 == 0 and day >= 10:
+            y += 5.0                    # the planted effect
+        rows.append((i, ts, u, y))
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    r = did_estimator(d).collect()[0]
+    # midpoint of [day0, day19] = day 9.5 -> post = days 10..19;
+    # outcome unit is micro-CENTS: +5.00 value = 500 cents = 5e8
+    assert r.n_t1_p0 == r.n_t1_p1 == r.n_t0_p0 == r.n_t0_p1 == 100
+    assert r.m_t0_p1 - r.m_t0_p0 == 0
+    assert r.did_micro == 500_000_000
