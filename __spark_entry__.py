@@ -5560,6 +5560,62 @@ def q_did_estimator(spark, sf_dir):
     return did_estimator(_t(spark, sf_dir, "events"))
 
 
+def q_loso_valuation(spark, sf_dir):
+    """Leave-one-source-out data valuation (`textops.loso_valuation`):
+    corpus mean quality with vs without each source from ONE
+    aggregate pass — the first-order data-Shapley ablation."""
+    from corhist_spark.textops import loso_valuation
+
+    return loso_valuation(_t(spark, sf_dir, "documents"))
+
+
+def q_streaming_enrich(spark, sf_dir):
+    """Batch-equivalence check for the stream-static broadcast join
+    (`streaming.enriched_window_counts`): the events stream enriched
+    with the static customer segment dim (left join, misses kept as
+    '<miss>'), then watermarked 10-minute windowed counts per
+    segment, availableNow to completion; the oracle recomputes the
+    finalized windows as batch SQL."""
+    import shutil
+    import tempfile
+
+    from corhist_spark.streaming import enriched_window_counts
+
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="sen_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(sch)
+        .parquet(src_dir)
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("user_id").cast("bigint").alias("key"),
+        )
+    )
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("bigint").alias("key"),
+        F.col("c_mktsegment").alias("label"),
+    )
+    _SWC_COUNTER[0] += 1
+    name = (
+        f"sen_{spark.sparkContext.applicationId.replace('-', '_')}"
+        f"_{_SWC_COUNTER[0]}"
+    )
+    ck = tempfile.mkdtemp(prefix="sen_ck_")
+    try:
+        writer = enriched_window_counts(stream, dim, checkpoint_dir=ck)
+        q = writer.queryName(name).start()
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "label",
+        "n",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5951,6 +6007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "randomization_test": q_randomization_test,
         "pq_audit": q_pq_audit,
         "did_estimator": q_did_estimator,
+        "loso_valuation": q_loso_valuation,
+        "streaming_enrich": q_streaming_enrich,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -14988,5 +15046,48 @@ def oracle_sql() -> dict[str, str]:
                         THEN mean_micro ELSE 0 END)) AS BIGINT)
             AS did_micro
         FROM mm
+    """
+    # leave-one-source-out valuation (mirrors textops.loso_valuation)
+    out["loso_valuation"] = """
+        WITH scored AS (
+          SELECT source AS grp,
+                 CAST((1000 * length(regexp_replace(lower(text),
+                      '[^a-z]', '', 'g'))) // greatest(n_chars, 1)
+                     AS BIGINT) AS y
+          FROM documents),
+        per AS (
+          SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_grp,
+                 CAST(SUM(y) AS BIGINT) AS s_grp
+          FROM scored GROUP BY 1),
+        tot AS (
+          SELECT SUM(n_grp) AS n_all, SUM(s_grp) AS s_all FROM per)
+        SELECT grp, n_grp AS n_docs,
+               CAST((1000 * n_grp) // n_all AS BIGINT) AS share_pm,
+               CAST((1000000 * s_all) // n_all AS BIGINT)
+                 AS mean_with_micro,
+               CAST(CASE WHEN n_all > n_grp THEN
+                    (1000000 * (s_all - s_grp)) // (n_all - n_grp) END
+                    AS BIGINT) AS mean_without_micro,
+               CAST(CASE WHEN n_all > n_grp THEN
+                    (1000000 * s_all) // n_all
+                    - (1000000 * (s_all - s_grp)) // (n_all - n_grp) END
+                    AS BIGINT) AS delta_micro
+        FROM per, tot
+    """
+    # stream-static enrichment windows, batch twin: same finalized-
+    # window rule as streaming_windowed_counts, label from the static
+    # customer dim with the explicit <miss> bucket
+    out["streaming_enrich"] = """
+        WITH mx AS (SELECT epoch_ms(max(ts)) AS m FROM events),
+        w AS (
+          SELECT CAST(floor(epoch(e.ts) / 600) AS BIGINT) * 600
+                   AS window_start,
+                 COALESCE(c.c_mktsegment, '<miss>') AS label
+          FROM events e
+          LEFT JOIN customer c ON c.c_custkey = e.user_id)
+        SELECT window_start, label, COUNT(*) AS n
+        FROM w, mx
+        WHERE (window_start + 600) * 1000 <= m - 300000
+        GROUP BY window_start, label
     """
     return out

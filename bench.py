@@ -421,6 +421,10 @@ HEADLINE = [
     # difference-in-differences causal estimator
     "pq_audit",
     "did_estimator",
+    # r5 batch 77: leave-one-source-out valuation and the
+    # stream-static broadcast-join enrichment (batch-equivalence)
+    "loso_valuation",
+    "streaming_enrich",
 ]
 
 

@@ -322,3 +322,41 @@ def session_window_counts(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def enriched_window_counts(
+    stream: DataFrame,
+    dim: DataFrame,
+    window_dur: str = "10 minutes",
+    watermark: str = "5 minutes",
+    checkpoint_dir: str | None = None,
+):
+    """Stream-static enrichment then event-time windowed aggregation:
+    the streaming side joins a STATIC dimension (broadcast per
+    micro-batch — Spark's stream-static join never builds join state)
+    before the watermarked window count.  This is the canonical
+    'enrich the feed with a slowly-changing dim' topology; rows whose
+    key misses the dim are kept with a NULL-bucket label so the
+    aggregation accounts for every event (an inner join would silently
+    drop unmatched events — an audit hazard).
+
+    ``stream`` needs (ts, key); ``dim`` needs (key, label).  Returns a
+    DataStreamWriter (memory sink, availableNow) producing
+    (window_start, label, n) for FINALIZED windows."""
+    joined = stream.join(F.broadcast(dim), "key", "left").select(
+        "ts", F.coalesce("label", F.lit("<miss>")).alias("label")
+    )
+    out = (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_dur), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "label", "n")
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

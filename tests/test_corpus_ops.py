@@ -3864,3 +3864,64 @@ def test_did_estimator_recovers_planted_effect(spark):
     assert r.n_t1_p0 == r.n_t1_p1 == r.n_t0_p0 == r.n_t0_p1 == 100
     assert r.m_t0_p1 - r.m_t0_p0 == 0
     assert r.did_micro == 500_000_000
+
+
+def test_loso_valuation_exact(spark):
+    """Planted sources with one bad apple: removal of the low-quality
+    source must raise the corpus mean (delta < 0), and all integer
+    arithmetic must match a hand computation."""
+    from corhist_spark.textops import loso_valuation
+
+    rows = (
+        [(i, "abcdefghij", "good", 10) for i in range(30)]
+        + [(100 + i, "0123456789", "bad", 10) for i in range(10)]
+    )
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = {r.grp: r for r in loso_valuation(d).collect()}
+    # quality: good docs 1000, bad docs 0; corpus mean = 750 per-mille
+    assert got["good"].mean_with_micro == (10**6 * 30000) // 40
+    assert got["bad"].mean_without_micro == (10**6 * 30000) // 30
+    assert got["bad"].delta_micro < 0     # removing bad raises mean
+    assert got["good"].delta_micro > 0    # removing good lowers mean
+    assert got["good"].share_pm == 750 and got["bad"].share_pm == 250
+
+
+def test_streaming_enrich_left_join_and_misses(spark, tmp_path):
+    """Planted events with a key missing from the dim: the stream-
+    static left join must keep the row in the '<miss>' bucket, and
+    only watermark-finalized windows are emitted."""
+    import datetime as dt
+
+    from corhist_spark.streaming import enriched_window_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(minutes=1), 1),   # window 0, dim A
+        (base + dt.timedelta(minutes=2), 2),   # window 0, dim B
+        (base + dt.timedelta(minutes=3), 99),  # window 0, MISS
+        (base + dt.timedelta(minutes=11), 1),  # window 10, dim A
+        (base + dt.timedelta(minutes=30), 1),  # anchor; its own window
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, key long")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "key long, label string"
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    ck = str(tmp_path / "ck")
+    q = (
+        enriched_window_counts(stream, dim, checkpoint_dir=ck)
+        .queryName("sen_test")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start.minute, r.label): r.n
+        for r in spark.table("sen_test").collect()
+    }
+    # watermark = 30min - 5min = 25min: window [0,10) and [10,20)
+    # finalize; [30,40) does not
+    assert got == {(0, "A"): 1, (0, "B"): 1, (0, "<miss>"): 1, (10, "A"): 1}
