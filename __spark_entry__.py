@@ -5616,6 +5616,30 @@ def q_streaming_enrich(spark, sf_dir):
     )
 
 
+def q_theilsen_trend(spark, sf_dir):
+    """Theil-Sen robust trend per event type (`textops.
+    theilsen_trend`): median pairwise day-slope of the zero-filled
+    daily series, lower median with deterministic ordering —
+    calendar-sized pair frame, event-sized work is one aggregate."""
+    from corhist_spark.textops import theilsen_trend
+
+    return theilsen_trend(_t(spark, sf_dir, "events"))
+
+
+def q_encoding_advisor(spark, sf_dir):
+    """Parquet-encoding advisor (`textops.encoding_advisor`): PLAIN
+    vs DICT vs RLE byte estimates per lineitem column against the
+    defined sort order, integer-only bit widths, cheapest advised."""
+    from corhist_spark.textops import encoding_advisor
+
+    # string + integer columns only: int->string canonical form is
+    # engine-identical, double->string formatting is not
+    return encoding_advisor(
+        _t(spark, sf_dir, "lineitem"),
+        cols=("l_returnflag", "l_linestatus", "l_suppkey", "l_orderkey"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6009,6 +6033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_estimator": q_did_estimator,
         "loso_valuation": q_loso_valuation,
         "streaming_enrich": q_streaming_enrich,
+        "theilsen_trend": q_theilsen_trend,
+        "encoding_advisor": q_encoding_advisor,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15089,5 +15115,91 @@ def oracle_sql() -> dict[str, str]:
         FROM w, mx
         WHERE (window_start + 600) * 1000 <= m - 300000
         GROUP BY window_start, label
+    """
+    # Theil-Sen robust trend (mirrors textops.theilsen_trend: lower
+    # median over the calendar-sized pair frame)
+    out["theilsen_trend"] = """
+        WITH daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+          FROM events),
+        spine AS (
+          SELECT t.event_type, strftime(g.d, '%Y-%m-%d') AS day,
+                 CAST(datediff('day', DATE '2024-01-01', CAST(g.d AS DATE))
+                      AS BIGINT) AS di
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               bounds b,
+               (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                      (SELECT d1 FROM bounds), INTERVAL 1 DAY)) AS d) g),
+        series AS (
+          SELECT s.event_type, s.di,
+                 CAST(COALESCE(d.n_events, 0) AS BIGINT) AS c
+          FROM spine s
+          LEFT JOIN daily d ON d.event_type = s.event_type
+                            AND d.day = s.day),
+        pairs AS (
+          SELECT a.event_type, b.c - a.c AS num, b.di - a.di AS den
+          FROM series a JOIN series b
+            ON b.event_type = a.event_type AND b.di > a.di),
+        ranked AS (
+          SELECT event_type, num, den,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE),
+                               num, den) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+          FROM pairs)
+        SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(FLOOR(1000.0 * num / den) AS BIGINT) AS slope_milli
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """
+    # parquet-encoding advisor (mirrors textops.encoding_advisor;
+    # bit-width CASE generated from the same helper)
+    from corhist_spark.textops import (
+        ENC_RLE_OVERHEAD as _ENC_OV,
+        _bits_case as _enc_bits,
+    )
+
+    _enc_cols = ("l_returnflag", "l_linestatus", "l_suppkey", "l_orderkey")
+    _enc_unp = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS val,"
+        f" l_orderkey * 8 + l_linenumber AS pos FROM lineitem"
+        for c in _enc_cols
+    )
+    _enc_dict = "dict_value_bytes + (n_rows * dict_bits + 7) // 8"
+    _enc_rle = f"n_runs * (max_len + {_ENC_OV})"
+    out["encoding_advisor"] = f"""
+        WITH unp AS ({_enc_unp}),
+        runs AS (
+          SELECT column_name, val,
+                 CASE WHEN LAG(val) OVER (PARTITION BY column_name
+                      ORDER BY pos, val) IS DISTINCT FROM val
+                      THEN 1 ELSE 0 END AS new_run
+          FROM unp WHERE val IS NOT NULL),
+        stats AS (
+          SELECT column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(length(val)) AS BIGINT) AS plain_bytes,
+                 CAST(SUM(new_run) AS BIGINT) AS n_runs,
+                 CAST(MAX(length(val)) AS BIGINT) AS max_len
+          FROM runs GROUP BY 1),
+        dstats AS (
+          SELECT column_name, CAST(COUNT(*) AS BIGINT) AS ndv,
+                 CAST(SUM(length(val)) AS BIGINT) AS dict_value_bytes
+          FROM (SELECT DISTINCT column_name, val FROM unp
+                WHERE val IS NOT NULL) GROUP BY 1),
+        j AS (
+          SELECT s.*, d.ndv, d.dict_value_bytes,
+                 CAST({_enc_bits("d.ndv")} AS BIGINT) AS dict_bits
+          FROM stats s JOIN dstats d USING (column_name))
+        SELECT column_name, n_rows, ndv, n_runs, plain_bytes,
+               CAST({_enc_dict} AS BIGINT) AS dict_bytes,
+               CAST({_enc_rle} AS BIGINT) AS rle_bytes,
+               CASE WHEN {_enc_rle} <= least(plain_bytes, {_enc_dict})
+                    THEN 'rle'
+                    WHEN {_enc_dict} <= plain_bytes THEN 'dict'
+                    ELSE 'plain' END AS advice
+        FROM j
     """
     return out

@@ -425,6 +425,10 @@ HEADLINE = [
     # stream-static broadcast-join enrichment (batch-equivalence)
     "loso_valuation",
     "streaming_enrich",
+    # r5 batch 78: Theil-Sen robust trend and the parquet-encoding
+    # advisor (PLAIN / DICT / RLE byte estimates)
+    "theilsen_trend",
+    "encoding_advisor",
 ]
 
 

@@ -5621,3 +5621,170 @@ def loso_valuation(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("delta_micro"),
     )
+
+
+def theilsen_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per event type (Theil 1950; Sen 1968):
+    the MEDIAN of all pairwise day-slopes of the zero-filled daily
+    count series — immune to the outlier days that wreck an OLS
+    slope, which is why monitoring pipelines prefer it for "is this
+    feed growing or dying" calls.  Lower median, deterministic order
+    (slope, then numerator, then denominator).  slope_milli =
+    floor(1000 * num / den) of the median pair (IEEE double division
+    + floor: correctly rounded, engine-identical).
+
+    Scale shape: the series is (type x day) — calendar-sized, not
+    event-sized — so the D*(D-1)/2 pair explode and the per-type
+    median window all run on frames bounded by |types| x days^2
+    (~450 pairs per type per month).  The event-sized work is one
+    (type, day) aggregate."""
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.datediff("d", F.to_date(F.lit("2024-01-01"))).alias("di"),
+        )
+    )
+    series = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("di").cast("bigint").alias("di"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    a = series.select(
+        "event_type", F.col("di").alias("i"), F.col("c").alias("ci")
+    )
+    b = series.select(
+        "event_type", F.col("di").alias("j"), F.col("c").alias("cj")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("j") > F.col("i"))
+        .select(
+            "event_type",
+            (F.col("cj") - F.col("ci")).alias("num"),
+            (F.col("j") - F.col("i")).alias("den"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"), "num", "den"
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).join(
+        pairs.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+        ),
+        "event_type",
+    )
+    med = ranked.filter(F.expr("rn = (n_pairs + 1) DIV 2"))
+    return med.select(
+        "event_type",
+        "n_pairs",
+        F.expr("CAST(FLOOR(1000.0 * num / den) AS BIGINT)").alias(
+            "slope_milli"
+        ),
+    )
+
+
+ENC_RLE_OVERHEAD = 4
+
+
+def _bits_case(col: str, max_bits: int = 32) -> str:
+    """Smallest b with 2^b >= col, as an unrolled integer CASE (no
+    float log2 — libm rounding is not engine-portable)."""
+    whens = " ".join(
+        f"WHEN {col} <= {1 << b} THEN {b}" for b in range(max_bits + 1)
+    )
+    return f"CASE {whens} ELSE {max_bits + 1} END"
+
+
+def encoding_advisor(table: DataFrame, cols: tuple) -> DataFrame:
+    """Parquet-encoding advisor — the physical-design companion to
+    `column_stats` / `compaction_plan` / `zorder_layout`: for each
+    column, estimate the stored size under PLAIN (sum of value text
+    bytes), DICT (distinct values' bytes + n * ceil(log2 ndv) bits)
+    and RLE (runs in the table's sort order x (max value bytes +
+    overhead)), and advise the cheapest.  The run count is measured
+    against the DEFINED layout order (orderkey, linenumber, value)
+    [the value tiebreak makes the order total: (orderkey,
+    linenumber) is not unique in the fixture, and an ambiguous
+    tie order would make the run count engine-dependent] — the
+    same order a writer sorted by the table's sort key would see.
+
+    All integer: byte lengths of the canonical string form, unrolled
+    integer CASE for the dictionary bit width (no float log2).
+
+    Scale shape: one unpivot + per-column lag window partitioned by
+    column (each partition sorts one column's rows — at warehouse
+    scale the advisor runs on a file-level sample, as real writers
+    do), then a column-grain rollup."""
+    stack = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    unp = table.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, val)"
+        ),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pos"),
+    ).filter(F.col("val").isNotNull())
+    w = Window.partitionBy("column_name").orderBy("pos", "val")
+    runs = unp.withColumn(
+        "new_run",
+        F.when(
+            F.lag("val").over(w).isNull()
+            | (F.lag("val").over(w) != F.col("val")),
+            1,
+        ).otherwise(0),
+    )
+    per_val = runs.groupBy("column_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    stats = runs.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.length("val")).cast("bigint").alias("plain_bytes"),
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.max(F.length("val")).cast("bigint").alias("max_len"),
+    )
+    dstats = per_val.groupBy("column_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ndv"),
+        F.sum(F.length("val")).cast("bigint").alias("dict_value_bytes"),
+    )
+    j = stats.join(dstats, "column_name").withColumn(
+        "dict_bits", F.expr(_bits_case("ndv")).cast("bigint")
+    )
+    return j.select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        "plain_bytes",
+        F.expr(
+            "dict_value_bytes + (n_rows * dict_bits + 7) DIV 8"
+        )
+        .cast("bigint")
+        .alias("dict_bytes"),
+        F.expr(f"n_runs * (max_len + {ENC_RLE_OVERHEAD})")
+        .cast("bigint")
+        .alias("rle_bytes"),
+        F.expr(
+            f"CASE WHEN n_runs * (max_len + {ENC_RLE_OVERHEAD})"
+            " <= least(plain_bytes,"
+            " dict_value_bytes + (n_rows * dict_bits + 7) DIV 8)"
+            " THEN 'rle'"
+            " WHEN dict_value_bytes + (n_rows * dict_bits + 7) DIV 8"
+            " <= plain_bytes THEN 'dict' ELSE 'plain' END"
+        ).alias("advice"),
+    )

@@ -3925,3 +3925,81 @@ def test_streaming_enrich_left_join_and_misses(spark, tmp_path):
     # watermark = 30min - 5min = 25min: window [0,10) and [10,20)
     # finalize; [30,40) does not
     assert got == {(0, "A"): 1, (0, "B"): 1, (0, "<miss>"): 1, (10, "A"): 1}
+
+
+def test_theilsen_trend_exact_vs_pure_python(spark):
+    """Planted series with an outlier day: Theil-Sen must report the
+    robust slope (OLS would not), matching a pure-Python lower
+    median over all pairs."""
+    import datetime as dt
+
+    from corhist_spark.textops import theilsen_trend
+
+    base = dt.datetime(2024, 1, 1)
+    # type 'up': counts 1,2,3,...,8 per day (slope 1), with day 4
+    # spiked to 50 (outlier); type 'flat': constant 3
+    rows = []
+    for day in range(8):
+        n = 50 if day == 4 else day + 1
+        for k in range(n):
+            rows.append((f"e{day}_{k}", base + dt.timedelta(days=day), "up"))
+        for k in range(3):
+            rows.append((f"f{day}_{k}", base + dt.timedelta(days=day), "flat"))
+    d = spark.createDataFrame(rows, "eid string, ts timestamp, event_type string")
+    got = {r.event_type: r for r in theilsen_trend(d).collect()}
+
+    import math
+
+    for typ in ("up", "flat"):
+        counts = [
+            (50 if day == 4 else day + 1) if typ == "up" else 3
+            for day in range(8)
+        ]
+        pairs = [
+            (counts[j] - counts[i], j - i)
+            for i in range(8) for j in range(i + 1, 8)
+        ]
+        pairs.sort(key=lambda p: (p[0] / p[1], p[0], p[1]))
+        num, den = pairs[(len(pairs) + 1) // 2 - 1]
+        want = math.floor(1000.0 * num / den)
+        assert got[typ].n_pairs == len(pairs)
+        assert got[typ].slope_milli == want, typ
+    assert got["flat"].slope_milli == 0
+    assert 0 < got["up"].slope_milli <= 2000  # robust to the spike
+
+
+def test_encoding_advisor_exact(spark):
+    """Planted layout: a constant column advises RLE, a low-card
+    shuffled column advises DICT, a unique wide column advises
+    PLAIN... (byte models recomputed by hand)."""
+    from corhist_spark.textops import encoding_advisor, ENC_RLE_OVERHEAD
+
+    rows = []
+    for i in range(64):
+        rows.append(
+            (i, 1, "AAAA" if i < 32 else "BBBB", f"v{i % 4}", 10**14 + i)
+        )
+    d = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_returnflag string,"
+        " l_linestatus string, l_suppkey long",
+    )
+    got = {
+        r.column_name: r
+        for r in encoding_advisor(
+            d, cols=("l_returnflag", "l_linestatus", "l_suppkey")
+        ).collect()
+    }
+    rf = got["l_returnflag"]           # two long runs: RLE (ties go RLE)
+    assert (rf.n_runs, rf.ndv) == (2, 2)
+    assert rf.rle_bytes == 2 * (4 + ENC_RLE_OVERHEAD)
+    assert rf.dict_bytes == 2 * 4 + (64 * 1 + 7) // 8
+    assert rf.advice == "rle"
+    ls = got["l_linestatus"]           # v0..v3 cycling: 64 runs
+    assert (ls.n_runs, ls.ndv) == (64, 4)
+    assert ls.dict_bytes == 4 * 2 + (64 * 2 + 7) // 8
+    assert ls.advice == "dict"
+    sk = got["l_suppkey"]              # unique 15-digit values
+    assert (sk.ndv, sk.n_runs) == (64, 64)
+    assert sk.plain_bytes == 64 * 15
+    assert sk.advice == "plain"
