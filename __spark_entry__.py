@@ -5640,6 +5640,25 @@ def q_encoding_advisor(spark, sf_dir):
     )
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (`graph.assortativity`, Newman 2002) of
+    the derived entity graph: exact integer moment sums, one IEEE
+    sqrt at the end — the mixing diagnostic behind join-skew
+    strategy."""
+    from corhist_spark.graph import assortativity
+
+    return assortativity(_kg_edges(spark, sf_dir))
+
+
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy Brier decomposition (`textops.brier_decomposition`):
+    reliability / resolution / uncertainty of the quality-score
+    forecast against source parity, 10 bins, integer ppm."""
+    from corhist_spark.textops import brier_decomposition
+
+    return brier_decomposition(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6035,6 +6054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_enrich": q_streaming_enrich,
         "theilsen_trend": q_theilsen_trend,
         "encoding_advisor": q_encoding_advisor,
+        "assortativity": q_assortativity,
+        "brier_decomposition": q_brier_decomposition,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15201,5 +15222,90 @@ def oracle_sql() -> dict[str, str]:
                     WHEN {_enc_dict} <= plain_bytes THEN 'dict'
                     ELSE 'plain' END AS advice
         FROM j
+    """
+    # degree assortativity (mirrors graph.assortativity: exact sums,
+    # one IEEE sqrt)
+    out["assortativity"] = (
+        _KG_EDGE_CTES
+        + """, acanon AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        ), adeg AS MATERIALIZED (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM acanon
+            UNION ALL SELECT b AS node FROM acanon
+          ) GROUP BY node
+        ), aboth AS (
+          SELECT a AS u, b AS v FROM acanon
+          UNION ALL SELECT b AS u, a AS v FROM acanon
+        ), aj AS (
+          SELECT du.d AS x, dv.d AS y
+          FROM aboth e
+          JOIN adeg du ON du.node = e.u
+          JOIN adeg dv ON dv.node = e.v
+        ), s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM aj)
+        SELECT m AS n_edges,
+               CAST(FLOOR(1000000.0 * (CAST(m AS DOUBLE) * sxy
+                    - CAST(sx AS DOUBLE) * sy)
+                    / (SQRT(CAST(m AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx)
+                       * SQRT(CAST(m AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy)))
+                    AS BIGINT) AS r_micro
+        FROM s
+    """
+    )
+    # Murphy Brier decomposition (mirrors textops.brier_decomposition;
+    # bin count interpolated)
+    from corhist_spark.textops import BRIER_BINS as _BR_B
+
+    out["brier_decomposition"] = f"""
+        WITH scored AS (
+          SELECT CAST((1000 * length(regexp_replace(lower(text),
+                      '[^a-z]', '', 'g'))) // greatest(n_chars, 1)
+                     AS BIGINT) AS y,
+                 CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1)
+                      AS INT) % 2 = 0 THEN 1 ELSE 0 END AS lab
+          FROM documents),
+        tagged AS (
+          SELECT y * 1000 AS p_ppm, lab,
+                 least({_BR_B - 1}, y // (1000 // {_BR_B})) AS bin
+          FROM scored),
+        per AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(p_ppm) AS BIGINT) AS sp,
+                 CAST(SUM(lab) AS BIGINT) AS pos
+          FROM tagged GROUP BY 1),
+        tot AS (
+          SELECT SUM(n) AS nn, SUM(pos) AS npos,
+                 (1000000 * SUM(pos)) // SUM(n) AS base_ppm
+          FROM per),
+        binned AS (
+          SELECT p.n, t.nn, t.base_ppm,
+                 p.sp // p.n AS mean_ppm,
+                 (1000000 * p.pos) // p.n AS hit_ppm
+          FROM per p, tot t)
+        SELECT CAST(MAX(nn) AS BIGINT) AS n,
+               CAST(MAX(base_ppm) AS BIGINT) AS base_ppm,
+               CAST(SUM(n * (mean_ppm - hit_ppm) * (mean_ppm - hit_ppm))
+                    // (MAX(nn) * 1000000) AS BIGINT) AS rel_ppm,
+               CAST(SUM(n * (hit_ppm - base_ppm) * (hit_ppm - base_ppm))
+                    // (MAX(nn) * 1000000) AS BIGINT) AS res_ppm,
+               CAST((MAX(base_ppm) * (1000000 - MAX(base_ppm)))
+                    // 1000000 AS BIGINT) AS unc_ppm,
+               CAST(SUM(n * (mean_ppm - hit_ppm) * (mean_ppm - hit_ppm))
+                    // (MAX(nn) * 1000000)
+                    - SUM(n * (hit_ppm - base_ppm) * (hit_ppm - base_ppm))
+                    // (MAX(nn) * 1000000)
+                    + (MAX(base_ppm) * (1000000 - MAX(base_ppm)))
+                    // 1000000 AS BIGINT) AS brier_ppm
+        FROM binned
     """
     return out

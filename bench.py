@@ -429,6 +429,10 @@ HEADLINE = [
     # advisor (PLAIN / DICT / RLE byte estimates)
     "theilsen_trend",
     "encoding_advisor",
+    # r5 batch 79: degree assortativity and the Murphy Brier
+    # decomposition (reliability / resolution / uncertainty)
+    "assortativity",
+    "brier_decomposition",
 ]
 
 

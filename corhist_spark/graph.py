@@ -2137,3 +2137,60 @@ def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
     for p in tmp_dirs:
         shutil.rmtree(p, ignore_errors=True)
     return forest
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over every directed orientation
+    of the undirected edge set — positive means hubs attach to hubs
+    (social-graph shape), negative means hub-and-spoke (web/KG
+    shape).  The one-number mixing diagnostic that says which join
+    skew strategy a graph workload needs.
+
+    All sums are exact integers; the final normalization divides by
+    an IEEE sqrt of exact integers (correctly rounded, engine-
+    identical — the repo's documented float exception).  Output: one
+    row (n_edges directed, r_micro).
+
+    Scale shape: one node-keyed degree aggregate, two degree joins of
+    the edge set, one single-row sum rollup."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    both = (
+        canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    )
+    j = (
+        both.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return s.select(
+        F.col("m").alias("n_edges"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * (CAST(m AS DOUBLE) * sxy"
+            " - CAST(sx AS DOUBLE) * sy)"
+            " / (SQRT(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * SQRT(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))"
+            " AS BIGINT)"
+        ).alias("r_micro"),
+    )

@@ -5788,3 +5788,96 @@ def encoding_advisor(table: DataFrame, cols: tuple) -> DataFrame:
             " <= plain_bytes THEN 'dict' ELSE 'plain' END"
         ).alias("advice"),
     )
+
+
+BRIER_BINS = 10
+
+
+def brier_decomposition(
+    docs: DataFrame, n_bins: int = BRIER_BINS
+) -> DataFrame:
+    """Murphy decomposition of the Brier score (Murphy 1973):
+    BS = REL - RES + UNC over ``n_bins`` equal-width forecast bins —
+    reliability (how far each bin's mean forecast sits from its hit
+    rate), resolution (how much the bins separate the base rate) and
+    uncertainty (the base rate's own variance).  The quality score
+    (alphabetic per-mille / 1000) plays the forecast, source parity
+    the outcome — the same fixture pair the ROC-AUC and calibration
+    gates use, so the three evaluations agree on what they grade.
+
+    Integer ppm fixed point: per-bin mean forecast and hit rate floor
+    to ppm first, the squared deviations then stay exact (documented
+    floor order; products bounded by N * 1e12 — fits BIGINT to
+    N ~ 9e6 forecasts, beyond which the caller shards by group).
+    Output: one row (n, base_ppm, rel_ppm, res_ppm, unc_ppm,
+    brier_ppm = rel - res + unc).
+
+    Scale shape: one map-only score pass, one n_bins-row aggregate,
+    single-row totals broadcast back."""
+    scored = docs.select(
+        F.expr(
+            "(1000 * length(regexp_replace(lower(text), '[^a-z]', '')))"
+            " DIV greatest(n_chars, 1)"
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.expr(
+            "CASE WHEN CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT)"
+            " % 2 = 0 THEN 1 ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("lab"),
+    ).select(
+        (F.col("y") * 1000).alias("p_ppm"),
+        "lab",
+        F.least(
+            F.lit(int(n_bins) - 1), F.expr(f"y DIV (1000 DIV {int(n_bins)})")
+        ).alias("bin"),
+    )
+    per = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p_ppm").cast("bigint").alias("sp"),
+        F.sum("lab").cast("bigint").alias("pos"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    ).select("nn", "npos", F.expr("(1000000 * npos) DIV nn").alias("base_ppm"))
+    binned = per.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "nn",
+        "base_ppm",
+        "npos",
+        F.expr("sp DIV n").alias("mean_ppm"),
+        F.expr("(1000000 * pos) DIV n").alias("hit_ppm"),
+    )
+    return binned.agg(
+        F.first("nn").alias("n"),
+        F.first("base_ppm").alias("base_ppm"),
+        F.expr(
+            "SUM(n * (mean_ppm - hit_ppm) * (mean_ppm - hit_ppm))"
+            " DIV (FIRST(nn) * 1000000)"
+        )
+        .cast("bigint")
+        .alias("rel_ppm"),
+        F.expr(
+            "SUM(n * (hit_ppm - base_ppm) * (hit_ppm - base_ppm))"
+            " DIV (FIRST(nn) * 1000000)"
+        )
+        .cast("bigint")
+        .alias("res_ppm"),
+        F.expr(
+            "(FIRST(base_ppm) * (1000000 - FIRST(base_ppm))) DIV 1000000"
+        )
+        .cast("bigint")
+        .alias("unc_ppm"),
+    ).select(
+        "n",
+        "base_ppm",
+        "rel_ppm",
+        "res_ppm",
+        "unc_ppm",
+        (F.col("rel_ppm") - F.col("res_ppm") + F.col("unc_ppm"))
+        .cast("bigint")
+        .alias("brier_ppm"),
+    )

@@ -4003,3 +4003,71 @@ def test_encoding_advisor_exact(spark):
     assert (sk.ndv, sk.n_runs) == (64, 64)
     assert sk.plain_bytes == 64 * 15
     assert sk.advice == "plain"
+
+
+def test_assortativity_exact_vs_pure_python(spark):
+    """Planted star (negative mixing) and clique (zero variance edge
+    case avoided by mixing): exact moment sums vs pure Python."""
+    import math
+
+    from corhist_spark.graph import assortativity
+
+    raw = [
+        ("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4"),  # star
+        ("x", "y"), ("y", "z"), ("z", "x"),                  # triangle
+        ("x", "h"),                                          # bridge
+    ]
+    d = spark.createDataFrame(raw, "src string, dst string")
+    r = assortativity(d).collect()[0]
+
+    canon = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    deg = {}
+    for a, b in canon:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in canon] + [
+        (deg[b], deg[a]) for a, b in canon
+    ]
+    m = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    want = math.floor(
+        1e6 * (m * sxy - sx * sy)
+        / (math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy))
+    )
+    assert r.n_edges == m
+    assert r.r_micro == want
+    assert r.r_micro < 0  # star + bridge: disassortative
+
+
+def test_brier_decomposition_calibrated_vs_uninformative(spark):
+    """A perfectly calibrated planted forecast has REL ~ 0 and RES ~
+    UNC; a constant forecast has RES = 0 and REL = its squared bias."""
+    from corhist_spark.textops import brier_decomposition
+
+    # calibrated: score 0 docs never positive, score 1000 docs always
+    # positive (parity aligned with text)
+    rows = (
+        [(i, "0123456789", "src1", 10) for i in range(50)]     # p=0, lab 0
+        + [(i + 100, "abcdefghij", "src0", 10) for i in range(50)]  # p=1M lab 1
+    )
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    r = brier_decomposition(d).collect()[0]
+    assert r.base_ppm == 500000
+    assert r.rel_ppm == 0
+    assert r.res_ppm == r.unc_ppm == 250000
+    assert r.brier_ppm == 0
+    # uninformative: every doc scores 500 per-mille, labels half/half
+    rows2 = [
+        (i, "abcde01234", f"src{i % 2}", 10) for i in range(100)
+    ]
+    d2 = spark.createDataFrame(
+        rows2, "doc_id long, text string, source string, n_chars long"
+    )
+    r2 = brier_decomposition(d2).collect()[0]
+    assert r2.res_ppm == 0
+    assert r2.rel_ppm == 0          # forecast 500k = hit rate 500k
+    assert r2.brier_ppm == r2.unc_ppm == 250000
