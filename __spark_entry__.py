@@ -5659,6 +5659,24 @@ def q_brier_decomposition(spark, sf_dir):
     return brier_decomposition(_t(spark, sf_dir, "documents"))
 
 
+def q_k_truss(spark, sf_dir):
+    """k-truss (`graph.k_truss`, Cohen 2008): 4 bounded peel rounds
+    of the triangle-support filter (k=4, support >= 2) over the
+    derived entity graph — the cohesive-core edge subgraph."""
+    from corhist_spark.graph import k_truss
+
+    return k_truss(_kg_edges(spark, sf_dir))
+
+
+def q_slo_burn(spark, sf_dir):
+    """Multi-window SLO burn-rate replay (`textops.slo_burn`): hourly
+    error rate as a burn multiple of the 1% budget over 1h and 6h
+    trailing windows; alert only when both burn >= 2x."""
+    from corhist_spark.textops import slo_burn
+
+    return slo_burn(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6056,6 +6074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_advisor": q_encoding_advisor,
         "assortativity": q_assortativity,
         "brier_decomposition": q_brier_decomposition,
+        "k_truss": q_k_truss,
+        "slo_burn": q_slo_burn,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15307,5 +15327,103 @@ def oracle_sql() -> dict[str, str]:
                     + (MAX(base_ppm) * (1000000 - MAX(base_ppm)))
                     // 1000000 AS BIGINT) AS brier_ppm
         FROM binned
+    """
+    # k-truss: unrolled peel rounds mirroring graph.k_truss; each
+    # round recomputes degree-oriented triangle support (the
+    # _TRIANGLE_SQL plan) on the surviving edge set
+    from corhist_spark.graph import (
+        TRUSS_K as _TR_K,
+        TRUSS_ROUNDS as _TR_R,
+    )
+
+    def _truss_support(r: int, edges_cte: str) -> str:
+        return f"""tdeg{r} AS (
+          SELECT node, COUNT(*) AS degree FROM (
+            SELECT a AS node FROM {edges_cte}
+            UNION ALL SELECT b AS node FROM {edges_cte}
+          ) GROUP BY node
+        ), tor{r} AS MATERIALIZED (
+          SELECT CASE WHEN da.degree < db.degree
+                      OR (da.degree = db.degree AND e.a < e.b)
+                 THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.degree < db.degree
+                      OR (da.degree = db.degree AND e.a < e.b)
+                 THEN e.b ELSE e.a END AS v
+          FROM {edges_cte} e
+          JOIN tdeg{r} da ON da.node = e.a
+          JOIN tdeg{r} db ON db.node = e.b
+        ), ttri{r} AS MATERIALIZED (
+          SELECT w.x, w.y, w.z
+          FROM (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+                FROM tor{r} o1 JOIN tor{r} o2 ON o2.u = o1.u
+                WHERE o1.v <> o2.v) w
+          JOIN tor{r} t ON t.u = w.y AND t.v = w.z
+        ), tsup{r} AS (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+            SELECT least(x, y) AS a, greatest(x, y) AS b FROM ttri{r}
+            UNION ALL
+            SELECT least(x, z) AS a, greatest(x, z) AS b FROM ttri{r}
+            UNION ALL
+            SELECT least(y, z) AS a, greatest(y, z) AS b FROM ttri{r}
+          ) GROUP BY 1, 2
+        )"""
+
+    _truss_parts = ["""te0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM edges WHERE src <> dst
+        )"""]
+    for _r in range(1, _TR_R + 1):
+        _truss_parts.append(_truss_support(_r, f"te{_r - 1}"))
+        _truss_parts.append(f"""te{_r} AS MATERIALIZED (
+          SELECT e.a, e.b FROM te{_r - 1} e
+          LEFT JOIN tsup{_r} s ON s.a = e.a AND s.b = e.b
+          WHERE COALESCE(s.support, 0) >= {_TR_K - 2}
+        )""")
+    _truss_parts.append(_truss_support(_TR_R + 1, f"te{_TR_R}"))
+    out["k_truss"] = (
+        _KG_EDGE_CTES
+        + ", "
+        + ", ".join(_truss_parts)
+        + f""" SELECT e.a, e.b,
+               CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+        FROM te{_TR_R} e
+        LEFT JOIN tsup{_TR_R + 1} s ON s.a = e.a AND s.b = e.b
+    """
+    )
+    # multi-window SLO burn replay (constants interpolated)
+    from corhist_spark.textops import (
+        SLO_BUDGET_PPM as _SLO_B,
+        SLO_BURN_PM as _SLO_PM,
+        SLO_LONG_H as _SLO_L,
+        SLO_SHORT_H as _SLO_S,
+    )
+
+    out["slo_burn"] = f"""
+        WITH hourly AS (
+          SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                          ELSE 0 END) AS BIGINT) AS err
+          FROM events GROUP BY 1),
+        burned AS (
+          SELECT hour, n, err,
+                 SUM(n) OVER (ORDER BY hour ROWS BETWEEN
+                      {_SLO_S - 1} PRECEDING AND CURRENT ROW) AS n_s,
+                 SUM(err) OVER (ORDER BY hour ROWS BETWEEN
+                      {_SLO_S - 1} PRECEDING AND CURRENT ROW) AS e_s,
+                 SUM(n) OVER (ORDER BY hour ROWS BETWEEN
+                      {_SLO_L - 1} PRECEDING AND CURRENT ROW) AS n_l,
+                 SUM(err) OVER (ORDER BY hour ROWS BETWEEN
+                      {_SLO_L - 1} PRECEDING AND CURRENT ROW) AS e_l
+          FROM hourly)
+        SELECT hour, n, err,
+               CAST((1000 * ((1000000 * e_s) // n_s)) // {_SLO_B}
+                    AS BIGINT) AS short_burn_pm,
+               CAST((1000 * ((1000000 * e_l) // n_l)) // {_SLO_B}
+                    AS BIGINT) AS long_burn_pm,
+               (1000 * ((1000000 * e_s) // n_s)) // {_SLO_B} >= {_SLO_PM}
+               AND (1000 * ((1000000 * e_l) // n_l)) // {_SLO_B}
+                   >= {_SLO_PM} AS alert
+        FROM burned
     """
     return out

@@ -433,6 +433,10 @@ HEADLINE = [
     # decomposition (reliability / resolution / uncertainty)
     "assortativity",
     "brier_decomposition",
+    # r5 batch 80: k-truss cohesive core and the multi-window SLO
+    # burn-rate replay
+    "k_truss",
+    "slo_burn",
 ]
 
 

@@ -2194,3 +2194,103 @@ def assortativity(edges: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("r_micro"),
     )
+
+
+TRUSS_K = 4
+TRUSS_ROUNDS = 4
+
+
+def _edge_support(canon: DataFrame) -> DataFrame:
+    """Per-edge triangle support over undirected canon(a, b): each
+    triangle (found once via the degree orientation, as in
+    triangle_counts) contributes 1 to each of its three edges."""
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .unionAll(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    with_deg = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a"
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b"
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).localCheckpoint()
+    o1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    o2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = o1.join(o2, "x").filter(F.col("y") != F.col("z"))
+    # the semi-join against the ORIENTED edge set dedups the wedge
+    # pair orders: only one of (y,z)/(z,y) exists as an oriented edge
+    tris = wedges.join(
+        oriented,
+        (F.col("y") == F.col("u")) & (F.col("z") == F.col("v")),
+        "left_semi",
+    )
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("x", "y").alias("a"),
+                    F.greatest("x", "y").alias("b"),
+                ),
+                F.struct(
+                    F.least("x", "z").alias("a"),
+                    F.greatest("x", "z").alias("b"),
+                ),
+                F.struct(
+                    F.least("y", "z").alias("a"),
+                    F.greatest("y", "z").alias("b"),
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    sup = tri_edges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support")
+    )
+    return canon.join(sup, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce("support", F.lit(0)).cast("bigint").alias("support"),
+    )
+
+
+def k_truss(
+    edges: DataFrame, k: int = TRUSS_K, n_rounds: int = TRUSS_ROUNDS
+) -> DataFrame:
+    """k-truss of the undirected graph (Cohen 2008): iteratively peel
+    every edge supported by fewer than k-2 triangles in the SURVIVING
+    subgraph — the edge-grain sibling of k-core and the standard
+    cohesive-community primitive (a k-truss edge sits in a near-
+    clique; spam/link farms light up, tree-ish noise vanishes).
+    Bounded synchronous rounds, same contract as k_core/LPA: a fixed
+    round count keeps the result a deterministic input function on
+    both engines; at cluster scale the loop runs to fixpoint.
+
+    Returns surviving (a, b, support) with support measured on the
+    final subgraph.
+
+    Scale shape per round: one triangle-support pass (degree-oriented
+    wedge join — the same bounded plan as triangle_counts) + one
+    edge filter; edge frames checkpointed per round."""
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = canon
+    for _ in range(n_rounds):
+        sup = _edge_support(cur).localCheckpoint()
+        cur = sup.filter(F.col("support") >= k - 2).select("a", "b")
+    return _edge_support(cur).filter(F.col("support") >= 0).select(
+        "a", "b", "support"
+    )

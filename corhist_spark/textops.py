@@ -5881,3 +5881,69 @@ def brier_decomposition(
         .cast("bigint")
         .alias("brier_ppm"),
     )
+
+
+SLO_BUDGET_PPM = 10_000   # 99% SLO -> 1% error budget
+SLO_SHORT_H = 1
+SLO_LONG_H = 6
+SLO_BURN_PM = 2000        # alert when both windows burn at >= 2x
+
+
+def slo_burn(events: DataFrame) -> DataFrame:
+    """Multi-window burn-rate SLO alerting (the Google SRE workbook
+    policy): per hour, the error rate over the trailing short window
+    (1 h) and long window (6 h) as a burn multiple of the error
+    budget (99 % SLO -> 1 %); an alert fires only when BOTH windows
+    burn at >= 2x — the short window gives speed, the long window
+    kills flapping.  Integer ppm / per-mille throughout.
+
+    Output grain: one row per hour with totals, both burn rates and
+    the alert flag — the exact evaluation an alerting pipeline
+    replays over history to tune its thresholds.
+
+    Scale shape: one (hour) aggregate over the feed (calendar-sized
+    output), then two trailing windows on the hour frame — the
+    unpartitioned windows run on the CALENDAR-sized frame (<= 8,760
+    rows/year), never the event frame.  Row-trailing windows assume
+    an hour-dense feed (true of any telemetry stream; zero-fill a
+    spine first for sparse feeds, as cusum_changepoints does)."""
+    hourly = events.groupBy(
+        F.expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").alias(
+            "hour"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("err"),
+    )
+    ws = Window.orderBy("hour").rowsBetween(-(SLO_SHORT_H - 1), 0)
+    wl = Window.orderBy("hour").rowsBetween(-(SLO_LONG_H - 1), 0)
+    burned = (
+        hourly.withColumn("n_s", F.sum("n").over(ws))
+        .withColumn("e_s", F.sum("err").over(ws))
+        .withColumn("n_l", F.sum("n").over(wl))
+        .withColumn("e_l", F.sum("err").over(wl))
+        .select(
+            "hour",
+            "n",
+            "err",
+            F.expr(
+                f"(1000 * ((1000000 * e_s) DIV n_s)) DIV {SLO_BUDGET_PPM}"
+            )
+            .cast("bigint")
+            .alias("short_burn_pm"),
+            F.expr(
+                f"(1000 * ((1000000 * e_l) DIV n_l)) DIV {SLO_BUDGET_PPM}"
+            )
+            .cast("bigint")
+            .alias("long_burn_pm"),
+        )
+    )
+    return burned.withColumn(
+        "alert",
+        (
+            (F.col("short_burn_pm") >= SLO_BURN_PM)
+            & (F.col("long_burn_pm") >= SLO_BURN_PM)
+        ).cast("boolean"),
+    )

