@@ -5677,6 +5677,26 @@ def q_slo_burn(spark, sf_dir):
     return slo_burn(_t(spark, sf_dir, "events"))
 
 
+def q_seasonal_profile(spark, sf_dir):
+    """Day-of-week seasonal decomposition per event type (`textops.
+    seasonal_profile`): dow means, STL-style seasonality strength in
+    ppm, worst-residual day — deci fixed point on the calendar-sized
+    frame."""
+    from corhist_spark.textops import seasonal_profile
+
+    return seasonal_profile(_t(spark, sf_dir, "events"))
+
+
+def q_learned_index_audit(spark, sf_dir):
+    """Learned-index epsilon audit (`textops.learned_index_audit`,
+    Kraska et al. 2018): per-file linear CDF fit on the distinct-key
+    frame, max position error = the epsilon window a learned index
+    pays."""
+    from corhist_spark.textops import learned_index_audit
+
+    return learned_index_audit(_t(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6076,6 +6096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brier_decomposition": q_brier_decomposition,
         "k_truss": q_k_truss,
         "slo_burn": q_slo_burn,
+        "seasonal_profile": q_seasonal_profile,
+        "learned_index_audit": q_learned_index_audit,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15425,5 +15447,103 @@ def oracle_sql() -> dict[str, str]:
                AND (1000 * ((1000000 * e_l) // n_l)) // {_SLO_B}
                    >= {_SLO_PM} AS alert
         FROM burned
+    """
+    # day-of-week seasonal decomposition (mirrors
+    # textops.seasonal_profile: deci fixed point, integer argmax key)
+    out["seasonal_profile"] = """
+        WITH daily AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+        bounds AS (
+          SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+          FROM events),
+        spine AS (
+          SELECT t.event_type, strftime(g.d, '%Y-%m-%d') AS day,
+                 CAST(datediff('day', DATE '2024-01-01', CAST(g.d AS DATE))
+                      AS BIGINT) AS di
+          FROM (SELECT DISTINCT event_type FROM events) t,
+               (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                      (SELECT d1 FROM bounds), INTERVAL 1 DAY)) AS d) g),
+        series AS (
+          SELECT s.event_type, s.di, s.di % 7 AS dow,
+                 CAST(COALESCE(d.n_events, 0) AS BIGINT) AS c
+          FROM spine s
+          LEFT JOIN daily d ON d.event_type = s.event_type
+                            AND d.day = s.day),
+        dowm AS (
+          SELECT event_type, dow,
+                 CAST((10 * SUM(c)) // COUNT(*) AS BIGINT) AS mean_deci
+          FROM series GROUP BY 1, 2),
+        totm AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST((10 * SUM(c)) // COUNT(*) AS BIGINT) AS gmean_deci
+          FROM series GROUP BY 1),
+        r AS (
+          SELECT s.event_type, s.di, t.n_days,
+                 10 * s.c - m.mean_deci AS resid_deci,
+                 10 * s.c - t.gmean_deci AS dev_deci,
+                 m.mean_deci
+          FROM series s
+          JOIN dowm m ON m.event_type = s.event_type AND m.dow = s.dow
+          JOIN totm t ON t.event_type = s.event_type)
+        SELECT event_type, CAST(MAX(n_days) AS BIGINT) AS n_days,
+               CAST(MAX(mean_deci) AS BIGINT) AS best_dow_mean_deci,
+               CAST(MIN(mean_deci) AS BIGINT) AS worst_dow_mean_deci,
+               CAST(CASE WHEN SUM(dev_deci * dev_deci) > 0 THEN
+                    greatest(0, (1000000 * (SUM(dev_deci * dev_deci)
+                    - SUM(resid_deci * resid_deci)))
+                    // SUM(dev_deci * dev_deci)) ELSE 0 END
+                    AS BIGINT) AS strength_ppm,
+               CAST(4095 - MAX(ABS(resid_deci) * 4096 + (4095 - di))
+                    % 4096 AS BIGINT) AS worst_resid_day
+        FROM r GROUP BY event_type
+    """
+    # learned-index epsilon audit (mirrors textops.learned_index_audit;
+    # identical double expression shapes)
+    out["learned_index_audit"] = f"""
+        WITH g AS (
+          SELECT CAST(l_orderkey // {_CP_KEYS} AS BIGINT) AS file_id,
+                 CAST(l_orderkey AS BIGINT) AS k,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY 1, 2),
+        cdf AS (
+          SELECT file_id, k, cnt,
+                 SUM(cnt) OVER (PARTITION BY file_id ORDER BY k
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS p
+          FROM g),
+        sums AS (
+          SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(k) AS BIGINT) AS sk,
+                 CAST(SUM(p) AS BIGINT) AS sp,
+                 CAST(SUM(k * p) AS BIGINT) AS skp,
+                 CAST(SUM(k * k) AS BIGINT) AS skk,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows
+          FROM cdf GROUP BY 1),
+        fit AS (
+          SELECT file_id, n, n_rows, sk, sp,
+                 CASE WHEN n * skk - sk * sk > 0 THEN
+                      (CAST(n AS DOUBLE) * skp - CAST(sk AS DOUBLE) * sp)
+                      / (CAST(n AS DOUBLE) * skk
+                         - CAST(sk AS DOUBLE) * sk)
+                      ELSE 0.0 END AS b
+          FROM sums),
+        fit2 AS (
+          SELECT file_id, n, n_rows, b,
+                 (CAST(sp AS DOUBLE) - b * CAST(sk AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS a
+          FROM fit),
+        err AS (
+          SELECT c.file_id, f.n, f.n_rows, f.b,
+                 CAST(FLOOR(ABS(CAST(c.p AS DOUBLE)
+                      - (f.a + f.b * CAST(c.k AS DOUBLE)))) AS BIGINT)
+                   AS e
+          FROM cdf c JOIN fit2 f ON f.file_id = c.file_id)
+        SELECT file_id, CAST(MAX(n) AS BIGINT) AS n_keys,
+               CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+               CAST(FLOOR(1000000.0 * MAX(b)) AS BIGINT) AS slope_micro,
+               CAST(MAX(e) AS BIGINT) AS max_err_rows
+        FROM err GROUP BY file_id
     """
     return out

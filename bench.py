@@ -437,6 +437,10 @@ HEADLINE = [
     # burn-rate replay
     "k_truss",
     "slo_burn",
+    # r5 batch 81: day-of-week seasonal decomposition and the
+    # learned-index epsilon audit
+    "seasonal_profile",
+    "learned_index_audit",
 ]
 
 

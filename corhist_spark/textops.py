@@ -5947,3 +5947,182 @@ def slo_burn(events: DataFrame) -> DataFrame:
             & (F.col("long_burn_pm") >= SLO_BURN_PM)
         ).cast("boolean"),
     )
+
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Day-of-week seasonal decomposition per event type: the
+    zero-filled daily series splits into a dow profile (mean per
+    weekday position) and residuals; seasonality strength =
+    1 - SS_resid/SS_total (Hyndman's STL strength statistic) says how
+    much of the series the weekly cycle explains — the triage number
+    before alerting on 'traffic is down' (it may just be Sunday).
+
+    Deci fixed point (x10) for the means and residuals — squares must
+    stay inside BIGINT at warehouse daily volumes (safe to ~1e8
+    events/day); strength reported in ppm, clamped at 0.  Output one
+    row per type: n_days, best/worst dow by mean, strength_ppm,
+    largest |residual| day.
+
+    Scale shape: one (type, day) aggregate (event-sized work), then
+    everything on the calendar-sized frame."""
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    bounds = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d"),
+        )
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.datediff("d", F.to_date(F.lit("2024-01-01"))).alias("di"),
+        )
+    )
+    series = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.col("di").cast("bigint").alias("di"),
+            (F.col("di") % 7).cast("bigint").alias("dow"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("c"),
+        )
+        .localCheckpoint()
+    )
+    dowm = series.groupBy("event_type", "dow").agg(
+        F.expr("(10 * SUM(c)) DIV COUNT(*)").cast("bigint").alias("mean_deci")
+    )
+    totm = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("(10 * SUM(c)) DIV COUNT(*)").cast("bigint").alias("gmean_deci"),
+    )
+    r = (
+        series.join(dowm, ["event_type", "dow"])
+        .join(totm, "event_type")
+        .select(
+            "event_type",
+            "di",
+            "dow",
+            "n_days",
+            (10 * F.col("c") - F.col("mean_deci")).alias("resid_deci"),
+            (10 * F.col("c") - F.col("gmean_deci")).alias("dev_deci"),
+            "mean_deci",
+        )
+    )
+    # argmax |resid| with smallest-day tie-break via one integer key
+    # (di < 4096 by construction of the fixture time ranges)
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.first("n_days").alias("n_days"),
+            F.max("mean_deci").cast("bigint").alias("best_dow_mean_deci"),
+            F.min("mean_deci").cast("bigint").alias("worst_dow_mean_deci"),
+            F.expr(
+                "CASE WHEN SUM(dev_deci * dev_deci) > 0 THEN"
+                " greatest(0, (1000000 * (SUM(dev_deci * dev_deci)"
+                " - SUM(resid_deci * resid_deci)))"
+                " DIV SUM(dev_deci * dev_deci)) ELSE 0 END"
+            )
+            .cast("bigint")
+            .alias("strength_ppm"),
+            (
+                4095
+                - F.max(
+                    F.abs(F.col("resid_deci")) * 4096 + (4095 - F.col("di"))
+                )
+                % 4096
+            )
+            .cast("bigint")
+            .alias("worst_resid_day"),
+        )
+    )
+
+
+def learned_index_audit(
+    table: DataFrame, key_col: str = "l_orderkey",
+    file_keys: int = COMPACT_FILE_KEYS,
+) -> DataFrame:
+    """Learned-index epsilon audit (Kraska et al. 2018; the PGM/RMI
+    feasibility check): per file (contiguous key range), fit the
+    least-squares line position ~ key on the DISTINCT-key CDF frame
+    and report the maximum absolute position error — the epsilon a
+    single linear model would need to cover that file, i.e. the
+    binary-search window a learned index pays.  Files with epsilon
+    near 0 are learned-index friendly (dense sequential keys); large
+    epsilon flags skewed inserts.
+
+    The OLS sums are exact integers; slope/intercept and the residual
+    take one IEEE double evaluation each (correctly rounded and
+    engine-identical given the same expression shape — the repo's
+    documented float exception), and the reported error floors back
+    to integer rows.
+
+    Scale shape: one (file, key) aggregate, one per-file cumulative
+    window on the distinct-key frame, one file-grain rollup —
+    file-count-sized output."""
+    g = (
+        table.select(
+            F.expr(f"CAST({key_col} DIV {int(file_keys)} AS BIGINT)").alias(
+                "file_id"
+            ),
+            F.col(key_col).cast("bigint").alias("k"),
+        )
+        .groupBy("file_id", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("file_id").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cdf = g.withColumn("p", F.sum("cnt").over(w))
+    sums = cdf.groupBy("file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum("p").cast("bigint").alias("sp"),
+        F.sum(F.col("k") * F.col("p")).cast("bigint").alias("skp"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+    )
+    fit = sums.select(
+        "file_id",
+        "n",
+        "n_rows",
+        "sk",
+        "sp",
+        F.expr(
+            "CASE WHEN n * skk - sk * sk > 0 THEN"
+            " (CAST(n AS DOUBLE) * skp - CAST(sk AS DOUBLE) * sp)"
+            " / (CAST(n AS DOUBLE) * skk - CAST(sk AS DOUBLE) * sk)"
+            " ELSE 0.0 END"
+        ).alias("b"),
+    ).withColumn(
+        "a",
+        F.expr("(CAST(sp AS DOUBLE) - b * CAST(sk AS DOUBLE))"
+               " / CAST(n AS DOUBLE)"),
+    )
+    err = (
+        cdf.join(fit.select("file_id", "a", "b", "n", "n_rows"), "file_id")
+        .select(
+            "file_id",
+            "n",
+            "n_rows",
+            "b",
+            F.expr(
+                "CAST(FLOOR(ABS(CAST(p AS DOUBLE)"
+                " - (a + b * CAST(k AS DOUBLE)))) AS BIGINT)"
+            ).alias("e"),
+        )
+    )
+    return err.groupBy("file_id").agg(
+        F.first("n").alias("n_keys"),
+        F.first("n_rows").alias("n_rows"),
+        F.expr("CAST(FLOOR(1000000.0 * FIRST(b)) AS BIGINT)").alias(
+            "slope_micro"
+        ),
+        F.max("e").cast("bigint").alias("max_err_rows"),
+    )

@@ -4146,3 +4146,55 @@ def test_slo_burn_alert_logic(spark):
     assert out[11].alert
     # hour 0: clean
     assert not out[0].alert
+
+
+def test_seasonal_profile_strength(spark):
+    """A perfectly weekly series has strength ~1e6; a flat series has
+    strength 0; the worst-residual day is the planted anomaly."""
+    import datetime as dt
+
+    from corhist_spark.textops import seasonal_profile
+
+    base = dt.datetime(2024, 1, 1)   # di 0
+    rows = []
+    eid = 0
+    for day in range(28):
+        # 'weekly': count = 10 + dow*5 (pure weekly cycle), except a
+        # planted anomaly spike on day 13
+        n_w = 10 + (day % 7) * 5 + (30 if day == 13 else 0)
+        for _ in range(n_w):
+            rows.append((eid, base + dt.timedelta(days=day), "weekly")); eid += 1
+        for _ in range(20):
+            rows.append((eid, base + dt.timedelta(days=day), "flat")); eid += 1
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {r.event_type: r for r in seasonal_profile(d).collect()}
+    w, f = got["weekly"], got["flat"]
+    assert f.strength_ppm == 0          # no dev at all -> clamped 0/0 path
+    assert w.worst_resid_day == 13      # the planted spike
+    assert w.strength_ppm > 700_000     # cycle explains most variance
+    assert f.best_dow_mean_deci == f.worst_dow_mean_deci == 200
+    assert w.n_days == 28
+
+
+def test_learned_index_audit_exact(spark):
+    """A dense sequential file fits with epsilon 0; a planted
+    heavy-tail file needs a real window; slope matches rows/key."""
+    from corhist_spark.textops import learned_index_audit
+
+    rows = []
+    # file 0: keys 0..99, one row each -> perfect line, eps 0
+    for k in range(100):
+        rows.append((k,))
+    # file 1: keys 4096..4195, but key 4100 holds 200 rows (CDF step)
+    for k in range(4096, 4196):
+        for _ in range(200 if k == 4100 else 1):
+            rows.append((k,))
+    d = spark.createDataFrame(rows, "l_orderkey long")
+    got = {r.file_id: r for r in learned_index_audit(d).collect()}
+    f0 = got[0]
+    assert (f0.n_keys, f0.n_rows) == (100, 100)
+    assert f0.max_err_rows == 0
+    assert f0.slope_micro == 1_000_000   # one row per key
+    f1 = got[1]
+    assert (f1.n_keys, f1.n_rows) == (100, 299)
+    assert f1.max_err_rows >= 50         # the step breaks the line
