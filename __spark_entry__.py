@@ -15504,7 +15504,7 @@ def oracle_sql() -> dict[str, str]:
     out["learned_index_audit"] = f"""
         WITH g AS (
           SELECT CAST(l_orderkey // {_CP_KEYS} AS BIGINT) AS file_id,
-                 CAST(l_orderkey AS BIGINT) AS k,
+                 CAST(l_orderkey % {_CP_KEYS} AS BIGINT) AS k,
                  CAST(COUNT(*) AS BIGINT) AS cnt
           FROM lineitem GROUP BY 1, 2),
         cdf AS (

@@ -6066,12 +6066,17 @@ def learned_index_audit(
     Scale shape: one (file, key) aggregate, one per-file cumulative
     window on the distinct-key frame, one file-grain rollup —
     file-count-sized output."""
+    # keys are CENTERED to the file start (k % file_keys): the fit is
+    # translation-invariant, and raw-key moment sums overflow BIGINT
+    # once keys reach ~1e7 (n * sum(k^2) at 4096 keys/file)
     g = (
         table.select(
             F.expr(f"CAST({key_col} DIV {int(file_keys)} AS BIGINT)").alias(
                 "file_id"
             ),
-            F.col(key_col).cast("bigint").alias("k"),
+            F.expr(f"CAST({key_col} % {int(file_keys)} AS BIGINT)").alias(
+                "k"
+            ),
         )
         .groupBy("file_id", "k")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
