@@ -5697,6 +5697,25 @@ def q_learned_index_audit(spark, sf_dir):
     return learned_index_audit(_t(spark, sf_dir, "lineitem"))
 
 
+def q_selectivity_audit(spark, sf_dir):
+    """Histogram selectivity-estimation audit (`textops.
+    selectivity_audit`): planted range predicates priced off the
+    8-bucket equi-depth histogram with intra-bucket interpolation vs
+    the exact counts; q-error per (column, predicate)."""
+    from corhist_spark.textops import selectivity_audit
+
+    return selectivity_audit(_t(spark, sf_dir, "lineitem"))
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion at K (`retrieval.rrf_fusion`, Cormack
+    et al. 2009): quality and length rankers fused via integer
+    1e6/(60+rank) contributions over each top-100; fused top-20."""
+    from corhist_spark.retrieval import rrf_fusion
+
+    return rrf_fusion(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6098,6 +6117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slo_burn": q_slo_burn,
         "seasonal_profile": q_seasonal_profile,
         "learned_index_audit": q_learned_index_audit,
+        "selectivity_audit": q_selectivity_audit,
+        "rrf_fusion": q_rrf_fusion,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15545,5 +15566,118 @@ def oracle_sql() -> dict[str, str]:
                CAST(FLOOR(1000000.0 * MAX(b)) AS BIGINT) AS slope_micro,
                CAST(MAX(e) AS BIGINT) AS max_err_rows
         FROM err GROUP BY file_id
+    """
+    # histogram selectivity q-error audit (mirrors
+    # textops.selectivity_audit; predicates + bucket count interpolated)
+    from corhist_spark.textops import SEL_PREDICATES as _SEL_P
+
+    _sel_preds = " UNION ALL ".join(
+        f"SELECT {i} AS p_lo8, {j} AS p_hi8" for i, j in _SEL_P
+    )
+    out["selectivity_audit"] = f"""
+        WITH sunp AS (
+          SELECT 'l_extendedprice' AS column_name,
+                 CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS val
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', CAST(FLOOR(l_quantity * 100) AS BIGINT)
+          FROM lineitem),
+        sg AS (
+          SELECT column_name, val, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM sunp WHERE val IS NOT NULL GROUP BY 1, 2),
+        scum AS (
+          SELECT column_name, val, cnt,
+                 SUM(cnt) OVER (PARTITION BY column_name ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 SUM(cnt) OVER (PARTITION BY column_name) AS total
+          FROM sg),
+        shist AS (
+          SELECT column_name,
+                 CAST((({_ED_B} * cum) + total - 1) // total AS BIGINT)
+                   AS bucket,
+                 CAST(MIN(val) AS BIGINT) AS lo,
+                 CAST(MAX(val) AS BIGINT) AS hi,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows
+          FROM scum GROUP BY 1, 2),
+        srng AS (
+          SELECT column_name, MIN(lo) AS vmin, MAX(hi) AS vmax
+          FROM shist GROUP BY 1),
+        spreds AS (
+          SELECT r.column_name,
+                 CAST(p.p_lo8 AS VARCHAR) || '-'
+                   || CAST(p.p_hi8 AS VARCHAR) AS pred,
+                 CAST(r.vmin + ((r.vmax - r.vmin) * p.p_lo8) // 8
+                      AS BIGINT) AS q_lo,
+                 CAST(r.vmin + ((r.vmax - r.vmin) * p.p_hi8) // 8
+                      AS BIGINT) AS q_hi
+          FROM srng r, ({_sel_preds}) p),
+        sest AS (
+          SELECT p.column_name, p.pred,
+                 CAST(SUM((h.n_rows * (least(h.hi, p.q_hi)
+                      - greatest(h.lo, p.q_lo) + 1))
+                      // (h.hi - h.lo + 1)) AS BIGINT) AS est_rows
+          FROM spreds p
+          JOIN shist h ON h.column_name = p.column_name
+          WHERE least(h.hi, p.q_hi) >= greatest(h.lo, p.q_lo)
+          GROUP BY 1, 2),
+        strue AS (
+          SELECT p.column_name, p.pred,
+                 CAST(COUNT(*) AS BIGINT) AS true_rows
+          FROM sunp v
+          JOIN spreds p ON p.column_name = v.column_name
+          WHERE v.val BETWEEN p.q_lo AND p.q_hi
+          GROUP BY 1, 2)
+        SELECT p.column_name, p.pred,
+               CAST(COALESCE(e.est_rows, 0) AS BIGINT) AS est_rows,
+               CAST(COALESCE(t.true_rows, 0) AS BIGINT) AS true_rows,
+               CAST((1000 * greatest(COALESCE(e.est_rows, 0),
+                                     COALESCE(t.true_rows, 0)))
+                    // greatest(1, least(COALESCE(e.est_rows, 0),
+                                         COALESCE(t.true_rows, 0)))
+                    AS BIGINT) AS q_error_milli
+        FROM spreds p
+        LEFT JOIN sest e ON e.column_name = p.column_name
+                         AND e.pred = p.pred
+        LEFT JOIN strue t ON t.column_name = p.column_name
+                          AND t.pred = p.pred
+    """
+    # reciprocal-rank fusion at K (mirrors retrieval.rrf_fusion;
+    # constants interpolated)
+    from corhist_spark.retrieval import (
+        RRF_K as _RRF_K,
+        RRF_OUT as _RRF_OUT,
+        RRF_TOPN as _RRF_N,
+    )
+
+    out["rrf_fusion"] = f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 CAST((1000 * length(regexp_replace(lower(text),
+                      '[^a-z]', '', 'g'))) // greatest(n_chars, 1)
+                     AS BIGINT) AS q,
+                 CAST(n_chars AS BIGINT) AS len
+          FROM documents),
+        ra AS (
+          SELECT doc_id,
+                 1000000 // ({_RRF_K} + ROW_NUMBER() OVER (
+                      ORDER BY q DESC, doc_id ASC)) AS contrib
+          FROM scored
+          ORDER BY q DESC, doc_id ASC LIMIT {_RRF_N}),
+        rb AS (
+          SELECT doc_id,
+                 1000000 // ({_RRF_K} + ROW_NUMBER() OVER (
+                      ORDER BY len DESC, doc_id ASC)) AS contrib
+          FROM scored
+          ORDER BY len DESC, doc_id ASC LIMIT {_RRF_N}),
+        fused AS (
+          SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS rrf_scaled
+          FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+          GROUP BY doc_id)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_scaled DESC,
+                    doc_id ASC) AS BIGINT) AS fused_rank,
+               doc_id, rrf_scaled
+        FROM fused
+        ORDER BY rrf_scaled DESC, doc_id ASC LIMIT {_RRF_OUT}
     """
     return out

@@ -441,6 +441,10 @@ HEADLINE = [
     # learned-index epsilon audit
     "seasonal_profile",
     "learned_index_audit",
+    # r5 batch 82: histogram selectivity q-error audit and
+    # reciprocal-rank fusion at K
+    "selectivity_audit",
+    "rrf_fusion",
 ]
 
 

@@ -237,3 +237,65 @@ def rerank_eval(
         F.lit("cosine_reranked").alias("ranking"), "*"
     )
     return base.unionByName(rer)
+
+
+RRF_K = 60
+RRF_TOPN = 100
+RRF_OUT = 20
+
+
+def rrf_fusion(docs: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two rankers at
+    K — the standard zero-training retrieval ensemble: each ranker
+    contributes 1/(k + rank) for its top-N, documents outside a
+    ranker's top-N contribute nothing (RRF@N, the practical form — a
+    full-corpus rank would force a global sort).  Ranker A orders by
+    the alphabetic-per-mille quality score, ranker B by document
+    length; both tie-break on doc_id.  Scores are integer-scaled
+    (1e6 DIV (k + rank)), so fusion and its ordering are exact.
+
+    Returns the fused top-RRF_OUT: (fused_rank, doc_id, rrf_scaled).
+
+    Scale shape: each ranker's top-N comes from a distributed
+    TakeOrdered (orderBy + limit, never a full sort-to-one-partition);
+    ranks are then assigned on the N-row frame, fused with one
+    doc_id-grain aggregate, and the output is another TakeOrdered."""
+    scored = docs.select(
+        "doc_id",
+        F.expr(
+            "(1000 * length(regexp_replace(lower(text), '[^a-z]', '')))"
+            " DIV greatest(n_chars, 1)"
+        )
+        .cast("bigint")
+        .alias("q"),
+        F.col("n_chars").cast("bigint").alias("len"),
+    ).localCheckpoint()
+
+    def topn_ranks(order_col: str) -> DataFrame:
+        top = scored.orderBy(
+            F.col(order_col).desc(), F.col("doc_id").asc()
+        ).limit(RRF_TOPN)
+        w = Window.orderBy(F.col(order_col).desc(), F.col("doc_id").asc())
+        return top.select(
+            "doc_id", F.row_number().over(w).alias("rank")
+        ).select(
+            "doc_id",
+            F.expr(f"1000000 DIV ({RRF_K} + rank)").alias("contrib"),
+        )
+
+    fused = (
+        topn_ranks("q")
+        .unionByName(topn_ranks("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("rrf_scaled"))
+    )
+    wf = Window.orderBy(F.col("rrf_scaled").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf_scaled").desc(), F.col("doc_id").asc())
+        .limit(RRF_OUT)
+        .select(
+            F.row_number().over(wf).cast("bigint").alias("fused_rank"),
+            "doc_id",
+            "rrf_scaled",
+        )
+    )

@@ -6131,3 +6131,120 @@ def learned_index_audit(
         ),
         F.max("e").cast("bigint").alias("max_err_rows"),
     )
+
+
+SEL_PREDICATES = ((0, 2), (2, 4), (4, 6), (6, 8), (1, 7))  # eighths
+
+
+def selectivity_audit(table: DataFrame) -> DataFrame:
+    """Histogram selectivity-estimation audit — the closing piece of
+    the CBO suite (`column_stats` -> `equidepth_hist` -> does the
+    histogram actually predict?): for planted range predicates
+    (fixed eighths of each column's value range), estimate the row
+    count from the 8-bucket equi-depth histogram with intra-bucket
+    linear interpolation, compare against the exact count, and report
+    the q-error — the optimizer-quality number (Moerkotte et al.
+    2009: plans degrade with max q-error).
+
+    All integer: bucket overlap fractions are (n * overlap) DIV
+    width; q_error_milli = 1000 * max(est,true) / max(1, min(est,
+    true)).
+
+    Scale shape: one histogram build (NDV-bounded, see
+    equidepth_hist), one single-row min/max broadcast, the exact
+    counts as ONE predicate-tagged aggregate pass, and the estimate
+    arithmetic on the 8-bucket frame."""
+    cols = ("l_extendedprice", "l_quantity")
+    hist = equidepth_hist(
+        table, cents_cols=cols
+    ).localCheckpoint()
+    rng = hist.groupBy("column_name").agg(
+        F.min("lo").alias("vmin"), F.max("hi").alias("vmax")
+    )
+    preds = rng.select(
+        "column_name",
+        "vmin",
+        "vmax",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("p_lo8"), F.lit(j).alias("p_hi8")
+                    )
+                    for i, j in SEL_PREDICATES
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "column_name",
+        F.concat(
+            F.col("p.p_lo8").cast("string"),
+            F.lit("-"),
+            F.col("p.p_hi8").cast("string"),
+        ).alias("pred"),
+        F.expr("vmin + ((vmax - vmin) * p.p_lo8) DIV 8")
+        .cast("bigint")
+        .alias("q_lo"),
+        F.expr("vmin + ((vmax - vmin) * p.p_hi8) DIV 8")
+        .cast("bigint")
+        .alias("q_hi"),
+    ).localCheckpoint()
+    # estimate: per (pred, bucket) overlap with linear interpolation
+    est = (
+        preds.join(hist, "column_name")
+        .select(
+            "column_name",
+            "pred",
+            "q_lo",
+            "q_hi",
+            "n_rows",
+            F.greatest(F.col("lo"), F.col("q_lo")).alias("ov_lo"),
+            F.least(F.col("hi"), F.col("q_hi")).alias("ov_hi"),
+            (F.col("hi") - F.col("lo") + 1).alias("width"),
+        )
+        .filter(F.col("ov_hi") >= F.col("ov_lo"))
+        .select(
+            "column_name",
+            "pred",
+            F.expr(
+                "(n_rows * (ov_hi - ov_lo + 1)) DIV width"
+            ).alias("contrib"),
+        )
+        .groupBy("column_name", "pred")
+        .agg(F.sum("contrib").cast("bigint").alias("est_rows"))
+    )
+    # exact: one predicate-tagged pass
+    vals = table.selectExpr(
+        "stack(2, 'l_extendedprice',"
+        " CAST(FLOOR(l_extendedprice * 100) AS BIGINT),"
+        " 'l_quantity', CAST(FLOOR(l_quantity * 100) AS BIGINT))"
+        " AS (column_name, v)"
+    )
+    true_rows = (
+        vals.join(F.broadcast(preds), "column_name")
+        .filter(
+            (F.col("v") >= F.col("q_lo")) & (F.col("v") <= F.col("q_hi"))
+        )
+        .groupBy("column_name", "pred")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_rows"))
+    )
+    return (
+        preds.select("column_name", "pred")
+        .join(est, ["column_name", "pred"], "left")
+        .join(true_rows, ["column_name", "pred"], "left")
+        .select(
+            "column_name",
+            "pred",
+            F.coalesce("est_rows", F.lit(0)).cast("bigint").alias("est_rows"),
+            F.coalesce("true_rows", F.lit(0))
+            .cast("bigint")
+            .alias("true_rows"),
+        )
+        .withColumn(
+            "q_error_milli",
+            F.expr(
+                "(1000 * greatest(est_rows, true_rows))"
+                " DIV greatest(1, least(est_rows, true_rows))"
+            ).cast("bigint"),
+        )
+    )

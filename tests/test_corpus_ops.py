@@ -4198,3 +4198,56 @@ def test_learned_index_audit_exact(spark):
     f1 = got[1]
     assert (f1.n_keys, f1.n_rows) == (100, 299)
     assert f1.max_err_rows >= 50         # the step breaks the line
+
+
+def test_selectivity_audit_uniform_is_accurate(spark):
+    """On a uniform column the histogram estimate must be near-exact
+    (q-error ~1.0); a planted point-mass predicate shows real error."""
+    from corhist_spark.textops import selectivity_audit
+
+    rows = []
+    for i in range(4096):
+        # extendedprice uniform over [0, 40.96); quantity: 90% mass
+        # at one point, tail uniform
+        rows.append((i / 100.0, 5.0 if i % 10 else i / 100.0))
+    d = spark.createDataFrame(rows, "l_extendedprice double, l_quantity double")
+    got = {
+        (r.column_name, r.pred): r for r in selectivity_audit(d).collect()
+    }
+    for (c, p), r in got.items():
+        assert r.true_rows > 0, (c, p)
+        if c == "l_extendedprice":
+            # uniform: estimate within ~2% of truth
+            assert r.q_error_milli <= 1050, (c, p, r)
+    # every predicate of both columns is present (5 x 2 rows)
+    assert len(got) == 10
+
+
+def test_rrf_fusion_exact_vs_pure_python(spark):
+    """Planted rankers with partial overlap: the fused top list must
+    equal a pure-Python RRF@N computation including integer scaling."""
+    from corhist_spark.retrieval import rrf_fusion, RRF_K, RRF_OUT, RRF_TOPN
+
+    rows = []
+    for i in range(300):
+        # quality rank ~ i asc on doc 0.., length rank reversed-ish
+        text = "a" * (300 - i) + "0" * i      # alpha ratio decreasing
+        rows.append((i, text, "src0", 300))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = [(r.fused_rank, r.doc_id, r.rrf_scaled)
+           for r in rrf_fusion(d).orderBy("fused_rank").collect()]
+
+    q = {i: (1000 * (300 - i)) // 300 for i in range(300)}
+    ln = {i: 300 for i in range(300)}
+    def ranks(score):
+        order = sorted(range(300), key=lambda i: (-score[i], i))[:RRF_TOPN]
+        return {doc: 1000000 // (RRF_K + r + 1) for r, doc in enumerate(order)}
+    fused = {}
+    for contrib in (ranks(q), ranks(ln)):
+        for doc, c in contrib.items():
+            fused[doc] = fused.get(doc, 0) + c
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_OUT]
+    want = [(r + 1, doc, s) for r, (doc, s) in enumerate(order)]
+    assert got == want
