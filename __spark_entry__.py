@@ -5716,6 +5716,32 @@ def q_rrf_fusion(spark, sf_dir):
     return rrf_fusion(_t(spark, sf_dir, "documents"))
 
 
+def q_media_phash(spark, sf_dir):
+    """Byte-histogram signature dedup over binary media payloads
+    (`multimodal.media_phash`): real Arrow mapInPandas byte
+    processing, 16-nibble packed signature, hash-grouped collision
+    groups — the multimodal dedup path (decode itself stays honestly
+    stubbed)."""
+    from corhist_spark.multimodal import media_phash, media_spans
+
+    # printable-ASCII refs only, as in q_frame_samples: the DuckDB
+    # twin histograms characters, which equals bytes only for ASCII
+    spans = _doc_media_spans(spark, sf_dir).filter(
+        F.col("media_ref").rlike("^[ -~]+$")
+    )
+    return media_phash(media_spans(spans))
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Per-source quantile normalization mapping table (`textops.
+    quantile_normalize`): each source length maps to the corpus value
+    at the same within-source CDF position, exact integer
+    cross-multiplied inverse-CDF lookup."""
+    from corhist_spark.textops import quantile_normalize
+
+    return quantile_normalize(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6119,6 +6145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learned_index_audit": q_learned_index_audit,
         "selectivity_audit": q_selectivity_audit,
         "rrf_fusion": q_rrf_fusion,
+        "media_phash": q_media_phash,
+        "quantile_normalize": q_quantile_normalize,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15679,5 +15707,73 @@ def oracle_sql() -> dict[str, str]:
                doc_id, rrf_scaled
         FROM fused
         ORDER BY rrf_scaled DESC, doc_id ASC LIMIT {_RRF_OUT}
+    """
+    # media byte-signature dedup (mirrors multimodal.media_phash:
+    # 16 nibbles of capped mod-16 byte-bucket counts; ASCII refs so
+    # characters == bytes, as in frame_samples)
+    from corhist_spark.multimodal import (
+        PHASH_BITS_PER as _PH_BITS,
+        PHASH_BUCKETS as _PH_B,
+    )
+
+    _ph_sig = " + ".join(
+        f"(least(15, len(list_filter(chs, c -> (ascii(c) % {_PH_B})"
+        f" = {i}))) * {1 << (_PH_BITS * i)})"
+        for i in range(_PH_B)
+    )
+    out["media_phash"] = f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 string_split(text, ' ') AS toks,
+                 unnest(generate_series(1, len(string_split(text, ' '))))
+                   AS i
+          FROM documents
+        ), spans AS (
+          SELECT doc_id, CAST(i - 1 AS INT) AS span_idx,
+                 toks[CAST(i AS INT)] AS tok
+          FROM t WHERE len(toks[CAST(i AS INT)]) >= 8
+            AND regexp_matches(toks[CAST(i AS INT)], '^[ -~]+$')
+        ), sigs AS (
+          SELECT doc_id, span_idx,
+                 CAST({_ph_sig} AS BIGINT) AS sig
+          FROM (
+            SELECT doc_id, span_idx,
+                   list_transform(generate_series(1,
+                       CAST(len(tok) AS INT)),
+                       j -> substr(tok, CAST(j AS INT), 1)) AS chs
+            FROM spans)
+        )
+        SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM sigs GROUP BY sig HAVING COUNT(*) >= 2
+    """
+    # per-source quantile normalization (mirrors
+    # textops.quantile_normalize: cross-multiplied inverse CDF)
+    out["quantile_normalize"] = """
+        WITH c AS (
+          SELECT source AS grp, CAST(n_chars AS BIGINT) AS val,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        gvals AS (
+          SELECT val AS gval,
+                 SUM(SUM(cnt)) OVER (ORDER BY val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS gcum
+          FROM c GROUP BY val),
+        n_all AS (SELECT MAX(gcum) AS n_all FROM gvals),
+        totals AS (
+          SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_grp FROM c GROUP BY 1),
+        src AS (
+          SELECT c.grp, c.val, c.cnt,
+                 SUM(c.cnt) OVER (PARTITION BY c.grp ORDER BY c.val
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 t.n_grp, a.n_all
+          FROM c JOIN totals t ON t.grp = c.grp CROSS JOIN n_all a)
+        SELECT s.grp, s.val, s.cnt,
+               CAST(MIN(g.gval) AS BIGINT) AS norm_val
+        FROM src s JOIN gvals g
+          ON g.gcum * s.n_grp >= s.cum * s.n_all
+        GROUP BY 1, 2, 3
     """
     return out

@@ -445,6 +445,10 @@ HEADLINE = [
     # reciprocal-rank fusion at K
     "selectivity_audit",
     "rrf_fusion",
+    # r5 batch 83: binary media byte-signature dedup and per-source
+    # quantile normalization
+    "media_phash",
+    "quantile_normalize",
 ]
 
 

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -128,3 +129,59 @@ def sample_frames(media: DataFrame, frame_bytes: int = 4, every: int = 2) -> Dat
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+PHASH_BUCKETS = 16
+PHASH_BITS_PER = 4
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_idx", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("sig", LongType()),
+    ]
+)
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Perceptual-hash-style media dedup over the BINARY payload
+    column: the signature is 16 nibbles, each the (capped-at-15)
+    count of payload bytes falling in one mod-16 byte bucket — a
+    byte-histogram sketch playing the role a real pHash/DCT signature
+    would (the decode behind it stays honestly stubbed, see
+    `decode_media`; the Arrow byte-level processing, signature
+    packing and collision grouping ARE the production plumbing).
+    Payloads whose signatures collide are near-duplicate candidates.
+
+    Returns collision groups: (sig, n_payloads, n_docs) for every
+    signature shared by >= 2 payloads.
+
+    Scale shape: one mapInPandas pass (Arrow batches, numpy byte
+    histogram per row), then a signature-keyed aggregate — the
+    dedup join is hash-grouped, never pairwise."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % PHASH_BUCKETS, minlength=PHASH_BUCKETS)
+                sig = 0
+                for i, c in enumerate(hist):
+                    sig |= min(int(c), 15) << (PHASH_BITS_PER * i)
+                sigs.append(sig)
+            out = pdf[["doc_id", "span_idx", "media_ref"]].copy()
+            out["sig"] = pd.Series(sigs, index=pdf.index, dtype="int64")
+            yield out
+
+    signed = media.mapInPandas(run, schema=PHASH_SCHEMA)
+    return (
+        signed.groupBy("sig")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_payloads"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_payloads") >= 2)
+    )

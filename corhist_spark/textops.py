@@ -6248,3 +6248,57 @@ def selectivity_audit(table: DataFrame) -> DataFrame:
             ).cast("bigint"),
         )
     )
+
+
+def quantile_normalize(
+    docs: DataFrame, group_col: str = "source", value_col: str = "n_chars"
+) -> DataFrame:
+    """Per-source quantile normalization (the score-debiasing step
+    before cross-source comparison, e.g. Bolstad et al. 2003 in the
+    array-normalization literature): each source value maps to the
+    CORPUS value at the same within-source CDF position, so a source
+    whose scorer runs hot no longer floods a global threshold.
+    Returned as the NDV-grain mapping table (grp, val, cnt,
+    norm_val) — appliers join it back to rows.
+
+    norm_val = the smallest corpus value whose global cumulative
+    count satisfies gcum * n_src >= cum_src * n_all (exact integer
+    cross-multiplication; no float quantile positions).
+
+    Scale shape: the same NDV-bounded frames as ks_drift; the inverse-
+    CDF lookup is a broadcast join of the per-source value frame
+    against the global distinct-value frame (both NDV-bounded), with
+    a min aggregate standing in for the as-of search."""
+    s = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("val"),
+    ).filter(F.col("val").isNotNull())
+    c = s.groupBy("grp", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    gw = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    gvals = (
+        c.groupBy("val")
+        .agg(F.sum("cnt").cast("bigint").alias("gcnt"))
+        .withColumn("gcum", F.sum("gcnt").over(gw))
+        .select(F.col("val").alias("gval"), "gcum")
+        .localCheckpoint()
+    )
+    n_all = gvals.agg(F.max("gcum").cast("bigint").alias("n_all"))
+    sw = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    totals = c.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n_grp"))
+    src = (
+        c.withColumn("cum", F.sum("cnt").over(sw))
+        .join(totals, "grp")
+        .crossJoin(F.broadcast(n_all))
+    )
+    return (
+        src.join(
+            F.broadcast(gvals),
+            F.col("gcum") * F.col("n_grp") >= F.col("cum") * F.col("n_all"),
+        )
+        .groupBy("grp", "val", "cnt")
+        .agg(F.min("gval").cast("bigint").alias("norm_val"))
+    )

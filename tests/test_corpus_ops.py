@@ -4251,3 +4251,68 @@ def test_rrf_fusion_exact_vs_pure_python(spark):
     order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_OUT]
     want = [(r + 1, doc, s) for r, (doc, s) in enumerate(order)]
     assert got == want
+
+
+def test_media_phash_exact_vs_pure_python(spark):
+    """Planted payload refs: the packed byte-histogram signature and
+    the collision grouping must match a pure-Python replica; anagram
+    refs collide (same byte multiset), distinct-histogram refs do
+    not."""
+    from corhist_spark.multimodal import (
+        media_phash,
+        media_spans,
+        PHASH_BUCKETS,
+        PHASH_BITS_PER,
+    )
+    from pyspark.sql import functions as SF
+
+    spans = spark.createDataFrame(
+        [
+            ("d1", 0, "image", "abcdefgh"),
+            ("d2", 0, "image", "hgfedcba"),     # anagram -> same sig
+            ("d3", 0, "audio", "abcdefgi"),     # different histogram
+            ("d4", 0, "audio", "abcdefgh"),     # exact dup of d1
+        ],
+        "doc_id string, span_idx int, kind string, media_ref string",
+    )
+    got = {r.sig: (r.n_payloads, r.n_docs)
+           for r in media_phash(media_spans(spans)).collect()}
+
+    def sig(ref):
+        hist = [0] * PHASH_BUCKETS
+        for byte in ref.encode():
+            hist[byte % PHASH_BUCKETS] += 1
+        s = 0
+        for i, c in enumerate(hist):
+            s |= min(c, 15) << (PHASH_BITS_PER * i)
+        return s
+
+    assert sig("abcdefgh") == sig("hgfedcba")
+    assert sig("abcdefgh") != sig("abcdefgi")
+    assert got == {sig("abcdefgh"): (3, 3)}
+
+
+def test_quantile_normalize_mapping(spark):
+    """A hot-scored source maps down onto corpus quantiles: its
+    maximum maps to the corpus maximum, medians align, and the
+    mapping is monotone."""
+    from corhist_spark.textops import quantile_normalize
+
+    rows = (
+        [("hot", v) for v in (100, 200, 300, 400)]
+        + [("cold", v) for v in (1, 2, 3, 4)]
+    )
+    d = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {(r.grp, r.val): r.norm_val
+           for r in quantile_normalize(d).collect()}
+    # hot's top value (pos 4/4) -> corpus max 400; hot's min (pos 1/4)
+    # -> corpus value at rank ceil(8/4)=2 -> 2
+    assert got[("hot", 400)] == 400
+    assert got[("hot", 100)] == 2
+    assert got[("cold", 4)] == 400
+    assert got[("cold", 1)] == 2
+    # monotone within each source
+    for g in ("hot", "cold"):
+        vals = sorted(v for gg, v in got if gg == g)
+        norms = [got[(g, v)] for v in vals]
+        assert norms == sorted(norms)
