@@ -5742,6 +5742,88 @@ def q_quantile_normalize(spark, sf_dir):
     return quantile_normalize(_t(spark, sf_dir, "documents"))
 
 
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue from orders where customer and
+    supplier share a nation, per nation within one region — the
+    6-table star join chain (region and nation broadcast, the
+    customer=supplier nation equi-predicate applied post-join).
+    Revenue in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    region = r.filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left_semi",
+        )
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))"
+                )
+            )
+            .cast("bigint")
+            .alias("revenue_scaled"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+def q_returned_item_report(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items (l_returnflag = 'R'), with nation — distributed TakeOrdered
+    on the aggregated frame, exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy(
+        "c_custkey", "c_name", F.col("n_name").alias("nation")
+    ).agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(FLOOR(l_discount * 100) AS BIGINT))"
+            )
+        )
+        .cast("bigint")
+        .alias("revenue_scaled")
+    )
+    w = Window.orderBy(F.col("revenue_scaled").desc(), F.col("c_custkey").asc())
+    return (
+        agg.orderBy(F.col("revenue_scaled").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            "c_custkey",
+            "c_name",
+            "nation",
+            "revenue_scaled",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6147,6 +6229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "media_phash": q_media_phash,
         "quantile_normalize": q_quantile_normalize,
+        "local_supplier_volume": q_local_supplier_volume,
+        "returned_item_report": q_returned_item_report,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15775,5 +15859,41 @@ def oracle_sql() -> dict[str, str]:
         FROM src s JOIN gvals g
           ON g.gcum * s.n_grp >= s.cum * s.n_all
         GROUP BY 1, 2, 3
+    """
+    # TPC-H Q5 shape (mirrors q_local_supplier_volume)
+    out["local_supplier_volume"] = """
+        SELECT n.n_name AS nation,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(FLOOR(l.l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_scaled,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE c.c_nationkey = s.s_nationkey AND r.r_name = 'ASIA'
+        GROUP BY 1
+    """
+    # TPC-H Q10 shape (mirrors q_returned_item_report)
+    out["returned_item_report"] = """
+        WITH agg AS (
+          SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+                 CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(FLOOR(l.l_discount * 100)
+                                    AS BIGINT))) AS BIGINT)
+                   AS revenue_scaled
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY 1, 2, 3)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY revenue_scaled DESC,
+                    c_custkey ASC) AS BIGINT) AS rank,
+               c_custkey, c_name, nation, revenue_scaled
+        FROM agg
+        ORDER BY revenue_scaled DESC, c_custkey ASC LIMIT 20
     """
     return out

@@ -449,6 +449,10 @@ HEADLINE = [
     # quantile normalization
     "media_phash",
     "quantile_normalize",
+    # r5 batch 84: TPC-H Q5/Q10 join shapes (local supplier volume,
+    # returned-item report)
+    "local_supplier_volume",
+    "returned_item_report",
 ]
 
 

@@ -4316,3 +4316,29 @@ def test_quantile_normalize_mapping(spark):
         vals = sorted(v for gg, v in got if gg == g)
         norms = [got[(g, v)] for v in vals]
         assert norms == sorted(norms)
+
+
+def test_q5_q10_plans_broadcast_and_take_ordered(spark):
+    """Plan shape for the TPC-H pair: the dimension joins broadcast
+    (never sort-merge a 25-row nation), Q10's top-20 compiles to
+    TakeOrderedAndProject (distributed top-k, no global sort)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_q5", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+    sf = "/root/testdata/sf0.001"
+    q5 = entry.queries()["local_supplier_volume"](spark, sf)
+    p5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p5
+    assert "CartesianProduct" not in p5
+    q10 = entry.queries()["returned_item_report"](spark, sf)
+    p10 = q10._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p10
+    assert "CartesianProduct" not in p10
+    # semantic spot checks: revenue positive, ranks contiguous
+    rows = q10.collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.revenue_scaled > 0 for r in rows)
