@@ -5824,6 +5824,27 @@ def q_returned_item_report(spark, sf_dir):
     )
 
 
+def q_denial_constraints(spark, sf_dir):
+    """Denial-constraint data-quality audit (`textops.
+    denial_constraints`): 4 business rules incl. the cross-table
+    ship-before-order check, every rule row always present,
+    violation rate in ppm."""
+    from corhist_spark.textops import denial_constraints
+
+    return denial_constraints(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+def q_cube_profile(spark, sf_dir):
+    """CUBE + grouping_id over (source, lang) (`textops.
+    cube_profile`): every grouping level in one pass, NULL keys
+    surfaced as '<all>'."""
+    from corhist_spark.textops import cube_profile
+
+    return cube_profile(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6231,6 +6252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "local_supplier_volume": q_local_supplier_volume,
         "returned_item_report": q_returned_item_report,
+        "denial_constraints": q_denial_constraints,
+        "cube_profile": q_cube_profile,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15895,5 +15918,42 @@ def oracle_sql() -> dict[str, str]:
                c_custkey, c_name, nation, revenue_scaled
         FROM agg
         ORDER BY revenue_scaled DESC, c_custkey ASC LIMIT 20
+    """
+    # denial-constraint audit (mirrors textops.denial_constraints)
+    out["denial_constraints"] = """
+        WITH agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CASE WHEN l.l_extendedprice < 0 THEN 1
+                          ELSE 0 END) AS BIGINT) AS negative_price,
+                 CAST(SUM(CASE WHEN l.l_discount < 0 OR l.l_discount > 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+                 CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1
+                          ELSE 0 END) AS BIGINT) AS ship_before_order,
+                 CAST(SUM(CASE WHEN CAST(FLOOR(l.l_quantity * 100)
+                               AS BIGINT) % 100 <> 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS qty_not_integral
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        SELECT r.rule, r.n_violations, a.n_rows,
+               CAST((1000000 * r.n_violations) // a.n_rows AS BIGINT)
+                 AS violation_ppm
+        FROM agg a, LATERAL (
+          SELECT 'negative_price' AS rule, negative_price AS n_violations
+          UNION ALL SELECT 'discount_range', discount_range
+          UNION ALL SELECT 'ship_before_order', ship_before_order
+          UNION ALL SELECT 'qty_not_integral', qty_not_integral
+        ) r
+    """
+    # CUBE + grouping id (mirrors textops.cube_profile; Spark's
+    # grouping_id bit order — first cube column = MSB — matches
+    # DuckDB's GROUPING(source, lang))
+    out["cube_profile"] = """
+        SELECT COALESCE(source, '<all>') AS source,
+               COALESCE(lang, '<all>') AS lang,
+               CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY CUBE (source, lang)
     """
     return out

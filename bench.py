@@ -453,6 +453,9 @@ HEADLINE = [
     # returned-item report)
     "local_supplier_volume",
     "returned_item_report",
+    # r5 batch 85: denial-constraint DQ audit and CUBE/grouping_id
+    "denial_constraints",
+    "cube_profile",
 ]
 
 

@@ -6302,3 +6302,96 @@ def quantile_normalize(
         .groupBy("grp", "val", "cnt")
         .agg(F.min("gval").cast("bigint").alias("norm_val"))
     )
+
+
+DC_RULES = (
+    "negative_price",
+    "discount_range",
+    "ship_before_order",
+    "qty_not_integral",
+)
+
+
+def denial_constraints(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Denial-constraint audit (Chomicki & Marcinkowski 2005; the
+    data-quality rule form every warehouse check compiles to): count
+    the rows violating each business rule, including one CROSS-TABLE
+    rule that needs the orders join — the shape that separates a real
+    DQ engine from per-column null counts.  Rules:
+    negative_price (extendedprice < 0), discount_range (discount
+    outside [0,1]), ship_before_order (l_shipdate < o_orderdate),
+    qty_not_integral (quantity has cents).  Every rule row is always
+    present (zero violations IS the result).
+
+    Scale shape: three rules are one map-side conditional aggregate;
+    the cross-table rule is one orderkey equi-join feeding the same
+    pass — violations never materialize row-wise."""
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("negative_price"),
+        F.sum(
+            F.expr("CASE WHEN l_discount < 0 OR l_discount > 1"
+                   " THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("discount_range"),
+        F.sum(F.expr("CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("ship_before_order"),
+        F.sum(
+            F.expr(
+                "CASE WHEN CAST(FLOOR(l_quantity * 100) AS BIGINT) % 100"
+                " <> 0 THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("qty_not_integral"),
+    )
+    stacked = agg.selectExpr(
+        "n_rows",
+        "stack(4, "
+        + ", ".join(f"'{r}', {r}" for r in DC_RULES)
+        + ") AS (rule, n_violations)",
+    )
+    return stacked.select(
+        "rule",
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+        "n_rows",
+        F.expr("(1000000 * n_violations) DIV n_rows")
+        .cast("bigint")
+        .alias("violation_ppm"),
+    )
+
+
+def cube_profile(docs: DataFrame) -> DataFrame:
+    """CUBE aggregation with grouping_id over (source, lang): doc
+    counts and total characters at every grouping level in ONE pass —
+    the OLAP operator (Gray et al. 1996) a dashboard backend asks for
+    instead of 4 separate GROUP BYs.  NULL group keys are surfaced as
+    '<all>' so the level is readable and the cross-engine compare is
+    null-free.
+
+    Scale shape: Spark expands the input 4x (the standard cube
+    expand) into one partial-aggregated shuffle bounded by the
+    grouping-set cardinalities."""
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "gid",
+            "n_docs",
+            "total_chars",
+        )
+    )

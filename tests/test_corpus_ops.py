@@ -4342,3 +4342,57 @@ def test_q5_q10_plans_broadcast_and_take_ordered(spark):
     rows = q10.collect()
     assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
     assert all(r.revenue_scaled > 0 for r in rows)
+
+
+def test_denial_constraints_planted_violations(spark):
+    """Planted dirty rows: each rule catches exactly its violations;
+    clean rules report zero with the row present."""
+    import datetime as dt
+
+    from corhist_spark.textops import denial_constraints
+
+    base = dt.datetime(2024, 1, 10)
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.05, base + dt.timedelta(days=5), 3.0),
+            (1, -5.0, 0.05, base + dt.timedelta(days=5), 3.0),   # neg price
+            (2, 100.0, 1.5, base + dt.timedelta(days=5), 3.0),   # bad disc
+            (2, 100.0, 0.05, base - dt.timedelta(days=20), 3.0), # early ship
+            (2, 100.0, 0.05, base + dt.timedelta(days=5), 3.25), # frac qty
+        ],
+        "l_orderkey long, l_extendedprice double, l_discount double,"
+        " l_shipdate timestamp, l_quantity double",
+    )
+    o = spark.createDataFrame(
+        [(1, base), (2, base)], "o_orderkey long, o_orderdate timestamp"
+    )
+    got = {r.rule: r for r in denial_constraints(li, o).collect()}
+    assert got["negative_price"].n_violations == 1
+    assert got["discount_range"].n_violations == 1
+    assert got["ship_before_order"].n_violations == 1
+    assert got["qty_not_integral"].n_violations == 1
+    assert all(r.n_rows == 5 for r in got.values())
+    assert got["negative_price"].violation_ppm == 200000
+
+
+def test_cube_profile_levels(spark):
+    """The cube covers all four grouping levels with consistent
+    totals."""
+    from corhist_spark.textops import cube_profile
+
+    d = spark.createDataFrame(
+        [(1, "s1", "en", 10), (2, "s1", "de", 20), (3, "s2", "en", 30)],
+        "doc_id long, source string, lang string, n_chars long",
+    )
+    rows = cube_profile(d).collect()
+    by = {(r.source, r.lang): r for r in rows}
+    assert by[("<all>", "<all>")].n_docs == 3
+    assert by[("<all>", "<all>")].total_chars == 60
+    assert by[("s1", "<all>")].n_docs == 2
+    assert by[("<all>", "en")].total_chars == 40
+    assert by[("s1", "en")].n_docs == 1
+    assert by[("<all>", "<all>")].gid == 3
+    assert by[("s1", "en")].gid == 0
+    assert by[("s1", "<all>")].gid == 1   # lang aggregated -> LSB
+    assert by[("<all>", "en")].gid == 2
+    assert len(rows) == 1 + 2 + 2 + 3     # all, 2 srcs, 2 langs, 3 pairs
