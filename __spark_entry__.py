@@ -5845,6 +5845,26 @@ def q_cube_profile(spark, sf_dir):
     return cube_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_merkle_manifest(spark, sf_dir):
+    """Per-shard Merkle roots (`textops.merkle_manifest`): the
+    per-partition lineage artifact — identical root iff shard content
+    is byte-identical; 10 bounded pairwise-fold levels over
+    doc_id-ordered leaf hashes."""
+    from corhist_spark.textops import merkle_manifest
+
+    return merkle_manifest(_t(spark, sf_dir, "documents"))
+
+
+def q_txn_conflicts(spark, sf_dir):
+    """Optimistic-concurrency conflict audit (`textops.
+    txn_conflicts`): two event-derived write sets, overlap counted
+    and resolved first-writer-wins — the lakehouse commit check as a
+    query."""
+    from corhist_spark.textops import txn_conflicts
+
+    return txn_conflicts(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6254,6 +6274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_report": q_returned_item_report,
         "denial_constraints": q_denial_constraints,
         "cube_profile": q_cube_profile,
+        "merkle_manifest": q_merkle_manifest,
+        "txn_conflicts": q_txn_conflicts,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -15955,5 +15977,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY CUBE (source, lang)
+    """
+    # per-shard Merkle roots (mirrors textops.merkle_manifest:
+    # unrolled pairwise fold levels, odd node promoted)
+    from corhist_spark.textops import (
+        MERKLE_LEVELS as _MK_L,
+        MERKLE_SHARD as _MK_S,
+    )
+
+    _mk_levels = []
+    for _l in range(1, _MK_L + 1):
+        _mk_levels.append(f"""mk{_l} AS MATERIALIZED (
+          SELECT source, shard, pos,
+                 CASE WHEN hr IS NOT NULL THEN md5(hl || hr)
+                      ELSE hl END AS h
+          FROM (
+            SELECT source, shard, pos // 2 AS pos,
+                   MIN(CASE WHEN pos % 2 = 0 THEN h END) AS hl,
+                   MIN(CASE WHEN pos % 2 = 1 THEN h END) AS hr
+            FROM mk{_l - 1} GROUP BY source, shard, pos // 2)
+        )""")
+    out["merkle_manifest"] = (
+        """
+        WITH leaves AS (
+          SELECT source,
+                 CAST(doc_id // """
+        + str(_MK_S)
+        + """ AS BIGINT) AS shard,
+                 CAST(doc_id AS BIGINT) AS k,
+                 md5(CAST(doc_id AS VARCHAR) || ':' || md5(text)) AS h
+          FROM documents),
+        mk0 AS MATERIALIZED (
+          SELECT source, shard,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY source, shard
+                      ORDER BY k) - 1 AS BIGINT) AS pos,
+                 h
+          FROM leaves),
+        counts AS (
+          SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM mk0 GROUP BY 1, 2),
+        """
+        + ", ".join(_mk_levels)
+        + f"""
+        SELECT c.source, c.shard, c.n_docs, m.h AS root
+        FROM counts c
+        JOIN mk{_MK_L} m ON m.source = c.source AND m.shard = c.shard
+    """
+    )
+    # OCC write-write conflict audit (mirrors textops.txn_conflicts)
+    out["txn_conflicts"] = """
+        WITH w AS (
+          SELECT CAST(event_id % 2 AS INT) AS batch,
+                 'K' || CAST(user_id % 50 AS VARCHAR) AS key,
+                 CAST(floor(epoch(ts)) AS BIGINT) * 100000000 + event_id
+                   AS wkey
+          FROM events),
+        ws AS (
+          SELECT batch, key, MAX(wkey) AS last_w FROM w GROUP BY 1, 2),
+        a AS (SELECT key, last_w AS wa FROM ws WHERE batch = 0),
+        b AS (SELECT key, last_w AS wb FROM ws WHERE batch = 1),
+        j AS (SELECT COALESCE(a.key, b.key) AS key, a.wa, b.wb
+              FROM a FULL OUTER JOIN b ON b.key = a.key)
+        SELECT CAST(SUM(CASE WHEN wa IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keys_a,
+               CAST(SUM(CASE WHEN wb IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_keys_b,
+               CAST(SUM(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_conflicts,
+               CAST(SUM(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
+                        AND wa < wb THEN 1 ELSE 0 END) AS BIGINT)
+                 AS a_wins,
+               CAST(SUM(CASE WHEN wa IS NOT NULL AND wb IS NOT NULL
+                        AND wb < wa THEN 1 ELSE 0 END) AS BIGINT)
+                 AS b_wins
+        FROM j
     """
     return out

@@ -456,6 +456,10 @@ HEADLINE = [
     # r5 batch 85: denial-constraint DQ audit and CUBE/grouping_id
     "denial_constraints",
     "cube_profile",
+    # r5 batch 86: per-shard Merkle lineage roots and the OCC
+    # write-write conflict audit
+    "merkle_manifest",
+    "txn_conflicts",
 ]
 
 

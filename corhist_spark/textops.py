@@ -6395,3 +6395,135 @@ def cube_profile(docs: DataFrame) -> DataFrame:
             "total_chars",
         )
     )
+
+
+MERKLE_SHARD = 1024
+MERKLE_LEVELS = 10  # 2^10 = shard capacity
+
+
+def merkle_manifest(docs: DataFrame) -> DataFrame:
+    """Per-shard Merkle roots over document content — the
+    per-partition LINEAGE artifact a resumable pipeline logs next to
+    its audit ledger: any re-run (or any replica) recomputes the same
+    root iff the shard's content is byte-identical, so corruption,
+    drift and partial writes surface as one hash mismatch instead of
+    a row-level diff.  Leaves are md5(doc_id:md5(text)) ordered by
+    doc_id; levels fold pairwise (odd node promoted), ``MERKLE_LEVELS``
+    levels cover the ``MERKLE_SHARD`` cap — shards are doc_id ranges,
+    so the tree shape is deterministic and engine-independent.
+
+    Output: (source, shard, n_docs, root).
+
+    Scale shape: one leaf-hash map pass, then MERKLE_LEVELS bounded
+    (source, shard, pos)-keyed aggregates, each halving the frame —
+    the total fold work is 2x the leaf count regardless of levels."""
+    leaves = docs.select(
+        "source",
+        F.expr(f"CAST(doc_id DIV {MERKLE_SHARD} AS BIGINT)").alias("shard"),
+        F.col("doc_id").cast("bigint").alias("k"),
+        F.expr(
+            "md5(concat(CAST(doc_id AS STRING), ':', md5(text)))"
+        ).alias("h"),
+    )
+    w = Window.partitionBy("source", "shard").orderBy("k")
+    cur = leaves.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("bigint")
+    ).select("source", "shard", "pos", "h")
+    counts = cur.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    for _ in range(MERKLE_LEVELS):
+        cur = (
+            cur.groupBy(
+                "source", "shard", F.expr("pos DIV 2").alias("pos")
+            )
+            .agg(
+                F.min(
+                    F.when(F.col("pos") % 2 == 0, F.col("h"))
+                ).alias("hl"),
+                F.min(
+                    F.when(F.col("pos") % 2 == 1, F.col("h"))
+                ).alias("hr"),
+            )
+            .select(
+                "source",
+                "shard",
+                "pos",
+                F.when(
+                    F.col("hr").isNotNull(),
+                    F.expr("md5(concat(hl, hr))"),
+                )
+                .otherwise(F.col("hl"))
+                .alias("h"),
+            )
+        )
+    return counts.join(
+        cur.select("source", "shard", F.col("h").alias("root")),
+        ["source", "shard"],
+    )
+
+
+def txn_conflicts(events: DataFrame) -> DataFrame:
+    """Optimistic-concurrency write-write conflict audit: two
+    'concurrent' edit batches (even/odd event ids — the deterministic
+    stand-in for two jobs committing against the same snapshot) each
+    reduce to a write set (last write per key within the batch, by
+    (ts, event_id)); the audit counts the overlapping keys and
+    resolves them first-writer-wins — exactly the check a lakehouse
+    commit protocol runs before accepting the second transaction.
+
+    One output row: write-set sizes, conflict count, wins per side
+    under first-writer (earlier winning write's (ts, event_id)).
+
+    Scale shape: one key-grain max aggregate per batch (same pass,
+    batch-tagged), one key equi-join of the two write sets."""
+    w = events.select(
+        F.expr("CAST(event_id % 2 AS INT)").alias("batch"),
+        F.concat(F.lit("K"), (F.col("user_id") % 50).cast("string")).alias(
+            "key"
+        ),
+        F.expr(
+            "CAST(floor(unix_timestamp(ts)) AS BIGINT) * 100000000"
+            " + event_id"
+        ).alias("wkey"),
+    )
+    ws = w.groupBy("batch", "key").agg(F.max("wkey").alias("last_w"))
+    a = ws.filter(F.col("batch") == 0).select(
+        "key", F.col("last_w").alias("wa")
+    )
+    b = ws.filter(F.col("batch") == 1).select(
+        "key", F.col("last_w").alias("wb")
+    )
+    j = a.join(b, "key", "full")
+    return j.agg(
+        F.sum(F.expr("CASE WHEN wa IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_keys_a"),
+        F.sum(F.expr("CASE WHEN wb IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_keys_b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN wa IS NOT NULL AND wb IS NOT NULL"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_conflicts"),
+        F.sum(
+            F.expr(
+                "CASE WHEN wa IS NOT NULL AND wb IS NOT NULL"
+                " AND wa < wb THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("a_wins"),
+        F.sum(
+            F.expr(
+                "CASE WHEN wa IS NOT NULL AND wb IS NOT NULL"
+                " AND wb < wa THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("b_wins"),
+    )

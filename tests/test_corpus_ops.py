@@ -4396,3 +4396,68 @@ def test_cube_profile_levels(spark):
     assert by[("s1", "<all>")].gid == 1   # lang aggregated -> LSB
     assert by[("<all>", "en")].gid == 2
     assert len(rows) == 1 + 2 + 2 + 3     # all, 2 srcs, 2 langs, 3 pairs
+
+
+def test_merkle_manifest_exact_and_sensitive(spark):
+    """The root matches a pure-Python fold, is insensitive to input
+    row order, and flips on any single-document content change."""
+    import hashlib
+
+    from corhist_spark.textops import merkle_manifest, MERKLE_LEVELS
+
+    rows = [(i, f"text {i}", "s1", 10) for i in range(5)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = merkle_manifest(d).collect()[0]
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    level = [md5(f"{i}:{md5(f'text {i}')}") for i in range(5)]
+    for _ in range(MERKLE_LEVELS):
+        nxt = []
+        for i in range(0, len(level), 2):
+            if i + 1 < len(level):
+                nxt.append(md5(level[i] + level[i + 1]))
+            else:
+                nxt.append(level[i])
+        level = nxt
+    assert (got.n_docs, got.root) == (5, level[0])
+    # order-insensitive
+    d2 = spark.createDataFrame(
+        list(reversed(rows)),
+        "doc_id long, text string, source string, n_chars long",
+    )
+    assert merkle_manifest(d2).collect()[0].root == got.root
+    # content-sensitive
+    rows3 = rows[:2] + [(2, "text 2 CHANGED", "s1", 10)] + rows[3:]
+    d3 = spark.createDataFrame(
+        rows3, "doc_id long, text string, source string, n_chars long"
+    )
+    assert merkle_manifest(d3).collect()[0].root != got.root
+
+
+def test_txn_conflicts_first_writer_wins(spark):
+    """Planted overlapping write sets: conflicts and the first-writer
+    resolution counted exactly."""
+    import datetime as dt
+
+    from corhist_spark.textops import txn_conflicts
+
+    base = dt.datetime(2024, 1, 1)
+    # users 0,1 written by BOTH batches; user 2 only even; user 3 only
+    # odd. Even batch writes user 0 EARLIER, odd writes user 1 earlier.
+    rows = [
+        (0, base + dt.timedelta(minutes=1), 0),    # even, u0 early
+        (1, base + dt.timedelta(minutes=9), 0),    # odd,  u0 late
+        (2, base + dt.timedelta(minutes=8), 1),    # even, u1 late
+        (3, base + dt.timedelta(minutes=2), 1),    # odd,  u1 early
+        (4, base + dt.timedelta(minutes=3), 2),    # even only
+        (5, base + dt.timedelta(minutes=4), 3),    # odd only
+    ]
+    d = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    r = txn_conflicts(d).collect()[0]
+    assert (r.n_keys_a, r.n_keys_b) == (3, 3)
+    assert r.n_conflicts == 2
+    assert (r.a_wins, r.b_wins) == (1, 1)
