@@ -5865,6 +5865,24 @@ def q_txn_conflicts(spark, sf_dir):
     return txn_conflicts(_t(spark, sf_dir, "events"))
 
 
+def q_knn_filtered(spark, sf_dir):
+    """Attribute-filtered vector search (`similarity.knn_filtered`):
+    exact cosine top-3 AMONG label-1 vectors for the first 10
+    queries — the filtered-ANN semantics a post-filter gets wrong."""
+    from corhist_spark.similarity import knn_filtered
+
+    return knn_filtered(_t(spark, sf_dir, "embeddings"))
+
+
+def q_good_turing(spark, sf_dir):
+    """Good-Turing smoothing statistics (`textops.good_turing`):
+    token freq-of-freq table with r* in milli and per-r probability
+    mass in ppm."""
+    from corhist_spark.textops import good_turing
+
+    return good_turing(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6276,6 +6294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_profile": q_cube_profile,
         "merkle_manifest": q_merkle_manifest,
         "txn_conflicts": q_txn_conflicts,
+        "knn_filtered": q_knn_filtered,
+        "good_turing": q_good_turing,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -16051,5 +16071,56 @@ def oracle_sql() -> dict[str, str]:
                         AND wb < wa THEN 1 ELSE 0 END) AS BIGINT)
                  AS b_wins
         FROM j
+    """
+    # attribute-filtered vector search (mirrors similarity.knn_filtered)
+    from corhist_spark.similarity import KNN_FILTER_LABEL as _KF_L
+
+    out["knn_filtered"] = f"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), n AS (
+          SELECT vec_id, label, v,
+                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+          FROM e
+        ), p AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                 ROUND(list_inner_product(q.v, d.v) / (q.nrm * d.nrm), 3)
+                   AS sim
+          FROM n q JOIN n d ON d.vec_id <> q.vec_id
+          WHERE q.vec_id < 10 AND d.label = {_KF_L}
+        )
+        SELECT query_id, neighbor_id, sim, rn FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rn
+          FROM p
+        ) WHERE rn <= 3
+    """
+    # Good-Turing smoothing statistics (mirrors textops.good_turing)
+    out["good_turing"] = """
+        WITH toks AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS tok
+          FROM documents
+        ), counts AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+          FROM toks WHERE length(tok) > 0 GROUP BY tok
+        ), fof AS (
+          SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+          FROM counts GROUP BY r
+        ), tot AS (
+          SELECT SUM(r * n_r) AS n_tokens FROM fof
+        ), led AS (
+          SELECT r, n_r,
+                 LEAD(r) OVER (ORDER BY r) AS r_next,
+                 LEAD(n_r) OVER (ORDER BY r) AS n_next
+          FROM fof)
+        SELECT r, n_r,
+               CAST(CASE WHEN r_next = r + 1 THEN
+                    (1000 * (r + 1) * n_next) // n_r END AS BIGINT)
+                 AS r_star_milli,
+               CAST((1000000 * n_r * r) // (SELECT n_tokens FROM tot)
+                    AS BIGINT) AS mass_ppm
+        FROM led
     """
     return out

@@ -460,6 +460,10 @@ HEADLINE = [
     # write-write conflict audit
     "merkle_manifest",
     "txn_conflicts",
+    # r5 batch 87: attribute-filtered vector search and Good-Turing
+    # smoothing statistics
+    "knn_filtered",
+    "good_turing",
 ]
 
 

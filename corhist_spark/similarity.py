@@ -1329,3 +1329,62 @@ def pq_audit(
         ),
         F.sum("err").cast("bigint").alias("total_sq_err"),
     )
+
+
+KNN_FILTER_LABEL = 1
+
+
+def knn_filtered(
+    embeddings: DataFrame,
+    label: int = KNN_FILTER_LABEL,
+    k: int = 3,
+    n_queries: int = 10,
+    round_to: int = 3,
+) -> DataFrame:
+    """Attribute-filtered vector search — the production case vanilla
+    ANN indexes handle badly (a post-filter after top-k starves
+    selective filters; the correct semantics is top-k AMONG the
+    filtered set, which is what this computes): exact cosine top-k
+    over only the corpus vectors carrying ``label``, for the first
+    ``n_queries`` query vectors of any label.  Exactness baseline
+    with the same hard query cap as knn_bruteforce — the scale path
+    composes the filter into the IVF cell scan (filter BEFORE
+    scoring; per-cell candidate lists shrink with selectivity).
+
+    Returns (query_id, neighbor_id, sim, rn)."""
+    if n_queries > MAX_BRUTEFORCE_QUERIES:
+        raise ValueError(
+            f"knn_filtered is the small-query-side baseline (n_queries <="
+            f" {MAX_BRUTEFORCE_QUERIES})"
+        )
+    e = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    d = e.filter(F.col("label") == int(label)).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("dv"),
+        F.col("nrm").alias("dn"),
+    )
+    sims = (
+        q.crossJoin(d)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn")),
+                round_to,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )

@@ -6527,3 +6527,49 @@ def txn_conflicts(events: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("b_wins"),
     )
+
+
+def good_turing(docs: DataFrame) -> DataFrame:
+    """Good-Turing frequency smoothing statistics (Good 1953): the
+    frequency-of-frequencies table of the token unigram distribution
+    with the GT adjusted count r* = (r+1) * N_{r+1} / N_r in milli,
+    and the unseen-mass estimate p0 = N_1 / N in ppm — the numbers an
+    n-gram LM (or a coverage forecaster: 'how much new vocab will the
+    next crawl add?') reads off before smoothing.  r* is NULL where
+    N_{r+1} is empty (the unsmoothed-tail honesty; Katz backoff
+    regresses those).
+
+    Scale shape: one token explode + (token) count, one (r) count of
+    counts — the freq-of-freq frame is tiny — then a LEAD window on
+    it."""
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    fof = counts.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("r")
+    return (
+        fof.withColumn("r_next", F.lead("r").over(w))
+        .withColumn("n_next", F.lead("n_r").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("r_next") == F.col("r") + 1,
+                F.expr("(1000 * (r + 1) * n_next) DIV n_r"),
+            )
+            .cast("bigint")
+            .alias("r_star_milli"),
+            F.expr("(1000000 * n_r * r) DIV n_tokens")
+            .cast("bigint")
+            .alias("mass_ppm"),
+        )
+    )

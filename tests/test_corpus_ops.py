@@ -4461,3 +4461,71 @@ def test_txn_conflicts_first_writer_wins(spark):
     assert (r.n_keys_a, r.n_keys_b) == (3, 3)
     assert r.n_conflicts == 2
     assert (r.a_wins, r.b_wins) == (1, 1)
+
+
+def test_knn_filtered_semantics(spark):
+    """Filtered top-k must equal brute force over ONLY the labeled
+    subset — a post-filtered unfiltered top-k would differ on the
+    planted layout."""
+    import math
+
+    from corhist_spark.similarity import knn_filtered
+
+    # queries 0,1; label-1 corpus vectors are FAR from the queries,
+    # label-0 vectors are near: post-filtering an unfiltered top-3
+    # would return nothing, the correct filtered search returns the
+    # far label-1 vectors.
+    pts = [
+        (0, [1.0, 0.0], 0), (1, [0.99, 0.1], 0),
+        (2, [0.98, 0.05], 0), (3, [0.97, 0.2], 0),   # near, label 0
+        (10, [0.0, 1.0], 1), (11, [0.1, 1.0], 1),
+        (12, [-0.2, 1.0], 1), (13, [0.2, 0.9], 1),   # far, label 1
+    ]
+    d = spark.createDataFrame(
+        pts, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r.query_id, r.rn): (r.neighbor_id, r.sim)
+        for r in knn_filtered(d, label=1, k=3, n_queries=2).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(
+            num / (math.sqrt(sum(x * x for x in a))
+                   * math.sqrt(sum(x * x for x in b))), 3
+        )
+
+    for qid in (0, 1):
+        qv = dict((i, v) for i, v, _ in pts)[qid]
+        cands = sorted(
+            ((cos(qv, v), -i) for i, v, l in pts if l == 1),
+            reverse=True,
+        )[:3]
+        for rn, (sim, negi) in enumerate(cands, 1):
+            nid, s = got[(qid, rn)]
+            assert nid == -negi and abs(s - sim) < 1e-9, (qid, rn)
+    # every returned neighbor is label 1
+    assert all(nid >= 10 for nid, _ in got.values())
+
+
+def test_good_turing_exact(spark):
+    """Planted token counts: freq-of-freq, r*, and mass match hand
+    arithmetic (classic GT sanity: r*_1 relates singletons to
+    doubletons)."""
+    from corhist_spark.textops import good_turing
+
+    # tokens: 'a' x1, 'b' x1, 'c' x1 (N1=3); 'd' x2 (N2=1); 'e' x4
+    rows = [(1, "a b c d d e e e e")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.r: r for r in good_turing(d).collect()}
+    assert got[1].n_r == 3 and got[2].n_r == 1 and got[4].n_r == 1
+    # r*=...: r=1: (2 * N2)/N1 = 2/3 -> 666 milli
+    assert got[1].r_star_milli == (1000 * 2 * 1) // 3
+    # r=2: next r is 4, not 3 -> NULL
+    assert got[2].r_star_milli is None
+    assert got[4].r_star_milli is None
+    # masses: N=9 tokens; r=1 mass 3/9, r=2 mass 2/9, r=4 mass 4/9
+    assert got[1].mass_ppm == (10**6 * 3) // 9
+    assert got[2].mass_ppm == (10**6 * 2) // 9
+    assert got[4].mass_ppm == (10**6 * 4) // 9
