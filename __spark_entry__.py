@@ -5883,6 +5883,25 @@ def q_good_turing(spark, sf_dir):
     return good_turing(_t(spark, sf_dir, "documents"))
 
 
+def q_nextevent_eval(spark, sf_dir):
+    """Next-event popularity-baseline eval (`textops.nextevent_eval`):
+    hit@1 and MRR of the global-popularity prediction per preceding
+    type — the floor a sequence model must beat."""
+    from corhist_spark.textops import nextevent_eval
+
+    return nextevent_eval(_t(spark, sf_dir, "events"))
+
+
+def q_synthetic_marginals(spark, sf_dir):
+    """Synthetic-release audit (`textops.synthetic_marginals`):
+    hash-sampled independent-marginal regeneration of the orders
+    categoricals; marginal TVDs ~0, joint dependence destroyed —
+    all integer ppm."""
+    from corhist_spark.textops import synthetic_marginals
+
+    return synthetic_marginals(_t(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6296,6 +6315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txn_conflicts": q_txn_conflicts,
         "knn_filtered": q_knn_filtered,
         "good_turing": q_good_turing,
+        "nextevent_eval": q_nextevent_eval,
+        "synthetic_marginals": q_synthetic_marginals,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -16122,5 +16143,102 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * n_r * r) // (SELECT n_tokens FROM tot)
                     AS BIGINT) AS mass_ppm
         FROM led
+    """
+    # next-event popularity baseline (mirrors textops.nextevent_eval)
+    out["nextevent_eval"] = """
+        WITH pop AS (
+          SELECT event_type AS next_type,
+                 ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                      event_type ASC) AS prank
+          FROM events GROUP BY event_type),
+        trans AS (
+          SELECT event_type AS prev_type,
+                 LEAD(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS next_type
+          FROM events)
+        SELECT t.prev_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST((1000 * SUM(CASE WHEN p.prank = 1 THEN 1
+                                ELSE 0 END)) // COUNT(*) AS BIGINT)
+                 AS hit1_pm,
+               CAST(SUM(1000 // p.prank) // COUNT(*) AS BIGINT)
+                 AS mrr_milli
+        FROM trans t JOIN pop p ON p.next_type = t.next_type
+        WHERE t.next_type IS NOT NULL
+        GROUP BY t.prev_type
+    """
+    # synthetic-marginals release audit (mirrors
+    # textops.synthetic_marginals; columns from SYN_COLS)
+    from corhist_spark.textops import SYN_COLS as _SYN_C
+
+    _sc_a, _sc_b = _SYN_C
+    _syn_r = {
+        c: hexval_sql(f"'syn:{c}:' || CAST(o_orderkey AS VARCHAR)")
+        for c in _SYN_C
+    }
+    out["synthetic_marginals"] = f"""
+        WITH nn AS (SELECT COUNT(*) AS n FROM orders),
+        ma AS (
+          SELECT {_sc_a} AS val, COUNT(*) AS cnt,
+                 SUM(COUNT(*)) OVER (ORDER BY {_sc_a}) - COUNT(*) AS lo,
+                 SUM(COUNT(*)) OVER (ORDER BY {_sc_a}) AS hi
+          FROM orders GROUP BY {_sc_a}),
+        mb AS (
+          SELECT {_sc_b} AS val, COUNT(*) AS cnt,
+                 SUM(COUNT(*)) OVER (ORDER BY {_sc_b}) - COUNT(*) AS lo,
+                 SUM(COUNT(*)) OVER (ORDER BY {_sc_b}) AS hi
+          FROM orders GROUP BY {_sc_b}),
+        synth AS MATERIALIZED (
+          SELECT o.o_orderkey AS i, a.val AS {_sc_a}, b.val AS {_sc_b}
+          FROM orders o
+          JOIN ma a ON ({_syn_r[_sc_a]}) % (SELECT n FROM nn) >= a.lo
+                   AND ({_syn_r[_sc_a]}) % (SELECT n FROM nn) < a.hi
+          JOIN mb b ON ({_syn_r[_sc_b]}) % (SELECT n FROM nn) >= b.lo
+                   AND ({_syn_r[_sc_b]}) % (SELECT n FROM nn) < b.hi),
+        mta AS (
+          SELECT CAST((1000000 * SUM(ABS(COALESCE(r.nr, 0)
+                       - COALESCE(s.ns, 0))))
+                 // (2 * (SELECT n FROM nn)) AS BIGINT) AS v
+          FROM (SELECT {_sc_a} AS val, COUNT(*) AS nr FROM orders
+                GROUP BY 1) r
+          FULL OUTER JOIN (SELECT {_sc_a} AS val, COUNT(*) AS ns
+                FROM synth GROUP BY 1) s ON s.val = r.val),
+        mtb AS (
+          SELECT CAST((1000000 * SUM(ABS(COALESCE(r.nr, 0)
+                       - COALESCE(s.ns, 0))))
+                 // (2 * (SELECT n FROM nn)) AS BIGINT) AS v
+          FROM (SELECT {_sc_b} AS val, COUNT(*) AS nr FROM orders
+                GROUP BY 1) r
+          FULL OUTER JOIN (SELECT {_sc_b} AS val, COUNT(*) AS ns
+                FROM synth GROUP BY 1) s ON s.val = r.val),
+        jreal AS (
+          SELECT CAST((1000000 * SUM(ABS(COALESCE(c.nc, 0)
+                       * (SELECT n FROM nn) - ra.na * rb.nb)))
+                 // (2 * (SELECT n FROM nn) * (SELECT n FROM nn))
+                 AS BIGINT) AS v
+          FROM (SELECT {_sc_a} AS va, COUNT(*) AS na FROM orders
+                GROUP BY 1) ra
+          CROSS JOIN (SELECT {_sc_b} AS vb, COUNT(*) AS nb FROM orders
+                GROUP BY 1) rb
+          LEFT JOIN (SELECT {_sc_a} AS va, {_sc_b} AS vb, COUNT(*) AS nc
+                FROM orders GROUP BY 1, 2) c
+            ON c.va = ra.va AND c.vb = rb.vb),
+        jsyn AS (
+          SELECT CAST((1000000 * SUM(ABS(COALESCE(c.nc, 0)
+                       * (SELECT n FROM nn) - ra.na * rb.nb)))
+                 // (2 * (SELECT n FROM nn) * (SELECT n FROM nn))
+                 AS BIGINT) AS v
+          FROM (SELECT {_sc_a} AS va, COUNT(*) AS na FROM synth
+                GROUP BY 1) ra
+          CROSS JOIN (SELECT {_sc_b} AS vb, COUNT(*) AS nb FROM synth
+                GROUP BY 1) rb
+          LEFT JOIN (SELECT {_sc_a} AS va, {_sc_b} AS vb, COUNT(*) AS nc
+                FROM synth GROUP BY 1, 2) c
+            ON c.va = ra.va AND c.vb = rb.vb)
+        SELECT 'marginal_tvd:{_sc_a}' AS metric, v AS tvd_ppm FROM mta
+        UNION ALL
+        SELECT 'marginal_tvd:{_sc_b}', v FROM mtb
+        UNION ALL SELECT 'joint_tvd_real', v FROM jreal
+        UNION ALL SELECT 'joint_tvd_synth', v FROM jsyn
     """
     return out

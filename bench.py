@@ -464,6 +464,10 @@ HEADLINE = [
     # smoothing statistics
     "knn_filtered",
     "good_turing",
+    # r5 batch 88: next-event popularity-baseline eval and the
+    # synthetic-marginals release audit
+    "nextevent_eval",
+    "synthetic_marginals",
 ]
 
 

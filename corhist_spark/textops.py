@@ -6573,3 +6573,167 @@ def good_turing(docs: DataFrame) -> DataFrame:
             .alias("mass_ppm"),
         )
     )
+
+
+def nextevent_eval(events: DataFrame) -> DataFrame:
+    """Next-event prediction eval of the popularity baseline — the
+    floor any sequence model must beat: for every consecutive
+    user-event transition, the 'prediction' is the globally most
+    frequent event type (ranking by count desc, name asc), scored
+    hit@1 and MRR against the actual next event, broken out by the
+    PRECEDING type so the table shows exactly where conditioning on
+    history would pay.  Integer: per-transition reciprocal rank
+    floors to milli first (documented), hit rate in per-mille.
+
+    Scale shape: one per-user lag window (user-partitioned), the
+    type-count ranking is a broadcast of |types| rows, one
+    (prev_type) rollup."""
+    pop = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    rank = pop.select(
+        F.col("event_type").alias("next_type"),
+        F.row_number().over(wr).cast("bigint").alias("prank"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(wu))
+        .filter(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("prev_type"), "next_type")
+    )
+    scored = trans.join(F.broadcast(rank), "next_type")
+    return scored.groupBy("prev_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        F.expr(
+            "(1000 * SUM(CASE WHEN prank = 1 THEN 1 ELSE 0 END))"
+            " DIV COUNT(*)"
+        )
+        .cast("bigint")
+        .alias("hit1_pm"),
+        F.expr("SUM(1000 DIV prank) DIV COUNT(*)")
+        .cast("bigint")
+        .alias("mrr_milli"),
+    )
+
+
+SYN_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def synthetic_marginals(orders: DataFrame) -> DataFrame:
+    """Synthetic-data-release audit (the Datasynthesizer/'independent
+    attribute mode' contract): regenerate each categorical column
+    independently from its own marginal via deterministic
+    hash-positioned inverse-CDF sampling, then measure what survived
+    — per-column marginal total-variation distance (should be ~0:
+    marginals are preserved up to sampling noise) and the JOINT
+    total-variation distance from the product of marginals, real vs
+    synthetic (real keeps its dependence; synthetic destroys it —
+    that destruction IS the privacy mechanism, and this audit prices
+    it).  All integer ppm, cross-multiplied (tvd = sum|n_cell*N -
+    n_row*n_col| / (2*N^2)).
+
+    Scale shape: marginal frames are category-sized; the synthetic
+    assignment is one hash map pass joined against broadcast
+    inverse-CDF tables; joints are category^2-sized aggregates."""
+    n_all = orders.count()
+    cols = SYN_COLS
+
+    def marginal(col):
+        w = Window.orderBy(col)
+        return (
+            orders.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(w))
+            .select(
+                F.col(col).alias("val"),
+                "cnt",
+                (F.col("cum") - F.col("cnt")).alias("lo"),
+                F.col("cum").alias("hi"),
+            )
+        )
+
+    synth = orders.select(F.col("o_orderkey").cast("bigint").alias("i"))
+    for col in cols:
+        m = marginal(col)
+        r = F.expr(
+            f"CAST(conv(substr(md5(concat('syn:{col}:',"
+            f" CAST(i AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+            f" % {int(n_all)}"
+        )
+        synth = (
+            synth.withColumn("r", r)
+            .join(
+                F.broadcast(m),
+                (F.col("r") >= F.col("lo")) & (F.col("r") < F.col("hi")),
+            )
+            .select("i", *[c for c in synth.columns if c != "i" and c != "r"],
+                    F.col("val").alias(col))
+        )
+
+    def tvd(df, a, b):
+        cells = df.groupBy(a, b).agg(
+            F.count(F.lit(1)).cast("bigint").alias("nc")
+        )
+        ra = df.groupBy(a).agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+        rb = df.groupBy(b).agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+        full = (
+            ra.crossJoin(rb)
+            .join(cells, [a, b], "left")
+            .select(
+                F.coalesce("nc", F.lit(0)).alias("nc"), "na", "nb"
+            )
+        )
+        return full.agg(
+            F.expr(
+                f"(1000000 * SUM(ABS(nc * {int(n_all)}L - na * nb)))"
+                f" DIV (2L * {int(n_all)}L * {int(n_all)}L)"
+            )
+            .cast("bigint")
+            .alias("v")
+        )
+
+    def marg_tvd(col):
+        real = orders.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("nr")
+        )
+        syn = synth.groupBy(F.col(col).alias("val")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("ns")
+        )
+        return (
+            real.join(syn, "val", "full")
+            .select(
+                F.coalesce("nr", F.lit(0)).alias("nr"),
+                F.coalesce("ns", F.lit(0)).alias("ns"),
+            )
+            .agg(
+                F.expr(
+                    f"(1000000 * SUM(ABS(nr - ns))) DIV (2L * {int(n_all)}L)"
+                )
+                .cast("bigint")
+                .alias("v")
+            )
+        )
+
+    a, b = cols
+    rows = (
+        marg_tvd(a).select(F.lit(f"marginal_tvd:{a}").alias("metric"), "v")
+        .unionByName(
+            marg_tvd(b).select(
+                F.lit(f"marginal_tvd:{b}").alias("metric"), "v"
+            )
+        )
+        .unionByName(
+            tvd(orders, a, b).select(
+                F.lit("joint_tvd_real").alias("metric"), "v"
+            )
+        )
+        .unionByName(
+            tvd(synth, a, b).select(
+                F.lit("joint_tvd_synth").alias("metric"), "v"
+            )
+        )
+    )
+    return rows.select("metric", F.col("v").alias("tvd_ppm"))

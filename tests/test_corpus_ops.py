@@ -4529,3 +4529,54 @@ def test_good_turing_exact(spark):
     assert got[1].mass_ppm == (10**6 * 3) // 9
     assert got[2].mass_ppm == (10**6 * 2) // 9
     assert got[4].mass_ppm == (10**6 * 4) // 9
+
+
+def test_nextevent_eval_exact(spark):
+    """Planted transitions: hit@1 counts transitions into the
+    top-popular type; MRR floors per transition."""
+    import datetime as dt
+
+    from corhist_spark.textops import nextevent_eval
+
+    base = dt.datetime(2024, 1, 1)
+    # popularity: X x6, Y x4, Z x2 -> ranks X=1, Y=2, Z=3
+    seq = ["X", "Y", "X", "Z", "X", "Y", "X", "Y", "X", "Z", "X", "Y"]
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, t) for i, t in enumerate(seq)
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r.prev_type: r for r in nextevent_eval(d).collect()}
+    # transitions from X: -> Y,Z,Y,Y,Z,Y (6): hits(next==X)=0
+    assert got["X"].n_transitions == 6
+    assert got["X"].hit1_pm == 0
+    # from Y: -> X,X,X (3): all hit
+    assert got["Y"].n_transitions == 3
+    assert got["Y"].hit1_pm == 1000
+    assert got["Y"].mrr_milli == 1000
+    # from X MRR: nexts are Y(rank2) x4, Z(rank3) x2:
+    # (4*500 + 2*333) // 6 = 2666 // 6 = 444
+    assert got["X"].mrr_milli == (4 * 500 + 2 * 333) // 6
+
+
+def test_synthetic_marginals_contract(spark):
+    """A strongly dependent planted table: marginal TVDs stay small,
+    real joint TVD is large, synthetic joint TVD collapses."""
+    from corhist_spark.textops import synthetic_marginals
+
+    # perfect dependence: status == priority group
+    rows = [(i, "A" if i % 2 == 0 else "B",
+             "P1" if i % 2 == 0 else "P2") for i in range(400)]
+    d = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderstatus string, o_orderpriority string"
+    )
+    got = {r.metric: r.tvd_ppm for r in synthetic_marginals(d).collect()}
+    # joint real: cells (1/2,1/2,0,0) vs products (all 1/4):
+    # sum|diff| = 1 -> TVD = 1/2 = 500000
+    assert got["joint_tvd_real"] == 500_000
+    # synthetic: dependence destroyed (sampling noise only)
+    assert got["joint_tvd_synth"] < 100_000
+    # marginals preserved up to hash-sampling noise
+    assert got["marginal_tvd:o_orderstatus"] < 100_000
+    assert got["marginal_tvd:o_orderpriority"] < 100_000
