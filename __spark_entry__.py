@@ -5902,6 +5902,24 @@ def q_synthetic_marginals(spark, sf_dir):
     return synthetic_marginals(_t(spark, sf_dir, "orders"))
 
 
+def q_dim_energy(spark, sf_dir):
+    """Per-dimension embedding energy curve (`similarity.dim_energy`):
+    exact integer variance numerators, energy share and descending
+    cumulative share — the Matryoshka-truncation audit."""
+    from corhist_spark.similarity import dim_energy
+
+    return dim_energy(_t(spark, sf_dir, "embeddings"))
+
+
+def q_design_effect(spark, sf_dir):
+    """Cluster-sampling design effect (`textops.design_effect`, Kish
+    1965): ANOVA ICC of doc length within sources, DEFF in milli —
+    prices block (per-source) sampling against SRS."""
+    from corhist_spark.textops import design_effect
+
+    return design_effect(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6317,6 +6335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "nextevent_eval": q_nextevent_eval,
         "synthetic_marginals": q_synthetic_marginals,
+        "dim_energy": q_dim_energy,
+        "design_effect": q_design_effect,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -16240,5 +16260,67 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'marginal_tvd:{_sc_b}', v FROM mtb
         UNION ALL SELECT 'joint_tvd_real', v FROM jreal
         UNION ALL SELECT 'joint_tvd_synth', v FROM jsyn
+    """
+    # embedding dimension energy (mirrors similarity.dim_energy)
+    out["dim_energy"] = """
+        WITH q AS (
+          SELECT list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS qv
+          FROM embeddings),
+        ex AS (
+          SELECT CAST(i - 1 AS BIGINT) AS dim, qv[CAST(i AS INT)] AS x
+          FROM (SELECT qv, unnest(generate_series(1, len(qv))) AS i
+                FROM q)),
+        per AS (
+          SELECT dim,
+                 CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+                   AS var_num
+          FROM ex GROUP BY dim),
+        tot AS (SELECT SUM(var_num) AS tv FROM per)
+        SELECT dim, var_num,
+               CAST((1000000 * var_num) // (SELECT tv FROM tot)
+                    AS BIGINT) AS energy_ppm,
+               CAST(ROW_NUMBER() OVER (ORDER BY var_num DESC, dim ASC)
+                    AS BIGINT) AS energy_rank,
+               CAST((1000000 * SUM(var_num) OVER (ORDER BY var_num DESC,
+                    dim ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW)) // (SELECT tv FROM tot) AS BIGINT)
+                 AS cum_energy_ppm
+        FROM per
+    """
+    # cluster-sampling design effect (mirrors textops.design_effect)
+    out["design_effect"] = """
+        WITH per AS (
+          SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(n_chars) AS BIGINT) AS s_g,
+                 CAST(SUM(n_chars * n_chars) AS BIGINT) AS q_g
+          FROM documents GROUP BY 1),
+        comps AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(n_g) AS BIGINT) AS n,
+                 CAST(SUM(s_g) AS BIGINT) AS s,
+                 CAST(SUM(q_g - (s_g * s_g) // n_g) AS BIGINT) AS ssw,
+                 CAST(SUM((s_g * s_g) // n_g) AS BIGINT) AS ssb_raw
+          FROM per),
+        s1 AS (
+          SELECT k, n, ssb_raw - (s * s) // n AS ssb, ssw FROM comps),
+        s2 AS (
+          SELECT k, n, ssb, ssw,
+                 ssb // (k - 1) AS msb, ssw // (n - k) AS msw
+          FROM s1),
+        s3 AS (
+          SELECT k, n, ssb, ssw,
+                 CASE WHEN msb + ((n // k) - 1) * msw > 0 THEN
+                      greatest(0, (1000000 * (msb - msw))
+                      // (msb + ((n // k) - 1) * msw)) ELSE 0 END
+                   AS icc_ppm
+          FROM s2)
+        SELECT k, n, CAST(ssb AS BIGINT) AS ssb,
+               CAST(ssw AS BIGINT) AS ssw,
+               CAST(icc_ppm AS BIGINT) AS icc_ppm,
+               CAST(1000 + (((n // k) - 1) * icc_ppm * 1000) // 1000000
+                    AS BIGINT) AS deff_milli
+        FROM s3
     """
     return out

@@ -468,6 +468,10 @@ HEADLINE = [
     # synthetic-marginals release audit
     "nextevent_eval",
     "synthetic_marginals",
+    # r5 batch 89: embedding dimension-energy curve and the
+    # cluster-sampling design effect
+    "dim_energy",
+    "design_effect",
 ]
 
 

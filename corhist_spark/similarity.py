@@ -1388,3 +1388,59 @@ def knn_filtered(
     return sims.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
+
+
+def dim_energy(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension variance energy of the embedding space — the
+    truncation audit behind Matryoshka/PCA-style dimensionality
+    decisions: variance per coordinate (exact integer moment sums on
+    the milli-quantized vectors), each dimension's share of total
+    energy in ppm, and the cumulative share in DESCENDING energy
+    order — read off how many dimensions hold 90% before paying for
+    all of them.
+
+    Output per dim: (dim, var_num — the exact n*sum(x^2)-sum(x)^2
+    numerator, energy_ppm, cum_energy_ppm, energy_rank).
+
+    Scale shape: one posexplode map pass into a (dim) aggregate — the
+    output frame is dimension-sized; the ranking windows run on it."""
+    q = embeddings.select(
+        _quantized(_as_double(F.col("embedding"))).alias("qv")
+    )
+    per = (
+        q.select(F.posexplode("qv").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("bigint")
+            .alias("var_num"),
+        )
+    )
+    tot = per.agg(F.sum("var_num").cast("bigint").alias("tv"))
+    w = Window.orderBy(F.col("var_num").desc(), F.col("dim").asc())
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "energy_ppm",
+            F.expr("(1000000 * var_num) DIV tv").cast("bigint"),
+        )
+        .withColumn(
+            "energy_rank", F.row_number().over(w).cast("bigint")
+        )
+        .withColumn(
+            "cum_energy_ppm",
+            F.expr(
+                "(1000000 * SUM(var_num) OVER (ORDER BY var_num DESC,"
+                " dim ASC ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                " CURRENT ROW)) DIV tv"
+            ).cast("bigint"),
+        )
+        .select("dim", "var_num", "energy_ppm", "energy_rank",
+                "cum_energy_ppm")
+    )

@@ -6737,3 +6737,71 @@ def synthetic_marginals(orders: DataFrame) -> DataFrame:
         )
     )
     return rows.select("metric", F.col("v").alias("tvd_ppm"))
+
+
+def design_effect(docs: DataFrame) -> DataFrame:
+    """Cluster-sampling design effect (Kish 1965): if you sample
+    whole SOURCES (blocks) instead of documents, how much does the
+    variance of a mean estimate inflate?  DEFF = 1 + (m-1)*ICC with
+    the one-way-ANOVA intraclass correlation — ICC near 0 means
+    block sampling is nearly free, ICC near 1 means a block sample
+    of k sources carries only ~k effective observations.  The number
+    that justifies (or kills) per-file and per-shard sampling plans.
+
+    Integer with documented floor points: per-group SS terms floor
+    once (S_g^2 DIV n_g), mean squares floor at their divisions, ICC
+    in ppm, DEFF in milli.
+
+    Scale shape: one (source) aggregate of three sums; everything
+    after runs on the group-count-sized frame."""
+    per = docs.select(
+        F.col("source").alias("g"),
+        F.col("n_chars").cast("bigint").alias("y"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("s_g"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("q_g"),
+    )
+    comps = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum(F.expr("q_g - (s_g * s_g) DIV n_g"))
+        .cast("bigint")
+        .alias("ssw"),
+        F.sum(F.expr("(s_g * s_g) DIV n_g")).cast("bigint").alias("ssb_raw"),
+    )
+    return comps.select(
+        "k",
+        "n",
+        F.expr("ssb_raw - (s * s) DIV n").cast("bigint").alias("ssb"),
+        "ssw",
+    ).select(
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        F.expr("ssb DIV (k - 1)").cast("bigint").alias("msb"),
+        F.expr("ssw DIV (n - k)").cast("bigint").alias("msw"),
+    ).select(
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        F.expr(
+            "CASE WHEN msb + ((n DIV k) - 1) * msw > 0 THEN"
+            " greatest(0, (1000000 * (msb - msw))"
+            " DIV (msb + ((n DIV k) - 1) * msw)) ELSE 0 END"
+        )
+        .cast("bigint")
+        .alias("icc_ppm"),
+    ).select(
+        "k",
+        "n",
+        "ssb",
+        "ssw",
+        "icc_ppm",
+        F.expr("1000 + (((n DIV k) - 1) * icc_ppm * 1000) DIV 1000000")
+        .cast("bigint")
+        .alias("deff_milli"),
+    )

@@ -4580,3 +4580,58 @@ def test_synthetic_marginals_contract(spark):
     # marginals preserved up to hash-sampling noise
     assert got["marginal_tvd:o_orderstatus"] < 100_000
     assert got["marginal_tvd:o_orderpriority"] < 100_000
+
+
+def test_dim_energy_exact(spark):
+    """Planted vectors with one dominant dimension: energy order,
+    shares and cumulative curve match hand sums."""
+    from corhist_spark.similarity import dim_energy
+
+    pts = [
+        (0, [0.0, 0.5, 0.0]), (1, [0.001, -0.5, 0.1]),
+        (2, [0.0, 0.5, -0.1]), (3, [0.001, -0.5, 0.2]),
+    ]
+    d = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    got = {r.dim: r for r in dim_energy(d).collect()}
+    import math
+
+    import numpy as np
+
+    # quantize through float32 exactly as the stored column does
+    q = [
+        [math.floor(float(np.float32(x)) * 1000) for x in v]
+        for _, v in pts
+    ]
+    vn = []
+    for dim in range(3):
+        xs = [row[dim] for row in q]
+        vn.append(len(xs) * sum(x * x for x in xs) - sum(xs) ** 2)
+    tv = sum(vn)
+    for dim in range(3):
+        assert got[dim].var_num == vn[dim]
+        assert got[dim].energy_ppm == (10**6 * vn[dim]) // tv
+    assert got[1].energy_rank == 1           # dominant dim
+    assert got[1].cum_energy_ppm == (10**6 * vn[1]) // tv
+
+
+def test_design_effect_extremes(spark):
+    """Identical values within each source but different across ->
+    ICC ~1, DEFF ~ group size; fully mixed values -> ICC ~0."""
+    from corhist_spark.textops import design_effect
+
+    clustered = [("s%d" % g, 100 * (g + 1)) for g in range(4)
+                 for _ in range(25)]
+    d1 = spark.createDataFrame(clustered, "source string, n_chars long")
+    r1 = design_effect(d1).collect()[0]
+    assert r1.ssw == 0
+    assert r1.icc_ppm > 990_000
+    assert r1.deff_milli > 24_000           # ~1 + 24*1.0
+
+    mixed = [("s%d" % (i % 4), 100 * (i % 4 + 1)) for i in range(100)]
+    # same values rotated across sources -> groups identical
+    mixed = [("s%d" % (i % 4), 100 * ((i // 4) % 4 + 1))
+             for i in range(100)]
+    d2 = spark.createDataFrame(mixed, "source string, n_chars long")
+    r2 = design_effect(d2).collect()[0]
+    assert r2.icc_ppm < 50_000
+    assert r2.deff_milli < 2_000
