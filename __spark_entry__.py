@@ -16279,14 +16279,14 @@ def oracle_sql() -> dict[str, str]:
           FROM ex GROUP BY dim),
         tot AS (SELECT SUM(var_num) AS tv FROM per)
         SELECT dim, var_num,
-               CAST((1000000 * var_num) // (SELECT tv FROM tot)
-                    AS BIGINT) AS energy_ppm,
+               CAST(var_num // greatest(1, (SELECT tv FROM tot)
+                    // 1000000) AS BIGINT) AS energy_ppm,
                CAST(ROW_NUMBER() OVER (ORDER BY var_num DESC, dim ASC)
                     AS BIGINT) AS energy_rank,
-               CAST((1000000 * SUM(var_num) OVER (ORDER BY var_num DESC,
+               CAST((SUM(var_num) OVER (ORDER BY var_num DESC,
                     dim ASC ROWS BETWEEN UNBOUNDED PRECEDING AND
-                    CURRENT ROW)) // (SELECT tv FROM tot) AS BIGINT)
-                 AS cum_energy_ppm
+                    CURRENT ROW)) // greatest(1, (SELECT tv FROM tot)
+                    // 1000000) AS BIGINT) AS cum_energy_ppm
         FROM per
     """
     # cluster-sampling design effect (mirrors textops.design_effect)

@@ -1426,9 +1426,14 @@ def dim_energy(embeddings: DataFrame) -> DataFrame:
     w = Window.orderBy(F.col("var_num").desc(), F.col("dim").asc())
     return (
         per.crossJoin(F.broadcast(tot))
+        # ppm shares divide the TOTAL first (var_num DIV (tv DIV 1e6)):
+        # multiplying var_num by 1e6 overflows BIGINT once the moment
+        # sums pass ~9e12 (hit at sf1); the pre-divided form is exact
+        # to <=1 ppm and engine-identical
         .withColumn(
             "energy_ppm",
-            F.expr("(1000000 * var_num) DIV tv").cast("bigint"),
+            F.expr("var_num DIV greatest(1, tv DIV 1000000)")
+            .cast("bigint"),
         )
         .withColumn(
             "energy_rank", F.row_number().over(w).cast("bigint")
@@ -1436,9 +1441,9 @@ def dim_energy(embeddings: DataFrame) -> DataFrame:
         .withColumn(
             "cum_energy_ppm",
             F.expr(
-                "(1000000 * SUM(var_num) OVER (ORDER BY var_num DESC,"
+                "(SUM(var_num) OVER (ORDER BY var_num DESC,"
                 " dim ASC ROWS BETWEEN UNBOUNDED PRECEDING AND"
-                " CURRENT ROW)) DIV tv"
+                " CURRENT ROW)) DIV greatest(1, tv DIV 1000000)"
             ).cast("bigint"),
         )
         .select("dim", "var_num", "energy_ppm", "energy_rank",

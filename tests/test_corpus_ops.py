@@ -4607,11 +4607,12 @@ def test_dim_energy_exact(spark):
         xs = [row[dim] for row in q]
         vn.append(len(xs) * sum(x * x for x in xs) - sum(xs) ** 2)
     tv = sum(vn)
+    den = max(1, tv // 10**6)
     for dim in range(3):
         assert got[dim].var_num == vn[dim]
-        assert got[dim].energy_ppm == (10**6 * vn[dim]) // tv
+        assert got[dim].energy_ppm == vn[dim] // den
     assert got[1].energy_rank == 1           # dominant dim
-    assert got[1].cum_energy_ppm == (10**6 * vn[1]) // tv
+    assert got[1].cum_energy_ppm == vn[1] // den
 
 
 def test_design_effect_extremes(spark):
