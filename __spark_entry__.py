@@ -5920,6 +5920,24 @@ def q_design_effect(spark, sf_dir):
     return design_effect(_t(spark, sf_dir, "documents"))
 
 
+def q_window_profile(spark, sf_dir):
+    """Per-source NTILE decile length profile (`textops.
+    window_profile`): pins NTILE's remainder-to-first-tiles
+    semantics cross-engine; (source, decile) counts and bounds."""
+    from corhist_spark.textops import window_profile
+
+    return window_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_time_to_event(spark, sf_dir):
+    """Time-to-event conversion summary (`textops.time_to_event`):
+    first view -> first purchase delay per user, censoring surfaced,
+    exact type-1 quartiles on the distinct-delay frame."""
+    from corhist_spark.textops import time_to_event
+
+    return time_to_event(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6337,6 +6355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "synthetic_marginals": q_synthetic_marginals,
         "dim_energy": q_dim_energy,
         "design_effect": q_design_effect,
+        "window_profile": q_window_profile,
+        "time_to_event": q_time_to_event,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -16322,5 +16342,70 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000 + (((n // k) - 1) * icc_ppm * 1000) // 1000000
                     AS BIGINT) AS deff_milli
         FROM s3
+    """
+    # NTILE decile profile (mirrors textops.window_profile)
+    out["window_profile"] = """
+        WITH tiled AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+                 CAST(NTILE(10) OVER (PARTITION BY source
+                      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+                   AS decile
+          FROM documents)
+        SELECT source, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS lo,
+               CAST(MAX(n_chars) AS BIGINT) AS hi
+        FROM tiled GROUP BY 1, 2
+    """
+    # time-to-event survival summary (mirrors textops.time_to_event)
+    from corhist_spark.textops import TTE_FROM as _TTE_F, TTE_TO as _TTE_T
+
+    out["time_to_event"] = f"""
+        WITH per AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = '{_TTE_F}' THEN
+                     CAST(floor(epoch(ts)) AS BIGINT) END) AS tv
+          FROM events GROUP BY 1),
+        tos AS (
+          SELECT e.user_id,
+                 MIN(CAST(floor(epoch(e.ts)) AS BIGINT)) AS tp
+          FROM events e JOIN per p ON p.user_id = e.user_id
+          WHERE e.event_type = '{_TTE_T}'
+            AND CAST(floor(epoch(e.ts)) AS BIGINT) >= p.tv
+          GROUP BY 1),
+        conv AS (
+          SELECT p.user_id, t.tp - p.tv AS delay_s
+          FROM per p LEFT JOIN tos t ON t.user_id = p.user_id
+          WHERE p.tv IS NOT NULL),
+        dcnt AS (
+          SELECT delay_s, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM conv WHERE delay_s IS NOT NULL GROUP BY 1),
+        cum AS (
+          SELECT delay_s, cnt,
+                 SUM(cnt) OVER (ORDER BY delay_s
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 SUM(cnt) OVER () AS n_conv
+          FROM dcnt),
+        quart AS (
+          SELECT MAX(n_conv) AS n_conv,
+                 MIN(CASE WHEN cum * 4 >= n_conv * 1 THEN delay_s END)
+                   AS p25_s,
+                 MIN(CASE WHEN cum * 4 >= n_conv * 2 THEN delay_s END)
+                   AS p50_s,
+                 MIN(CASE WHEN cum * 4 >= n_conv * 3 THEN delay_s END)
+                   AS p75_s
+          FROM cum),
+        totals AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_risk,
+                 CAST(SUM(CASE WHEN delay_s IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_censored
+          FROM conv)
+        SELECT t.n_risk, CAST(q.n_conv AS BIGINT) AS n_converted,
+               CAST((1000 * t.n_censored) // t.n_risk AS BIGINT)
+                 AS censor_pm,
+               CAST(q.p25_s AS BIGINT) AS p25_s,
+               CAST(q.p50_s AS BIGINT) AS p50_s,
+               CAST(q.p75_s AS BIGINT) AS p75_s
+        FROM totals t, quart q
     """
     return out

@@ -472,6 +472,10 @@ HEADLINE = [
     # cluster-sampling design effect
     "dim_energy",
     "design_effect",
+    # r5 batch 90: NTILE decile profile and time-to-event survival
+    # summary
+    "window_profile",
+    "time_to_event",
 ]
 
 

@@ -6805,3 +6805,113 @@ def design_effect(docs: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("deff_milli"),
     )
+
+
+def window_profile(docs: DataFrame, n_tiles: int = 10) -> DataFrame:
+    """Per-source NTILE decile profile of document length — the
+    windowed-ranking operator surface (NTILE's uneven-remainder
+    semantics included) rolled into a per-(source, decile) summary a
+    curation dashboard bins by: row count and exact value bounds per
+    tile.  NTILE assigns ceil/floor group sizes with the remainder to
+    the FIRST tiles — identical in Spark and DuckDB, pinned here.
+
+    Scale shape: one per-source window (each source's docs sort
+    within their partition), then a (source, decile) aggregate."""
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    tiled = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+    ).withColumn("decile", F.ntile(int(n_tiles)).over(w).cast("bigint"))
+    return tiled.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").cast("bigint").alias("lo"),
+        F.max("n_chars").cast("bigint").alias("hi"),
+    )
+
+
+TTE_FROM = "view"
+TTE_TO = "purchase"
+
+
+def time_to_event(events: DataFrame) -> DataFrame:
+    """Time-to-event (survival) summary: per user, the delay from the
+    first '{from}' to the first subsequent '{to}' event; users who
+    never convert are CENSORED, not dropped — the censoring rate is
+    half the result (a conversion median computed only on converters
+    flatters every funnel).  Exact type-1 quartiles of the observed
+    delays via cumulative counts on the distinct-delay frame.
+
+    One output row: users at risk, conversions, censor rate
+    per-mille, p25/p50/p75 delay seconds.
+
+    Scale shape: two conditional min aggregates per user (one pass),
+    one NDV-bounded delay-frame window for the quartiles."""
+    per = events.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == TTE_FROM,
+                F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)"),
+            )
+        ).alias("tv")
+    )
+    # first qualifying TO event at-or-after the first FROM
+    tos = (
+        events.filter(F.col("event_type") == TTE_TO)
+        .select(
+            "user_id",
+            F.expr("CAST(floor(unix_timestamp(ts)) AS BIGINT)").alias("tp"),
+        )
+        .join(per, "user_id")
+        .filter(F.col("tp") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    risk = per.filter(F.col("tv").isNotNull())
+    conv = risk.join(tos, "user_id", "left").select(
+        "user_id", (F.col("tp") - F.col("tv")).alias("delay_s")
+    )
+    dcnt = (
+        conv.filter(F.col("delay_s").isNotNull())
+        .groupBy("delay_s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wd = Window.orderBy("delay_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dcnt.withColumn("cum", F.sum("cnt").over(wd)).crossJoin(
+        F.broadcast(
+            dcnt.agg(F.sum("cnt").cast("bigint").alias("n_conv"))
+        )
+    )
+
+    def q(mult, div):
+        return F.min(
+            F.when(
+                F.col("cum") * div >= F.col("n_conv") * mult,
+                F.col("delay_s"),
+            )
+        )
+
+    quart = cum.agg(
+        F.first("n_conv").alias("n_conv"),
+        q(1, 4).cast("bigint").alias("p25_s"),
+        q(2, 4).cast("bigint").alias("p50_s"),
+        q(3, 4).cast("bigint").alias("p75_s"),
+    )
+    totals = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_risk"),
+        F.sum(F.expr("CASE WHEN delay_s IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    return totals.crossJoin(F.broadcast(quart)).select(
+        "n_risk",
+        F.col("n_conv").cast("bigint").alias("n_converted"),
+        F.expr("(1000 * n_censored) DIV n_risk")
+        .cast("bigint")
+        .alias("censor_pm"),
+        "p25_s",
+        "p50_s",
+        "p75_s",
+    )

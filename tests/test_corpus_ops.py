@@ -4636,3 +4636,49 @@ def test_design_effect_extremes(spark):
     r2 = design_effect(d2).collect()[0]
     assert r2.icc_ppm < 50_000
     assert r2.deff_milli < 2_000
+
+
+def test_window_profile_ntile_semantics(spark):
+    """12 docs in one source: NTILE(10) puts the 2 remainder rows in
+    tiles 1 and 2 (sizes 2,2,1,...,1) — pinned."""
+    from corhist_spark.textops import window_profile
+
+    rows = [(i, "s1", (i + 1) * 10) for i in range(12)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.decile: r for r in window_profile(d).collect()}
+    assert got[1].n_docs == 2 and got[2].n_docs == 2
+    assert all(got[k].n_docs == 1 for k in range(3, 11))
+    assert got[1].lo == 10 and got[1].hi == 20
+    assert got[10].lo == got[10].hi == 120
+
+
+def test_time_to_event_exact(spark):
+    """Planted funnel: delays and censoring counted exactly; a
+    purchase BEFORE the first view does not count as conversion."""
+    import datetime as dt
+
+    from corhist_spark.textops import time_to_event
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, minutes, uid, typ):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, typ)
+
+    rows = [
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "purchase"),     # delay 600
+        ev(3, 0, 2, "view"), ev(4, 40, 2, "purchase"),     # delay 2400
+        ev(5, 0, 3, "view"),                               # censored
+        ev(6, 0, 4, "purchase"), ev(7, 10, 4, "view"),     # censored
+        ev(8, 0, 5, "click"),                              # not at risk
+        ev(9, 0, 6, "view"), ev(10, 20, 6, "purchase"),    # delay 1200
+        ev(11, 30, 6, "purchase"),                         # later ignored
+    ]
+    d = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = time_to_event(d).collect()[0]
+    assert r.n_risk == 5            # users 1,2,3,4,6 saw a view
+    assert r.n_converted == 3
+    assert r.censor_pm == (1000 * 2) // 5
+    # delays sorted: 600, 1200, 2400
+    assert (r.p25_s, r.p50_s, r.p75_s) == (600, 1200, 2400)
