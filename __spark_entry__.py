@@ -5938,6 +5938,32 @@ def q_time_to_event(spark, sf_dir):
     return time_to_event(_t(spark, sf_dir, "events"))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Confusion evaluation of the marker-word language gate
+    (`textops.confusion_eval`): truth = the lang column, prediction =
+    the en/und heuristic; per-class P/R/F1 ppm + macro row — the
+    table says exactly how blunt the heuristic is."""
+    from corhist_spark.textops import confusion_eval
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.col("lang").alias("truth"),
+        F.when(_lang_is_en(F.split(F.lower("text"), " ")), F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("pred"),
+    )
+    return confusion_eval(labeled)
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Winsorized + trimmed means per source (`textops.
+    winsorized_stats`): exact p5/p95 bounds, clamped and interior
+    means in micro — robust location next to the median/MAD gate."""
+    from corhist_spark.textops import winsorized_stats
+
+    return winsorized_stats(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -6357,6 +6383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "design_effect": q_design_effect,
         "window_profile": q_window_profile,
         "time_to_event": q_time_to_event,
+        "lang_confusion": q_lang_confusion,
+        "winsorized_stats": q_winsorized_stats,
         "single_value_corrections": q_single_value_corrections,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,

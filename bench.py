@@ -476,6 +476,10 @@ HEADLINE = [
     # summary
     "window_profile",
     "time_to_event",
+    # r5 batch 91: classifier confusion eval and winsorized/trimmed
+    # robust means
+    "lang_confusion",
+    "winsorized_stats",
 ]
 
 

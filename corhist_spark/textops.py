@@ -6915,3 +6915,141 @@ def time_to_event(events: DataFrame) -> DataFrame:
         "p50_s",
         "p75_s",
     )
+
+
+def confusion_eval(
+    labeled: DataFrame, truth_col: str = "truth", pred_col: str = "pred"
+) -> DataFrame:
+    """Classifier confusion evaluation — per-class precision, recall
+    and F1 in ppm plus a macro-F1 summary row, from one (truth, pred)
+    aggregate: the standard eval table the kappa/calibration gates in
+    this registry don't produce.  F1 enters as the integer harmonic
+    form 2*tp*1e6 DIV (n_truth + n_pred); classes never predicted or
+    never true still get their row (their zeros ARE the finding).
+    The macro row averages F1 over TRUTH classes (floor).
+
+    Scale shape: one (truth, pred) aggregate (class^2-bounded), then
+    arithmetic on the class-sized frame."""
+    cells = labeled.groupBy(
+        F.col(truth_col).alias("t"), F.col(pred_col).alias("p")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    by_t = cells.groupBy("t").agg(
+        F.sum("n").cast("bigint").alias("n_truth")
+    )
+    by_p = cells.groupBy("p").agg(
+        F.sum("n").cast("bigint").alias("n_pred")
+    )
+    tp = cells.filter(F.col("t") == F.col("p")).select(
+        F.col("t").alias("cls"), F.col("n").alias("tp")
+    )
+    classes = (
+        by_t.select(F.col("t").alias("cls"))
+        .unionByName(by_p.select(F.col("p").alias("cls")))
+        .distinct()
+    )
+    per = (
+        classes.join(by_t.withColumnRenamed("t", "cls"), "cls", "left")
+        .join(by_p.withColumnRenamed("p", "cls"), "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_truth", F.lit(0)).cast("bigint").alias("n_truth"),
+            F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        )
+        .withColumn(
+            "precision_ppm",
+            F.expr(
+                "CASE WHEN n_pred > 0 THEN (1000000 * tp) DIV n_pred END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "recall_ppm",
+            F.expr(
+                "CASE WHEN n_truth > 0 THEN (1000000 * tp) DIV n_truth END"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "f1_ppm",
+            F.expr(
+                "CASE WHEN n_truth + n_pred > 0 THEN"
+                " (2000000 * tp) DIV (n_truth + n_pred) END"
+            ).cast("bigint"),
+        )
+    )
+    macro = per.filter(F.col("n_truth") > 0).agg(
+        F.lit("__macro__").alias("cls"),
+        F.sum("n_truth").cast("bigint").alias("n_truth"),
+        F.sum("n_pred").cast("bigint").alias("n_pred"),
+        F.sum("tp").cast("bigint").alias("tp"),
+        F.lit(None).cast("bigint").alias("precision_ppm"),
+        F.lit(None).cast("bigint").alias("recall_ppm"),
+        F.expr("SUM(COALESCE(f1_ppm, 0)) DIV COUNT(*)")
+        .cast("bigint")
+        .alias("f1_ppm"),
+    )
+    return per.unionByName(macro)
+
+
+WINSOR_LO_PM = 50   # p5
+WINSOR_HI_PM = 950  # p95
+
+
+def winsorized_stats(docs: DataFrame) -> DataFrame:
+    """Winsorized and trimmed means per source (Tukey; the robust
+    location estimators complementing the median/MAD monitor):
+    clamp-at-p5/p95 mean and the interior-only trimmed mean, with the
+    exact type-1 percentile bounds from the NDV-grain cumulative
+    frame.  Integer micro means (documented floor).
+
+    Scale shape: one (source, value) NDV-bounded aggregate, one
+    per-source cumulative window, bounds broadcast back into one
+    clamped aggregate over the same NDV frame (never re-scanning
+    rows)."""
+    c = docs.select(
+        F.col("source").alias("grp"),
+        F.col("n_chars").cast("bigint").alias("val"),
+    ).groupBy("grp", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("grp").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = c.withColumn("cum", F.sum("cnt").over(w)).join(
+        c.groupBy("grp").agg(F.sum("cnt").cast("bigint").alias("n")), "grp"
+    )
+    bounds = cum.groupBy("grp").agg(
+        F.min(
+            F.when(
+                F.col("cum") * 1000 >= F.col("n") * WINSOR_LO_PM,
+                F.col("val"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") * 1000 >= F.col("n") * WINSOR_HI_PM,
+                F.col("val"),
+            )
+        ).alias("hi"),
+        F.first("n").alias("n"),
+    )
+    j = c.join(bounds, "grp")
+    return j.groupBy("grp").agg(
+        F.first("n").cast("bigint").alias("n_docs"),
+        F.first("lo").cast("bigint").alias("p5"),
+        F.first("hi").cast("bigint").alias("p95"),
+        F.expr(
+            "(1000000 * SUM(cnt * least(greatest(val, lo), hi))) DIV SUM(cnt)"
+        )
+        .cast("bigint")
+        .alias("winsor_mean_micro"),
+        F.expr(
+            "CASE WHEN SUM(CASE WHEN val BETWEEN lo AND hi THEN cnt"
+            " ELSE 0 END) > 0 THEN (1000000 * SUM(CASE WHEN val BETWEEN"
+            " lo AND hi THEN cnt * val ELSE 0 END))"
+            " DIV SUM(CASE WHEN val BETWEEN lo AND hi THEN cnt"
+            " ELSE 0 END) END"
+        )
+        .cast("bigint")
+        .alias("trimmed_mean_micro"),
+    )
