@@ -487,21 +487,25 @@ def materialize(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def like_for_like_vs_prev(timings: dict) -> dict | None:
+def like_for_like_vs_prev(timings: dict, bench_dir: str | None = None) -> dict | None:
     """Cross-round comparability: headline totals shift whenever queries
     are added, so emit the subtotal over the queries SHARED with the
     most recent recorded round (BENCH_r{N}.json) alongside that round's
-    subtotal over the same set — no judge arithmetic needed."""
+    subtotal over the same set — no judge arithmetic needed.
+    ``bench_dir`` overrides the BENCH_r*.json directory (tests only)."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = bench_dir or os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     if not files:
         return None
     prev_file = files[-1]
     try:
         with open(prev_file) as fh:
-            prev = json.load(fh).get("parsed", {}).get("queries", {})
+            # "parsed" can be present-but-null (a round whose bench
+            # output the driver could not capture, e.g. BENCH_r05.json)
+            # — null-guard instead of crashing (VERDICT r5 ask 1a)
+            prev = ((json.load(fh).get("parsed") or {}).get("queries") or {})
     except (OSError, json.JSONDecodeError):
         return None
     shared = sorted(set(prev) & set(timings))
@@ -585,13 +589,23 @@ def main() -> None:
         payload["like_for_like_vs_prev"] = lfl
     # sf1 heavy-path tier: measured once per round via tools/bench_sf1.sh
     # (10x data is too heavy to regenerate inside every driver bench run)
-    # and committed as BENCH_SF1.json with provenance; embedded here so
-    # the driver-recorded BENCH_r{N}.json carries the scale evidence.
+    # and committed as BENCH_SF1.json with provenance; a COMPACT summary
+    # is embedded here so the driver-recorded BENCH_r{N}.json carries the
+    # scale evidence.  Embedding the full per-query detail made the
+    # printed line ~60 KB and overflowed the driver's capture in r5
+    # (BENCH_r05.json parsed:null) — keep the line small (VERDICT r5
+    # ask 1b); the detail lives in BENCH_SF1.json itself.
     sf1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SF1.json")
     if os.path.exists(sf1_path):
         try:
             with open(sf1_path) as fh:
-                payload["sf1"] = json.load(fh)
+                sf1 = json.load(fh)
+            payload["sf1"] = {
+                k: sf1[k]
+                for k in ("metric", "value", "unit", "sf", "vs_sf01_ratio_at_10x_data",
+                          "superlinear", "provenance")
+                if k in sf1
+            }
         except (OSError, json.JSONDecodeError):
             pass
     print(json.dumps(payload))
