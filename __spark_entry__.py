@@ -32,6 +32,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+import contextlib
+import os as _os
+
+
+@contextlib.contextmanager
+def _stream_partitions(spark: SparkSession, n_bytes: int):
+    """Scale-adaptive state-store partition count for a bounded stream
+    run (guide §2: derive partitioning from input size, not a constant
+    tuned for one deployment).  Structured Streaming fixes its state
+    partition count from ``spark.sql.shuffle.partitions`` at the FIRST
+    micro-batch and AQE never coalesces stateful exchanges, so the
+    session default (= cores, right for batch) makes every micro-batch
+    of a small replay pay cores x (state-store open + commit) for a few
+    MB of state.  Size from the stream's input bytes at ~32 MB of input
+    per state partition, floor 8 (keeps multi-core state commit
+    parallelism even for tiny replays), cap 4x parallelism (cluster-
+    proportional; a 100 TB/day feed on a big cluster gets thousands of
+    state partitions, a 17 MB bench replay gets 8).  Override:
+    $SPARK_GRAFT_STREAM_PARTITIONS.  Partition count never changes
+    what a streaming aggregation/dedup/join computes — only where
+    each key's state lives — so results are bit-identical."""
+    env = _os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        parts = int(env)
+    else:
+        dp = spark.sparkContext.defaultParallelism
+        parts = max(8, min(max(32, dp * 4), int(n_bytes) // (32 << 20)))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """The driver testdata tables are single-row-group parquet files
     (1 input split), which serializes every map-heavy stage onto one
@@ -3791,9 +3826,10 @@ def q_streaming_windowed_counts(spark, sf_dir):
     name = f"swc_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
     ck = tempfile.mkdtemp(prefix="swc_ck_")
     try:
-        writer = windowed_revision_counts(stream, checkpoint_dir=ck)
-        q = writer.queryName(name).start()
-        q.awaitTermination()
+        with _stream_partitions(spark, _os.path.getsize(f"{src_dir}/events.parquet")):
+            writer = windowed_revision_counts(stream, checkpoint_dir=ck)
+            q = writer.queryName(name).start()
+            q.awaitTermination()
     finally:
         # the memory sink holds the rows; the staged copy and the
         # checkpoint are dead weight once the stream terminates — a
@@ -3850,8 +3886,10 @@ def q_streaming_interval_join(spark, sf_dir):
     name = f"sij_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
     ck = tempfile.mkdtemp(prefix="sij_ck_")
     try:
-        q = join_edit_streams(e, m, checkpoint_dir=ck).queryName(name).start()
-        q.awaitTermination()
+        # both sides replay the same staged file; size from the sum
+        with _stream_partitions(spark, 2 * _os.path.getsize(f"{src}/events.parquet")):
+            q = join_edit_streams(e, m, checkpoint_dir=ck).queryName(name).start()
+            q.awaitTermination()
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
@@ -3898,11 +3936,18 @@ def q_streaming_dedup(spark, sf_dir):
     e0 = docs.select(
         "text", (F.lit(base) + F.col("doc_id") % 600).alias("ts_sec")
     )
-    adv_a = spark.createDataFrame([(_SDD_ADVANCERS[0],)], "text string").select(
-        "text", F.lit(base + 20 * 86400).alias("ts_sec")
+    # JVM-only single-row builds (spark.range + lit): a createDataFrame
+    # local relation drags a Python-RDD scan into the staging WRITE job
+    # (~4-5 s per advancer file measured at r6 start — guide §4, keep
+    # the Python boundary out of plans that don't need it); identical
+    # rows, and the stream re-reads them under its own explicit schema
+    adv_a = spark.range(1).select(
+        F.lit(_SDD_ADVANCERS[0]).alias("text"),
+        F.lit(base + 20 * 86400).alias("ts_sec"),
     )
-    adv_b = spark.createDataFrame([(_SDD_ADVANCERS[1],)], "text string").select(
-        "text", F.lit(base + 25 * 86400).alias("ts_sec")
+    adv_b = spark.range(1).select(
+        F.lit(_SDD_ADVANCERS[1]).alias("text"),
+        F.lit(base + 25 * 86400).alias("ts_sec"),
     )
     e1 = docs.filter(F.col("doc_id") % 3 == 0).select(
         "text", (F.lit(base + 30 * 86400) + F.col("doc_id") % 600).alias("ts_sec")
@@ -3926,8 +3971,16 @@ def q_streaming_dedup(spark, sf_dir):
     name = f"sdd_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
     ck = tempfile.mkdtemp(prefix="sdd_ck_")
     try:
-        q = streaming_dedup_documents(stream, checkpoint_dir=ck).queryName(name).start()
-        q.awaitTermination()
+        staged = sum(
+            os.path.getsize(f"{src}/{f}") for f in os.listdir(src)
+        )
+        with _stream_partitions(spark, staged):
+            q = (
+                streaming_dedup_documents(stream, checkpoint_dir=ck)
+                .queryName(name)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
@@ -4150,8 +4203,12 @@ def q_stateful_queue_equivalence(spark, sf_dir):
     name = f"sqe_{spark.sparkContext.applicationId.replace('-', '_')}_{_SWC_COUNTER[0]}"
     ck = tempfile.mkdtemp(prefix="sqe_ck_")
     try:
-        q = stateful_violation_queue(stream, ck).queryName(name).start()
-        q.awaitTermination()
+        staged = sum(
+            _os.path.getsize(_os.path.join(src, f)) for f in _os.listdir(src)
+        )
+        with _stream_partitions(spark, staged):
+            q = stateful_violation_queue(stream, ck).queryName(name).start()
+            q.awaitTermination()
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
@@ -5408,9 +5465,12 @@ def q_streaming_sessions(spark, sf_dir):
     )
     ck = tempfile.mkdtemp(prefix="ssw_ck_")
     try:
-        writer = session_window_counts(stream, checkpoint_dir=ck)
-        q = writer.queryName(name).start()
-        q.awaitTermination()
+        with _stream_partitions(
+            spark, _os.path.getsize(f"{src_dir}/events.parquet")
+        ):
+            writer = session_window_counts(stream, checkpoint_dir=ck)
+            q = writer.queryName(name).start()
+            q.awaitTermination()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
@@ -5603,9 +5663,12 @@ def q_streaming_enrich(spark, sf_dir):
     )
     ck = tempfile.mkdtemp(prefix="sen_ck_")
     try:
-        writer = enriched_window_counts(stream, dim, checkpoint_dir=ck)
-        q = writer.queryName(name).start()
-        q.awaitTermination()
+        with _stream_partitions(
+            spark, _os.path.getsize(f"{src_dir}/events.parquet")
+        ):
+            writer = enriched_window_counts(stream, dim, checkpoint_dir=ck)
+            q = writer.queryName(name).start()
+            q.awaitTermination()
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
