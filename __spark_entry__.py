@@ -215,7 +215,9 @@ def q_type_violations(spark, sf_dir):
     )
     closure = static_closure(cur_edges)
     reach = closure.filter(F.col("anc") == "C1").select("cls").union(
-        spark.createDataFrame([("C1",)], "cls string")
+        # JVM-only single-row build (see _SDD_ADVANCERS note): keeps the
+        # Python-RDD scan out of every job that evaluates this union
+        spark.range(1).select(F.lit("C1").alias("cls"))
     ).distinct()
     typed = ev.select(
         F.concat(F.lit("Q"), F.col("user_id").cast("string")).alias("entity"),

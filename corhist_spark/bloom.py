@@ -115,7 +115,10 @@ def bloom_semi_join_stats(
     exact = keys.select(F.expr(key_expr).cast("string").alias("bf_key")).distinct()
     n_exact = fact_keyed.join(exact, "bf_key", "left_semi").count()
     spark = fact.sparkSession
-    return spark.createDataFrame(
+    from .localframe import local_df
+
+    return local_df(
+        spark,
         [(bitmap.count(), n_bloom, n_exact, n_bloom - n_exact)],
         "n_bitmap_words bigint, n_bloom_rows bigint, n_exact_rows bigint,"
         " n_false_positive_rows bigint",

@@ -237,7 +237,13 @@ def addition_baseline(test: DataFrame, constraints_pdf) -> DataFrame:
             F.lit(0).alias("found"),
             F.lit(0).alias("good"),
         ).select("constraint_id", "total", F.lit(None).cast("double").alias("precision"), F.lit(0.0).alias("recall"))
-    tm = F.broadcast(spark.createDataFrame(rows))
+    from .localframe import local_df
+
+    tm = F.broadcast(
+        local_df(
+            spark, rows, "constraint_id string, t_subj string, t_pred string, t_obj string"
+        )
+    )
     j = test.join(tm, "constraint_id", "left")
     sub = lambda tok: (
         F.when(tok == "?s", F.col("target_subj")).when(tok == "?o", F.col("target_obj")).otherwise(tok)
@@ -289,8 +295,11 @@ def aggregate_stats(stats: DataFrame, constraints_pdf) -> DataFrame:
     weighted (by test-set size) and unweighted average P/R/F1, NaN/null
     rows excluded like the script's filters."""
     spark = stats.sparkSession
+    from .localframe import local_df
+
     types = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(c["constraint_id"], c["type"]) for c in constraints_pdf.to_dict("records")],
             "constraint_id string, type string",
         )

@@ -119,7 +119,9 @@ def prepare_constraints(spark, constraints_pdf) -> DataFrame:
             StructField("regex_anchored", StringType()),
         ]
     )
-    return spark.createDataFrame(rows, schema=schema)
+    from .localframe import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def _st(state: DataFrame) -> DataFrame:

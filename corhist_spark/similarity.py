@@ -1212,9 +1212,9 @@ def kcenter_coreset(embeddings: DataFrame, k: int = KCENTER_K) -> DataFrame:
             .localCheckpoint()
         )
     spark = embeddings.sparkSession
-    centers = spark.createDataFrame(
-        chosen, "rank long, center_id long, sel_d2 long"
-    )
+    from .localframe import local_df
+
+    centers = local_df(spark, chosen, "rank long, center_id long, sel_d2 long")
     cvecs = e.join(
         centers.select(F.col("center_id").alias("vec_id"), "rank"), "vec_id"
     ).select(F.col("rank").alias("crank"), F.col("qv").alias("cv"))

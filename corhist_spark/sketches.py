@@ -228,9 +228,11 @@ def binned_quantiles(values: DataFrame, col: str = "v", bin_width: int = QUANT_B
     cum = hist.select("bin", F.sum("n").over(w).alias("cum")).crossJoin(
         F.broadcast(total)
     )
+    from .localframe import local_df
+
     q_rows = cum.crossJoin(
         F.broadcast(
-            values.sparkSession.createDataFrame([(q,) for q in qs], "q INT")
+            local_df(values.sparkSession, [(q,) for q in qs], "q INT")
         )
     ).filter(F.col("cum") * 100 >= F.col("total") * F.col("q"))
     first = (
