@@ -54,24 +54,29 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .agg(F.min("label").alias("component"))
         )
         # also collapse label -> its own component (pointer jumping):
-        # relabel through the label's current component
+        # relabel through the label's current component.  The previous
+        # component rides along in the SAME checkpointed frame so the
+        # convergence check below is a scan of already-materialized
+        # rows instead of a second shuffle-join job per iteration (the
+        # fixpoint runs 2 actions/round -> 1 action + 1 cheap scan)
         jumped = (
             prop.alias("a")
             .join(labels.alias("b"), F.col("a.component") == F.col("b.node"), "left")
+            .join(
+                labels.select(
+                    F.col("node").alias("p_node"), F.col("component").alias("prev")
+                ),
+                F.col("a.node") == F.col("p_node"),
+            )
             .select(
                 F.col("a.node").alias("node"),
                 F.least(F.col("a.component"), F.coalesce(F.col("b.component"), F.col("a.component"))).alias("component"),
+                F.col("prev"),
             )
         ).localCheckpoint()
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
+        changed = not jumped.filter(F.col("component") != F.col("prev")).isEmpty()
+        labels = jumped.select("node", "component")
+        if not changed:
             break
     return labels
 

@@ -541,7 +541,11 @@ def hits(edges: DataFrame, n_iters: int = HITS_ITERS) -> DataFrame:
                 "node",
                 (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("t")).alias("auth"),
             )
-            .localCheckpoint()
+            # NOT checkpointed: auth is consumed once inside this
+            # round's hub checkpoint (and once more by the final join
+            # for the last round) — an eager materialization per half-
+            # round just doubles the action count; hub's checkpoint
+            # below cuts the lineage every round, so plans stay shallow
         )
         h_raw = (
             e.join(auth, e["dst"] == auth["node"])
@@ -1802,6 +1806,11 @@ def scc_components(
         return done if res is None else res.unionByName(done)
 
     for _ in range(n_outer):
+        # early exit: an empty active set stays empty through trims and
+        # coloring — the remaining rounds would schedule ~20 no-op jobs
+        # (trim/coloring checkpoints) for identical output
+        if active.isEmpty():
+            break
         for _ in range(n_trim):
             both = (
                 e.select(F.col("dst").alias("node"))
@@ -1824,6 +1833,8 @@ def scc_components(
                 )
                 .localCheckpoint()
             )
+        if active.isEmpty():
+            break
         lab = active.select(
             "node", F.col("node").alias("f"), F.col("node").alias("b")
         ).localCheckpoint()
@@ -1928,6 +1939,10 @@ def luby_mis(edges: DataFrame, n_rounds: int = MIS_ROUNDS) -> DataFrame:
         [], "node string, status string, round bigint"
     )
     for r in range(1, n_rounds + 1):
+        # early exit: an empty active set decides nothing in any later
+        # round — skip the remaining rounds' join/checkpoint jobs
+        if active.isEmpty():
+            break
         keys = active.withColumn("key", _mis_key(r))
         nbr_min = (
             und.join(
@@ -2108,14 +2123,16 @@ def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
             )
         )
         # merge touched components: exact CC over the selected-edge
-        # component graph (stats-re-rooted), then relabel every node
+        # component graph, then relabel every node.  The merge graph
+        # feeds CC straight off the (already checkpointed) `chosen`
+        # frame: within ONE round the carried stats product grows only
+        # linearly with CC's iteration count (harmless BigIntegers);
+        # the exponential cross-ROUND compounding that motivated the
+        # original double re-root dies at the labels re-root below,
+        # which is kept — so each round saves one parquet write+read
+        # job pair.
         merge_map = connected_components(
-            _stats_reset(
-                chosen.select(
-                    F.col("ca").alias("src"), F.col("cb").alias("dst")
-                ),
-                f"merge{r}",
-            )
+            chosen.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
         )
         labels = _stats_reset(
             labels.join(
