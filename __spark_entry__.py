@@ -3592,6 +3592,28 @@ def q_source_repeat_factors(spark, sf_dir):
     return source_repeat_factors(_t(spark, sf_dir, "documents"))
 
 
+_EVAL_SCORES_MEMO: dict = {}
+
+
+def _eval_scores(spark, sf_dir):
+    """Memoized verified train-vs-eval candidate scores — the shared
+    input of fuzzy_decontaminate and hard_negatives (the same LSH +
+    exact-Jaccard build consumed with two different aggregations),
+    built once per session like _dup_components; reuses the session's
+    _signatures memo so the corpus is not re-shingled."""
+    from corhist_spark.textops import _eval_candidate_scores
+
+    key = _memo_key(spark, sf_dir)
+    if key not in _EVAL_SCORES_MEMO:
+        d = _spread(spark, _t(spark, sf_dir, "documents"))
+        ev = d.filter(F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_RES)
+        tr = d.filter(F.col("doc_id") % DECON_EVAL_MOD != DECON_EVAL_RES)
+        _EVAL_SCORES_MEMO[key] = _eval_candidate_scores(
+            tr, ev, sigs=_signatures(spark, sf_dir)
+        ).localCheckpoint()
+    return _EVAL_SCORES_MEMO[key]
+
+
 def q_fuzzy_decontaminate(spark, sf_dir):
     """MinHash tier of the decontamination stack: near-duplicate
     eval leakage (paraphrased/perturbed) that exact n-gram and
@@ -3602,7 +3624,7 @@ def q_fuzzy_decontaminate(spark, sf_dir):
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     ev = d.filter(F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_RES)
     tr = d.filter(F.col("doc_id") % DECON_EVAL_MOD != DECON_EVAL_RES)
-    return fuzzy_decontaminate(tr, ev)
+    return fuzzy_decontaminate(tr, ev, scored=_eval_scores(spark, sf_dir))
 
 
 def q_hard_negatives(spark, sf_dir):
@@ -3615,7 +3637,7 @@ def q_hard_negatives(spark, sf_dir):
     d = _spread(spark, _t(spark, sf_dir, "documents"))
     ev = d.filter(F.col("doc_id") % DECON_EVAL_MOD == DECON_EVAL_RES)
     tr = d.filter(F.col("doc_id") % DECON_EVAL_MOD != DECON_EVAL_RES)
-    return hard_negatives(tr, ev)
+    return hard_negatives(tr, ev, scored=_eval_scores(spark, sf_dir))
 
 
 def q_embedding_outliers(spark, sf_dir):
@@ -6048,7 +6070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     unchanged code.  Every query keeps its pytest oracle row
     (tests/test_entry_oracle.py runs ALL entries) regardless of
     position."""
-    return {
+    reg = {
         # --- round-5 front (the driver's 50-row window): the 8 queries
         # NEW in r5, 2 of the 5 whose code CHANGED in r5 (pii_stats
         # phone count order; semantic_dedup explicit fixture threshold
@@ -6498,6 +6520,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "rule_pipeline_eval": q_rule_pipeline_eval,
         "refined_rules": q_refined_rules,
+    }
+    # --- round-6 rotation (VERDICT r5 ask 3): the driver checks the
+    # FIRST 50 entries only.  Window priority this round: (A) queries
+    # whose CODE CHANGED in the r6 optimization pass and that have
+    # never had a driver row, (B) changed queries re-verified even
+    # though previously green (the r5 'new/changed to front' promise),
+    # (C) the corhist-core never-checked backlog VERDICT named, (D)
+    # oldest never-checked fill.  Everything else keeps registry order
+    # (and its pytest oracle row runs every suite regardless).
+    front = [
+        # A: r6-changed, never driver-checked
+        "streaming_dedup", "streaming_sessions", "streaming_enrich",
+        "fuzzy_decontaminate", "hard_negatives", "truth_discovery",
+        "hits", "scc_components", "luby_mis", "boruvka_mst",
+        "neighbor_jaccard", "adamic_adar", "linkpred_eval",
+        "label_propagation", "pagerank", "bloom_semi_join",
+        "token_quantiles", "equidepth_hist", "rule_temporal_eval",
+        # B: r6-changed, previously driver-green (re-verification)
+        "streaming_windowed_counts", "streaming_interval_join",
+        "stateful_queue_equivalence", "cc_components", "dedup_survivors",
+        "multi_constraint_corrections", "knn_ivf_trained",
+        "semantic_dedup_trained", "semantic_dedup_trained_sharded",
+        "single_value_corrections", "aggregated_stats",
+        "deletion_baseline_eval",
+        # C: corhist-core never-checked backlog (VERDICT r5 list)
+        "asof_violations", "incremental_violations", "rule_predictions",
+        "rule_subsumption", "truthy_state", "fd_mining",
+        "violation_trend", "edit_distance_verify", "correction_latency",
+        # D: oldest never-checked fill (registry order)
+        "triangle_counts", "cms_heavy_hitters", "hll_shingles",
+        "predicate_pmi", "bm25_select", "random_walks", "k_core",
+        "bfs_distances", "weighted_sample", "tfidf_terms",
+    ]
+    assert len(front) == 50 and len(set(front)) == 50
+    return {
+        **{n: reg[n] for n in front},
+        **{n: f for n, f in reg.items() if n not in front},
     }
 
 

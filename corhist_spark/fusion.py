@@ -172,7 +172,10 @@ def truth_discovery(claims: DataFrame, n_iters: int = TD_ITERS) -> DataFrame:
         belief = (
             b_raw.crossJoin(F.broadcast(b_tot))  # single-row totals frame
             .select("subj", "pred", "obj", (F.col("s") / F.col("t")).alias("belief"))
-            .localCheckpoint()
+            # NOT checkpointed: belief is consumed once inside this
+            # round's trust checkpoint (and by the final argmax for the
+            # last round) — the graph.hits half-round pattern; trust's
+            # checkpoint below cuts the lineage every round
         )
         t_raw = (
             cl.join(belief, ["subj", "pred", "obj"])

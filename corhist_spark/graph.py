@@ -620,17 +620,31 @@ def neighbor_jaccard(
         .localCheckpoint()
     )
     fdeg = fund.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    right = fund.select(F.col("u").alias("u2"), F.col("v").alias("y"))
-    wedges = (
-        fund.join(right, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("y")))
-        .groupBy(F.col("v").alias("x"), "y")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # attach each endpoint's (filtered) degree to the adjacency BEFORE
+    # the wedge self-join: the degree is a node-sized attribute, and
+    # carrying it as an int through the wedge rows replaces two
+    # pair-keyed shuffle joins of the (much larger) pair frame with one
+    # node-keyed join of the adjacency (guide §2.3 — shuffle fewer
+    # bytes by keying small attributes onto rows before the fan-out).
+    # Degrees are identical values, so membership and the rounded
+    # jaccard are bit-identical.
+    fd = fund.join(
+        fdeg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
     )
-    dx = fdeg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
-    dy = fdeg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    right = fd.select(
+        F.col("u").alias("u2"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    wedges = (
+        fd.join(right, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("y")))
+        .groupBy(F.col("v").alias("x"), "y")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.max("dv").alias("dx"),  # constant within the (x, y) group
+            F.max("dy").alias("dy"),
+        )
+    )
     return (
-        wedges.join(dx, "x")
-        .join(dy, "y")
+        wedges
         .filter(
             F.col("common") * 100
             >= min_pct * (F.col("dx") + F.col("dy") - F.col("common"))
@@ -702,12 +716,17 @@ def adamic_adar(
         .localCheckpoint()
     )
     fdeg = fund.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # attach the wedge CENTER's degree to the adjacency before the
+    # self-join (node-keyed join of the adjacency) instead of joining
+    # fdeg onto the much larger wedge frame afterwards — one shuffle of
+    # the biggest frame saved, identical d values (guide §2.3)
+    fd = fund.join(fdeg, "u")
     right = fund.select(F.col("u").alias("u2"), F.col("v").alias("y"))
-    wedges = fund.join(
+    wedges = fd.join(
         right, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("y"))
-    ).select(F.col("v").alias("x"), "y", F.col("u").alias("z"))
+    ).select(F.col("v").alias("x"), "y", "d")
     scored = (
-        wedges.join(fdeg.select(F.col("u").alias("z"), "d"), "z")
+        wedges
         .groupBy("x", "y")
         .agg(
             F.count(F.lit(1)).alias("common"),

@@ -3029,7 +3029,10 @@ HARD_NEG_K = 3
 
 
 def _eval_candidate_scores(
-    train: DataFrame, eval_docs: DataFrame, max_bucket: int = MAX_BUCKET
+    train: DataFrame,
+    eval_docs: DataFrame,
+    max_bucket: int = MAX_BUCKET,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared candidate machinery for fuzzy_decontaminate /
     hard_negatives: MinHash-LSH collisions BETWEEN the train and eval
@@ -3044,7 +3047,12 @@ def _eval_candidate_scores(
     all_docs = train.select("doc_id", "text").unionByName(
         eval_docs.select("doc_id", "text")
     )
-    sigs = minhash_signatures(all_docs)
+    # ``sigs``: precomputed minhash_signatures over train+eval (row-
+    # deterministic, so any identical-rowset signature table gives the
+    # same buckets) — lets a caller reuse a session-shared signature
+    # build instead of re-shingling the corpus per query
+    if sigs is None:
+        sigs = minhash_signatures(all_docs)
     sizes = sigs.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bc"))
     ok = sizes.filter((F.col("_bc") >= 2) & (F.col("_bc") <= max_bucket)).select(
         "band", "minhash"
@@ -3068,6 +3076,7 @@ def fuzzy_decontaminate(
     eval_docs: DataFrame,
     max_bucket: int = MAX_BUCKET,
     pct: int = FUZZY_DECON_PCT,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate benchmark decontamination -> (doc_id,
     n_candidates, max_jaccard, contaminated): catches the
@@ -3076,8 +3085,10 @@ def fuzzy_decontaminate(
     miss — the MinHash tier of the standard three-tier
     decontamination stack.  n_candidates counts verified LSH
     partners (shared shingle >= 1); contaminated fires when the best
-    verified Jaccard reaches pct/100."""
-    scored = _eval_candidate_scores(train, eval_docs, max_bucket)
+    verified Jaccard reaches pct/100.  ``scored`` overrides the
+    candidate scoring (a session-shared _eval_candidate_scores build)."""
+    if scored is None:
+        scored = _eval_candidate_scores(train, eval_docs, max_bucket)
     g = scored.groupBy("doc_a").agg(
         F.count(F.lit(1)).alias("n_candidates"),
         F.max("jaccard").alias("max_jaccard"),
@@ -3100,6 +3111,7 @@ def hard_negatives(
     k: int = HARD_NEG_K,
     max_bucket: int = MAX_BUCKET,
     pct: int = FUZZY_DECON_PCT,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """Hard-negative mining for retrieval training -> (query_id,
     neg_id, jaccard, rank): per eval/query doc, the top-k
@@ -3108,10 +3120,12 @@ def hard_negatives(
     close but non-duplicate partners, the negatives that actually
     teach a retriever its decision boundary (cf. dense-retrieval
     hard-negative practice).  Rank ties break on doc id, so the
-    export is deterministic."""
+    export is deterministic.  ``scored`` overrides the candidate
+    scoring (a session-shared _eval_candidate_scores build)."""
     from pyspark.sql import Window
 
-    scored = _eval_candidate_scores(train, eval_docs, max_bucket)
+    if scored is None:
+        scored = _eval_candidate_scores(train, eval_docs, max_bucket)
     w = Window.partitionBy("doc_b").orderBy(F.desc("jaccard"), F.asc("doc_a"))
     return (
         scored.filter(F.col("jaccard") < F.lit(pct) / 100.0)
