@@ -2032,10 +2032,12 @@ def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
     because the comparison key appends the endpoint pair, giving the
     strict total order Boruvka needs for cycle-freedom.
 
-    Component merging inside a round is CONVERGENCE-exact (min-label
-    propagation over the selected-edge component graph, the
-    `canonicalize.connected_components` loop), so each outer round is
-    a true Boruvka round; ``n_rounds`` bounds the outer rounds only —
+    Component merging inside a round is CONVERGENCE-exact (pointer
+    doubling over the selected-edge pointer forest — the classic
+    Boruvka contraction; see the in-loop comment for why the label
+    VALUES it produces are interchangeable with min-member labels),
+    so each outer round is a true Boruvka round; ``n_rounds`` bounds
+    the outer rounds only —
     components at least halve per round, and the output (the forest
     edges selected so far, tagged with their round) is a deterministic
     function of the input on both engines whether or not the forest
@@ -2059,8 +2061,6 @@ def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
     scale anyway; here it doubles as the stats re-root."""
     import shutil
     import tempfile
-
-    from .canonicalize import connected_components
 
     spark = edges.sparkSession
     tmp_dirs = []
@@ -2125,15 +2125,10 @@ def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
         incident = cross.select(
             F.col("ca").alias("comp"), "key"
         ).unionAll(cross.select(F.col("cb").alias("comp"), "key"))
-        min_keys = (
-            incident.groupBy("comp")
-            .agg(F.min("key").alias("key"))
-            .select("key")
-            .distinct()
-        )
-        chosen = cross.join(min_keys, "key", "left_semi").select(
-            "a", "b", "w", "ca", "cb"
-        ).localCheckpoint()
+        min_keys_c = incident.groupBy("comp").agg(F.min("key").alias("key"))
+        chosen = cross.join(
+            min_keys_c.select("key").distinct(), "key", "left_semi"
+        ).select("a", "b", "w", "key", "ca", "cb").localCheckpoint()
         if chosen.isEmpty():
             break
         forest = forest.unionByName(
@@ -2141,17 +2136,49 @@ def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
                 "a", "b", "w", F.lit(r).cast("bigint").alias("round")
             )
         )
-        # merge touched components: exact CC over the selected-edge
-        # component graph, then relabel every node.  The merge graph
-        # feeds CC straight off the (already checkpointed) `chosen`
-        # frame: within ONE round the carried stats product grows only
-        # linearly with CC's iteration count (harmless BigIntegers);
-        # the exponential cross-ROUND compounding that motivated the
-        # original double re-root dies at the labels re-root below,
-        # which is kept — so each round saves one parquet write+read
-        # job pair.
-        merge_map = connected_components(
-            chosen.select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        # merge touched components by POINTER DOUBLING instead of the
+        # general CC loop (the classic Boruvka contraction): every
+        # component points at the other endpoint of ITS min edge, and
+        # under the strict total key order the pointer graph is a
+        # functional forest whose only cycles are mutual-min 2-cycles
+        # — collapse those to their smaller endpoint, then square the
+        # pointer until fixpoint (<= log2(depth) rounds of ONE
+        # self-join each, vs CC's 3-join iterations over the full
+        # merge graph).  Downstream only the PARTITION matters (labels
+        # feed equality filters and group-bys; the published forest
+        # carries no labels), and the pointer forest's weak components
+        # are exactly the chosen-edge graph's components, so the
+        # result is identical whether labels are min-members (CC) or
+        # cycle-roots (here).
+        par = (
+            min_keys_c.join(chosen.select("key", "ca", "cb"), "key")
+            .select(
+                "comp",
+                F.when(F.col("comp") == F.col("ca"), F.col("cb"))
+                .otherwise(F.col("ca"))
+                .alias("p"),
+            )
+            .localCheckpoint()
+        )
+        while True:
+            pp = par.select(F.col("comp").alias("c2"), F.col("p").alias("p2"))
+            nxt = (
+                par.join(pp, par["p"] == pp["c2"], "left")
+                .select(
+                    "comp",
+                    F.when(F.col("p2") == F.col("comp"), F.least("comp", "p"))
+                    .otherwise(F.coalesce("p2", "p"))
+                    .alias("new_p"),
+                    F.col("p").alias("prev"),
+                )
+                .localCheckpoint()
+            )
+            changed = not nxt.filter(F.col("new_p") != F.col("prev")).isEmpty()
+            par = nxt.select("comp", F.col("new_p").alias("p"))
+            if not changed:
+                break
+        merge_map = par.select(
+            F.col("comp").alias("node"), F.col("p").alias("component")
         )
         labels = _stats_reset(
             labels.join(
