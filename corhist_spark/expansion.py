@@ -60,14 +60,17 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
     )
     # cut the kernel lineage once: `rows` feeds both the candidate fan-
     # out and the final re-join, and the still-applied filter downstream.
-    # DISK_ONLY: the candidate set can be huge (98M rows for the sf1
-    # unique kernel — value-keyed joins are quadratic on hot values);
-    # deserialized in-memory blocks at that size GC-thrash an 8g heap,
-    # while serialized disk blocks stream back fine.  On a cluster this
-    # lineage cut would be a warehouse write; executor-local disk is the
-    # local-mode equivalent.
+    # MEMORY_AND_DISK (PySpark's level is SERIALIZED in memory, unlike
+    # the JVM default): the candidate set can be huge (98M rows for the
+    # sf1 unique kernel — value-keyed joins are quadratic on hot
+    # values); the r5 GC-death mode came from DESERIALIZED in-memory
+    # blocks, which this level never creates — serialized blocks stay
+    # compact, spill to disk under pressure, and stream back fine,
+    # while bench-scale candidate sets skip the disk round-trip
+    # entirely.  On a cluster this lineage cut would be a warehouse
+    # write; executor-local storage is the local-mode equivalent.
     rows = rows.join(main_author, "corr_rev", "left").localCheckpoint(
-        storageLevel=StorageLevel.DISK_ONLY
+        storageLevel=StorageLevel.MEMORY_AND_DISK
     )
 
     # candidate revisions: distance 0 (the revision itself) and the
@@ -230,11 +233,11 @@ def build_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame, s
     """Full post-kernel pipeline: expansion then still-applied.  The
     expansion output is checkpointed — still-applied consumes it twice
     (explode + semi-join back) and it is small relative to its plan.
-    DISK_ONLY for the same reason as the candidate checkpoint: the
-    expanded set is candidate-sized."""
+    MEMORY_AND_DISK (serialized) for the same reason as the candidate
+    checkpoint: the expanded set is candidate-sized."""
     return filter_still_applied(
         expand_corrections(rows, edits, revisions).localCheckpoint(
-            storageLevel=StorageLevel.DISK_ONLY
+            storageLevel=StorageLevel.MEMORY_AND_DISK
         ),
         state,
     )
