@@ -1868,16 +1868,29 @@ def scc_components(
                 .groupBy(F.col("src").alias("node"))
                 .agg(F.min("b").alias("mb"))
             )
-            lab = (
+            nxt = (
                 lab.join(mf, "node", "left")
                 .join(mb, "node", "left")
                 .select(
                     "node",
-                    F.least("f", F.coalesce("mf", "f")).alias("f"),
-                    F.least("b", F.coalesce("mb", "b")).alias("b"),
+                    F.least("f", F.coalesce("mf", "f")).alias("nf"),
+                    F.least("b", F.coalesce("mb", "b")).alias("nb"),
+                    F.col("f").alias("pf"),
+                    F.col("b").alias("pb"),
                 )
                 .localCheckpoint()
             )
+            # converged labels make every later hop a no-op — stop
+            # early (the previous f/b ride in the same checkpointed
+            # frame, so the check is a scan, not another join job)
+            moved = not nxt.filter(
+                (F.col("nf") != F.col("pf")) | (F.col("nb") != F.col("pb"))
+            ).isEmpty()
+            lab = nxt.select(
+                "node", F.col("nf").alias("f"), F.col("nb").alias("b")
+            )
+            if not moved:
+                break
         done = lab.filter(F.col("f") == F.col("b")).select(
             "node", F.col("f").alias("scc_id"), F.lit(True).alias("resolved")
         )
