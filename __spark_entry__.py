@@ -4391,17 +4391,26 @@ def q_value_json(spark, sf_dir):
     )
 
 
+_CLOSURE_MEMO: dict = {}
+
+
 def q_subclass_closure(spark, sf_dir):
     """Transitive closure over a binary-tree hierarchy derived from
-    part keys (iterate-to-fixpoint vs WITH RECURSIVE)."""
+    part keys (iterate-to-fixpoint vs WITH RECURSIVE).  The eager
+    path-doubling loop is memoized per session (the _signatures /
+    _dup_components pattern): hierarchy_profile consumes the same
+    closure."""
     from corhist_spark.canonicalize import static_closure
 
-    p = _t(spark, sf_dir, "part")
-    edges = p.filter(F.col("p_partkey") >= 1).select(
-        F.concat(F.lit("C"), F.col("p_partkey").cast("string")).alias("cls"),
-        F.concat(F.lit("C"), F.floor(F.col("p_partkey") / 2).cast("long").cast("string")).alias("parent"),
-    )
-    return static_closure(edges)
+    key = _memo_key(spark, sf_dir)
+    if key not in _CLOSURE_MEMO:
+        p = _t(spark, sf_dir, "part")
+        edges = p.filter(F.col("p_partkey") >= 1).select(
+            F.concat(F.lit("C"), F.col("p_partkey").cast("string")).alias("cls"),
+            F.concat(F.lit("C"), F.floor(F.col("p_partkey") / 2).cast("long").cast("string")).alias("parent"),
+        )
+        _CLOSURE_MEMO[key] = static_closure(edges)
+    return _CLOSURE_MEMO[key]
 
 
 # number of hash buckets in the two-level negative-sampling table
