@@ -60,17 +60,18 @@ def expand_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame) 
     )
     # cut the kernel lineage once: `rows` feeds both the candidate fan-
     # out and the final re-join, and the still-applied filter downstream.
-    # MEMORY_AND_DISK (PySpark's level is SERIALIZED in memory, unlike
-    # the JVM default): the candidate set can be huge (98M rows for the
-    # sf1 unique kernel — value-keyed joins are quadratic on hot
-    # values); the r5 GC-death mode came from DESERIALIZED in-memory
-    # blocks, which this level never creates — serialized blocks stay
-    # compact, spill to disk under pressure, and stream back fine,
-    # while bench-scale candidate sets skip the disk round-trip
-    # entirely.  On a cluster this lineage cut would be a warehouse
-    # write; executor-local storage is the local-mode equivalent.
+    # DISK_ONLY: the candidate set can be huge (98M rows for the sf1
+    # unique kernel — value-keyed joins are quadratic on hot values);
+    # deserialized in-memory blocks at that size GC-thrash an 8g heap,
+    # while serialized disk blocks stream back fine.  (r6 re-validated
+    # this the hard way: MEMORY_AND_DISK — serialized in PySpark — still
+    # heap-OOMs the sf1 run when the ~5 GB of candidate blocks are
+    # pulled back through maybeCacheDiskBytesInMemory under storage
+    # pressure; the local saving was within noise, so DISK_ONLY stays.)
+    # On a cluster this lineage cut would be a warehouse write;
+    # executor-local disk is the local-mode equivalent.
     rows = rows.join(main_author, "corr_rev", "left").localCheckpoint(
-        storageLevel=StorageLevel.MEMORY_AND_DISK
+        storageLevel=StorageLevel.DISK_ONLY
     )
 
     # candidate revisions: distance 0 (the revision itself) and the
@@ -233,11 +234,11 @@ def build_corrections(rows: DataFrame, edits: DataFrame, revisions: DataFrame, s
     """Full post-kernel pipeline: expansion then still-applied.  The
     expansion output is checkpointed — still-applied consumes it twice
     (explode + semi-join back) and it is small relative to its plan.
-    MEMORY_AND_DISK (serialized) for the same reason as the candidate
-    checkpoint: the expanded set is candidate-sized."""
+    DISK_ONLY for the same reason as the candidate checkpoint: the
+    expanded set is candidate-sized."""
     return filter_still_applied(
         expand_corrections(rows, edits, revisions).localCheckpoint(
-            storageLevel=StorageLevel.MEMORY_AND_DISK
+            storageLevel=StorageLevel.DISK_ONLY
         ),
         state,
     )

@@ -301,28 +301,17 @@ def correction_candidates(
     else:
         constraints = constraints.withColumn("div", F.lit(1).cast("long"))
 
+    dels_nop = _diff_with_meta(edits, revisions, "del", need_prev=False).localCheckpoint()
+    dels = dels_nop.filter(F.col("g").isNotNull())
     needs_adds = {
         S.TYPE_INVERSE, S.TYPE_SYMMETRIC, S.TYPE_TYPE,
         S.TYPE_VALUE_TYPE, S.TYPE_TARGET_CLAIM, S.TYPE_ITEM,
     }
-    if present & needs_adds:
-        # both op diffs needed: ONE edits x revisions join checkpointed,
-        # split by op afterwards — halves the eager diff-build jobs vs
-        # materializing each op separately (the filters are exact
-        # slices of the combined frame, so every kernel sees identical
-        # rows)
-        both = (
-            edits.filter(F.col("op").isin("del", "add"))
-            .join(revisions.select("rev_id", F.col("parent_rev_id").alias("g")), "rev_id")
-            .select("rev_id", "subj", "pred", "obj", "g", "op")
-            .localCheckpoint()
-        )
-        dels_nop = both.filter(F.col("op") == "del").drop("op")
-        adds = both.filter((F.col("op") == "add") & F.col("g").isNotNull()).drop("op")
-    else:
-        dels_nop = _diff_with_meta(edits, revisions, "del", need_prev=False).localCheckpoint()
-        adds = None
-    dels = dels_nop.filter(F.col("g").isNotNull())
+    adds = (
+        _diff_with_meta(edits, revisions, "add", need_prev=True).localCheckpoint()
+        if present & needs_adds
+        else None
+    )
     sameas = _sameas_adds(edits)
     state = _st(state)
     closure = _cl(closure)
