@@ -105,3 +105,74 @@ def test_extraction_uses_arrow_udf(spark, sdf, plan_of):
     plan = plan_of(extract_triples(sdf["documents"]))
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# r6 (VERDICT r5 ask 5): structural audits of the heavy graph fixpoints.
+# These operators do their work in EAGER localCheckpoint loops, so the
+# final frame's plan proves nothing about the rounds; instead every
+# pre-checkpoint plan of the loop is captured by intercepting
+# DataFrame.localCheckpoint and audited — a cartesian product, a
+# row-at-a-time Python node, or a runaway action count in ANY round
+# fails structurally, without depending on wall-time noise.
+# ---------------------------------------------------------------------------
+
+
+def _loop_plans(fn):
+    """Run fn() with DataFrame.localCheckpoint intercepted; return the
+    executed-plan string of every frame the loop materializes."""
+    # Spark 4 classic: instances are classic.dataframe.DataFrame, which
+    # shadows the pyspark.sql.DataFrame facade — patch the class whose
+    # method actually dispatches
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # older layout
+        from pyspark.sql import DataFrame
+
+    plans = []
+    orig = DataFrame.localCheckpoint
+
+    def patched(self, *a, **k):
+        plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self, *a, **k)
+
+    DataFrame.localCheckpoint = patched
+    try:
+        fn()
+    finally:
+        DataFrame.localCheckpoint = orig
+    return plans
+
+
+def _assert_loop_shape(plans, max_actions, allow_bnlj=0):
+    assert plans, "loop materialized nothing"
+    assert len(plans) <= max_actions, (
+        f"fixpoint scheduled {len(plans)} checkpoint actions (cap {max_actions}) — "
+        "a shrinking-active-set early exit regressed"
+    )
+    for p in plans:
+        assert "CartesianProduct" not in p, p
+        assert "Python" not in p, p
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in p, p
+
+
+@pytest.mark.parametrize(
+    "qname,max_actions",
+    [
+        # caps = generous bounds over the observed sf0.001 action counts;
+        # they catch order-of-magnitude regressions (e.g. a lost early
+        # exit or a checkpoint added inside an inner loop), not noise
+        ("boruvka_mst", 40),
+        ("scc_components", 60),
+        ("luby_mis", 40),
+        ("distance_distribution", 12),
+        ("k_truss", 40),
+    ],
+)
+def test_fixpoint_loop_plans(spark, qname, max_actions):
+    import __spark_entry__ as e
+
+    q = e.queries()[qname]
+    plans = _loop_plans(lambda: q(spark, "/root/testdata/sf0.001"))
+    _assert_loop_shape(plans, max_actions)
