@@ -4985,10 +4985,20 @@ def q_community_modularity(spark, sf_dir):
             F.lit("C"), (F.expr("CAST(substr(node, 2) AS BIGINT)") % 8).cast("string")
         ).alias("label"),
     )
-    lpa = community_modularity(edges, label_propagation(edges)).select(
+    # both assignments score the SAME graph: build the canonical
+    # undirected edge frame once and share its eager checkpoint
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    lpa = community_modularity(edges, label_propagation(edges), canon=canon).select(
         F.lit("lpa").alias("assignment"), "*"
     )
-    base = community_modularity(edges, hash8).select(
+    base = community_modularity(edges, hash8, canon=canon).select(
         F.lit("hash8").alias("assignment"), "*"
     )
     return lpa.unionByName(base)

@@ -1337,7 +1337,9 @@ def triad_census(edges: DataFrame) -> DataFrame:
     )
 
 
-def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def community_modularity(
+    edges: DataFrame, labels: DataFrame, canon: DataFrame | None = None
+) -> DataFrame:
     """Newman modularity decomposition of a community assignment
     ``labels(node, label)`` over the undirected graph of
     ``edges(src, dst)`` — one row per community:
@@ -1355,15 +1357,21 @@ def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     Scale shape: the canonical edge set is joined to the label table
     once per endpoint (node-keyed equi-joins), degrees are one
     map-side-combined aggregate, and every result frame is
-    community-sized; the single-row m frame rides a broadcast."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    community-sized; the single-row m frame rides a broadcast.
+
+    ``canon`` optionally supplies the canonical undirected edge frame
+    (a, b with a < b, distinct, materialized) so a caller scoring
+    SEVERAL assignments of the same graph pays its eager build once —
+    it is exactly the frame built here when omitted."""
+    if canon is None:
+        canon = (
+            edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
     m = canon.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     la = labels.select(F.col("node").alias("a"), F.col("label").alias("label_a"))
     lb = labels.select(F.col("node").alias("b"), F.col("label").alias("label_b"))

@@ -1048,6 +1048,25 @@ def test_modularity_exact_on_two_cliques(spark):
     # degree identity: sum of degree_sum over communities = 2m
     assert sum(r.degree_sum for r in rows.values()) == 14
 
+    # a precomputed canon frame (the multi-assignment sharing path)
+    # must be result-identical to the internal build
+    from pyspark.sql import functions as F
+
+    canon = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    shared = {
+        r.label: r for r in community_modularity(edges, labels, canon=canon).collect()
+    }
+    assert {lab: tuple(r) for lab, r in shared.items()} == {
+        lab: tuple(r) for lab, r in rows.items()
+    }
+
 
 def test_modularity_plan_stays_jvm_side(spark):
     from corhist_spark.graph import community_modularity
