@@ -1872,6 +1872,28 @@ def _kg_edges(spark, sf_dir, max_event=None):
     )
 
 
+_KG_CANON_MEMO: dict = {}
+
+
+def _kg_canon(spark, sf_dir):
+    """Session-memoized canonical undirected edge frame of the derived
+    entity graph — `graph._undirected(_kg_edges(...))`, materialized
+    once with localCheckpoint.  Every undirected graph analytic starts
+    from exactly this frame (the `_undirected` preamble), so the
+    queries share ONE events-scan + distinct shuffle per session
+    instead of each rebuilding it — the `_hist`/`_signatures`
+    shared-input pattern.  Partitioning of the frame never affects
+    what any consumer computes."""
+    from corhist_spark.graph import _undirected
+
+    key = _memo_key(spark, sf_dir)
+    if key not in _KG_CANON_MEMO:
+        _KG_CANON_MEMO[key] = _undirected(
+            _kg_edges(spark, sf_dir)
+        ).localCheckpoint()
+    return _KG_CANON_MEMO[key]
+
+
 def q_triangle_counts(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficient over
     the derived entity graph — degree-oriented wedge enumeration
@@ -1881,7 +1903,9 @@ def q_triangle_counts(spark, sf_dir):
     reference stops at materialization."""
     from corhist_spark.graph import triangle_counts
 
-    return triangle_counts(_kg_edges(spark, sf_dir))
+    return triangle_counts(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_pagerank(spark, sf_dir):
@@ -1926,7 +1950,9 @@ def q_label_propagation(spark, sf_dir):
     DuckDB transcription is exact."""
     from corhist_spark.graph import label_propagation
 
-    return label_propagation(_kg_edges(spark, sf_dir))
+    return label_propagation(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_random_walks(spark, sf_dir):
@@ -1937,7 +1963,9 @@ def q_random_walks(spark, sf_dir):
     DuckDB-transcribed step by step."""
     from corhist_spark.graph import random_walks
 
-    return random_walks(_kg_edges(spark, sf_dir))
+    return random_walks(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_predicate_pmi(spark, sf_dir):
@@ -1958,7 +1986,9 @@ def q_k_core(spark, sf_dir):
     DuckDB transcription is exact."""
     from corhist_spark.graph import k_core
 
-    return k_core(_kg_edges(spark, sf_dir))
+    return k_core(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 # BFS seed selection: the repo-standard md5 hash-in-place-of-RNG,
@@ -1990,7 +2020,7 @@ def q_bfs_distances(spark, sf_dir):
         % _BFS_SEED_MOD
         == 0
     )
-    return bfs_distances(edges, seeds)
+    return bfs_distances(edges, seeds, canon=_kg_canon(spark, sf_dir))
 
 
 def q_hits(spark, sf_dir):
@@ -2013,7 +2043,9 @@ def q_neighbor_jaccard(spark, sf_dir):
     pure integer."""
     from corhist_spark.graph import neighbor_jaccard
 
-    return neighbor_jaccard(_kg_edges(spark, sf_dir))
+    return neighbor_jaccard(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_adamic_adar(spark, sf_dir):
@@ -2025,7 +2057,9 @@ def q_adamic_adar(spark, sf_dir):
     the pagerank contract)."""
     from corhist_spark.graph import adamic_adar
 
-    return adamic_adar(_kg_edges(spark, sf_dir))
+    return adamic_adar(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_predicate_functionality(spark, sf_dir):
@@ -2125,7 +2159,9 @@ def q_linkpred_eval(spark, sf_dir):
     ranking sort)."""
     from corhist_spark.graph import linkpred_eval
 
-    return linkpred_eval(_kg_edges(spark, sf_dir))
+    return linkpred_eval(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_graph_profile(spark, sf_dir):
@@ -2135,7 +2171,9 @@ def q_graph_profile(spark, sf_dir):
     final double division."""
     from corhist_spark.graph import graph_profile
 
-    return graph_profile(_kg_edges(spark, sf_dir))
+    return graph_profile(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_skipgram_pairs(spark, sf_dir):
@@ -2146,7 +2184,9 @@ def q_skipgram_pairs(spark, sf_dir):
     walk."""
     from corhist_spark.graph import random_walks, skipgram_pairs
 
-    return skipgram_pairs(random_walks(_kg_edges(spark, sf_dir)))
+    return skipgram_pairs(
+        random_walks(_kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir))
+    )
 
 
 def q_characteristic_sets(spark, sf_dir):
@@ -2722,7 +2762,9 @@ def q_hyperball(spark, sf_dir):
     <= 2m * 16 by construction (no 2-hop pair enumeration)."""
     from corhist_spark.graph import hyperball_2hop
 
-    return hyperball_2hop(_kg_edges(spark, sf_dir))
+    return hyperball_2hop(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_comention_graph(spark, sf_dir):
@@ -2739,7 +2781,9 @@ def q_degree_histogram(spark, sf_dir):
     the power-law shape check next to graph_profile."""
     from corhist_spark.graph import degree_histogram
 
-    return degree_histogram(_kg_edges(spark, sf_dir))
+    return degree_histogram(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_datatype_induction(spark, sf_dir):
@@ -4985,19 +5029,12 @@ def q_community_modularity(spark, sf_dir):
             F.lit("C"), (F.expr("CAST(substr(node, 2) AS BIGINT)") % 8).cast("string")
         ).alias("label"),
     )
-    # both assignments score the SAME graph: build the canonical
-    # undirected edge frame once and share its eager checkpoint
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    lpa = community_modularity(edges, label_propagation(edges), canon=canon).select(
-        F.lit("lpa").alias("assignment"), "*"
-    )
+    # both assignments (and the LPA detector itself) score the SAME
+    # graph: share the session's canonical-edge checkpoint
+    canon = _kg_canon(spark, sf_dir)
+    lpa = community_modularity(
+        edges, label_propagation(edges, canon=canon), canon=canon
+    ).select(F.lit("lpa").alias("assignment"), "*")
     base = community_modularity(edges, hash8, canon=canon).select(
         F.lit("hash8").alias("assignment"), "*"
     )
@@ -5105,7 +5142,9 @@ def q_hill_tail_index(spark, sf_dir):
     to micro-nats before summation."""
     from corhist_spark.graph import hill_tail_index
 
-    return hill_tail_index(_kg_edges(spark, sf_dir))
+    return hill_tail_index(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_lsh_band_tuning(spark, sf_dir):
@@ -5260,7 +5299,9 @@ def q_distance_distribution(spark, sf_dir):
     flag — register algebra linear in edges, hubs included."""
     from corhist_spark.graph import distance_distribution
 
-    return distance_distribution(_kg_edges(spark, sf_dir))
+    return distance_distribution(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_dawid_skene(spark, sf_dir):
@@ -5455,7 +5496,9 @@ def q_luby_mis(spark, sf_dir):
     The MIS is the conflict-free parallel-merge scheduler."""
     from corhist_spark.graph import luby_mis
 
-    return luby_mis(_kg_edges(spark, sf_dir))
+    return luby_mis(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_equidepth_hist(spark, sf_dir):
@@ -5753,7 +5796,9 @@ def q_assortativity(spark, sf_dir):
     strategy."""
     from corhist_spark.graph import assortativity
 
-    return assortativity(_kg_edges(spark, sf_dir))
+    return assortativity(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_brier_decomposition(spark, sf_dir):
@@ -5771,7 +5816,9 @@ def q_k_truss(spark, sf_dir):
     derived entity graph — the cohesive-core edge subgraph."""
     from corhist_spark.graph import k_truss
 
-    return k_truss(_kg_edges(spark, sf_dir))
+    return k_truss(
+        _kg_edges(spark, sf_dir), canon=_kg_canon(spark, sf_dir)
+    )
 
 
 def q_slo_burn(spark, sf_dir):

@@ -40,7 +40,7 @@ PR_ITERS = 8
 PR_DAMPING = 0.85
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, canon: DataFrame | None = None) -> DataFrame:
     """Per-node triangle participation + local clustering coefficient
     over an undirected edge list ``edges(src, dst)`` (duplicates,
     reversed duplicates and self-loops are cleaned here).
@@ -53,16 +53,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented edge y -> z — no pair-ordering dedup needed because the
     oriented edge set contains each edge in one direction only.
     """
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        # reused 3x below (degrees, orientation, wedge closing) — cut
-        # the upstream lineage once
-        .localCheckpoint()
-    )
+    canon = canon if canon is not None else _undirected(edges).localCheckpoint()
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
@@ -190,7 +181,9 @@ def pagerank(
 LPA_ITERS = 4
 
 
-def label_propagation(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, n_iters: int = LPA_ITERS, canon: DataFrame | None = None
+) -> DataFrame:
     """Synchronous label propagation (Raghavan, Albert & Kumara 2007)
     over the undirected graph of ``edges(src, dst)``, run a fixed
     ``n_iters`` rounds -> (node, label): cheap community detection
@@ -210,13 +203,7 @@ def label_propagation(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
     the adjacency is bucketed on the join side so every round
     co-locates, and label frames are checkpointed per round to cut
     lineage (the pagerank/closure fixpoint pattern)."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    canon = canon if canon is not None else _undirected(edges)
     und = (
         canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -246,7 +233,9 @@ def label_propagation(edges: DataFrame, n_iters: int = LPA_ITERS) -> DataFrame:
 WALK_STEPS = 4
 
 
-def random_walks(edges: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
+def random_walks(
+    edges: DataFrame, n_steps: int = WALK_STEPS, canon: DataFrame | None = None
+) -> DataFrame:
     """DeepWalk-style walk corpus over the undirected graph of
     ``edges(src, dst)`` — one ``n_steps``-step walk started at EVERY
     node -> (walk, step, node) rows, step 0..n_steps: the corpus a
@@ -269,13 +258,7 @@ def random_walks(edges: DataFrame, n_steps: int = WALK_STEPS) -> DataFrame:
     a per-walk argmin window over <= degree candidates — linear per
     step, n_steps a small constant; the frontier is checkpointed per
     step like every other fixpoint loop."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    canon = canon if canon is not None else _undirected(edges)
     und = (
         canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -376,7 +359,12 @@ def _undirected(edges: DataFrame) -> DataFrame:
     )
 
 
-def k_core(edges: DataFrame, k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int = KCORE_K,
+    n_rounds: int = KCORE_ROUNDS,
+    canon: DataFrame | None = None,
+) -> DataFrame:
     """k-core of the undirected graph of ``edges(src, dst)`` by
     ``n_rounds`` synchronous peeling rounds (Matula & Beck 1983; the
     distributed formulation is the standard Pregel-style peel): each
@@ -400,7 +388,7 @@ def k_core(edges: DataFrame, k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS) -> 
     checkpointed per round to cut lineage.  Survivor lists are
     node-sized and usually broadcast-able; Catalyst/AQE picks that up
     at runtime without the plan pinning it."""
-    e = _undirected(edges).localCheckpoint()
+    e = canon if canon is not None else _undirected(edges).localCheckpoint()
     for _ in range(n_rounds):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -425,7 +413,12 @@ def k_core(edges: DataFrame, k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS) -> 
 BFS_ROUNDS = 4
 
 
-def bfs_distances(edges: DataFrame, seeds: DataFrame, n_rounds: int = BFS_ROUNDS) -> DataFrame:
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_rounds: int = BFS_ROUNDS,
+    canon: DataFrame | None = None,
+) -> DataFrame:
     """Multi-source breadth-first distances over the undirected graph
     of ``edges(src, dst)`` from the ``seeds(node)`` set, bounded at
     ``n_rounds`` hops -> (node, dist): dist = exact shortest-path hop
@@ -448,7 +441,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, n_rounds: int = BFS_ROUNDS
     to at most the node table.  No broadcast of anything
     corpus-sized; at cluster scale the adjacency is bucketed on u so
     every round's probe co-locates."""
-    canon = _undirected(edges)
+    canon = canon if canon is not None else _undirected(edges)
     und = (
         canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -577,7 +570,10 @@ NJ_MIN_PCT = 10
 
 
 def neighbor_jaccard(
-    edges: DataFrame, hub_cap: int = NJ_HUB_CAP, min_pct: int = NJ_MIN_PCT
+    edges: DataFrame,
+    hub_cap: int = NJ_HUB_CAP,
+    min_pct: int = NJ_MIN_PCT,
+    canon: DataFrame | None = None,
 ) -> DataFrame:
     """Structural entity similarity: node pairs whose NEIGHBOR SETS
     overlap -> (node_a, node_b, common, jaccard) for pairs with
@@ -602,7 +598,7 @@ def neighbor_jaccard(
     hub-filtered adjacency on the wedge CENTER (shuffled on a
     node key, per-center output <= hub_cap^2) + a pair-keyed count;
     degree tables are node-sized side inputs."""
-    canon = _undirected(edges)
+    canon = canon if canon is not None else _undirected(edges)
     und = (
         canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -667,7 +663,10 @@ AA_MIN_COMMON = 3
 
 
 def adamic_adar(
-    edges: DataFrame, hub_cap: int = AA_HUB_CAP, min_common: int = AA_MIN_COMMON
+    edges: DataFrame,
+    hub_cap: int = AA_HUB_CAP,
+    min_common: int = AA_MIN_COMMON,
+    canon: DataFrame | None = None,
 ) -> DataFrame:
     """Adamic-Adar link prediction (Adamic & Adar 2003; the standard
     common-neighbor score, Liben-Nowell & Kleinberg 2007) over the
@@ -699,7 +698,7 @@ def adamic_adar(
     side inputs."""
     # checkpointed once: feeds the adjacency AND the final anti-join
     # (otherwise the anti-join side re-runs the upstream edge scan)
-    canon = _undirected(edges).localCheckpoint()
+    canon = canon if canon is not None else _undirected(edges).localCheckpoint()
     und = (
         canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -756,6 +755,7 @@ def linkpred_eval(
     holdout_mod: int = LP_HOLDOUT_MOD,
     hub_cap: int = AA_HUB_CAP,
     min_common: int = 1,
+    canon: DataFrame | None = None,
 ) -> DataFrame:
     """Link-prediction evaluation harness (the standard protocol of
     Liben-Nowell & Kleinberg 2007): deterministically hold out
@@ -776,14 +776,7 @@ def linkpred_eval(
     Scale shape: the split is a map-side filter; scoring inherits
     adamic_adar's m * hub_cap wedge bound; the final metrics are one
     semi-join + single-row aggregates."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    canon = canon if canon is not None else _undirected(edges).localCheckpoint()
     is_held = (
         F.expr(
             "CAST(conv(substr(md5(concat('lp:', a, '|', b)), 1, 13), 16, 10) AS BIGINT)"
@@ -830,7 +823,7 @@ def linkpred_eval(
     )
 
 
-def graph_profile(edges: DataFrame) -> DataFrame:
+def graph_profile(edges: DataFrame, canon: DataFrame | None = None) -> DataFrame:
     """One-row shape profile of the undirected graph of
     ``edges(src, dst)``: (n_nodes, n_edges, max_degree, avg_degree,
     assortativity) — the summary a KG curator reads before deciding
@@ -854,7 +847,7 @@ def graph_profile(edges: DataFrame) -> DataFrame:
     edge list against the degree table (twice, once per endpoint) +
     single-row aggregates; nothing corpus-sized is broadcast or
     sorted."""
-    canon = _undirected(edges).localCheckpoint()
+    canon = canon if canon is not None else _undirected(edges).localCheckpoint()
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
@@ -1054,7 +1047,7 @@ HB_BUCKETS = 16
 HB_ALPHA16 = 0.673  # Flajolet's alpha for m = 16
 
 
-def hyperball_2hop(edges: DataFrame) -> DataFrame:
+def hyperball_2hop(edges: DataFrame, canon: DataFrame | None = None) -> DataFrame:
     """HyperBall / ANF (Boldi, Rosa & Vigna 2011; Palmer et al.'s
     approximate neighborhood function): per-node estimates of the
     1-hop and 2-hop ball sizes via mergeable HLL registers — THE
@@ -1072,7 +1065,7 @@ def hyperball_2hop(edges: DataFrame) -> DataFrame:
     construction, hubs included.  Register arithmetic is the repo's
     exact-integer rho (53 - bit_length) and the 2^-reg sums are
     dyadic rationals — exact in double on both engines."""
-    canon = _undirected(edges).localCheckpoint()
+    canon = canon if canon is not None else _undirected(edges).localCheckpoint()
     und = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -1129,7 +1122,7 @@ def hyperball_2hop(edges: DataFrame) -> DataFrame:
     )
 
 
-def degree_histogram(edges: DataFrame) -> DataFrame:
+def degree_histogram(edges: DataFrame, canon: DataFrame | None = None) -> DataFrame:
     """Log2-binned degree histogram of the undirected graph — the
     power-law shape check a capacity planner reads next to
     ``graph_profile`` (a heavy tail here is the trigger for the
@@ -1139,7 +1132,7 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
 
     Scale shape: one degree aggregate + one constant-sized (≤ 64
     bins) aggregate."""
-    canon = _undirected(edges)
+    canon = canon if canon is not None else _undirected(edges)
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
@@ -1420,7 +1413,9 @@ def community_modularity(
 HILL_KS = (16, 32, 64)
 
 
-def hill_tail_index(edges: DataFrame, ks: tuple = HILL_KS) -> DataFrame:
+def hill_tail_index(
+    edges: DataFrame, ks: tuple = HILL_KS, canon: DataFrame | None = None
+) -> DataFrame:
     """Hill estimator of the degree-distribution tail index over the
     undirected graph of ``edges(src, dst)`` — one row per tail depth
     k: (k, d_k, n_tail, alpha_ppm).  alpha_hat = k / sum_{i<=k}
@@ -1443,13 +1438,7 @@ def hill_tail_index(edges: DataFrame, ks: tuple = HILL_KS) -> DataFrame:
     values, the count-bucket pattern), and only the >= cutoff rows
     (kmax plus ties at the boundary) enter the single ranking window.
     Everything after is k-row arithmetic."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    canon = canon if canon is not None else _undirected(edges)
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
@@ -1672,7 +1661,9 @@ DD_MAX_K = 4
 DD_EFF_PCT = 90
 
 
-def distance_distribution(edges: DataFrame, max_k: int = DD_MAX_K) -> DataFrame:
+def distance_distribution(
+    edges: DataFrame, max_k: int = DD_MAX_K, canon: DataFrame | None = None
+) -> DataFrame:
     """HyperBall distance distribution + effective diameter (Boldi,
     Rosa & Vigna 2011 — how web-graph diameters are actually
     measured): the global neighborhood function N(k) = sum over nodes
@@ -1686,7 +1677,7 @@ def distance_distribution(edges: DataFrame, max_k: int = DD_MAX_K) -> DataFrame:
     round's <= 16 register rows per node (volume <= 2m * 16, LINEAR
     in edges, hubs included) and max-combines; the global N(k) sums
     the per-node BIGINT estimates, so the output is max_k rows."""
-    canon = _undirected(edges).localCheckpoint()
+    canon = canon if canon is not None else _undirected(edges).localCheckpoint()
     und = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
@@ -1936,7 +1927,9 @@ def _mis_key(r: int):
     )
 
 
-def luby_mis(edges: DataFrame, n_rounds: int = MIS_ROUNDS) -> DataFrame:
+def luby_mis(
+    edges: DataFrame, n_rounds: int = MIS_ROUNDS, canon: DataFrame | None = None
+) -> DataFrame:
     """Maximal independent set by Luby's algorithm (Luby 1986) with
     deterministic per-round hash priorities: each round, every active
     node whose priority key is a strict minimum over its active
@@ -1960,14 +1953,7 @@ def luby_mis(edges: DataFrame, n_rounds: int = MIS_ROUNDS) -> DataFrame:
     two semi-joins of the active edge set against node-sized frames —
     never a broadcast of anything edge-sized; actives/edges
     checkpointed per round to cut lineage."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    canon = canon if canon is not None else _undirected(edges)
     und = (
         canon.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
@@ -2223,7 +2209,7 @@ def boruvka_mst(edges: DataFrame, n_rounds: int = MST_ROUNDS) -> DataFrame:
     return forest
 
 
-def assortativity(edges: DataFrame) -> DataFrame:
+def assortativity(edges: DataFrame, canon: DataFrame | None = None) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation of endpoint degrees over every directed orientation
     of the undirected edge set — positive means hubs attach to hubs
@@ -2238,14 +2224,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
 
     Scale shape: one node-keyed degree aggregate, two degree joins of
     the edge set, one single-row sum rollup."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    canon = canon if canon is not None else _undirected(edges)
     deg = (
         canon.select(F.col("a").alias("node"))
         .unionAll(canon.select(F.col("b").alias("node")))
@@ -2345,7 +2324,10 @@ def _edge_support(canon: DataFrame) -> DataFrame:
 
 
 def k_truss(
-    edges: DataFrame, k: int = TRUSS_K, n_rounds: int = TRUSS_ROUNDS
+    edges: DataFrame,
+    k: int = TRUSS_K,
+    n_rounds: int = TRUSS_ROUNDS,
+    canon: DataFrame | None = None,
 ) -> DataFrame:
     """k-truss of the undirected graph (Cohen 2008): iteratively peel
     every edge supported by fewer than k-2 triangles in the SURVIVING
@@ -2362,15 +2344,7 @@ def k_truss(
     Scale shape per round: one triangle-support pass (degree-oriented
     wedge join — the same bounded plan as triangle_counts) + one
     edge filter; edge frames checkpointed per round."""
-    canon = (
-        edges.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    canon = canon if canon is not None else _undirected(edges).localCheckpoint()
     cur = canon
     for _ in range(n_rounds):
         sup = _edge_support(cur).localCheckpoint()
