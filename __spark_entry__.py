@@ -1842,6 +1842,9 @@ def _ev_count(spark, sf_dir):
     return _EV_N_MEMO[key]
 
 
+_KG_EDGES_MEMO: dict = {}
+
+
 def _kg_edges(spark, sf_dir, max_event=None):
     """Deterministic entity-graph edge list derived from events:
     src = Q(event_id mod K), dst = Q(md5-hash(event_id) mod K) with
@@ -1851,7 +1854,24 @@ def _kg_edges(spark, sf_dir, max_event=None):
     hash is the repo-standard 13-hex md5 decode (same in the DuckDB
     transcription), NOT an affine map of event_id: both coordinates
     of an affine pair would be functions of event_id mod K and the
-    edge set would collapse to K functional edges."""
+    edge set would collapse to K functional edges.
+
+    The FULL graph (max_event=None) is session-memoized as a
+    materialized frame (`_hist`/`_signatures` pattern): every directed
+    consumer would otherwise re-run the events scan + md5 decode per
+    plan leg.  Temporal-prefix calls stay un-memoized so their
+    event_id filter still pushes into the parquet scan."""
+    if max_event is None:
+        key = _memo_key(spark, sf_dir)
+        if key not in _KG_EDGES_MEMO:
+            _KG_EDGES_MEMO[key] = _kg_edges_build(
+                spark, sf_dir, None
+            ).localCheckpoint()
+        return _KG_EDGES_MEMO[key]
+    return _kg_edges_build(spark, sf_dir, max_event)
+
+
+def _kg_edges_build(spark, sf_dir, max_event):
     ev = _t(spark, sf_dir, "events")
     k = max(64, _ev_count(spark, sf_dir) // 20)
     if max_event is not None:
@@ -2007,7 +2027,7 @@ def q_bfs_distances(spark, sf_dir):
 
     # derived once for BOTH the seed scan and the traversal (the seed
     # branch would otherwise re-run the events scan + md5 decode)
-    edges = _kg_edges(spark, sf_dir).localCheckpoint()
+    edges = _kg_edges(spark, sf_dir)  # memoized, already materialized
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
@@ -2880,11 +2900,25 @@ def q_hash_doc_vectors(spark, sf_dir):
     return hash_doc_vectors(_spread(spark, _t(spark, sf_dir, "documents")))
 
 
+_TYPED_KG_MEMO: dict = {}
+
+
 def _typed_kg_edges(spark, sf_dir):
     """The event-derived entity graph with a typed predicate
     (P(event_id % 5)) — the composable triple set for the QA-pair
     bridge (the derived h_cur is bipartite Q->V, so 2-hop
-    composition only exists on this graph)."""
+    composition only exists on this graph).
+
+    Session-memoized as a materialized frame (`_kg_edges` pattern):
+    its six consumers are multi-leg self-join queries that would each
+    re-run the events scan + md5 decode once per plan leg."""
+    key = _memo_key(spark, sf_dir)
+    if key not in _TYPED_KG_MEMO:
+        _TYPED_KG_MEMO[key] = _typed_kg_edges_build(spark, sf_dir).localCheckpoint()
+    return _TYPED_KG_MEMO[key]
+
+
+def _typed_kg_edges_build(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     k = max(64, _ev_count(spark, sf_dir) // 20)
     return ev.select(
@@ -5017,7 +5051,7 @@ def q_community_modularity(spark, sf_dir):
     terms, which the exact integer pieces expose."""
     from corhist_spark.graph import community_modularity, label_propagation
 
-    edges = _kg_edges(spark, sf_dir).localCheckpoint()
+    edges = _kg_edges(spark, sf_dir)  # memoized, already materialized
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
