@@ -261,15 +261,20 @@ def _bucketed_draw(
             % F.greatest(F.lit(1), F.expr(f"n_tot div {KGE_BUCKET}"))
         ).alias("bucket"),
     )
-    w = Window.partitionBy("subj", "pred", "obj").orderBy("score", "cand")
+    # the per-triple argmin over ~KGE_BUCKET candidates as a map-side-
+    # combinable MIN over struct(score, cand) instead of a row_number
+    # window: struct ordering compares (score ASC, cand ASC) — exactly
+    # the window's ORDER BY, both fields non-null — so the picked row
+    # is identical, but the shuffle carries one partially-aggregated
+    # row per triple instead of every candidate row through a sort
     return (
         drawn.join(buckets, "bucket")
         .withColumn(
             "score", F.expr(_hash52(f"concat('kgepick:{salt}:', {key}, ':', cand)"))
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("subj", "pred", "obj", F.col("cand").alias("pick"))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.min(F.struct("score", "cand")).alias("_best"))
+        .select("subj", "pred", "obj", F.col("_best.cand").alias("pick"))
     )
 
 
@@ -873,6 +878,12 @@ def typed_negatives(cur: DataFrame, types: DataFrame) -> DataFrame:
                 ),
             )
         )
+        # NOTE: kept as the row_number window, unlike _bucketed_draw's
+        # argmin-as-aggregate — the class-partitioned buckets make this
+        # side's candidate volume small enough that the aggregate's
+        # SortAggregate fallback (struct buffers are not hash-aggregable)
+        # measured consistently SLOWER here (3 interleaved min-of-N
+        # pairs: +0.3..0.7 s), while the window stays in one exchange
         w = Window.partitionBy("subj", "pred", "obj").orderBy("score", "cand")
         picked = (
             drawn.join(buckets, ["cls", "bucket"])
@@ -1350,9 +1361,7 @@ def sdtype_assign(cur: DataFrame, types: DataFrame, heldout: DataFrame) -> DataF
     Scale shape: the distribution table is (predicates x classes) —
     broadcast; training is one (pred, cls)-keyed count over typed
     subject incidences; inference is one broadcast join + one
-    entity-keyed aggregate + one per-entity argmax window."""
-    from pyspark.sql import Window
-
+    entity-keyed aggregate + one per-entity argmax reduction."""
     ho = heldout.select(F.col("entity").alias("subj"))
     train = (
         cur.join(ho, "subj", "left_anti")
@@ -1370,14 +1379,17 @@ def sdtype_assign(cur: DataFrame, types: DataFrame, heldout: DataFrame) -> DataF
         .groupBy("subj", "cls")
         .agg(F.sum("ppm").cast("bigint").alias("score_ppm"))
     )
-    w = Window.partitionBy("subj").orderBy(F.desc("score_ppm"), F.asc("cls"))
+    # per-entity argmax as a MIN over struct(-score_ppm, cls): integer
+    # negation flips the BIGINT sum's order exactly (no float -0/NaN
+    # cases), so the pick equals the old window's (score_ppm DESC,
+    # cls ASC) row — map-side combinable instead of a sort window
     pred = (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scores.groupBy("subj")
+        .agg(F.min(F.struct((-F.col("score_ppm")).alias("neg"), "cls")).alias("_best"))
         .select(
             F.col("subj").alias("entity"),
-            F.col("cls").alias("predicted_cls"),
-            "score_ppm",
+            F.col("_best.cls").alias("predicted_cls"),
+            (-F.col("_best.neg")).cast("bigint").alias("score_ppm"),
         )
     )
     return pred.join(

@@ -264,13 +264,13 @@ def random_walks(
         .unionAll(canon.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .localCheckpoint()
     )
-    from pyspark.sql import Window
-
     frontier = und.select(F.col("u").alias("walk")).distinct().withColumn(
         "node", F.col("walk")
     )
     out = frontier.withColumn("step", F.lit(0))
-    w = Window.partitionBy("walk").orderBy("h", "v")
+    # next-hop argmin as a MIN over struct(h, v) — identical pick to
+    # the old row_number window's (h ASC, v ASC), both fields non-null,
+    # but partially aggregated map-side instead of a per-walk sort
     for t in range(1, n_steps + 1):
         nxt = (
             frontier.join(und, frontier["node"] == und["u"])
@@ -281,9 +281,9 @@ def random_walks(
                     " 16, 10) AS BIGINT)"
                 ),
             )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("walk", F.col("v").alias("node"))
+            .groupBy("walk")
+            .agg(F.min(F.struct("h", "v")).alias("_best"))
+            .select("walk", F.col("_best.v").alias("node"))
             .localCheckpoint()
         )
         out = out.unionByName(nxt.withColumn("step", F.lit(t)))
