@@ -266,7 +266,15 @@ def _bucketed_draw(
     # window: struct ordering compares (score ASC, cand ASC) — exactly
     # the window's ORDER BY, both fields non-null — so the picked row
     # is identical, but the shuffle carries one partially-aggregated
-    # row per triple instead of every candidate row through a sort
+    # row per triple instead of every candidate row through a sort.
+    # Validated at BOTH scales (sf0.1 interleaved pairs lean positive;
+    # sf1 fast-phase 18.4/24.6 s vs 23.0 s for the window).  NOTE a
+    # measurement trap hit during gating: this query's sf1 row is the
+    # most shuffle-I/O-bound thing benched, and a host disk-throttle
+    # phase produced 157–190 s readings on BOTH variants (the window
+    # version included, on an untouched tree) while raw CPU stayed
+    # full-speed — slow readings here should be cross-checked against
+    # an interleaved control before blaming the plan.
     return (
         drawn.join(buckets, "bucket")
         .withColumn(
